@@ -1,0 +1,325 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables._
+
+/** Relational operator surface of SURVEY.md §2.2/§2.3/§2.6/§2.7/§2.8:
+  * filters (F1–F7), joins (J1/J3/J6), sorts/limits (O1–O7), set ops
+  * (U1–U4), scalar functions, and the plain aggregations (A3/A12).
+  * Each query has a duckdb oracle; all results are ordered by a unique
+  * key and every float aggregate is derived from exact integer sums.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // F1/F5 — quality/finite/sanity row filters (ref main.py:7448, 5601).
+    "f1_quality_filter" -> ((s, d) => {
+      lineitem(s, d)
+        .filter(col("l_returnflag") === "R" && col("l_quantity") > 30 &&
+          col("l_extendedprice").isNotNull && abs(col("l_extendedprice")) < 1e10)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // F7 — string predicates on metadata tables (ref main.py:8897–8940).
+    "f7_string_filter" -> ((s, d) => {
+      part(s, d)
+        .filter(col("p_type").endsWith("OMY") || col("p_type").contains("SMA"))
+        .filter(col("p_name").startsWith("red") || col("p_size") > 40)
+        .select("p_partkey", "p_name", "p_type", "p_size")
+        .orderBy("p_partkey")
+    }),
+
+    // J1 — broadcast equi-join chain + group agg (ref main.py:8477–8503).
+    "j1_equi_join_agg" -> ((s, d) => {
+      val c = customer(s, d); val n = nation(s, d); val r = region(s, d)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          count(lit(1)).as("n_cust"),
+          (sum(cents(col("c_acctbal"))).cast("long") / 100.0).as("sum_acctbal"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // J3/U2 — anti join: orders with no lineitem (ref main.py:9271–9288).
+    "j3_anti_join" -> ((s, d) => {
+      orders(s, d).join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    // J3/U4 — semi join: customers that have an open-status order.
+    "j3_semi_join" -> ((s, d) => {
+      val o = orders(s, d).filter(col("o_orderstatus") === "O")
+      customer(s, d).join(o, col("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // J6/A11 prelude — self cross-join of top-5 outlier events, all pairs
+    // a<b with time separation (ref main.py:5226–5241).
+    "j6_pair_diffs" -> ((s, d) => {
+      val top = events(s, d)
+        .orderBy(desc("value"), asc("event_id")).limit(5)
+        .select(col("event_id"), unix_micros(col("ts")).as("t_us"))
+      val a = top.select(col("event_id").as("a_id"), col("t_us").as("a_t"))
+      val b = top.select(col("event_id").as("b_id"), col("t_us").as("b_t"))
+      a.crossJoin(b).filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"), abs(col("b_t") - col("a_t")).as("dt_us"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // O3 — top-k by measure with deterministic tie-break (ref main.py:5220).
+    "o3_topk" -> ((s, d) => {
+      orders(s, d)
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)
+    }),
+
+    // O7 — deterministic subsample (ref main.py:1835–1839 random cap; here
+    // a hash-free modular pick so both engines agree).
+    "o7_subsample" -> ((s, d) => {
+      events(s, d).filter(col("event_id") % 97 === 0)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy("event_id")
+    }),
+
+    // U1/U3 — union all + distinct (ref main.py:10621, 9502).
+    "u1_union_distinct" -> ((s, d) => {
+      val e = events(s, d)
+      val hi = e.filter(col("value") > 150).select("user_id", "event_type")
+      val err = e.filter(col("event_type") === "error").select("user_id", "event_type")
+      hi.union(err).distinct().orderBy("user_id", "event_type")
+    }),
+
+    // W1 — successive differences per group (ref main.py:5460, 10640).
+    "w1_lag_diff" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, d)
+        .withColumn("t_us", unix_micros(col("ts")))
+        .withColumn("dt_us", col("t_us") - lag(col("t_us"), 1).over(w))
+        .select("user_id", "event_id", "t_us", "dt_us")
+        .orderBy("user_id", "event_id")
+    }),
+
+    // W5/O4 — rank-1 selection per group (ref main.py:4981, 5752).
+    "w5_argmax" -> ((s, d) => {
+      val w = Window.partitionBy("event_type").orderBy(desc("value"), asc("event_id"))
+      events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("event_type", "event_id", "value")
+        .orderBy("event_type")
+    }),
+
+    // O6 — sorted gap report: top-20 largest inter-event gaps (main.py:6205).
+    "o6_gap_report" -> ((s, d) => {
+      val w = Window.orderBy("ts", "event_id")
+      events(s, d)
+        .withColumn("t_us", unix_micros(col("ts")))
+        .withColumn("gap_us", col("t_us") - lag(col("t_us"), 1).over(w))
+        .filter(col("gap_us").isNotNull)
+        .select("event_id", "gap_us")
+        .orderBy(desc("gap_us"), asc("event_id"))
+        .limit(20)
+    }),
+
+    // A12 — conditional aggregation (ref main.py:118–173 ingress/egress means).
+    "a12_conditional_agg" -> ((s, d) => {
+      lineitem(s, d).groupBy("l_returnflag").agg(
+        count(when(col("l_discount") > 0.05, 1)).as("n_hi_disc"),
+        (sum(when(col("l_discount") > 0.05, cents(col("l_extendedprice")))
+          .otherwise(lit(0))).cast("long") / 100.0).as("rev_hi_disc"),
+        (sum(col("l_quantity").cast("long")).cast("long")).as("sum_qty"),
+        count(lit(1)).as("n"))
+        .withColumn("avg_qty", col("sum_qty") / col("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    // A3 — exact percentile summaries, 16/50/84 (ref main.py:1558–1571).
+    "a3_percentiles" -> ((s, d) => {
+      lineitem(s, d).groupBy("l_returnflag").agg(
+        expr("percentile(l_quantity, 0.16)").as("p16"),
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.84)").as("p84"),
+        count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    // §2.8 strings — concat/substr/split/case/format (ref main.py:10424, 7557).
+    "sc_strings" -> ((s, d) => {
+      part(s, d)
+        .withColumn("name_up", upper(col("p_name")))
+        .withColumn("type_head", element_at(split(col("p_type"), " "), 1))
+        .withColumn("brand_sz", concat_ws("#", col("p_brand"), col("p_size")))
+        .withColumn("tag", format_string("p%04d", col("p_partkey")))
+        .withColumn("name_len", length(col("p_name")))
+        .select("p_partkey", "name_up", "type_head", "brand_sz", "tag", "name_len")
+        .orderBy("p_partkey")
+    }),
+
+    // §2.8 JSON scalar functions over events.props.
+    "sc_json" -> ((s, d) => {
+      events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy("k").agg(count(lit(1)).as("n"))
+        .orderBy("k")
+    }),
+
+    // §2.8 date/time parts.
+    "sc_datetime" -> ((s, d) => {
+      orders(s, d)
+        .withColumn("yr", year(col("o_orderdate")))
+        .withColumn("mo", month(col("o_orderdate")))
+        .groupBy("yr", "mo")
+        .agg(count(lit(1)).as("n"),
+          (sum(cents(col("o_totalprice"))).cast("long") / 100.0).as("sum_price"))
+        .orderBy("yr", "mo")
+    }),
+
+    // §2.8 math exprs (ref main.py:1329–1468 derived-feature layer): all
+    // transcendentals rounded to 6 dp to absorb libm 1-ulp divergence.
+    "sc_math" -> ((s, d) => {
+      supplier(s, d)
+        .withColumn("x", abs(col("s_acctbal")) / 10000.0 + 1e-3)
+        .select(
+          col("s_suppkey"),
+          round(log10(col("x")), 6).as("lg"),
+          round(sqrt(col("x")), 6).as("sq"),
+          round(pow(col("x"), 1.5), 6).as("pw"),
+          round(atan2(col("x"), lit(1.0)), 6).as("at2"),
+          round(sin(col("x")), 6).as("sn"))
+        .orderBy("s_suppkey")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "f1_quality_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_quantity > 30
+        |  AND l_extendedprice IS NOT NULL AND abs(l_extendedprice) < 1e10
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "f7_string_filter" ->
+      """SELECT p_partkey, p_name, p_type, p_size FROM part
+        |WHERE (p_type LIKE '%OMY' OR p_type LIKE '%SMA%')
+        |  AND (p_name LIKE 'red%' OR p_size > 40)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "j1_equi_join_agg" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+        |  CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "j3_anti_join" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "j3_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "j6_pair_diffs" ->
+      """WITH top5 AS (
+        |  SELECT event_id, epoch_us(ts) AS t_us FROM events
+        |  ORDER BY value DESC, event_id ASC LIMIT 5)
+        |SELECT a.event_id AS a_id, b.event_id AS b_id,
+        |       abs(b.t_us - a.t_us) AS dt_us
+        |FROM top5 a, top5 b WHERE a.event_id < b.event_id
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "o3_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "o7_subsample" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE event_id % 97 = 0 ORDER BY event_id""".stripMargin,
+
+    "u1_union_distinct" ->
+      """SELECT DISTINCT user_id, event_type FROM (
+        |  SELECT user_id, event_type FROM events WHERE value > 150
+        |  UNION ALL
+        |  SELECT user_id, event_type FROM events WHERE event_type = 'error')
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "w1_lag_diff" ->
+      """SELECT user_id, event_id, t_us, t_us - lag(t_us, 1) OVER w AS dt_us
+        |FROM (SELECT user_id, event_id, ts, epoch_us(ts) AS t_us FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "w5_argmax" ->
+      """SELECT event_type, event_id, value FROM (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY value DESC, event_id ASC) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    "o6_gap_report" ->
+      """SELECT event_id, gap_us FROM (
+        |  SELECT event_id,
+        |    epoch_us(ts) - lag(epoch_us(ts), 1) OVER (ORDER BY ts, event_id) AS gap_us
+        |  FROM events)
+        |WHERE gap_us IS NOT NULL
+        |ORDER BY gap_us DESC, event_id ASC LIMIT 20""".stripMargin,
+
+    "a12_conditional_agg" ->
+      """SELECT l_returnflag, n_hi_disc, rev_hi_disc, sum_qty, n,
+        |       sum_qty / CAST(n AS DOUBLE) AS avg_qty
+        |FROM (
+        |  SELECT l_returnflag,
+        |    count(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_hi_disc,
+        |    CAST(sum(CASE WHEN l_discount > 0.05
+        |             THEN CAST(round(l_extendedprice*100) AS BIGINT)
+        |             ELSE 0 END) AS BIGINT)/100.0 AS rev_hi_disc,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |    count(*) AS n
+        |  FROM lineitem GROUP BY l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "a3_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.16) AS p16,
+        |  quantile_cont(l_quantity, 0.5)  AS p50,
+        |  quantile_cont(l_quantity, 0.84) AS p84,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "sc_strings" ->
+      """SELECT p_partkey, upper(p_name) AS name_up,
+        |  string_split(p_type, ' ')[1] AS type_head,
+        |  p_brand || '#' || CAST(p_size AS VARCHAR) AS brand_sz,
+        |  printf('p%04d', p_partkey) AS tag,
+        |  length(p_name) AS name_len
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "sc_json" ->
+      """SELECT CAST(props->>'k' AS INT) AS k, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+
+    "sc_datetime" ->
+      """SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_price
+        |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin,
+
+    "sc_math" ->
+      """SELECT s_suppkey,
+        |  round(log10(x), 6) AS lg, round(sqrt(x), 6) AS sq,
+        |  round(pow(x, 1.5), 6) AS pw, round(atan2(x, 1.0), 6) AS at2,
+        |  round(sin(x), 6) AS sn
+        |FROM (SELECT s_suppkey, abs(s_acctbal)/10000.0 + 1e-3 AS x FROM supplier)
+        |ORDER BY s_suppkey""".stripMargin
+  )
+}
