@@ -1,0 +1,506 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+import graft.core.Tables._
+import graft.ops.TsOps
+
+/** Time-series operator surface (SURVEY.md §2.9 T1–T12, §2.4 A1/A4–A6/
+  * A10/A13, §2.5 W2, §2.2 F2/F3/F6, §2.3 J4/J8) exercised on the
+  * `events` fixture: `user_id` plays the role of the instrument/chunk
+  * axis, `value` the flux, unit errors. Time is exact integer micros.
+  */
+object TimeSeries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // Fold/transit constants (micros): 1-day fold period, 7-day transit
+  // period with 1-day duration, epoch 2024-01-01T00:00:00Z.
+  private val E = 1704067200000000L
+  private val PDAY = 86400000000L
+  private val P7 = 7L * PDAY
+  private val DUR = PDAY
+
+  /** events + (t_us, vc) — shared prep; mirrors the SQL `base` CTE. */
+  private def base(s: SparkSession, d: String): DataFrame =
+    events(s, d).select(
+      col("event_id"), col("user_id"), col("event_type"), col("value"),
+      unix_micros(col("ts")).as("t_us"),
+      Tables.cents(col("value")).as("vc"))
+
+  private val baseSql =
+    """base AS (SELECT event_id, user_id, event_type, value,
+      |  epoch_us(ts) AS t_us, CAST(round(value*100) AS BIGINT) AS vc
+      |  FROM events)""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    // T1 — phase fold (ref main.py:7346–7380): pure integer modulus.
+    "t1_fold" -> ((s, d) => {
+      base(s, d)
+        .withColumn("phase_us", TsOps.phaseUs(col("t_us"), lit(E), lit(PDAY)))
+        .select("event_id", "phase_us", "value")
+        .orderBy("phase_us", "event_id")
+    }),
+
+    // T2 — phase binning: fold + 24 fixed bins + reference error model
+    // (rebn_tser main.py:3755–3818; err_bin = sqrt((√Σe²/n)² + std²),
+    // population std, unit errors).
+    "t2_phase_bin" -> ((s, d) => {
+      base(s, d)
+        .withColumn("phase_us", TsOps.phaseUs(col("t_us"), lit(E), lit(PDAY)))
+        .withColumn("bin", expr(s"(phase_us * 24) div ${PDAY}"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum(col("vc")).as("_s"),
+          sum(col("vc") * col("vc")).as("_q"))
+        .withColumn("vmean", col("_s") / 100.0 / col("n"))
+        .withColumn("vvar",
+          (col("_q") - col("_s").cast("double") * col("_s") / col("n")) / col("n") / 10000.0)
+        .withColumn("verr", sqrt(lit(1.0) / col("n") + greatest(col("vvar"), lit(0.0))))
+        .select("bin", "n", "vmean", "verr")
+        .orderBy("bin")
+    }),
+
+    // A1 — time rebinning at fixed 1-hour width per event_type.
+    "a1_rebin_time" -> ((s, d) => {
+      base(s, d)
+        .withColumn("bin", expr(s"(t_us - ${E}) div 3600000000"))
+        .groupBy("event_type", "bin")
+        .agg(count(lit(1)).as("n"), sum(col("vc")).as("_s"),
+          sum(col("vc") * col("vc")).as("_q"))
+        .withColumn("vmean", col("_s") / 100.0 / col("n"))
+        .withColumn("vvar",
+          (col("_q") - col("_s").cast("double") * col("_s") / col("n")) / col("n") / 10000.0)
+        .withColumn("verr", sqrt(lit(1.0) / col("n") + greatest(col("vvar"), lit(0.0))))
+        .select("event_type", "bin", "n", "vmean", "verr")
+        .orderBy("event_type", "bin")
+    }),
+
+    // W2 — gap-based segmentation into regions (retr_timeedge
+    // main.py:6590–6630): new region when gap > 1 h.
+    "w2_gap_segment" -> ((s, d) => {
+      TsOps.withRegion(base(s, d), Seq("user_id"), "t_us", "event_id", 3600000000L)
+        .select("user_id", "event_id", "region")
+        .orderBy("user_id", "event_id")
+    }),
+
+    // A10 — sessionization (gaps-and-islands, ref main.py:6347–6368):
+    // 30-min inactivity threshold, per-session aggregates.
+    "a10_sessionize" -> ((s, d) => {
+      TsOps.sessionize(base(s, d), Seq("user_id"), "t_us", "event_id", 1800000000L)
+        .groupBy("user_id", "session")
+        .agg(count(lit(1)).as("n"), min(col("t_us")).as("t0_us"),
+          max(col("t_us")).as("t1_us"),
+          (sum(col("vc")).cast("long") / 100.0).as("sum_value"))
+        .withColumn("dur_us", col("t1_us") - col("t0_us"))
+        .orderBy("user_id", "session")
+    }),
+
+    // A4 — rolling std excluding the window max (retr_stdvwind
+    // main.py:6907–6944), ±5-row frame per user; population std from
+    // exact integer sums; frame-max multiplicity via bounded self-join.
+    "a4_peakcut_std" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+      val fr = w.rowsBetween(-5, 5)
+      val st = base(s, d)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(fr))
+        .withColumn("sv", sum(col("vc")).over(fr))
+        .withColumn("q", sum(col("vc") * col("vc")).over(fr))
+        .withColumn("m", max(col("vc")).over(fr))
+      val rn = st.select(col("user_id").as("b_user"), col("rn").as("brn"), col("vc").as("bvc"))
+      val cnt = st.join(rn,
+          col("user_id") === col("b_user") &&
+          col("brn") >= col("rn") - 5 && col("brn") <= col("rn") + 5 &&
+          col("bvc") === col("m"))
+        .groupBy("event_id").agg(count(lit(1)).as("cnt"))
+      st.join(cnt, "event_id")
+        .withColumn("n2", col("n") - col("cnt"))
+        .withColumn("s2", col("sv") - col("cnt") * col("m"))
+        .withColumn("q2", col("q") - col("cnt") * col("m") * col("m"))
+        .withColumn("stdv", when(col("n2") > 0,
+          sqrt((col("q2") - col("s2").cast("double") * col("s2") / col("n2")) / col("n2")) / 100.0))
+        .select("event_id", "n2", "stdv")
+        .orderBy("event_id")
+    }),
+
+    // A5/T3 — rolling median baseline + 'medi'-mode detrend
+    // (bdtr_tser main.py:6784–6795): value − median(±5 rows) + 1.
+    "t3_detrend_median" -> ((s, d) => {
+      val fr = Window.partitionBy("user_id").orderBy("t_us", "event_id").rowsBetween(-5, 5)
+      base(s, d)
+        .withColumn("med", expr("percentile(vc, 0.5)").over(fr) / 100.0)
+        .withColumn("detr", col("value") - col("med") + 1.0)
+        .select("event_id", "med", "detr")
+        .orderBy("event_id")
+    }),
+
+    // A6/T9 — rolling robust z-score vs 5/50/95 envelope in a ±1 h RANGE
+    // window (flare trigger, ref main.py:11367–11391), threshold z>2.5.
+    "t9_robust_z" -> ((s, d) => {
+      val fr = Window.partitionBy("user_id").orderBy("t_us")
+        .rangeBetween(-3600000000L, 3600000000L)
+      base(s, d)
+        .withColumn("med", expr("percentile(vc, 0.5)").over(fr) / 100.0)
+        .withColumn("p05", expr("percentile(vc, 0.05)").over(fr) / 100.0)
+        .withColumn("p95", expr("percentile(vc, 0.95)").over(fr) / 100.0)
+        .withColumn("z", round((col("value") - col("med")) /
+          nullif(col("p95") - col("p05"), lit(0.0)), 6))
+        .withColumn("is_flare", col("z") > 2.5)
+        .select("event_id", "z", "is_flare")
+        .orderBy("event_id")
+    }),
+
+    // F2 — custom time-interval mask, anti-semantics (main.py:10841–10865).
+    "f2_interval_mask" -> ((s, d) => {
+      val w1a = E + 5 * PDAY; val w1b = E + 6 * PDAY
+      val w2a = E + 20 * PDAY; val w2b = E + 22 * PDAY
+      base(s, d)
+        .filter(!(col("t_us") >= w1a && col("t_us") < w1b) &&
+                !(col("t_us") >= w2a && col("t_us") < w2b))
+        .select("event_id", "t_us")
+        .orderBy("event_id")
+    }),
+
+    // J4 — broadcast interval join: samples × literal windows.
+    "j4_interval_join" -> ((s, d) => {
+      val wins = s.createDataFrame(Seq(
+        (0, E + 2 * PDAY, E + 3 * PDAY),
+        (1, E + 10 * PDAY, E + 11 * PDAY),
+        (2, E + 25 * PDAY, E + 26 * PDAY)))
+        .toDF("window_id", "lo_us", "hi_us")
+      base(s, d).join(broadcast(wins),
+          col("t_us") >= col("lo_us") && col("t_us") < col("hi_us"))
+        .select("event_id", "window_id")
+        .orderBy("event_id")
+    }),
+
+    // F3/T10 — closed-form in-transit predicate + per-transit aggregates
+    // (retr_indxtimetran main.py:6502–6587): P=7 d, dur=1 d.
+    "t10_transit_stats" -> ((s, d) => {
+      base(s, d)
+        .withColumn("k", TsOps.transitIndex(col("t_us"), lit(E), lit(P7)))
+        .filter(TsOps.inTransit(col("t_us"), lit(E), lit(P7), lit(DUR)))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"),
+          (sum(col("vc")).cast("long") / 100.0 / count(lit(1))).as("vmean"))
+        .orderBy("k")
+    }),
+
+    // J8 — as-of linear interpolation onto a uniform 6-h grid per
+    // event_type (ref interp1d main.py:6286).
+    "j8_asof_interp" -> ((s, d) => {
+      val b = base(s, d)
+      val mm = b.agg(min(col("t_us")).as("t0"), max(col("t_us")).as("t1"))
+      val grid = mm.withColumn("i",
+          explode(sequence(lit(0L), expr("(t1 - t0) div 21600000000"))))
+        .select((col("t0") + col("i") * 21600000000L).as("g_us"))
+      val w = Window.partitionBy("event_type").orderBy("t_us", "event_id")
+      val seg = b
+        .withColumn("t_next", lead(col("t_us"), 1).over(w))
+        .withColumn("v_next", lead(col("vc"), 1).over(w))
+        .filter(col("t_next").isNotNull && col("t_next") =!= col("t_us"))
+      seg.join(broadcast(grid), col("g_us") >= col("t_us") && col("g_us") < col("t_next"))
+        .withColumn("interp", col("vc") / 100.0 +
+          (col("v_next") / 100.0 - col("vc") / 100.0) *
+            (col("g_us") - col("t_us")) / (col("t_next") - col("t_us")))
+        .select("event_type", "g_us", "interp")
+        .orderBy("event_type", "g_us")
+    }),
+
+    // F4/T4 — iterative sigma clip, 3 rounds of 2.5σ per event_type
+    // (scipy sigmaclip semantics, ref main.py:10989–11002).
+    "t4_sigma_clip" -> ((s, d) => {
+      TsOps.sigmaClip(base(s, d), Seq("event_type"), "vc", 2.5, 3)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_kept"),
+          (sum(col("vc")).cast("long") / 100.0).as("sum_kept"))
+        .orderBy("event_type")
+    }),
+
+    // A13 — residual RMS vs bin width (ref main.py:911–930): bin means
+    // integerized at 1e-6, population RMS across bins per width.
+    "a13_rms_binwidth" -> ((s, d) => {
+      val widths = Seq(3600000000L, 21600000000L, 86400000000L)
+      base(s, d)
+        .withColumn("width_us", explode(array(widths.map(lit(_)): _*)))
+        .withColumn("bin", expr(s"(t_us - ${E}) div width_us"))
+        .groupBy("width_us", "bin")
+        .agg((sum(col("vc")).cast("double") / 100.0 / count(lit(1))).as("m"))
+        .withColumn("mi", round(col("m") * 1e6).cast("long"))
+        .groupBy("width_us")
+        .agg(count(lit(1)).as("n_bins"), sum(col("mi")).as("_s"),
+          sum(col("mi") * col("mi")).as("_q"))
+        .withColumn("rms", round(
+          sqrt((col("_q") - col("_s").cast("double") * col("_s") / col("n_bins")) /
+            col("n_bins")) / 1e6, 6))
+        .select("width_us", "n_bins", "rms")
+        .orderBy("width_us")
+    }),
+
+    // T11 — uniform model-evaluation grid (setp_time main.py:7505–7554):
+    // ~500 points spanning the observed range.
+    "t11_time_grid" -> ((s, d) => {
+      val b = base(s, d)
+      b.agg(min(col("t_us")).as("t0"), max(col("t_us")).as("t1"))
+        .withColumn("step", expr("(t1 - t0) div 500"))
+        .withColumn("i", explode(sequence(lit(0L), lit(500L))))
+        .select(col("i"), (col("t0") + col("i") * col("step")).as("grid_us"))
+        .orderBy("i")
+    }),
+
+    // T12 — model evaluation on the grid (retr_dictmodl_mile
+    // main.py:327–668): box transit + exponential flare + sinusoid RV.
+    "t12_model_eval" -> ((s, d) => {
+      val b = base(s, d)
+      b.agg(min(col("t_us")).as("t0"), max(col("t_us")).as("t1"))
+        .withColumn("step", expr("(t1 - t0) div 500"))
+        .withColumn("i", explode(sequence(lit(0L), lit(500L))))
+        .withColumn("g_us", col("t0") + col("i") * col("step"))
+        .withColumn("ph", TsOps.phaseCenteredUs(col("g_us"), lit(E), lit(P7)))
+        .withColumn("flux", round(
+          lit(1.0) - when(abs(col("ph")) < DUR / 2, 0.01).otherwise(0.0) +
+            lit(0.02) * exp(-TsOps.phaseUs(col("g_us"), lit(E), lit(PDAY))
+              .cast("double") / 7200000000.0), 6))
+        .withColumn("rv", round(lit(5.0) *
+          sin(lit(2.0 * math.Pi) * (col("g_us") - E).cast("double") / P7), 6))
+        .select("i", "g_us", "flux", "rv")
+        .orderBy("i")
+    }),
+
+    // T7/A11 — periodic-outlier period candidate (srch_outlperi
+    // main.py:5203–5279): top-5 outliers → sorted pairwise Δt →
+    // successive fractional change.
+    "t7_outlperi" -> ((s, d) => {
+      val top = base(s, d)
+        .orderBy(desc("value"), asc("event_id")).limit(5)
+        .select(col("event_id"), col("t_us"))
+      val a = top.select(col("event_id").as("a_id"), col("t_us").as("a_t"))
+      val bb = top.select(col("event_id").as("b_id"), col("t_us").as("b_t"))
+      val pairs = a.crossJoin(bb).filter(col("a_id") < col("b_id"))
+        .select(abs(col("b_t") - col("a_t")).as("dt_us"))
+      val w = Window.orderBy("dt_us")
+      pairs
+        .withColumn("rank", row_number().over(w))
+        .withColumn("prev", lag(col("dt_us"), 1).over(w))
+        .withColumn("frac", round((col("dt_us") - col("prev")).cast("double") /
+          col("prev"), 6))
+        .select("rank", "dt_us", "frac")
+        .orderBy("rank")
+    })
+  )
+
+  val oracle: Map[String, String] = {
+    val refErr =
+      """  count(*) AS n, sum(vc) AS _s, sum(vc*vc) AS _q""".stripMargin
+    Map(
+      "t1_fold" ->
+        s"""WITH $baseSql
+           |SELECT event_id, ((t_us - $E) % $PDAY + $PDAY) % $PDAY AS phase_us, value
+           |FROM base ORDER BY phase_us, event_id""".stripMargin,
+
+      "t2_phase_bin" ->
+        s"""WITH $baseSql,
+           |f AS (SELECT vc, ((t_us - $E) % $PDAY + $PDAY) % $PDAY AS phase_us FROM base),
+           |g AS (SELECT (phase_us * 24) // $PDAY AS bin, $refErr
+           |      FROM f GROUP BY 1)
+           |SELECT bin, n, _s/100.0/n AS vmean,
+           |  sqrt(1.0/n + greatest((_q - CAST(_s AS DOUBLE)*_s/n)/n/10000.0, 0.0)) AS verr
+           |FROM g ORDER BY bin""".stripMargin,
+
+      "a1_rebin_time" ->
+        s"""WITH $baseSql,
+           |g AS (SELECT event_type, (t_us - $E) // 3600000000 AS bin, $refErr
+           |      FROM base GROUP BY 1, 2)
+           |SELECT event_type, bin, n, _s/100.0/n AS vmean,
+           |  sqrt(1.0/n + greatest((_q - CAST(_s AS DOUBLE)*_s/n)/n/10000.0, 0.0)) AS verr
+           |FROM g ORDER BY event_type, bin""".stripMargin,
+
+      "w2_gap_segment" ->
+        s"""WITH $baseSql
+           |SELECT user_id, event_id,
+           |  sum(CASE WHEN gap > 3600000000 THEN 1 ELSE 0 END)
+           |    OVER (PARTITION BY user_id ORDER BY t_us, event_id
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS region
+           |FROM (SELECT user_id, event_id, t_us,
+           |        t_us - lag(t_us, 1) OVER (PARTITION BY user_id
+           |                                  ORDER BY t_us, event_id) AS gap
+           |      FROM base)
+           |ORDER BY user_id, event_id""".stripMargin,
+
+      "a10_sessionize" ->
+        s"""WITH $baseSql,
+           |flagged AS (SELECT user_id, event_id, t_us, vc,
+           |  sum(CASE WHEN gap > 1800000000 THEN 1 ELSE 0 END)
+           |    OVER (PARTITION BY user_id ORDER BY t_us, event_id
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session
+           |  FROM (SELECT user_id, event_id, t_us, vc,
+           |          t_us - lag(t_us, 1) OVER (PARTITION BY user_id
+           |                                    ORDER BY t_us, event_id) AS gap
+           |        FROM base))
+           |SELECT user_id, session, count(*) AS n, min(t_us) AS t0_us,
+           |  max(t_us) AS t1_us,
+           |  CAST(sum(vc) AS BIGINT)/100.0 AS sum_value,
+           |  max(t_us) - min(t_us) AS dur_us
+           |FROM flagged GROUP BY user_id, session
+           |ORDER BY user_id, session""".stripMargin,
+
+      "a4_peakcut_std" ->
+        s"""WITH $baseSql,
+           |rn AS (SELECT *, row_number() OVER
+           |         (PARTITION BY user_id ORDER BY t_us, event_id) AS rn FROM base),
+           |st AS (SELECT *, count(*) OVER fr AS n, sum(vc) OVER fr AS sv,
+           |         sum(vc*vc) OVER fr AS q, max(vc) OVER fr AS m
+           |       FROM rn
+           |       WINDOW fr AS (PARTITION BY user_id ORDER BY t_us, event_id
+           |                     ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)),
+           |cm AS (SELECT a.event_id, count(*) AS cnt
+           |       FROM st a JOIN rn b ON a.user_id = b.user_id
+           |         AND b.rn BETWEEN a.rn - 5 AND a.rn + 5 AND b.vc = a.m
+           |       GROUP BY a.event_id)
+           |SELECT st.event_id, n - cnt AS n2,
+           |  CASE WHEN n - cnt > 0 THEN
+           |    sqrt(((q - cnt*m*m) - CAST(sv - cnt*m AS DOUBLE)*(sv - cnt*m)/(n - cnt))
+           |         /(n - cnt))/100.0 END AS stdv
+           |FROM st JOIN cm ON st.event_id = cm.event_id
+           |ORDER BY st.event_id""".stripMargin,
+
+      "t3_detrend_median" ->
+        s"""WITH $baseSql
+           |SELECT event_id,
+           |  quantile_cont(vc, 0.5) OVER fr / 100.0 AS med,
+           |  value - quantile_cont(vc, 0.5) OVER fr / 100.0 + 1.0 AS detr
+           |FROM base
+           |WINDOW fr AS (PARTITION BY user_id ORDER BY t_us, event_id
+           |              ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)
+           |ORDER BY event_id""".stripMargin,
+
+      "t9_robust_z" ->
+        s"""WITH $baseSql,
+           |env AS (SELECT event_id, value,
+           |  quantile_cont(vc, 0.5)  OVER fr / 100.0 AS med,
+           |  quantile_cont(vc, 0.05) OVER fr / 100.0 AS p05,
+           |  quantile_cont(vc, 0.95) OVER fr / 100.0 AS p95
+           |FROM base
+           |WINDOW fr AS (PARTITION BY user_id ORDER BY t_us
+           |              RANGE BETWEEN 3600000000 PRECEDING AND 3600000000 FOLLOWING))
+           |SELECT event_id,
+           |  round((value - med) / nullif(p95 - p05, 0.0), 6) AS z,
+           |  round((value - med) / nullif(p95 - p05, 0.0), 6) > 2.5 AS is_flare
+           |FROM env ORDER BY event_id""".stripMargin,
+
+      "f2_interval_mask" ->
+        s"""WITH $baseSql
+           |SELECT event_id, t_us FROM base
+           |WHERE NOT (t_us >= ${E + 5 * PDAY} AND t_us < ${E + 6 * PDAY})
+           |  AND NOT (t_us >= ${E + 20 * PDAY} AND t_us < ${E + 22 * PDAY})
+           |ORDER BY event_id""".stripMargin,
+
+      "j4_interval_join" ->
+        s"""WITH $baseSql,
+           |wins(window_id, lo_us, hi_us) AS (VALUES
+           |  (0, ${E + 2 * PDAY}, ${E + 3 * PDAY}),
+           |  (1, ${E + 10 * PDAY}, ${E + 11 * PDAY}),
+           |  (2, ${E + 25 * PDAY}, ${E + 26 * PDAY}))
+           |SELECT event_id, window_id FROM base JOIN wins
+           |  ON t_us >= lo_us AND t_us < hi_us
+           |ORDER BY event_id""".stripMargin,
+
+      "t10_transit_stats" ->
+        s"""WITH $baseSql,
+           |ph AS (SELECT vc, t_us,
+           |    ((t_us - $E + ${P7 / 2}) % $P7 + $P7) % $P7 - ${P7 / 2} AS pc,
+           |    t_us - $E + ${P7 / 2} AS a,
+           |    ((t_us - $E + ${P7 / 2}) % $P7 + $P7) % $P7 AS pm
+           |  FROM base)
+           |SELECT CAST((a - pm) / $P7 AS BIGINT) AS k, count(*) AS n,
+           |  CAST(sum(vc) AS BIGINT)/100.0/count(*) AS vmean
+           |FROM ph WHERE abs(pc) < ${DUR / 2}
+           |GROUP BY 1 ORDER BY k""".stripMargin,
+
+      "j8_asof_interp" ->
+        s"""WITH $baseSql,
+           |mm AS (SELECT min(t_us) AS t0, max(t_us) AS t1 FROM base),
+           |grid AS (SELECT t0 + 21600000000 * unnest(generate_series(0, CAST((t1 - t0) // 21600000000 AS BIGINT))) AS g_us FROM mm),
+           |seg AS (SELECT event_type, t_us, vc,
+           |    lead(t_us, 1) OVER w AS t_next, lead(vc, 1) OVER w AS v_next
+           |  FROM base
+           |  WINDOW w AS (PARTITION BY event_type ORDER BY t_us, event_id))
+           |SELECT event_type, g_us,
+           |  vc/100.0 + (v_next/100.0 - vc/100.0) * (g_us - t_us) / (t_next - t_us) AS interp
+           |FROM seg JOIN grid ON g_us >= t_us AND g_us < t_next
+           |WHERE t_next IS NOT NULL AND t_next <> t_us
+           |ORDER BY event_type, g_us""".stripMargin,
+
+      "t4_sigma_clip" -> {
+        def stats(src: String) =
+          s"""(SELECT event_type, count(*) AS n, sum(vc) AS s, sum(vc*vc) AS q
+             | FROM $src GROUP BY 1)""".stripMargin
+        def clip(src: String, st: String) =
+          s"""(SELECT $src.* FROM $src JOIN $st USING (event_type)
+             | WHERE vc/100.0 > CAST(s AS DOUBLE)/n/100.0
+             |     - 2.5 * sqrt((q - CAST(s AS DOUBLE)*s/n)/n)/100.0
+             |   AND vc/100.0 < CAST(s AS DOUBLE)/n/100.0
+             |     + 2.5 * sqrt((q - CAST(s AS DOUBLE)*s/n)/n)/100.0)""".stripMargin
+        s"""WITH $baseSql,
+           |c0 AS (SELECT event_type, vc FROM base),
+           |s1 AS ${stats("c0")},
+           |c1 AS ${clip("c0", "s1")},
+           |s2 AS ${stats("c1")},
+           |c2 AS ${clip("c1", "s2")},
+           |s3 AS ${stats("c2")},
+           |c3 AS ${clip("c2", "s3")}
+           |SELECT event_type, count(*) AS n_kept,
+           |  CAST(sum(vc) AS BIGINT)/100.0 AS sum_kept
+           |FROM c3 GROUP BY 1 ORDER BY event_type""".stripMargin
+      },
+
+      "a13_rms_binwidth" ->
+        s"""WITH $baseSql,
+           |wd(width_us) AS (VALUES (3600000000), (21600000000), (86400000000)),
+           |bins AS (SELECT width_us, (t_us - $E) // width_us AS bin,
+           |    CAST(round(CAST(sum(vc) AS DOUBLE)/100.0/count(*) * 1e6) AS BIGINT) AS mi
+           |  FROM base, wd GROUP BY 1, 2),
+           |agg AS (SELECT width_us, count(*) AS n_bins, sum(mi) AS _s,
+           |    sum(mi*mi) AS _q FROM bins GROUP BY 1)
+           |SELECT width_us, n_bins,
+           |  round(sqrt((_q - CAST(_s AS DOUBLE)*_s/n_bins)/n_bins)/1e6, 6) AS rms
+           |FROM agg ORDER BY width_us""".stripMargin,
+
+      "t11_time_grid" ->
+        s"""WITH $baseSql,
+           |mm AS (SELECT min(t_us) AS t0, max(t_us) AS t1,
+           |         (max(t_us) - min(t_us)) // 500 AS step FROM base),
+           |g AS (SELECT unnest(generate_series(0, 500)) AS i, t0, step FROM mm)
+           |SELECT i, t0 + i * step AS grid_us FROM g ORDER BY i""".stripMargin,
+
+      "t12_model_eval" ->
+        s"""WITH $baseSql,
+           |mm AS (SELECT min(t_us) AS t0, (max(t_us) - min(t_us)) // 500 AS step FROM base),
+           |g AS (SELECT i, t0 + i * step AS g_us FROM
+           |        (SELECT unnest(generate_series(0, 500)) AS i, t0, step FROM mm)),
+           |ph AS (SELECT i, g_us,
+           |    ((g_us - $E + ${P7 / 2}) % $P7 + $P7) % $P7 - ${P7 / 2} AS pc,
+           |    ((g_us - $E) % $PDAY + $PDAY) % $PDAY AS pd
+           |  FROM g)
+           |SELECT i, g_us,
+           |  round(1.0 - (CASE WHEN abs(pc) < ${DUR / 2} THEN 0.01 ELSE 0.0 END)
+           |    + 0.02 * exp(-CAST(pd AS DOUBLE) / 7200000000.0), 6) AS flux,
+           |  round(5.0 * sin(2.0 * pi() * CAST(g_us - $E AS DOUBLE) / $P7), 6) AS rv
+           |FROM ph ORDER BY i""".stripMargin,
+
+      "t7_outlperi" ->
+        s"""WITH $baseSql,
+           |top5 AS (SELECT event_id, t_us FROM base
+           |         ORDER BY value DESC, event_id ASC LIMIT 5),
+           |pairs AS (SELECT abs(b.t_us - a.t_us) AS dt_us
+           |          FROM top5 a, top5 b WHERE a.event_id < b.event_id),
+           |ranked AS (SELECT dt_us, row_number() OVER (ORDER BY dt_us) AS rank,
+           |             lag(dt_us, 1) OVER (ORDER BY dt_us) AS prev
+           |           FROM pairs)
+           |SELECT rank, dt_us,
+           |  round(CAST(dt_us - prev AS DOUBLE) / prev, 6) AS frac
+           |FROM ranked ORDER BY rank""".stripMargin
+    )
+  }
+}
