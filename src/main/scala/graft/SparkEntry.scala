@@ -12,7 +12,8 @@ object SparkEntry {
   private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (_root_.graft.queries.Relational.queries, _root_.graft.queries.Relational.oracle),
-      (_root_.graft.queries.TimeSeries.queries, _root_.graft.queries.TimeSeries.oracle)
+      (_root_.graft.queries.TimeSeries.queries, _root_.graft.queries.TimeSeries.oracle),
+      (_root_.graft.queries.Search.queries, _root_.graft.queries.Search.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

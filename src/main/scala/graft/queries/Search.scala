@@ -1,0 +1,195 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+import graft.core.Tables._
+import graft.search.{Bls, LombScargle, MatchedFilter}
+
+/** Search-kernel surface (SURVEY.md §2.9 T5/T6/T8, §2.4 A2/A7/A8) plus
+  * the remaining scan/set-op items (S12 dedup sink, U2 except, W6
+  * sequence generation). Oracles mirror the integer-sum formulations
+  * of the kernels exactly.
+  */
+object Search {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def base(s: SparkSession, d: String): DataFrame =
+    events(s, d).select(
+      col("event_id"), col("user_id"), col("event_type"), col("value"),
+      unix_micros(col("ts")).as("t_us"),
+      Tables.cents(col("value")).as("vc"))
+
+  private val baseSql =
+    """base AS (SELECT event_id, user_id, event_type, value,
+      |  epoch_us(ts) AS t_us, CAST(round(value*100) AS BIGINT) AS vc
+      |  FROM events)""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    // T5 — Lomb–Scargle periodogram, 40-frequency 1/baseline grid.
+    "t5_lombscargle" -> ((s, d) =>
+      LombScargle.periodogram(base(s, d), "t_us", "vc", 40).orderBy("k")),
+
+    // T6/A7/J7 — BLS spectrum: deepest box per trial period over a
+    // 30-period ladder × duty cycles {10%, 5%} (M = 20, 40).
+    "t6_bls" -> ((s, d) =>
+      Bls.spectrum(base(s, d), "t_us", "vc", 30, Seq(20, 40)).orderBy("p_us")),
+
+    // T8/A9/A10 — matched-filter flare search: exponential kernel,
+    // 99th-percentile trigger, island clustering, per-island peak.
+    "t8_matched_filter" -> ((s, d) =>
+      MatchedFilter.flares(base(s, d), Seq("user_id"), "t_us", "event_id",
+        "vc", 2.0, 0.99).orderBy("user_id", "peak_id")),
+
+    // A2 — median normalization per group (ref main.py:7486–7488).
+    "a2_median_norm" -> ((s, d) => {
+      val med = lineitem(s, d).groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5)").as("med"))
+      lineitem(s, d).join(broadcast(med), "l_returnflag")
+        .withColumn("qty_norm", col("l_quantity") / col("med"))
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "qty_norm")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // S12 — results-sink dedup: keep first row per key, deterministic
+    // (ref cluster CSV dedup main.py:12458–12539).
+    "s12_dedup_first" -> ((s, d) => {
+      val w = Window.partitionBy("user_id", "event_type").orderBy("t_us", "event_id")
+      base(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("user_id", "event_type", "event_id")
+        .orderBy("user_id", "event_type")
+    }),
+
+    // U2 — set difference (ref out-of-transit complement main.py:6583).
+    "u2_except" -> ((s, d) => {
+      val all = orders(s, d).select("o_orderkey")
+      val f = orders(s, d).filter(col("o_orderstatus") === "F").select("o_orderkey")
+      all.except(f).orderBy("o_orderkey")
+    }),
+
+    // W6 — per-group sequence generation (ref index grids main.py:5612).
+    "w6_sequence" -> ((s, d) => {
+      orders(s, d).filter(col("o_orderkey") < 200)
+        .withColumn("i", explode(sequence(lit(1), month(col("o_orderdate")))))
+        .select("o_orderkey", "i")
+        .orderBy("o_orderkey", "i")
+    })
+  )
+
+  private val wd = MatchedFilter.kernelWeights(2.0)
+
+  val oracle: Map[String, String] = Map(
+    "t5_lombscargle" ->
+      s"""WITH $baseSql,
+         |mm AS (SELECT min(t_us) AS t0, max(t_us) AS t1, count(*) AS n,
+         |         sum(vc) AS s, sum(vc*vc) AS q FROM base),
+         |freqs AS (SELECT k, t0,
+         |    2.0 * pi() * (CAST(k AS DOUBLE) + 1.0)
+         |      / (CAST(t1 - t0 AS DOUBLE) / 1000000.0) AS omega,
+         |    CAST(s AS DOUBLE) / n / 100.0 AS mean,
+         |    (q - CAST(s AS DOUBLE) * s / n) / n / 10000.0 AS varx
+         |  FROM mm, (SELECT unnest(generate_series(0, 39)) AS k)),
+         |terms AS (SELECT k, varx,
+         |    CAST(round(cos(omega * ts) * 1e6) AS BIGINT) AS ci,
+         |    CAST(round(sin(omega * ts) * 1e6) AS BIGINT) AS si,
+         |    vc / 100.0 - mean AS dx
+         |  FROM (SELECT k, varx, omega, mean, vc,
+         |          CAST(t_us - t0 AS DOUBLE) / 1000000.0 AS ts
+         |        FROM base, freqs)),
+         |sums AS (SELECT k, min(varx) AS varx, count(*) AS n,
+         |    sum(ci*ci) AS cc, sum(si*si) AS ss, sum(ci*si) AS cs,
+         |    sum(CAST(round(ci * dx) AS BIGINT)) AS xc,
+         |    sum(CAST(round(si * dx) AS BIGINT)) AS xs
+         |  FROM terms GROUP BY k),
+         |fin AS (SELECT k, n, varx,
+         |    CAST(cc AS DOUBLE)/1e12 AS acc, CAST(ss AS DOUBLE)/1e12 AS ass,
+         |    CAST(cs AS DOUBLE)/1e12 AS acs,
+         |    CAST(xc AS DOUBLE)/1e6 AS axc, CAST(xs AS DOUBLE)/1e6 AS axs
+         |  FROM sums)
+         |SELECT k, n, round(
+         |    (ass * axc * axc - 2.0 * acs * axc * axs + acc * axs * axs)
+         |    / nullif(acc * ass - acs * acs, 0.0)
+         |    / nullif(2.0 * varx * n, 0.0), 6) AS power
+         |FROM fin ORDER BY k""".stripMargin,
+
+    "t6_bls" ->
+      s"""WITH $baseSql,
+         |mm AS (SELECT min(t_us) AS t0, max(t_us) AS t1, count(*) AS nall,
+         |         sum(vc) AS sall FROM base),
+         |trials AS (SELECT t0, (t1 - t0) // kp AS p_us, m_steps,
+         |    CAST(sall AS DOUBLE) / nall / 100.0 AS gmean
+         |  FROM mm, (SELECT unnest(generate_series(2, 31)) AS kp),
+         |       (VALUES (20), (40)) ms(m_steps)),
+         |exploded AS (SELECT p_us, m_steps, gmean, vc,
+         |    (((((t_us - t0) % p_us) * m_steps) // p_us) - d + m_steps) % m_steps AS m
+         |  FROM base, trials, (VALUES (0), (1)) dd(d)),
+         |agg AS (SELECT p_us, m_steps, m, count(*) AS n_in, sum(vc) AS s_in,
+         |    min(gmean) AS gmean
+         |  FROM exploded GROUP BY 1, 2, 3),
+         |scored AS (SELECT p_us, m_steps, m, n_in,
+         |    CAST(s_in AS DOUBLE) / n_in / 100.0 AS box_mean,
+         |    gmean - CAST(s_in AS DOUBLE) / n_in / 100.0 AS depth,
+         |    row_number() OVER (PARTITION BY p_us
+         |                       ORDER BY CAST(s_in AS DOUBLE) / n_in / 100.0 ASC,
+         |                                m_steps ASC, m ASC) AS rn
+         |  FROM agg)
+         |SELECT p_us, m_steps, m, n_in, round(box_mean, 6) AS box_mean,
+         |  round(depth, 6) AS depth
+         |FROM scored WHERE rn = 1 ORDER BY p_us""".stripMargin,
+
+    "t8_matched_filter" -> {
+      val terms = wd.zipWithIndex.map { case (c, j) =>
+        if (j == 0) s"($c) * vc" else s"($c) * lead(vc, $j) OVER w"
+      }.mkString(" + ")
+      s"""WITH $baseSql,
+         |corr AS (SELECT user_id, event_id, t_us,
+         |    row_number() OVER w AS rn, $terms AS corr_i
+         |  FROM base
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
+         |valid AS (SELECT * FROM corr WHERE corr_i IS NOT NULL),
+         |thr AS (SELECT quantile_cont(corr_i, 0.99) AS thr FROM valid),
+         |flagged AS (SELECT user_id, event_id, rn, corr_i,
+         |    rn - row_number() OVER (PARTITION BY user_id
+         |                            ORDER BY t_us, event_id) AS grp
+         |  FROM valid, thr WHERE CAST(corr_i AS DOUBLE) > thr),
+         |peaks AS (SELECT user_id, event_id AS peak_id, corr_i,
+         |    row_number() OVER (PARTITION BY user_id, grp
+         |                       ORDER BY corr_i DESC, event_id ASC) AS prn,
+         |    count(*) OVER (PARTITION BY user_id, grp) AS n_trig
+         |  FROM flagged)
+         |SELECT user_id, peak_id, n_trig,
+         |  CAST(corr_i AS DOUBLE) / 1e6 / 100.0 AS corr
+         |FROM peaks WHERE prn = 1 ORDER BY user_id, peak_id""".stripMargin
+    },
+
+    "a2_median_norm" ->
+      """WITH med AS (SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med
+        |            FROM lineitem GROUP BY 1)
+        |SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity / med AS qty_norm
+        |FROM lineitem JOIN med USING (l_returnflag)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "s12_dedup_first" ->
+      s"""WITH $baseSql
+         |SELECT user_id, event_type, event_id FROM (
+         |  SELECT user_id, event_type, event_id,
+         |    row_number() OVER (PARTITION BY user_id, event_type
+         |                       ORDER BY t_us, event_id) AS rn
+         |  FROM base) WHERE rn = 1
+         |ORDER BY user_id, event_type""".stripMargin,
+
+    "u2_except" ->
+      """SELECT o_orderkey FROM orders
+        |EXCEPT
+        |SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "w6_sequence" ->
+      """SELECT o_orderkey, unnest(generate_series(1, month(o_orderdate))) AS i
+        |FROM orders WHERE o_orderkey < 200
+        |ORDER BY o_orderkey, i""".stripMargin
+  )
+}
