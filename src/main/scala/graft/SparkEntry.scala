@@ -13,7 +13,8 @@ object SparkEntry {
     Seq(
       (_root_.graft.queries.Relational.queries, _root_.graft.queries.Relational.oracle),
       (_root_.graft.queries.TimeSeries.queries, _root_.graft.queries.TimeSeries.oracle),
-      (_root_.graft.queries.Search.queries, _root_.graft.queries.Search.oracle)
+      (_root_.graft.queries.Search.queries, _root_.graft.queries.Search.oracle),
+      (_root_.graft.queries.TextQueries.queries, _root_.graft.queries.TextQueries.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

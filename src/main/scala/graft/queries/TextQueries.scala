@@ -1,0 +1,395 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables._
+import graft.text.TextOps
+
+/** LLM-data-pipeline operators over `documents` and `embeddings`
+  * (BASELINE.json north star): deduplication (exact, minhash+LSH,
+  * simhash, n-gram Jaccard), text analysis (language-ID heuristic,
+  * quality scoring, token counting, fingerprinting), and similarity
+  * search (brute-force cosine top-k, sign-LSH bucketed ANN).
+  *
+  * Scale notes: every operator is a shuffle on a content-derived key
+  * (hash, band, bucket, dimension) — no driver-side loops; candidate
+  * generation is always hash/band-bucketed so the pairwise stage is
+  * bucket-local rather than a global cross join.
+  */
+object TextQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val H = TextOps.md5Hash32("tok")
+  private val P31 = 2147483647L
+
+  val queries: Map[String, Q] = Map(
+    // D1 — exact dedup by content hash: every duplicate group keyed by
+    // md5(text), deterministic representative = min doc_id.
+    "d1_exact_dedup" -> ((s, d) => {
+      documents(s, d)
+        .groupBy(md5(col("text")).as("content_key"))
+        .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_id"))
+        .orderBy("content_key")
+    }),
+
+    // D2 — n-gram (bigram) Jaccard near-dup: candidates share ≥1 bigram,
+    // exact |∩|/|∪| from distinct-bigram counts.
+    "d2_ngram_jaccard" -> ((s, d) => {
+      val toks = documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("ord", "tok")))
+      val bg = toks.as("x").join(toks.as("y"),
+          col("x.doc_id") === col("y.doc_id") && col("y.ord") === col("x.ord") + 1)
+        .select(col("x.doc_id").as("doc_id"),
+          concat_ws(" ", col("x.tok"), col("y.tok")).as("bg"))
+        .distinct()
+      val sz = bg.groupBy("doc_id").agg(count(lit(1)).as("nb"))
+      val inter = bg.as("a").join(bg.as("b"),
+          col("a.bg") === col("b.bg") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sz.select(col("doc_id").as("a_id"), col("nb").as("na")), "a_id")
+        .join(sz.select(col("doc_id").as("b_id"), col("nb").as("nbb")), "b_id")
+        .withColumn("jaccard", col("inter").cast("double") /
+          (col("na") + col("nbb") - col("inter")))
+        .filter(col("jaccard") > 0.4)
+        .select(col("a_id"), col("b_id"), col("inter"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // D3 — minhash + LSH banding: 8 universal hashes over the distinct
+    // token set, 4 bands of 2 rows; pairs sharing a band bucket are
+    // near-dup candidates. Bucket join, never a cross join.
+    "d3_minhash_lsh" -> ((s, d) => {
+      val toks = documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .distinct()
+        .withColumn("h", expr(H))
+      val mh = (0 until 8).map(k => min(expr(TextOps.minhashExpr("h", k))).as(s"m$k"))
+      val sig = toks.groupBy("doc_id").agg(mh.head, mh.tail: _*)
+      val bands = sig.select(col("doc_id"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            (col(s"m${2 * b}") * 1000003 + col(s"m${2 * b + 1}")).as("bh"))): _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("n_bands"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // D4 — simhash (16-bit) document signature from distinct-token
+    // hashes: bit j set iff Σ_tokens (2·bit_j(h) − 1) > 0.
+    "d4_simhash" -> ((s, d) => {
+      val toks = documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .distinct()
+        .withColumn("h", expr(H))
+      toks
+        .withColumn("j", explode(sequence(lit(0), lit(15))))
+        .withColumn("pw", expr("cast(pow(2.0, j) as bigint)"))
+        .withColumn("c", expr("2 * ((h div pw) % 2) - 1"))
+        .groupBy("doc_id", "j").agg(min(col("pw")).as("pw"), sum(col("c")).as("sj"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("sj") > 0, col("pw")).otherwise(0L)).as("simhash"))
+        .orderBy("doc_id")
+    }),
+
+    // D5 — language-ID heuristic: stopword-list overlap, argmax score
+    // with deterministic tie-break.
+    "d5_langid" -> ((s, d) => {
+      val stops = s.createDataFrame(Seq(
+        ("w1", "the"), ("w1", "a"), ("w1", "fast"), ("w1", "slow"),
+        ("w2", "spark"), ("w2", "query"), ("w2", "join"), ("w2", "table"),
+        ("w3", "data"), ("w3", "row"), ("w3", "column"), ("w3", "batch")))
+        .toDF("cand", "w")
+      val toks = documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val scores = toks.join(broadcast(stops), col("tok") === col("w"))
+        .groupBy("doc_id", "cand").agg(count(lit(1)).as("score"))
+      val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("cand"))
+      scores.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("cand").as("pred"), col("score"))
+        .orderBy("doc_id")
+    }),
+
+    // D6 — quality scoring: token count, distinct ratio, stopword
+    // ratio, mean token length — all exact integer ratios.
+    "d6_quality" -> ((s, d) => {
+      val toks = documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val agg = toks.groupBy("doc_id").agg(
+        count(lit(1)).as("n_tok"),
+        countDistinct(col("tok")).as("n_uniq"),
+        count(when(col("tok").isin("the", "a", "of", "and"), 1)).as("n_stop"))
+      documents(s, d).join(agg, "doc_id")
+        .withColumn("uniq_ratio", col("n_uniq").cast("double") / col("n_tok"))
+        .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tok"))
+        .withColumn("mean_tok_len",
+          (col("n_chars") - (col("n_tok") - 1)).cast("double") / col("n_tok"))
+        .select("doc_id", "n_tok", "n_uniq", "n_stop", "uniq_ratio",
+          "stop_ratio", "mean_tok_len")
+        .orderBy("doc_id")
+    }),
+
+    // D7 — token counting: whitespace tokens + a BPE-ish consonant-run
+    // piece count, corpus totals per source.
+    "d7_token_count" -> ((s, d) => {
+      documents(s, d)
+        .withColumn("n_tok", size(split(col("text"), " ")))
+        .withColumn("n_piece", size(split(col("text"), "[aeiou]+")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast("long").as("tot_tok"),
+          sum(col("n_piece")).cast("long").as("tot_piece"))
+        .orderBy("source")
+    }),
+
+    // D8 — document fingerprint: md5 over the sorted token multiset →
+    // order-insensitive near-exact dedup key.
+    "d8_fingerprint" -> ((s, d) => {
+      documents(s, d)
+        .withColumn("fp", md5(concat_ws(" ", array_sort(split(col("text"), " ")))))
+        .groupBy("fp").agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep_id"))
+        .filter(col("n") >= 1)
+        .orderBy("fp")
+    }),
+
+    // E1 — brute-force cosine top-k: dimension-exploded dot products
+    // integerized at 1e12, exact top-10 per query (5 query vectors).
+    "e1_knn_cosine" -> ((s, d) => {
+      val dims = embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .withColumn("x", col("x").cast("double"))
+      val norms = dims.groupBy("vec_id")
+        .agg(sum(round(col("x") * col("x") * 1e12).cast("long")).as("nrm"))
+      val q = dims.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("pos"), col("x").as("qx"))
+      val dots = q.join(dims, "pos")
+        .filter(col("vec_id") =!= col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(sum(round(col("qx") * col("x") * 1e12).cast("long")).as("dot"))
+      val sim = dots
+        .join(norms.select(col("vec_id").as("q_id"), col("nrm").as("qn")), "q_id")
+        .join(norms, "vec_id")
+        .withColumn("sim", (col("dot") / 1e12) /
+          nullif(sqrt(col("qn") / 1e12) * sqrt(col("nrm") / 1e12), lit(0.0)))
+      val w = Window.partitionBy("q_id").orderBy(desc("sim"), asc("vec_id"))
+      sim.withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+        .select(col("q_id"), col("rank"), col("vec_id"), round(col("sim"), 6).as("sim"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // E2 — sign-LSH ANN: bucket = sign bits of the first 8 dims
+    // (axis-aligned hyperplanes); exact cosine only within the query's
+    // bucket — the 100 TB path where buckets are the shuffle key.
+    "e2_lsh_ann" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val bucketExpr = (1 to 8).map(j =>
+        when(element_at(col("embedding"), j) > 0.0f, math.pow(2, j - 1).toLong)
+          .otherwise(0L)).reduce(_ + _)
+      val b = emb.withColumn("bucket", bucketExpr)
+      val dims = b
+        .select(col("vec_id"), col("bucket"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .withColumn("x", col("x").cast("double"))
+      val norms = dims.groupBy("vec_id")
+        .agg(sum(round(col("x") * col("x") * 1e12).cast("long")).as("nrm"))
+      val q = dims.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("bucket").as("q_bucket"),
+          col("pos").as("qpos"), col("x").as("qx"))
+      val dots = q.join(dims,
+          col("q_bucket") === col("bucket") && col("qpos") === col("pos"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .groupBy("q_id", "q_bucket", "vec_id")
+        .agg(sum(round(col("qx") * col("x") * 1e12).cast("long")).as("dot"))
+      val sim = dots
+        .join(norms.select(col("vec_id").as("q_id"), col("nrm").as("qn")), "q_id")
+        .join(norms, "vec_id")
+        .withColumn("sim", (col("dot") / 1e12) /
+          nullif(sqrt(col("qn") / 1e12) * sqrt(col("nrm") / 1e12), lit(0.0)))
+      val w = Window.partitionBy("q_id").orderBy(desc("sim"), asc("vec_id"))
+      sim.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        .select(col("q_id"), col("q_bucket").as("bucket"), col("rank"),
+          col("vec_id"), round(col("sim"), 6).as("sim"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // M1 — multimodal scaffold: opaque binary payload + typed metadata
+    // (byte length, content-hash head); the decode stage itself is a
+    // stubbed kernel in graft.multimodal (no image libs in-container).
+    "m1_binary_meta" -> ((s, d) => {
+      documents(s, d)
+        .withColumn("n_bytes", expr("octet_length(text)"))
+        .withColumn("head", substring(md5(col("text")), 1, 8))
+        .select("doc_id", "n_bytes", "head")
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      """SELECT md5(text) AS content_key, count(*) AS n_dups,
+        |  min(doc_id) AS keep_id
+        |FROM documents GROUP BY 1 ORDER BY content_key""".stripMargin,
+
+    "d2_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |         unnest(generate_series(1, len(string_split(text, ' ')))) AS ord
+        |  FROM documents),
+        |bg AS (SELECT DISTINCT x.doc_id, x.tok || ' ' || y.tok AS bg
+        |       FROM toks x JOIN toks y
+        |         ON x.doc_id = y.doc_id AND y.ord = x.ord + 1),
+        |sz AS (SELECT doc_id, count(*) AS nb FROM bg GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+        |          FROM bg a JOIN bg b ON a.bg = b.bg AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT a_id, b_id, inter,
+        |  round(CAST(inter AS DOUBLE) / (sa.nb + sb.nb - inter), 6) AS jaccard
+        |FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+        |WHERE CAST(inter AS DOUBLE) / (sa.nb + sb.nb - inter) > 0.4
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "d3_minhash_lsh" -> {
+      val mh = (0 until 8).map(k =>
+        s"min(${TextOps.minhashExpr("h", k)}) AS m$k").mkString(", ")
+      s"""WITH toks AS (
+         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |th AS (SELECT doc_id, ${TextOps.md5Hash32("tok")} AS h FROM toks),
+         |sig AS (SELECT doc_id, $mh FROM th GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, band,
+         |    CASE band WHEN 0 THEN m0 * 1000003 + m1
+         |              WHEN 1 THEN m2 * 1000003 + m3
+         |              WHEN 2 THEN m4 * 1000003 + m5
+         |              ELSE m6 * 1000003 + m7 END AS bh
+         |  FROM sig, (VALUES (0), (1), (2), (3)) bands_t(band))
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_bands
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 ORDER BY a_id, b_id""".stripMargin
+    },
+
+    "d4_simhash" ->
+      s"""WITH toks AS (
+         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |th AS (SELECT doc_id, ${TextOps.md5Hash32("tok")} AS h FROM toks),
+         |bits AS (SELECT doc_id, j, min(pw) AS pw, sum(c) AS sj FROM (
+         |    SELECT doc_id, j, CAST(pow(2.0, j) AS BIGINT) AS pw,
+         |      2 * ((h // CAST(pow(2.0, j) AS BIGINT)) % 2) - 1 AS c
+         |    FROM th, (SELECT unnest(generate_series(0, 15)) AS j))
+         |  GROUP BY 1, 2)
+         |SELECT doc_id,
+         |  sum(CASE WHEN sj > 0 THEN pw ELSE 0 END) AS simhash
+         |FROM bits GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "d5_langid" ->
+      """WITH stops(cand, w) AS (VALUES
+        |  ('w1','the'),('w1','a'),('w1','fast'),('w1','slow'),
+        |  ('w2','spark'),('w2','query'),('w2','join'),('w2','table'),
+        |  ('w3','data'),('w3','row'),('w3','column'),('w3','batch')),
+        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |         FROM documents),
+        |scores AS (SELECT doc_id, cand, count(*) AS score
+        |           FROM toks JOIN stops ON tok = w GROUP BY 1, 2),
+        |ranked AS (SELECT doc_id, cand AS pred, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY score DESC, cand ASC) AS rn
+        |  FROM scores)
+        |SELECT doc_id, pred, score FROM ranked WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "d6_quality" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |              FROM documents),
+        |agg AS (SELECT doc_id, count(*) AS n_tok,
+        |    count(DISTINCT tok) AS n_uniq,
+        |    count(CASE WHEN tok IN ('the','a','of','and') THEN 1 END) AS n_stop
+        |  FROM toks GROUP BY 1)
+        |SELECT d.doc_id, n_tok, n_uniq, n_stop,
+        |  CAST(n_uniq AS DOUBLE) / n_tok AS uniq_ratio,
+        |  CAST(n_stop AS DOUBLE) / n_tok AS stop_ratio,
+        |  CAST(n_chars - (n_tok - 1) AS DOUBLE) / n_tok AS mean_tok_len
+        |FROM documents d JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "d7_token_count" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tot_tok,
+        |  CAST(sum(len(string_split_regex(text, '[aeiou]+'))) AS BIGINT) AS tot_piece
+        |FROM documents GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "d8_fingerprint" ->
+      """SELECT md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS fp,
+        |  count(*) AS n, min(doc_id) AS keep_id
+        |FROM documents GROUP BY 1 HAVING count(*) >= 1
+        |ORDER BY fp""".stripMargin,
+
+    "e1_knn_cosine" ->
+      """WITH dims AS (
+        |  SELECT vec_id, pos, CAST(x AS DOUBLE) AS x FROM (
+        |    SELECT vec_id, unnest(embedding) AS x,
+        |      unnest(generate_series(0, len(embedding) - 1)) AS pos
+        |    FROM embeddings)),
+        |norms AS (SELECT vec_id,
+        |    sum(CAST(round(x * x * 1e12) AS BIGINT)) AS nrm
+        |  FROM dims GROUP BY 1),
+        |q AS (SELECT vec_id AS q_id, pos, x AS qx FROM dims WHERE vec_id < 5),
+        |dots AS (SELECT q_id, vec_id,
+        |    sum(CAST(round(qx * x * 1e12) AS BIGINT)) AS dot
+        |  FROM q JOIN dims USING (pos) WHERE vec_id <> q_id GROUP BY 1, 2),
+        |sim AS (SELECT q_id, dots.vec_id AS vec_id,
+        |    (dot / 1e12) / nullif(sqrt(qn.nrm / 1e12) * sqrt(cn.nrm / 1e12), 0.0) AS sim
+        |  FROM dots
+        |  JOIN norms qn ON qn.vec_id = dots.q_id
+        |  JOIN norms cn ON cn.vec_id = dots.vec_id),
+        |ranked AS (SELECT q_id, vec_id, sim,
+        |    row_number() OVER (PARTITION BY q_id
+        |                       ORDER BY sim DESC, vec_id ASC) AS rank
+        |  FROM sim)
+        |SELECT q_id, rank, vec_id, round(sim, 6) AS sim
+        |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    "e2_lsh_ann" -> {
+      val bucketSql = (1 to 8).map(j =>
+        s"(CASE WHEN embedding[$j] > 0.0 THEN ${math.pow(2, j - 1).toLong} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+         |dims AS (
+         |  SELECT vec_id, bucket, pos, CAST(x AS DOUBLE) AS x FROM (
+         |    SELECT vec_id, bucket, unnest(embedding) AS x,
+         |      unnest(generate_series(0, len(embedding) - 1)) AS pos
+         |    FROM b)),
+         |norms AS (SELECT vec_id,
+         |    sum(CAST(round(x * x * 1e12) AS BIGINT)) AS nrm
+         |  FROM dims GROUP BY 1),
+         |q AS (SELECT vec_id AS q_id, bucket AS q_bucket, pos, x AS qx
+         |      FROM dims WHERE vec_id < 5),
+         |dots AS (SELECT q_id, q_bucket, vec_id,
+         |    sum(CAST(round(qx * x * 1e12) AS BIGINT)) AS dot
+         |  FROM q JOIN dims ON q_bucket = bucket AND q.pos = dims.pos
+         |  WHERE vec_id <> q_id GROUP BY 1, 2, 3),
+         |sim AS (SELECT q_id, q_bucket AS bucket, dots.vec_id AS vec_id,
+         |    (dot / 1e12) / nullif(sqrt(qn.nrm / 1e12) * sqrt(cn.nrm / 1e12), 0.0) AS sim
+         |  FROM dots
+         |  JOIN norms qn ON qn.vec_id = dots.q_id
+         |  JOIN norms cn ON cn.vec_id = dots.vec_id),
+         |ranked AS (SELECT q_id, bucket, vec_id, sim,
+         |    row_number() OVER (PARTITION BY q_id
+         |                       ORDER BY sim DESC, vec_id ASC) AS rank
+         |  FROM sim)
+         |SELECT q_id, bucket, rank, vec_id, round(sim, 6) AS sim
+         |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+    },
+
+    "m1_binary_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |  substr(md5(text), 1, 8) AS head
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
