@@ -1,0 +1,188 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+import graft.core.Tables._
+
+/** Remaining SURVEY §2 items: J2 nearest-neighbor crossmatch, J5/A14
+  * population join with closed-form error propagation, S3 magnitude→
+  * flux reader transform, O1 union+global sort, T14 simulation/
+  * injection with integer-LCG noise (deterministic in any engine).
+  */
+object Extras {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val E = 1704067200000000L
+  private val PDAY = 86400000000L
+  private val P7 = 7L * PDAY
+
+  private def base(s: SparkSession, d: String): DataFrame =
+    events(s, d).select(
+      col("event_id"), col("user_id"), col("event_type"), col("value"),
+      unix_micros(col("ts")).as("t_us"),
+      Tables.cents(col("value")).as("vc"))
+
+  private val baseSql =
+    """base AS (SELECT event_id, user_id, event_type, value,
+      |  epoch_us(ts) AS t_us, CAST(round(value*100) AS BIGINT) AS vc
+      |  FROM events)""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    // J2 — nearest-neighbor crossmatch (ref MAST cone match
+    // main.py:8552–8567): closest supplier by account-balance distance
+    // within a tolerance, rank-1 per probe, deterministic tie-break.
+    "j2_nn_crossmatch" -> ((s, d) => {
+      val probes = customer(s, d).filter(col("c_custkey") < 20)
+        .select(col("c_custkey"), Tables.cents(col("c_acctbal")).as("ca"))
+      val cat = supplier(s, d)
+        .select(col("s_suppkey"), Tables.cents(col("s_acctbal")).as("sa"))
+      val w = Window.partitionBy("c_custkey").orderBy(asc("dist"), asc("s_suppkey"))
+      probes.crossJoin(broadcast(cat))
+        .withColumn("dist", abs(col("ca") - col("sa")))
+        .filter(col("dist") < 100000L)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("c_custkey", "s_suppkey", "dist")
+        .orderBy("c_custkey")
+    }),
+
+    // J5/A14 — population-context join + closed-form error propagation
+    // (ref main.py:2684–3395, 2760–2788): per-row derived feature with
+    // propagated uncertainty, target row unioned with the catalog.
+    "j5_population" -> ((s, d) => {
+      val cat = part(s, d).filter(col("p_partkey") <= 100)
+        .select(col("p_partkey").as("id"),
+          col("p_retailprice").as("x"), col("p_size").cast("double").as("y"))
+      val target = part(s, d)
+        .agg((sum(Tables.cents(col("p_retailprice"))).cast("long") / 100.0
+          / count(lit(1))).as("x"))
+        .select(lit(-1L).as("id"), col("x"), lit(25.0).as("y"))
+      cat.union(target)
+        .withColumn("feat", round(col("x") * col("y"), 6))
+        .withColumn("sigma", round(abs(col("x") * col("y")) *
+          sqrt(lit(1.0) / (col("x") * col("x")) + lit(0.04) / (col("y") * col("y"))), 6))
+        .select("id", "feat", "sigma")
+        .orderBy("id")
+    }),
+
+    // S3 — magnitude→flux reader transform (read_qlop main.py:6420–6453):
+    // flux = 10^(−(m − median(m))/2.5), constant-σ imputation.
+    "s3_mag2flux" -> ((s, d) => {
+      val med = base(s, d).groupBy("user_id")
+        .agg(expr("percentile(vc, 0.5)").as("medc"))
+      base(s, d).join(broadcast(med), "user_id")
+        .withColumn("flux", round(
+          pow(lit(10.0), -(col("value") / 100.0 - col("medc") / 10000.0) / 2.5), 6))
+        .withColumn("err", coalesce(lit(null).cast("double"), lit(1e-4)))
+        .select("event_id", "user_id", "flux", "err")
+        .orderBy("event_id")
+    }),
+
+    // O1/U1 — union of chunk scans + single global time sort
+    // (read_tesskplr_fold main.py:7383–7404).
+    "o1_union_sort" -> ((s, d) => {
+      val b = base(s, d)
+      val ch1 = b.filter(col("event_type") === "click")
+      val ch2 = b.filter(col("event_type") === "error")
+      ch1.union(ch2)
+        .select("event_id", "t_us", "event_type")
+        .orderBy("t_us", "event_id")
+        .limit(1000)
+    }),
+
+    // T14 — simulation + injection (simutargpartinje main.py:7810–7815,
+    // noise 10531): uniform grid, box-transit model, integer-LCG noise
+    // (engine-independent), then phase-binned recovery of the depth.
+    "t14_injection" -> ((s, d) => {
+      val n = 2000
+      val step = P7 / 500
+      val grid = base(s, d).agg(min(col("t_us")).as("t0"))
+        .withColumn("i", explode(sequence(lit(0L), lit(n.toLong - 1))))
+        .withColumn("g_us", col("t0") + col("i") * step)
+      val sim = grid
+        .withColumn("r", (col("i") % 65536L * 1103515245L + 12345L) % 2147483648L)
+        .withColumn("noise", (col("r").cast("double") / 2147483648.0 - 0.5) * 0.01)
+        .withColumn("ph", graft.ops.TsOps.phaseCenteredUs(col("g_us"), lit(E), lit(P7)))
+        .withColumn("flux",
+          lit(1.0) - when(abs(col("ph")) < PDAY / 2, 0.02).otherwise(0.0) + col("noise"))
+      sim
+        .withColumn("fc", round(col("flux") * 1e6).cast("long"))
+        .withColumn("bin", expr(s"((ph + ${P7 / 2}) * 20) div ${P7}"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("np"), sum(col("fc")).as("sfc"))
+        // raw ratio of exact integers — bit-identical across engines;
+        // round() would diverge on exact .5-at-6dp boundaries (Spark
+        // rounds the shortest decimal repr, duckdb the raw double).
+        .withColumn("bin_mean", col("sfc").cast("double") / col("np") / 1e6)
+        .select("bin", "np", "bin_mean")
+        .orderBy("bin")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "j2_nn_crossmatch" ->
+      """WITH probes AS (SELECT c_custkey, CAST(round(c_acctbal*100) AS BIGINT) AS ca
+        |               FROM customer WHERE c_custkey < 20),
+        |cat AS (SELECT s_suppkey, CAST(round(s_acctbal*100) AS BIGINT) AS sa
+        |        FROM supplier),
+        |ranked AS (SELECT c_custkey, s_suppkey, abs(ca - sa) AS dist,
+        |    row_number() OVER (PARTITION BY c_custkey
+        |                       ORDER BY abs(ca - sa) ASC, s_suppkey ASC) AS rn
+        |  FROM probes, cat WHERE abs(ca - sa) < 100000)
+        |SELECT c_custkey, s_suppkey, dist FROM ranked WHERE rn = 1
+        |ORDER BY c_custkey""".stripMargin,
+
+    "j5_population" ->
+      """WITH cat AS (SELECT p_partkey AS id, p_retailprice AS x,
+        |               CAST(p_size AS DOUBLE) AS y
+        |             FROM part WHERE p_partkey <= 100),
+        |target AS (SELECT CAST(-1 AS BIGINT) AS id,
+        |    CAST(sum(CAST(round(p_retailprice*100) AS BIGINT)) AS BIGINT)/100.0
+        |      / count(*) AS x,
+        |    25.0 AS y
+        |  FROM part),
+        |u AS (SELECT * FROM cat UNION ALL SELECT * FROM target)
+        |SELECT id, round(x * y, 6) AS feat,
+        |  round(abs(x * y) * sqrt(1.0/(x*x) + 0.04/(y*y)), 6) AS sigma
+        |FROM u ORDER BY id""".stripMargin,
+
+    "s3_mag2flux" ->
+      s"""WITH $baseSql,
+         |med AS (SELECT user_id, quantile_cont(vc, 0.5) AS medc
+         |        FROM base GROUP BY 1)
+         |SELECT event_id, user_id,
+         |  round(pow(10.0, -(value/100.0 - medc/10000.0)/2.5), 6) AS flux,
+         |  coalesce(CAST(NULL AS DOUBLE), 1e-4) AS err
+         |FROM base JOIN med USING (user_id)
+         |ORDER BY event_id""".stripMargin,
+
+    "o1_union_sort" ->
+      s"""WITH $baseSql
+         |SELECT event_id, t_us, event_type FROM (
+         |  SELECT event_id, t_us, event_type FROM base WHERE event_type = 'click'
+         |  UNION ALL
+         |  SELECT event_id, t_us, event_type FROM base WHERE event_type = 'error')
+         |ORDER BY t_us, event_id LIMIT 1000""".stripMargin,
+
+    "t14_injection" ->
+      s"""WITH $baseSql,
+         |mm AS (SELECT min(t_us) AS t0 FROM base),
+         |g AS (SELECT i, t0 + i * ${P7 / 500} AS g_us FROM
+         |        (SELECT unnest(generate_series(0, 1999)) AS i, t0 FROM mm)),
+         |sim AS (SELECT i, g_us,
+         |    (CAST(i % 65536 * 1103515245 + 12345 AS BIGINT)) % 2147483648 AS r,
+         |    ((g_us - $E + ${P7 / 2}) % $P7 + $P7) % $P7 - ${P7 / 2} AS ph
+         |  FROM g),
+         |fl AS (SELECT i, ph,
+         |    1.0 - (CASE WHEN abs(ph) < ${PDAY / 2} THEN 0.02 ELSE 0.0 END)
+         |      + (CAST(r AS DOUBLE) / 2147483648.0 - 0.5) * 0.01 AS flux
+         |  FROM sim),
+         |fc AS (SELECT ((ph + ${P7 / 2}) * 20) // ${P7} AS bin,
+         |         CAST(round(flux * 1e6) AS BIGINT) AS fcv FROM fl)
+         |SELECT bin, count(*) AS np,
+         |  CAST(sum(fcv) AS DOUBLE) / count(*) / 1e6 AS bin_mean
+         |FROM fc GROUP BY 1 ORDER BY bin""".stripMargin
+  )
+}
