@@ -1,0 +1,103 @@
+package graft.model
+
+import scala.util.Random
+
+/** T13 — inference driver (ref proc_modl main.py:3928–4170; tdpy.samp
+  * is an emcee-style affine-invariant ensemble sampler, 100 walkers ×
+  * 100 steps, 30% burn-in, main.py:12131–12133).
+  *
+  * Spark division of labor mirrors the reference's: the fit window is
+  * small (it was collect()ed after Spark-side cleaning/folding), so
+  * the walker loop runs on the driver; Spark parallelizes ACROSS fits
+  * (per energy bin / per target, ref main.py:12301–12316) — not per
+  * step, where task latency would dominate.
+  */
+object Ensemble {
+
+  /** Affine-invariant "stretch move" ensemble sampler (Goodman & Weare
+    * 2010, the algorithm under emcee). Deterministic under `seed`.
+    *
+    * @param logLik  log-likelihood of a parameter vector
+    * @param lo,hi   per-parameter uniform prior bounds
+    * @return (samples, acceptance rate): samples after burn-in,
+    *         flattened across walkers, each row one parameter vector.
+    */
+  def sample(logLik: Array[Double] => Double,
+             lo: Array[Double], hi: Array[Double],
+             nWalkers: Int = 32, nSteps: Int = 200, burnFrac: Double = 0.3,
+             seed: Long = 42L, a: Double = 2.0): (Array[Array[Double]], Double) = {
+    require(lo.length == hi.length)
+    val nd = lo.length
+    val rng = new Random(seed)
+    def clamp(v: Double, d: Int): Double = math.min(hi(d), math.max(lo(d), v))
+
+    var walkers = Array.fill(nWalkers) {
+      Array.tabulate(nd)(d => lo(d) + rng.nextDouble() * (hi(d) - lo(d)))
+    }
+    var lls = walkers.map(logLik)
+    val burn = (nSteps * burnFrac).toInt
+    val out = Array.newBuilder[Array[Double]]
+    var accepted = 0L; var proposed = 0L
+
+    for (step <- 0 until nSteps) {
+      val next = walkers.map(_.clone); val nextLl = lls.clone
+      for (k <- 0 until nWalkers) {
+        val j = { var x = rng.nextInt(nWalkers - 1); if (x >= k) x += 1; x }
+        // stretch move: z ~ g(z) ∝ 1/√z on [1/a, a]
+        val z = math.pow((a - 1.0) * rng.nextDouble() + 1.0, 2) / a
+        val prop = Array.tabulate(nd)(d =>
+          clamp(walkers(j)(d) + z * (walkers(k)(d) - walkers(j)(d)), d))
+        val ll = logLik(prop)
+        proposed += 1
+        val logAccept = (nd - 1) * math.log(z) + ll - lls(k)
+        if (math.log(rng.nextDouble()) < logAccept) {
+          next(k) = prop; nextLl(k) = ll; accepted += 1
+        }
+      }
+      walkers = next; lls = nextLl
+      if (step >= burn) walkers.foreach(w => out += w.clone)
+    }
+    (out.result(), accepted.toDouble / proposed)
+  }
+
+  /** Posterior 16/50/84 percentiles per parameter (ref A3,
+    * main.py:1558–1571), linear interpolation. */
+  def percentiles(samples: Array[Array[Double]], qs: Seq[Double] = Seq(0.16, 0.5, 0.84))
+      : Array[Array[Double]] = {
+    val nd = samples.head.length
+    Array.tabulate(nd) { d =>
+      val xs = samples.map(_(d)).sorted
+      qs.map { q =>
+        val idx = q * (xs.length - 1)
+        val i = idx.toInt
+        if (i + 1 >= xs.length) xs.last
+        else xs(i) + (xs(i + 1) - xs(i)) * (idx - i)
+      }.toArray
+    }
+  }
+
+  /** T12-style box-transit model on a time axis (days):
+    * flux(t) = 1 − depth·[|centered phase| < dur/2]. */
+  def boxModel(t: Array[Double], epoch: Double, period: Double,
+               dur: Double, depth: Double): Array[Double] =
+    t.map { ti =>
+      val ph = {
+        val m = (ti - epoch + period / 2) % period
+        (if (m < 0) m + period else m) - period / 2
+      }
+      if (math.abs(ph) < dur / 2) 1.0 - depth else 1.0
+    }
+
+  /** Gaussian log-likelihood of data vs model (ref retr_llik_mile
+    * main.py:735–850, white-noise branch). */
+  def gaussianLogLik(y: Array[Double], yerr: Array[Double], model: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < y.length) {
+      val r = (y(i) - model(i)) / yerr(i)
+      s += -0.5 * r * r - math.log(yerr(i))
+      i += 1
+    }
+    s
+  }
+}

@@ -1,0 +1,116 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** §2.10 — streaming variants of the batch kernels. The reference is
+  * batch-only (file-existence memoization is its only incrementality,
+  * main.py:5375–5405); its per-window/per-session kernels map directly
+  * onto Structured Streaming:
+  *
+  *  - tumbling/sliding windowed aggregation  ← A1 rebin
+  *  - session windows                        ← A10 sessionization
+  *  - watermark + late-data drop             ← (no analog: reference
+  *    re-sorts after union, main.py:7401; we declare the contract)
+  *  - stateful flare trigger                 ← T9 rolling robust z
+  */
+object StreamOps {
+
+  /** Tumbling/sliding window aggregation over an event stream with
+    * a watermark: counts + exact-cents sums per (window, event_type). */
+  def windowedAgg(events: DataFrame, slide: Option[String] = None,
+                  width: String = "10 minutes",
+                  watermark: String = "30 minutes"): DataFrame = {
+    val win = slide match {
+      case Some(s) => window(col("ts"), width, s)
+      case None => window(col("ts"), width)
+    }
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(win.as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 100).cast("long")).cast("long") / 100.0).as("sum_value"))
+      .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
+        col("event_type"), col("n"), col("sum_value"))
+  }
+
+  /** Session windows per user (30-min inactivity gap), the streaming
+    * form of A10. */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes",
+                 watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 100).cast("long")).cast("long") / 100.0).as("sum_value"))
+      .select(col("w.start").as("s_start"), col("w.end").as("s_end"),
+        col("user_id"), col("n"), col("sum_value"))
+
+  case class Ev(user_id: Long, event_id: Long, tUs: Long, value: Double)
+  case class FlareHit(user_id: Long, event_id: Long, tUs: Long, z: Double)
+  case class RollState(buf: List[(Long, Double)])
+
+  /** Stateful streaming flare trigger (T9 as an incremental query):
+    * per user, keep a rolling 1-hour buffer; emit events whose robust
+    * z-score vs the buffer median/extent exceeds `thr`. State is
+    * bounded by the time horizon — the streaming analog of the ±1 h
+    * RANGE window. */
+  def flareTrigger(events: Dataset[Ev], thr: Double): Dataset[FlareHit] = {
+    import events.sparkSession.implicits._
+    val horizon = 3600000000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, it: Iterator[Ev], state: GroupState[RollState]) => {
+          var buf = state.getOption.map(_.buf).getOrElse(Nil)
+          val hits = scala.collection.mutable.ArrayBuffer.empty[FlareHit]
+          it.toSeq.sortBy(e => (e.tUs, e.event_id)).foreach { e =>
+            buf = ((e.tUs, e.value) :: buf).filter(_._1 >= e.tUs - horizon)
+            val vals = buf.map(_._2).sorted
+            if (vals.length >= 5) {
+              val med = vals(vals.length / 2)
+              val spread = vals.last - vals.head
+              if (spread > 0) {
+                val z = (e.value - med) / spread
+                if (z > thr) hits += FlareHit(uid, e.event_id, e.tUs, z)
+              }
+            }
+          }
+          state.update(RollState(buf))
+          hits.iterator
+        })
+  }
+
+  /** The file stream source requires a DIRECTORY; stage the single
+    * events.parquet file behind a symlink in a temp dir. */
+  private def stagedDir(dir: String): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_")
+    java.nio.file.Files.createSymbolicLink(
+      tmp.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    tmp.toFile.deleteOnExit()
+    tmp.toString
+  }
+
+  /** Drive a streaming DataFrame derived from `build(stream)` over the
+    * events parquet synchronously (memory sink) — used by tests and
+    * the pipeline to validate streaming plans against batch results. */
+  def runOnce(spark: SparkSession, dir: String, name: String,
+              build: DataFrame => DataFrame, outputMode: String = "append"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = graft.core.Tables.events(spark, dir).schema
+    val raw = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(
+        schema.map(f => if (f.name == "ts")
+          org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType)
+        else f)))
+      .parquet(stagedDir(dir))
+    val events = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = build(events).writeStream
+      .format("memory").queryName(name).outputMode(outputMode).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}

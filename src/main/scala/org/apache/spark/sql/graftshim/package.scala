@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Minimal bridge to the `private[sql]` Column↔Expression conversions
+  * (Spark 4 moved them behind org.apache.spark.sql.classic). Lives in
+  * the spark.sql package solely to satisfy the access modifier — the
+  * standard extension-library escape hatch. */
+package object graftshim {
+  def toExpr(c: Column): Expression = classic.ExpressionUtils.expression(c)
+  def toCol(e: Expression): Column = classic.ExpressionUtils.column(e)
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.search.{Bls, LombScargle, MatchedFilter}
+
+/** Injection-recovery tests (FIXTURES.md F-LC1/2/3 — the reference's
+  * implicit simulation oracle made explicit, main.py:7810–7815):
+  * inject a sinusoid / periodic box / flares into noise and assert the
+  * corresponding search kernel recovers the truth.
+  */
+class SearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val E = 1704067200000000L
+  private val DAY = 86400000000L
+
+  test("Lomb-Scargle recovers an injected sinusoid period (F-LC1)") {
+    val rng = new scala.util.Random(11)
+    val pDays = 2.5
+    val n = 4000
+    // 30-day baseline, ~11-min cadence
+    val df = (0 until n).map { i =>
+      val tU = E + (i.toLong * 30 * DAY) / n
+      val tD = (tU - E).toDouble / DAY
+      val v = 100.0 + 5.0 * math.sin(2 * math.Pi * tD / pDays) + 0.5 * rng.nextGaussian()
+      (i.toLong, tU, v)
+    }.toDF("id", "t_us", "value")
+      .withColumn("vc", round(col("value") * 100).cast("long"))
+    val spec = LombScargle.periodogram(df, "t_us", "vc", 80).collect()
+    val peakK = spec.maxBy(_.getAs[Double]("power")).getAs[Int]("k")
+    // f_k = (k+1)/baseline -> recovered period = baseline/(k+1)
+    val recovered = 30.0 / (peakK + 1)
+    assert(math.abs(recovered - pDays) / pDays < 0.10,
+      s"peak k=$peakK -> P=$recovered d, expected $pDays d")
+  }
+
+  test("BLS recovers an injected box transit period and depth (F-LC2)") {
+    val rng = new scala.util.Random(13)
+    val pInj = 3 * DAY      // exactly baseline/10 -> on the trial ladder
+    val dur = pInj / 10
+    val n = 6000
+    val df = (0 until n).map { i =>
+      val tU = E + (i.toLong * 30 * DAY) / n
+      val ph = ((tU - E) % pInj + pInj) % pInj
+      val inTr = ph < dur || ph >= pInj - dur / 2  // box near phase 0
+      val v = 1.0 - (if (ph < dur) 0.02 else 0.0) + 0.002 * rng.nextGaussian()
+      (i.toLong, tU, v)
+    }.toDF("id", "t_us", "value")
+      .withColumn("vc", round(col("value") * 10000).cast("long")) // finer cents
+    val spec = Bls.spectrum(df, "t_us", "vc", 30, Seq(20, 40)).collect()
+    val best = spec.maxBy(_.getAs[Double]("depth"))
+    val bestP = best.getAs[Long]("p_us")
+    assert(math.abs(bestP - pInj).toDouble / pInj < 0.05,
+      s"deepest box at P=$bestP, injected $pInj")
+    // depth recovered within 50% (box partially dilutes into the epoch grid)
+    assert(best.getAs[Double]("depth") * 100 > 0.01,
+      s"depth ${best.getAs[Double]("depth")}")
+  }
+
+  test("matched filter finds injected flares, not quiet stretches (F-LC3)") {
+    val rng = new scala.util.Random(17)
+    val n = 4000
+    val flareStarts = Set(500, 1500, 3000)
+    val df = (0 until n).map { i =>
+      val tU = E + i.toLong * 120000000L
+      val flare = flareStarts.find(s => i >= s && i < s + 12)
+        .map(s => 8.0 * math.exp(-(i - s) / 3.0)).getOrElse(0.0)
+      val v = 100.0 + flare + 0.3 * rng.nextGaussian()
+      (1L, i.toLong, tU, v)
+    }.toDF("user_id", "id", "t_us", "value")
+      .withColumn("vc", round(col("value") * 100).cast("long"))
+    val hits = MatchedFilter.flares(df, Seq("user_id"), "t_us", "id", "vc",
+      tauSteps = 3.0, q = 0.995).collect()
+    val peakIds = hits.map(_.getAs[Long]("peak_id"))
+    flareStarts.foreach { s =>
+      assert(peakIds.exists(p => math.abs(p - s) <= 12), s"flare at $s not found: ${peakIds.mkString(",")}")
+    }
+  }
+}
