@@ -15,7 +15,8 @@ object SparkEntry {
       (_root_.graft.queries.TimeSeries.queries, _root_.graft.queries.TimeSeries.oracle),
       (_root_.graft.queries.Search.queries, _root_.graft.queries.Search.oracle),
       (_root_.graft.queries.TextQueries.queries, _root_.graft.queries.TextQueries.oracle),
-      (_root_.graft.queries.Extras.queries, _root_.graft.queries.Extras.oracle)
+      (_root_.graft.queries.Extras.queries, _root_.graft.queries.Extras.oracle),
+      (_root_.graft.queries.Advanced.queries, _root_.graft.queries.Advanced.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

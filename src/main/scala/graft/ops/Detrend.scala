@@ -191,7 +191,8 @@ object Detrend {
             case _ => Array.fill(t.length)(mean(y))
           }
           rows.iterator.zipWithIndex.map { case (r, i) =>
-            Row.fromSeq(keyCols.map(c => r.get(r.fieldIndex(c))) ++ Seq(
+            // Seq[Any]: a plain Seq would widen the Longs to Double
+            Row.fromSeq(keyCols.map(c => r.get(r.fieldIndex(c))) ++ Seq[Any](
               r.getAs[Long](id), r.getAs[Long](tUs), y(i), e(i),
               base(i), y(i) - base(i) + 1.0))
           }

@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+import graft.core.Tables._
+
+/** A8 — BLS spectrum post-processing (ref main.py:5742–5801): signal =
+  * depth − rolling median of the spectrum, noise = peak-cut rolling
+  * std, SNR, argmax — composed over the t6 spectrum. Plus the
+  * non-SQL-expressible kernels exposed as rows-only queries (driver
+  * records a weaker check): spline detrend (T3), MCMC fit (T13),
+  * multimodal feature extraction.
+  */
+object Advanced {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def base(s: SparkSession, d: String): DataFrame =
+    events(s, d).select(
+      col("event_id"), col("user_id"), col("value"),
+      unix_micros(col("ts")).as("t_us"),
+      Tables.cents(col("value")).as("vc"))
+
+  private val baseSql =
+    """base AS (SELECT event_id, user_id, value,
+      |  epoch_us(ts) AS t_us, CAST(round(value*100) AS BIGINT) AS vc
+      |  FROM events)""".stripMargin
+
+  /** The t6 BLS spectrum re-derived (shared shape with Search.t6_bls),
+    * depth integerized at 1e6 for the windowed post-processing. */
+  private def blsDepths(s: SparkSession, d: String): DataFrame = {
+    val mm = base(s, d).agg(
+      min(col("t_us")).as("t0"), max(col("t_us")).as("t1"),
+      count(lit(1)).as("nall"), sum(col("vc")).as("sall"))
+    val trials = mm
+      .withColumn("kp", explode(sequence(lit(2), lit(31))))
+      .withColumn("p_us", expr("(t1 - t0) div kp"))
+      .withColumn("m_steps", explode(array(lit(20), lit(40))))
+      .withColumn("gmean", col("sall").cast("double") / col("nall") / 100.0)
+      .select("t0", "p_us", "m_steps", "gmean")
+    val w = Window.partitionBy("p_us")
+      .orderBy(col("box_mean").asc, col("m_steps").asc, col("m").asc)
+    base(s, d).crossJoin(broadcast(trials))
+      .withColumn("phase_us", pmod(col("t_us") - col("t0"), col("p_us")))
+      .withColumn("m1", expr("(phase_us * m_steps) div p_us"))
+      .withColumn("dd", explode(array(lit(0), lit(1))))
+      .withColumn("m", pmod(col("m1") - col("dd") + col("m_steps"), col("m_steps")))
+      .groupBy("p_us", "m_steps", "m")
+      .agg(count(lit(1)).as("n_in"), sum(col("vc")).as("s_in"), min(col("gmean")).as("gmean"))
+      .withColumn("box_mean", col("s_in").cast("double") / col("n_in") / 100.0)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("p_us"),
+        round((col("gmean") - col("box_mean")) * 1e6).cast("long").as("dc"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // A8/A5/A4 — spectrum → signal → peak-cut noise → SNR, exact
+    // integer pipeline over the 60-row period spectrum.
+    "a8_bls_snr" -> ((s, d) => {
+      val spec = blsDepths(s, d)
+      val w = Window.orderBy("p_us")
+      val fr = w.rowsBetween(-2, 2)
+      val st = spec
+        .withColumn("med", expr("percentile(dc, 0.5)").over(fr))
+        .withColumn("sgnl", col("dc") - col("med"))
+        .withColumn("sgnl_i", round(col("sgnl")).cast("long"))
+      val st2 = st
+        .withColumn("n", count(lit(1)).over(fr))
+        .withColumn("sv", sum(col("sgnl_i")).over(fr))
+        .withColumn("q", sum(col("sgnl_i") * col("sgnl_i")).over(fr))
+      st2
+        .withColumn("noise",
+          sqrt((col("q") - col("sv").cast("double") * col("sv") / col("n")) / col("n")))
+        .withColumn("snr", col("sgnl") / nullif(col("noise"), lit(0.0)))
+        .select(col("p_us"), col("sgnl"), round(col("noise"), 6).as("noise"),
+          round(col("snr"), 6).as("snr"))
+        .orderBy("p_us")
+    }),
+
+    // T3 spline mode — flatMapGroups kernel; not SQL-expressible →
+    // rows-only check.
+    "t3b_detrend_spline" -> ((s, d) => {
+      val df = base(s, d)
+        .select(col("user_id").cast("string").as("part"), col("event_id").as("id"),
+          col("t_us"), col("value"), lit(1.0).as("err"))
+      graft.ops.Detrend.detrend(df, Seq("part"), "t_us", "id", "value", "err",
+          gapUs = 3600000000L, mode = "Spline", timescaleDays = 2.0)
+        .select("part", "id", "baseline", "detr")
+        .orderBy("part", "id")
+    }),
+
+    // T13 — deterministic seeded MCMC fit of a box depth on a collected
+    // window; rows-only check (sampler not SQL-expressible).
+    "t13_mcmc_fit" -> ((s, d) => {
+      import s.implicits._
+      val rows = base(s, d).filter(col("user_id") === 1)
+        .orderBy("t_us").limit(400)
+        .select(col("t_us"), col("value")).collect()
+      val t = rows.map(r => (r.getLong(0) - 1704067200000000L).toDouble / 86400e6)
+      val vals = rows.map(_.getDouble(1))
+      val m = vals.sum / vals.length
+      val y = vals.map(_ / m)
+      val yerr = Array.fill(y.length)(0.3)
+      def ll(p: Array[Double]): Double = {
+        val model = graft.model.Ensemble.boxModel(t, p(1), 7.0, 1.0, p(0))
+        graft.model.Ensemble.gaussianLogLik(y, yerr, model)
+      }
+      val (samples, acc) = graft.model.Ensemble.sample(ll,
+        lo = Array(-0.5, 0.0), hi = Array(0.5, 7.0),
+        nWalkers = 16, nSteps = 60, seed = 42L)
+      val pct = graft.model.Ensemble.percentiles(samples)
+      Seq(
+        ("depth", pct(0)(0), pct(0)(1), pct(0)(2)),
+        ("epoch", pct(1)(0), pct(1)(1), pct(1)(2)),
+        ("acceptance", acc, acc, acc))
+        .toDF("param", "p16", "p50", "p84")
+        .orderBy("param")
+    }),
+
+    // Multimodal feature extraction — batched stub decoder; rows-only.
+    "m2_media_features" -> ((s, d) => {
+      val media = graft.multimodal.Multimodal.fromDocuments(documents(s, d))
+      graft.multimodal.Multimodal.extractFeatures(media, dim = 8)
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          element_at(col("features"), 1).as("f0"))
+        .orderBy("media_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "a8_bls_snr" ->
+      s"""WITH $baseSql,
+         |mm AS (SELECT min(t_us) AS t0, max(t_us) AS t1, count(*) AS nall,
+         |         sum(vc) AS sall FROM base),
+         |trials AS (SELECT t0, (t1 - t0) // kp AS p_us, m_steps,
+         |    CAST(sall AS DOUBLE) / nall / 100.0 AS gmean
+         |  FROM mm, (SELECT unnest(generate_series(2, 31)) AS kp),
+         |       (VALUES (20), (40)) ms(m_steps)),
+         |exploded AS (SELECT p_us, m_steps, gmean, vc,
+         |    (((((t_us - t0) % p_us) * m_steps) // p_us) - dd + m_steps) % m_steps AS m
+         |  FROM base, trials, (VALUES (0), (1)) ddt(dd)),
+         |agg AS (SELECT p_us, m_steps, m, count(*) AS n_in, sum(vc) AS s_in,
+         |    min(gmean) AS gmean
+         |  FROM exploded GROUP BY 1, 2, 3),
+         |scored AS (SELECT p_us, m_steps, m,
+         |    CAST(s_in AS DOUBLE) / n_in / 100.0 AS box_mean, gmean,
+         |    row_number() OVER (PARTITION BY p_us
+         |                       ORDER BY CAST(s_in AS DOUBLE) / n_in / 100.0 ASC,
+         |                                m_steps ASC, m ASC) AS rn
+         |  FROM agg),
+         |spec AS (SELECT p_us,
+         |    CAST(round((gmean - box_mean) * 1e6) AS BIGINT) AS dc
+         |  FROM scored WHERE rn = 1),
+         |st AS (SELECT p_us, dc,
+         |    dc - quantile_cont(dc, 0.5) OVER fr AS sgnl,
+         |    CAST(round(dc - quantile_cont(dc, 0.5) OVER fr) AS BIGINT) AS sgnl_i
+         |  FROM spec
+         |  WINDOW fr AS (ORDER BY p_us ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)),
+         |st2 AS (SELECT p_us, sgnl,
+         |    count(*) OVER fr AS n, sum(sgnl_i) OVER fr AS sv,
+         |    sum(sgnl_i * sgnl_i) OVER fr AS q
+         |  FROM st
+         |  WINDOW fr AS (ORDER BY p_us ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING))
+         |SELECT p_us, sgnl,
+         |  round(sqrt((q - CAST(sv AS DOUBLE) * sv / n) / n), 6) AS noise,
+         |  round(sgnl / nullif(sqrt((q - CAST(sv AS DOUBLE) * sv / n) / n), 0.0), 6) AS snr
+         |FROM st2 ORDER BY p_us""".stripMargin
+  )
+}
