@@ -65,4 +65,95 @@ object Bls {
       .select(col("p_us"), col("m_steps"), col("m"), col("n_in"),
         round(col("box_mean"), 6).as("box_mean"), round(col("depth"), 6).as("depth"))
   }
+
+  /** Multi-resolution pre-binning (the reference's load-bearing perf
+    * trick, main.py:5586–5605): pre-aggregate samples into fixed time
+    * bins at `levels` resolutions; each (period, duty) trial is routed
+    * to the coarsest level whose bin width ≤ box duration / 4, so long
+    * periods score over far fewer rows. Bins carry (n, Σcents) partial
+    * sums — box means stay exact up to bin-edge quantization. */
+  def spectrumPrebinned(df: DataFrame, tUs: String, vc: String,
+                        nPeriods: Int, dutyM: Seq[Int],
+                        levels: Int = 4): DataFrame = {
+    val mm = df.agg(
+      min(col(tUs)).as("t0"), max(col(tUs)).as("t1"),
+      count(lit(1)).as("nall"), sum(col(vc)).as("sall"))
+    val mmRow = mm.collect()(0)
+    val t0 = mmRow.getLong(0); val t1 = mmRow.getLong(1)
+    val nall = mmRow.getLong(2); val sall = mmRow.getLong(3)
+    val gmean = sall.toDouble / nall / 100.0
+    val baseline = t1 - t0
+    val minDur = (baseline / (nPeriods + 1)) / dutyM.max / 2  // finest box/4
+    // bin widths: minDur/4 × 4^level
+    val widths = (0 until levels).map(l => math.max(1L, minDur / 4 * (1L << (2 * l))))
+    val binned = widths.zipWithIndex.map { case (w, l) =>
+      df.groupBy(((col(tUs) - t0) / w).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"), sum(col(vc)).as("s"))
+        .withColumn("tmid", lit(t0) + col("bin") * w + w / 2)
+        .withColumn("lvl", lit(l))
+    }.reduce(_ unionByName _)
+    val trials = (2 to nPeriods + 1).flatMap { kp =>
+      val p = baseline / kp
+      dutyM.map { m =>
+        val dur = p / m * 2
+        val lvl = widths.lastIndexWhere(_ <= math.max(1L, dur / 4)) max 0
+        (p, m, lvl)
+      }
+    }
+    val trialsDf = df.sparkSession.createDataFrame(trials).toDF("p_us", "m_steps", "lvl")
+    val w = Window.partitionBy("p_us")
+      .orderBy(col("box_mean").asc, col("m_steps").asc, col("m").asc)
+    binned.join(broadcast(trialsDf), "lvl")
+      .withColumn("phase_us", pmod(col("tmid") - t0, col("p_us")))
+      .withColumn("m1", expr("(phase_us * m_steps) div p_us"))
+      .withColumn("d", explode(array(lit(0), lit(1))))
+      .withColumn("m", pmod(col("m1") - col("d") + col("m_steps"), col("m_steps")))
+      .groupBy("p_us", "m_steps", "m")
+      .agg(sum(col("n")).as("n_in"), sum(col("s")).as("s_in"))
+      .withColumn("box_mean", col("s_in").cast("double") / col("n_in") / 100.0)
+      .withColumn("depth", lit(gmean) - col("box_mean"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("p_us"), col("m_steps"), col("m"), col("n_in"),
+        round(col("box_mean"), 6).as("box_mean"), round(col("depth"), 6).as("depth"))
+  }
+
+  /** Multi-companion search driver (ref main.py:5630–5651, exit
+    * 5950–5951): find the deepest box, and if its depth·SNR proxy
+    * clears the threshold, mask its in-transit samples and repeat.
+    * The loop lives on the driver over cached frames (SURVEY §7.4). */
+  def companions(df0: DataFrame, tUs: String, vc: String,
+                 nPeriods: Int, dutyM: Seq[Int],
+                 maxCompanions: Int, minDepth: Double): Seq[(Long, Long, Double)] = {
+    var df = df0.persist()
+    val found = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val mm = df0.agg(min(col(tUs)).as("t0")).collect()(0)
+    val t0 = mm.getLong(0)
+    var continue = true
+    while (continue && found.size < maxCompanions) {
+      val best = spectrum(df, tUs, vc, nPeriods, dutyM)
+        .orderBy(col("depth").desc, col("p_us").asc).limit(1).collect()
+      if (best.isEmpty) continue = false
+      else {
+        val b = best(0)
+        val p = b.getAs[Number]("p_us").longValue
+        val m = b.getAs[Number]("m").longValue
+        val mSteps = b.getAs[Number]("m_steps").longValue
+        val depth = b.getAs[Double]("depth")
+        if (depth < minDepth) continue = false
+        else {
+          found += ((p, m, depth))
+          // mask the found box — a sample is inside iff its epoch index
+          // m1 = (phase·M) div P lands on step m or m+1 (box = 2 steps)
+          val m1 = expr(s"((($tUs - $t0) % $p + $p) % $p * $mSteps) div $p")
+          val dist = pmod(m1 - m + mSteps, lit(mSteps))
+          val masked = df.filter(!(dist <= 1)).persist()
+          df.unpersist()
+          df = masked
+        }
+      }
+    }
+    df.unpersist()
+    found.toSeq
+  }
 }
