@@ -34,6 +34,35 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() === batchSessions)
   }
 
+  test("watermark drops late data in append mode (declared §2.10 contract)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{window => twindow}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Double)]
+    val df = mem.toDF().toDF("ts", "value")
+    val agg = df.withWatermark("ts", "10 minutes")
+      .groupBy(twindow(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("late_demo")
+      .outputMode("append").start()
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    mem.addData((t(0), 1.0), (t(5), 2.0))     // window [10:00,10:10)
+    q.processAllAvailable()
+    mem.addData((t(40), 3.0))                  // advances watermark to 10:30
+    q.processAllAvailable()
+    mem.addData((t(1), 99.0))                  // LATE: before the watermark
+    q.processAllAvailable()
+    mem.addData((t(55), 4.0))                  // pushes watermark past 10:40
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("late_demo").collect()
+    // the finalized [10:00,10:10) window must count 2 — the late event
+    // at 10:01 was dropped, not merged
+    val w0 = rows.find(_.getStruct(0).getTimestamp(0).toString.contains("10:00"))
+    assert(w0.isDefined, s"first window missing: ${rows.mkString(";")}")
+    assert(w0.get.getAs[Long]("n") === 2L)
+  }
+
   test("stateful flare trigger fires on an injected spike train") {
     import spark.implicits._
     val E = 1704067200000000L
