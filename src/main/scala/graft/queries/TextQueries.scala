@@ -20,8 +20,14 @@ import graft.text.TextOps
 object TextQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  private val H = TextOps.md5Hash32("tok")
+  private val H = TextOps.md5Hash32Fast("tok")
   private val P31 = 2147483647L
+
+  /** Distinct tokens per document, deduplicated row-locally
+    * (array_distinct before explode) so no shuffle is spent on it. */
+  private def distinctToks(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("tok"))
 
   val queries: Map[String, Q] = Map(
     // D1 — exact dedup by content hash: every duplicate group keyed by
@@ -33,24 +39,68 @@ object TextQueries {
         .orderBy("content_key")
     }),
 
-    // D2 — n-gram (bigram) Jaccard near-dup: candidates share ≥1 bigram,
-    // exact |∩|/|∪| from distinct-bigram counts.
+    // D2 — n-gram (bigram) Jaccard near-dup: exact |∩|/|∪| over per-doc
+    // distinct-bigram sets, pairs with jaccard > 0.4. The bigram set is
+    // built row-locally (zip_with over adjacent-token slices +
+    // array_distinct) — no self-join, no distinct shuffle. Candidate
+    // strategy is chosen by a cheap universe-size probe:
+    //  • small universe (every doc shares bigrams with every other —
+    //    a shared-bigram bucket join degenerates to ~n² pair rows with
+    //    per-row shuffle cost): pack each doc's set into a bitmap of
+    //    the global bigram index and intersect via bit_count(x & y)
+    //    over a length-filtered broadcast nested-loop self-join;
+    //  • large universe (real corpora): bucket join on the shared
+    //    bigram — the scalable shape, pruned by the Jaccard length
+    //    filter 0.4·|A| ≤ |B| ≤ |A|/0.4.
     "d2_ngram_jaccard" -> ((s, d) => {
-      val toks = documents(s, d)
-        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("ord", "tok")))
-      val bg = toks.as("x").join(toks.as("y"),
-          col("x.doc_id") === col("y.doc_id") && col("y.ord") === col("x.ord") + 1)
-        .select(col("x.doc_id").as("doc_id"),
-          concat_ws(" ", col("x.tok"), col("y.tok")).as("bg"))
-        .distinct()
-      val sz = bg.groupBy("doc_id").agg(count(lit(1)).as("nb"))
-      val inter = bg.as("a").join(bg.as("b"),
-          col("a.bg") === col("b.bg") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .agg(count(lit(1)).as("inter"))
-      inter
-        .join(sz.select(col("doc_id").as("a_id"), col("nb").as("na")), "a_id")
-        .join(sz.select(col("doc_id").as("b_id"), col("nb").as("nbb")), "b_id")
+      val bg = documents(s, d)
+        .select(col("doc_id"), explode(expr(
+          """array_distinct(zip_with(
+            |  slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
+            |  slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
+            |  (x, y) -> concat(x, ' ', y)))""".stripMargin)).as("bg"))
+      val nUniverse = bg.select("bg").distinct().count()
+      val pairs =
+        if (nUniverse <= 4096) {
+          // Dense path: global bigram→bit index (tiny, broadcast), the
+          // bitmap as nWords plain LONG columns (width is known here,
+          // after the probe) so the pairwise intersection below is a
+          // fully codegen'd bit_count(&) chain — no arrays, no lambda
+          // interpretation, no per-row allocation.
+          val nWords = ((nUniverse + 63) / 64).toInt
+          val idx = bg.select("bg").distinct()
+            .withColumn("i", row_number().over(Window.orderBy("bg")) - 1)
+          val words = (0 until nWords).map(j => expr(
+            s"""aggregate(filter(idxs, i -> i div 64 = $j), 0L,
+               |  (acc, i) -> acc | shiftleft(1L, CAST(i % 64 AS INT)))""".stripMargin)
+            .as(s"w$j"))
+          val docs = bg.join(broadcast(idx), "bg")
+            .groupBy("doc_id").agg(sort_array(collect_list(col("i"))).as("idxs"))
+            .select(col("doc_id") +: size(col("idxs")).as("nb") +: words: _*)
+            .persist()
+          val inter = (0 until nWords)
+            .map(j => expr(s"bit_count(a.w$j & b.w$j)"))
+            .reduce(_ + _).cast("long")
+          docs.as("a").join(broadcast(docs.as("b")),
+              col("a.doc_id") < col("b.doc_id") &&
+              col("b.nb") >= ceil(col("a.nb") * 0.4) &&
+              col("b.nb") <= floor(col("a.nb") / 0.4))
+            .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+              col("a.nb").as("na"), col("b.nb").as("nbb"), inter.as("inter"))
+            .filter(col("inter") > 0)
+        } else {
+          val sz = bg.groupBy("doc_id").agg(count(lit(1)).as("nb"))
+          val szd = bg.join(sz, "doc_id")
+          val inter = szd.as("a").join(szd.as("b"),
+              col("a.bg") === col("b.bg") && col("a.doc_id") < col("b.doc_id") &&
+              col("b.nb") >= ceil(col("a.nb") * 0.4) &&
+              col("b.nb") <= floor(col("a.nb") / 0.4))
+            .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+            .agg(count(lit(1)).as("inter"),
+              first(col("a.nb")).as("na"), first(col("b.nb")).as("nbb"))
+          inter
+        }
+      pairs
         .withColumn("jaccard", col("inter").cast("double") /
           (col("na") + col("nbb") - col("inter")))
         .filter(col("jaccard") > 0.4)
@@ -59,42 +109,56 @@ object TextQueries {
     }),
 
     // D3 — minhash + LSH banding: 8 universal hashes over the distinct
-    // token set, 4 bands of 2 rows; pairs sharing a band bucket are
-    // near-dup candidates. Bucket join, never a cross join.
+    // token set, 4 bands of 2 rows; a pair is a candidate iff it shares
+    // ≥1 band bucket, n_bands = #shared buckets. Near-dup corpora make
+    // the answer quadratic in duplicate-group size, so the band join
+    // and the per-pair aggregation run on DISTINCT signatures (tiny)
+    // and the doc-pair expansion afterwards is pure broadcast-join row
+    // production — no aggregation or sort ever touches the O(pairs)
+    // result (row order is canonicalized by the driver's compare).
     "d3_minhash_lsh" -> ((s, d) => {
-      val toks = documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .distinct()
-        .withColumn("h", expr(H))
+      val toks = distinctToks(s, d).withColumn("h", expr(H))
       val mh = (0 until 8).map(k => min(expr(TextOps.minhashExpr("h", k))).as(s"m$k"))
+      val sigCols = (0 until 8).map(k => col(s"m$k"))
       val sig = toks.groupBy("doc_id").agg(mh.head, mh.tail: _*)
-      val bands = sig.select(col("doc_id"),
+      val sigs = sig.groupBy(sigCols: _*).agg(collect_list(col("doc_id")).as("ids"))
+        .withColumn("gid", row_number().over(Window.orderBy(sigCols.map(_.asc): _*)))
+        .persist()
+      val member = sigs.select(col("gid"), explode(col("ids")).as("doc_id"))
+      val bands = sigs.select(col("gid"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"),
             (col(s"m${2 * b}") * 1000003 + col(s"m${2 * b + 1}")).as("bh"))): _*)).as("bb"))
-        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-      bands.as("a").join(bands.as("b"),
+        .select(col("gid"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      val sigPairs = bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+          col("a.gid") < col("b.gid"))
+        .groupBy(col("a.gid").as("ga"), col("b.gid").as("gb"))
         .agg(count(lit(1)).as("n_bands"))
-        .orderBy("a_id", "b_id")
+      val cross = sigPairs
+        .join(broadcast(member.select(col("gid").as("ga"), col("doc_id").as("x"))), "ga")
+        .join(broadcast(member.select(col("gid").as("gb"), col("doc_id").as("y"))), "gb")
+        .select(least(col("x"), col("y")).as("a_id"),
+          greatest(col("x"), col("y")).as("b_id"), col("n_bands"))
+      val within = member.as("a").join(broadcast(member.as("b")),
+          col("a.gid") === col("b.gid") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          lit(4L).as("n_bands"))
+      cross.unionAll(within)
     }),
 
     // D4 — simhash (16-bit) document signature from distinct-token
     // hashes: bit j set iff Σ_tokens (2·bit_j(h) − 1) > 0.
     "d4_simhash" -> ((s, d) => {
-      val toks = documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .distinct()
-        .withColumn("h", expr(H))
-      toks
-        .withColumn("j", explode(sequence(lit(0), lit(15))))
-        .withColumn("pw", expr("cast(pow(2.0, j) as bigint)"))
-        .withColumn("c", expr("2 * ((h div pw) % 2) - 1"))
-        .groupBy("doc_id", "j").agg(min(col("pw")).as("pw"), sum(col("c")).as("sj"))
-        .groupBy("doc_id")
-        .agg(sum(when(col("sj") > 0, col("pw")).otherwise(0L)).as("simhash"))
+      val toks = distinctToks(s, d).withColumn("h", expr(H))
+      // One shuffle: the 16 per-bit vote sums are parallel aggregate
+      // columns (map-side combined), not exploded rows.
+      val votes = (0 until 16).map(j =>
+        sum(expr(s"2 * ((h div ${1L << j}) % 2) - 1")).as(s"s$j"))
+      toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+        .withColumn("simhash", (0 until 16).map(j =>
+          when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _))
+        .select("doc_id", "simhash")
         .orderBy("doc_id")
     }),
 
@@ -158,23 +222,24 @@ object TextQueries {
         .orderBy("fp")
     }),
 
-    // E1 — brute-force cosine top-k: dimension-exploded dot products
-    // integerized at 1e12, exact top-10 per query (5 query vectors).
+    // E1 — brute-force cosine top-k, integerized at 1e12, exact top-10
+    // per query (5 query vectors). Dot products and norms are row-local
+    // zip_with/aggregate over the embedding arrays (long sums, so
+    // order-independent); the tiny query set is broadcast — the only
+    // wide stage is the per-query top-k window.
     "e1_knn_cosine" -> ((s, d) => {
-      val dims = embeddings(s, d)
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
-        .withColumn("x", col("x").cast("double"))
-      val norms = dims.groupBy("vec_id")
-        .agg(sum(round(col("x") * col("x") * 1e12).cast("long")).as("nrm"))
-      val q = dims.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("pos"), col("x").as("qx"))
-      val dots = q.join(dims, "pos")
+      val withNorm = embeddings(s, d).select(col("vec_id"), col("embedding"))
+        .withColumn("nrm", expr(
+          """aggregate(embedding, 0L, (acc, v) ->
+            |  acc + CAST(round(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) * 1e12) AS BIGINT))""".stripMargin))
+      val q = withNorm.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+      val sim = withNorm.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("q_id"))
-        .groupBy("q_id", "vec_id")
-        .agg(sum(round(col("qx") * col("x") * 1e12).cast("long")).as("dot"))
-      val sim = dots
-        .join(norms.select(col("vec_id").as("q_id"), col("nrm").as("qn")), "q_id")
-        .join(norms, "vec_id")
+        .withColumn("dot", expr(
+          """aggregate(zip_with(qe, embedding, (a, b) ->
+            |  CAST(round(CAST(a AS DOUBLE) * CAST(b AS DOUBLE) * 1e12) AS BIGINT)),
+            |  0L, (acc, v) -> acc + v)""".stripMargin))
         .withColumn("sim", (col("dot") / 1e12) /
           nullif(sqrt(col("qn") / 1e12) * sqrt(col("nrm") / 1e12), lit(0.0)))
       val w = Window.partitionBy("q_id").orderBy(desc("sim"), asc("vec_id"))
@@ -191,23 +256,20 @@ object TextQueries {
       val bucketExpr = (1 to 8).map(j =>
         when(element_at(col("embedding"), j) > 0.0f, math.pow(2, j - 1).toLong)
           .otherwise(0L)).reduce(_ + _)
-      val b = emb.withColumn("bucket", bucketExpr)
-      val dims = b
-        .select(col("vec_id"), col("bucket"), posexplode(col("embedding")).as(Seq("pos", "x")))
-        .withColumn("x", col("x").cast("double"))
-      val norms = dims.groupBy("vec_id")
-        .agg(sum(round(col("x") * col("x") * 1e12).cast("long")).as("nrm"))
-      val q = dims.filter(col("vec_id") < 5)
+      val withNorm = emb.withColumn("bucket", bucketExpr)
+        .withColumn("nrm", expr(
+          """aggregate(embedding, 0L, (acc, v) ->
+            |  acc + CAST(round(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) * 1e12) AS BIGINT))""".stripMargin))
+      val q = withNorm.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("bucket").as("q_bucket"),
-          col("pos").as("qpos"), col("x").as("qx"))
-      val dots = q.join(dims,
-          col("q_bucket") === col("bucket") && col("qpos") === col("pos"))
+          col("embedding").as("qe"), col("nrm").as("qn"))
+      val sim = withNorm
+        .join(broadcast(q), col("q_bucket") === col("bucket"))
         .filter(col("vec_id") =!= col("q_id"))
-        .groupBy("q_id", "q_bucket", "vec_id")
-        .agg(sum(round(col("qx") * col("x") * 1e12).cast("long")).as("dot"))
-      val sim = dots
-        .join(norms.select(col("vec_id").as("q_id"), col("nrm").as("qn")), "q_id")
-        .join(norms, "vec_id")
+        .withColumn("dot", expr(
+          """aggregate(zip_with(qe, embedding, (a, b) ->
+            |  CAST(round(CAST(a AS DOUBLE) * CAST(b AS DOUBLE) * 1e12) AS BIGINT)),
+            |  0L, (acc, v) -> acc + v)""".stripMargin))
         .withColumn("sim", (col("dot") / 1e12) /
           nullif(sqrt(col("qn") / 1e12) * sqrt(col("nrm") / 1e12), lit(0.0)))
       val w = Window.partitionBy("q_id").orderBy(desc("sim"), asc("vec_id"))

@@ -25,6 +25,12 @@ object TextOps {
       s"${hexDigit(s"substr(md5($x), $i, 1)")} * CAST($p AS BIGINT)"
     }.mkString("(", " + ", ")")
 
+  /** Spark-side fast form of [[md5Hash32]]: one md5 + hex parse via
+    * `conv`. Value-identical to the CASE tree (Σ digit·16^(8−i)), which
+    * stays as the duckdb oracle form (duckdb has no `conv`). */
+  def md5Hash32Fast(x: String): String =
+    s"CAST(conv(substr(md5($x), 1, 8), 16, 10) AS BIGINT)"
+
   /** Universal-hash family over a base hash column `h`:
     * h_k = (a_k·h + b_k) mod 2147483647. */
   def minhashExpr(h: String, k: Int): String =
