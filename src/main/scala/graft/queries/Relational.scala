@@ -118,13 +118,31 @@ object Relational {
     }),
 
     // O6 — sorted gap report: top-20 largest inter-event gaps (main.py:6205).
+    // Scalable lag: a global Window.orderBy would serialize the whole
+    // table onto one partition, so successive diffs run inside coarse
+    // time buckets (partitioned window) and the cross-boundary gaps come
+    // from a tiny per-bucket first/last table windowed globally — the
+    // only single-partition pass is over #buckets rows, not #events.
     "o6_gap_report" -> ((s, d) => {
-      val w = Window.orderBy("ts", "event_id")
-      events(s, d)
+      val bucketUs = 86400L * 1000000L * 30 // 30-day lag buckets
+      val ev = events(s, d)
         .withColumn("t_us", unix_micros(col("ts")))
-        .withColumn("gap_us", col("t_us") - lag(col("t_us"), 1).over(w))
+        .withColumn("bkt", floor(col("t_us") / bucketUs))
+      val wIn = Window.partitionBy("bkt").orderBy("t_us", "event_id")
+      val inner = ev
+        .withColumn("gap_us", col("t_us") - lag(col("t_us"), 1).over(wIn))
         .filter(col("gap_us").isNotNull)
         .select("event_id", "gap_us")
+      val edges = ev.groupBy("bkt").agg(
+        min(struct(col("t_us"), col("event_id"))).as("first"),
+        max(struct(col("t_us"), col("event_id"))).as("last"))
+      val wB = Window.orderBy("bkt")
+      val boundary = edges
+        .withColumn("prev_last_t", lag(col("last.t_us"), 1).over(wB))
+        .filter(col("prev_last_t").isNotNull)
+        .select(col("first.event_id").as("event_id"),
+          (col("first.t_us") - col("prev_last_t")).as("gap_us"))
+      inner.unionAll(boundary)
         .orderBy(desc("gap_us"), asc("event_id"))
         .limit(20)
     }),

@@ -279,6 +279,44 @@ object TextQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // D9 — embedding-cosine near-dup: candidate pairs from the sign-LSH
+    // bucket (shuffle key at scale), exact integerized cosine inside the
+    // bucket, pairs above threshold. Same arithmetic contract as e1/e2.
+    "d9_embed_neardup" -> ((s, d) => {
+      val bucketExpr = (1 to 8).map(j =>
+        when(element_at(col("embedding"), j) > 0.0f, math.pow(2, j - 1).toLong)
+          .otherwise(0L)).reduce(_ + _)
+      val withNorm = embeddings(s, d)
+        .withColumn("bucket", bucketExpr)
+        .withColumn("nrm", expr(
+          """aggregate(embedding, 0L, (acc, v) ->
+            |  acc + CAST(round(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) * 1e12) AS BIGINT))""".stripMargin))
+        .select("vec_id", "bucket", "embedding", "nrm")
+      withNorm.as("a").join(withNorm.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("dot", expr(
+          """aggregate(zip_with(a.embedding, b.embedding, (x, y) ->
+            |  CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1e12) AS BIGINT)),
+            |  0L, (acc, v) -> acc + v)""".stripMargin))
+        .withColumn("sim", (col("dot") / 1e12) /
+          nullif(sqrt(col("a.nrm") / 1e12) * sqrt(col("b.nrm") / 1e12), lit(0.0)))
+        .filter(col("sim") > 0.4)
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // E3 — IVF ANN (rows-only: k-means training is not SQL-expressible):
+    // coarse centroids + posting lists, probe-limited exact search.
+    "e3_ivf_ann" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val centroids = graft.ann.Ivf.train(emb, k = 16, iters = 2)
+      graft.ann.Ivf.search(emb, centroids, Seq(0L, 1L, 2L, 3L, 4L),
+          nProbe = 4, topK = 5)
+        .withColumn("sim", round(col("sim"), 6))
+        .orderBy("q_id", "rank")
+    }),
+
     // M1 — multimodal scaffold: opaque binary payload + typed metadata
     // (byte length, content-hash head); the decode stage itself is a
     // stubbed kernel in graft.multimodal (no image libs in-container).
@@ -447,6 +485,34 @@ object TextQueries {
          |  FROM sim)
          |SELECT q_id, bucket, rank, vec_id, round(sim, 6) AS sim
          |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+    },
+
+    "d9_embed_neardup" -> {
+      val bucketSql = (1 to 8).map(j =>
+        s"(CASE WHEN embedding[$j] > 0.0 THEN ${math.pow(2, j - 1).toLong} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+         |dims AS (
+         |  SELECT vec_id, bucket, pos, CAST(x AS DOUBLE) AS x FROM (
+         |    SELECT vec_id, bucket, unnest(embedding) AS x,
+         |      unnest(generate_series(0, len(embedding) - 1)) AS pos
+         |    FROM b)),
+         |norms AS (SELECT vec_id,
+         |    sum(CAST(round(x * x * 1e12) AS BIGINT)) AS nrm
+         |  FROM dims GROUP BY 1),
+         |dots AS (SELECT da.vec_id AS a_id, db.vec_id AS b_id,
+         |    sum(CAST(round(da.x * db.x * 1e12) AS BIGINT)) AS dot
+         |  FROM dims da JOIN dims db
+         |    ON da.bucket = db.bucket AND da.pos = db.pos
+         |    AND da.vec_id < db.vec_id
+         |  GROUP BY 1, 2),
+         |sim AS (SELECT a_id, b_id,
+         |    (dot / 1e12) / nullif(sqrt(na.nrm / 1e12) * sqrt(nb.nrm / 1e12), 0.0) AS sim
+         |  FROM dots
+         |  JOIN norms na ON na.vec_id = a_id
+         |  JOIN norms nb ON nb.vec_id = b_id)
+         |SELECT a_id, b_id, round(sim, 6) AS sim FROM sim
+         |WHERE sim > 0.4 ORDER BY a_id, b_id""".stripMargin
     },
 
     "m1_binary_meta" ->
