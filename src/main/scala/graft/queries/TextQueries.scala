@@ -121,8 +121,13 @@ object TextQueries {
       val mh = (0 until 8).map(k => min(expr(TextOps.minhashExpr("h", k))).as(s"m$k"))
       val sigCols = (0 until 8).map(k => col(s"m$k"))
       val sig = toks.groupBy("doc_id").agg(mh.head, mh.tail: _*)
+      // gid = hash of the signature tuple: group-local, no global sort.
+      // (A row_number window here would serialize every distinct
+      // signature through one partition at scale; xxhash64 over the 8
+      // minhash values is unique per group by construction — the group
+      // IS its signature.)
       val sigs = sig.groupBy(sigCols: _*).agg(collect_list(col("doc_id")).as("ids"))
-        .withColumn("gid", row_number().over(Window.orderBy(sigCols.map(_.asc): _*)))
+        .withColumn("gid", xxhash64(sigCols: _*))
         .persist()
       val member = sigs.select(col("gid"), explode(col("ids")).as("doc_id"))
       val bands = sigs.select(col("gid"),
