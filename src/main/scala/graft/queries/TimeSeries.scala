@@ -84,6 +84,20 @@ object TimeSeries {
         .orderBy("user_id", "event_id")
     }),
 
+    // §2.10 — Spark's native session_window in batch mode: the same
+    // operator StreamOps.sessionWindows uses on the stream, verified
+    // here against the gaps-and-islands oracle. Spark merges two
+    // events when their [ts, ts+gap) ranges overlap, so a new session
+    // starts at gap >= 30 min (strictly-greater would be wrong).
+    "st_session_window" -> ((s, d) => {
+      events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), unix_micros(col("w.start")).as("s_us"),
+          unix_micros(col("w.end")).as("e_us"), col("n"))
+        .orderBy("user_id", "s_us")
+    }),
+
     // A10 — sessionization (gaps-and-islands, ref main.py:6347–6368):
     // 30-min inactivity threshold, per-session aggregates.
     "a10_sessionize" -> ((s, d) => {
@@ -327,6 +341,21 @@ object TimeSeries {
            |                                  ORDER BY t_us, event_id) AS gap
            |      FROM base)
            |ORDER BY user_id, event_id""".stripMargin,
+
+      "st_session_window" ->
+        s"""WITH $baseSql,
+           |flagged AS (SELECT user_id, t_us,
+           |  sum(CASE WHEN gap >= 1800000000 THEN 1 ELSE 0 END)
+           |    OVER (PARTITION BY user_id ORDER BY t_us, event_id
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session
+           |  FROM (SELECT user_id, event_id, t_us,
+           |          t_us - lag(t_us, 1) OVER (PARTITION BY user_id
+           |                                    ORDER BY t_us, event_id) AS gap
+           |        FROM base))
+           |SELECT user_id, min(t_us) AS s_us,
+           |  max(t_us) + 1800000000 AS e_us, count(*) AS n
+           |FROM flagged GROUP BY user_id, session
+           |ORDER BY user_id, s_us""".stripMargin,
 
       "a10_sessionize" ->
         s"""WITH $baseSql,
