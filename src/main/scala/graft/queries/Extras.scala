@@ -92,6 +92,33 @@ object Extras {
         .limit(1000)
     }),
 
+    // A14 — per-row Monte-Carlo feature augmentation (ref
+    // main.py:2760–2788: 100 truncated-Gaussian draws per catalog row,
+    // then median/std over the draw axis). Spark shape: explode a draw
+    // sequence per row — the generator "UDTF" — with integer-LCG
+    // deviates seeded by (row key, draw index), re-aggregate per key.
+    // Exact percentile (not approx) so the oracle hash-matches.
+    "a14_mc_explode" -> ((s, d) => {
+      val nd = 100L
+      supplier(s, d)
+        .select(col("s_suppkey"), Tables.cents(col("s_acctbal")).as("bc"))
+        .withColumn("i", explode(sequence(lit(0L), lit(nd - 1))))
+        .withColumn("r",
+          ((col("s_suppkey") % 32768L * nd + col("i")) * 1103515245L + 12345L) % 2147483648L)
+        // draw = acctbal·(1 + 0.1·u), u ∈ [−0.5, 0.5); integerized once.
+        .withColumn("xc", round(col("bc") *
+          (lit(1.0) + (col("r").cast("double") / 2147483648.0 - 0.5) * 0.1)).cast("long"))
+        .groupBy("s_suppkey")
+        .agg(count(lit(1)).as("n_draws"),
+          (expr("percentile(xc, 0.5)") / 100.0).as("med_feat"),
+          sum(col("xc")).as("_s"), sum(col("xc") * col("xc")).as("_q"))
+        .withColumn("std_feat",
+          sqrt((col("_q") - col("_s").cast("double") * col("_s") / col("n_draws"))
+            / col("n_draws")) / 100.0)
+        .select("s_suppkey", "n_draws", "med_feat", "std_feat")
+        .orderBy("s_suppkey")
+    }),
+
     // T14 — simulation + injection (simutargpartinje main.py:7810–7815,
     // noise 10531): uniform grid, box-transit model, integer-LCG noise
     // (engine-independent), then phase-binned recovery of the depth.
@@ -165,6 +192,22 @@ object Extras {
          |  UNION ALL
          |  SELECT event_id, t_us, event_type FROM base WHERE event_type = 'error')
          |ORDER BY t_us, event_id LIMIT 1000""".stripMargin,
+
+    "a14_mc_explode" ->
+      s"""WITH s AS (SELECT s_suppkey,
+         |    CAST(round(s_acctbal*100) AS BIGINT) AS bc FROM supplier),
+         |g AS (SELECT s_suppkey, bc, unnest(generate_series(0, 99)) AS i FROM s),
+         |r AS (SELECT s_suppkey,
+         |    CAST(round(bc * (1.0 +
+         |      (CAST(((s_suppkey % 32768 * 100 + i) * 1103515245 + 12345)
+         |            % 2147483648 AS DOUBLE) / 2147483648.0 - 0.5) * 0.1))
+         |      AS BIGINT) AS xc
+         |  FROM g)
+         |SELECT s_suppkey, count(*) AS n_draws,
+         |  quantile_cont(xc, 0.5) / 100.0 AS med_feat,
+         |  sqrt((sum(xc*xc) - CAST(sum(xc) AS DOUBLE)*sum(xc)/count(*))
+         |       / count(*)) / 100.0 AS std_feat
+         |FROM r GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin,
 
     "t14_injection" ->
       s"""WITH $baseSql,
