@@ -390,7 +390,7 @@ object TextQueries {
          |    FROM th, (SELECT unnest(generate_series(0, 15)) AS j))
          |  GROUP BY 1, 2)
          |SELECT doc_id,
-         |  sum(CASE WHEN sj > 0 THEN pw ELSE 0 END) AS simhash
+         |  CAST(sum(CASE WHEN sj > 0 THEN pw ELSE 0 END) AS BIGINT) AS simhash
          |FROM bits GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "d5_langid" ->

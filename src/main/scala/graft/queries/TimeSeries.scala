@@ -333,9 +333,9 @@ object TimeSeries {
       "w2_gap_segment" ->
         s"""WITH $baseSql
            |SELECT user_id, event_id,
-           |  sum(CASE WHEN gap > 3600000000 THEN 1 ELSE 0 END)
+           |  CAST(sum(CASE WHEN gap > 3600000000 THEN 1 ELSE 0 END)
            |    OVER (PARTITION BY user_id ORDER BY t_us, event_id
-           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS region
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS region
            |FROM (SELECT user_id, event_id, t_us,
            |        t_us - lag(t_us, 1) OVER (PARTITION BY user_id
            |                                  ORDER BY t_us, event_id) AS gap
@@ -367,7 +367,8 @@ object TimeSeries {
            |          t_us - lag(t_us, 1) OVER (PARTITION BY user_id
            |                                    ORDER BY t_us, event_id) AS gap
            |        FROM base))
-           |SELECT user_id, session, count(*) AS n, min(t_us) AS t0_us,
+           |SELECT user_id, CAST(session AS BIGINT) AS session,
+           |  count(*) AS n, min(t_us) AS t0_us,
            |  max(t_us) AS t1_us,
            |  CAST(sum(vc) AS BIGINT)/100.0 AS sum_value,
            |  max(t_us) - min(t_us) AS dur_us
