@@ -1,92 +1,117 @@
 package graft.ann
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.expr.VecExprs.{dot_i12, l2sq_fd}
 
 /** IVF (inverted-file) approximate nearest neighbor over an embedding
   * column — the coarse-quantizer scale path next to sign-LSH
   * (TextQueries e2): k-means-lite centroids, vectors bucketed by
   * nearest centroid, queries probe the `nProbe` nearest lists and run
   * exact cosine only inside them. At 100 TB the centroid set stays
-  * broadcast-sized and the posting lists are the shuffle key.
+  * broadcast-sized (k·dim doubles) and the posting lists are the
+  * shuffle key.
   *
-  * Deterministic: centroids seed from the lowest vec_ids, Lloyd
-  * iterations are plain DataFrame aggregations (driver loop).
+  * ALL vector math is array-local — the codegen'd L2SqFD / DotI12
+  * kernels run over the embedding arrays in place. (The round-1 form
+  * exploded every vector into (vec_id, pos, x) rows: a dim× row blowup
+  * plus a row_number window per assignment round. At dim 768 that is
+  * 768× the shuffle volume for the same answer.)
+  *
+  * Deterministic: centroids seed from the lowest vec_ids; the centroid
+  * update accumulates Σ round(x·1e6) per dim as LONG (order-independent
+  * across partitions); assignment ties break on lowest cid via a
+  * lexicographic min(struct(dist, cid)) — no windows anywhere in the
+  * per-vector path.
   */
 object Ivf {
 
-  /** (vec_id, pos, x) exploded dims of an embeddings table. */
-  private def dims(emb: DataFrame): DataFrame =
-    emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
-      .withColumn("x", col("x").cast("double"))
-
-  /** Assign every vector to its nearest centroid (squared L2).
-    * centroids: (cid, pos, c). Returns (vec_id, cid). */
-  private def assign(d: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(asc("dist"), asc("cid"))
-    d.join(broadcast(centroids), "pos")
-      .groupBy("vec_id", "cid")
-      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("dist"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("vec_id", "cid")
+  /** Materialize driver-side centroids as a broadcastable (cid, cvec)
+    * DataFrame — k·dim doubles, tiny by contract. */
+  private def centroidDF(spark: SparkSession,
+                         cents: Array[(Int, Array[Double])]): DataFrame = {
+    import spark.implicits._
+    cents.toSeq.map { case (cid, v) => (cid, v.toSeq) }.toDF("cid", "cvec")
   }
 
-  /** Train k centroids with `iters` Lloyd rounds. */
-  def train(emb: DataFrame, k: Int, iters: Int = 2): DataFrame = {
-    val d = dims(emb).persist()
-    var centroids = d
-      .join(emb.select(col("vec_id")).orderBy("vec_id").limit(k)
-        .withColumn("cid", (row_number().over(Window.orderBy("vec_id")) - 1)), "vec_id")
-      .select(col("cid"), col("pos"), col("x").as("c"))
+  /** Assign every vector to its nearest centroid (squared L2, ties to
+    * the lowest cid). One narrow crossJoin against the broadcast
+    * centroid set + one map-side-combined aggregation — no window, no
+    * explode. Returns (vec_id, cid). */
+  def assign(emb: DataFrame, centroids: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("dist", l2sq_fd(col("embedding"), col("cvec")))
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"))
+
+  /** Train k centroids with `iters` Lloyd rounds. `dim` is the
+    * embedding dimensionality (IVF config, like k). The per-round
+    * centroid update is dim parallel integer sums — codegen'd,
+    * map-side combined, order-independent. The k×dim result is
+    * collected to the driver each round (by design: it is the
+    * broadcast model state, not data). */
+  def train(emb: DataFrame, k: Int, iters: Int = 2, dim: Int = 64):
+      Array[(Int, Array[Double])] = {
+    val spark = emb.sparkSession
+    var cents: Array[(Int, Array[Double])] =
+      emb.select(col("vec_id"), col("embedding")).orderBy("vec_id").limit(k)
+        .collect().zipWithIndex.map { case (r, i) =>
+          (i, r.getSeq[Float](1).map(_.toDouble).toArray)
+        }
+    val sums = (0 until dim).map(j =>
+      sum(round(element_at(col("embedding"), j + 1).cast("double") * 1e6)
+        .cast("long")).as(s"s$j"))
     for (_ <- 1 to iters) {
-      val a = assign(d, centroids)
-      centroids = d.join(a, "vec_id")
-        .groupBy("cid", "pos").agg(avg(col("x")).as("c"))
+      val a = assign(emb, centroidDF(spark, cents))
+      val upd = emb.join(a, "vec_id")
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .collect()
+      cents = upd.map { r =>
+        val n = r.getLong(r.fieldIndex("n")).toDouble
+        (r.getInt(r.fieldIndex("cid")),
+          (0 until dim).map(j => r.getLong(r.fieldIndex(s"s$j")) / 1e6 / n).toArray)
+      }.sortBy(_._1)
     }
-    val out = centroids.persist()
-    out.count()
-    d.unpersist()
-    out
+    cents
   }
 
   /** Probe: for query vec_ids, search the `nProbe` nearest posting
-    * lists, exact cosine inside. Returns (q_id, rank, vec_id, sim). */
-  def search(emb: DataFrame, centroids: DataFrame, queryIds: Seq[Long],
-             nProbe: Int, topK: Int): DataFrame = {
-    val d = dims(emb).persist()
-    val assigned = assign(d, centroids).persist()
-    val qd = d.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("q_id"), col("pos").as("qpos"), col("x").as("qx"))
-    // nearest nProbe centroids per query
+    * lists, exact integerized cosine inside (same 1e12 contract as
+    * e1/e2). Returns (q_id, rank, vec_id, sim). */
+  def search(emb: DataFrame, cents: Array[(Int, Array[Double])],
+             queryIds: Seq[Long], nProbe: Int, topK: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val cdf = centroidDF(spark, cents)
+    val assigned = assign(emb, cdf)
+    val withNorm = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", dot_i12(col("embedding"), col("embedding")))
+    val q = withNorm.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+    // nearest nProbe centroids per query: |queries|·k rows, tiny.
     val wq = Window.partitionBy("q_id").orderBy(asc("dist"), asc("cid"))
-    val probes = qd.join(broadcast(centroids), col("qpos") === col("pos"))
-      .groupBy("q_id", "cid")
-      .agg(sum((col("qx") - col("c")) * (col("qx") - col("c"))).as("dist"))
+    val probes = q.crossJoin(broadcast(cdf))
+      .withColumn("dist", l2sq_fd(col("qe"), col("cvec")))
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= nProbe)
       .select("q_id", "cid")
-    // candidates: vectors in probed lists
+    // candidates: vectors in probed lists — cid is the shuffle key.
     val cands = probes.join(assigned, "cid")
       .filter(col("vec_id") =!= col("q_id"))
       .select("q_id", "vec_id").distinct()
-    val norms = d.groupBy("vec_id").agg(sum(col("x") * col("x")).as("nrm"))
-    val dots = cands
-      .join(qd, "q_id")
-      .join(d.select(col("vec_id"), col("pos"), col("x")),
-        Seq("vec_id"), "inner")
-      .filter(col("qpos") === col("pos"))
-      .groupBy("q_id", "vec_id")
-      .agg(sum(col("qx") * col("x")).as("dot"))
     val wr = Window.partitionBy("q_id").orderBy(desc("sim"), asc("vec_id"))
-    val out = dots
-      .join(norms.select(col("vec_id").as("q_id"), col("nrm").as("qn")), "q_id")
-      .join(norms, "vec_id")
-      .withColumn("sim", col("dot") / sqrt(col("qn") * col("nrm")))
+    cands
+      .join(withNorm, "vec_id")
+      .join(broadcast(q), "q_id")
+      .withColumn("dot", dot_i12(col("qe"), col("embedding")))
+      .withColumn("sim", (col("dot") / 1e12) /
+        nullif(sqrt(col("qn") / 1e12) * sqrt(col("nrm") / 1e12), lit(0.0)))
       .withColumn("rank", row_number().over(wr))
       .filter(col("rank") <= topK)
       .select("q_id", "rank", "vec_id", "sim")
-    out
   }
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.Tables._
+import graft.expr.VecExprs.{bitmap_and_count, bitmap_from_indices, dot_i12, sign_bucket}
 import graft.text.TextOps
 
 /** LLM-data-pipeline operators over `documents` and `embeddings`
@@ -59,34 +60,43 @@ object TextQueries {
             |  slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
             |  slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
             |  (x, y) -> concat(x, ' ', y)))""".stripMargin)).as("bg"))
-      val nUniverse = bg.select("bg").distinct().count()
+      // One probe job decides the candidate strategy (note: this runs
+      // an eager Spark job at query-construction time, so it fires
+      // even under Explain).
+      val probe = bg.agg(countDistinct(col("bg")).as("nu"),
+        countDistinct(col("doc_id")).as("nd")).head
+      val (nUniverse, nDocs) = (probe.getLong(0), probe.getLong(1))
+      if (nUniverse == 0) {
+        // No doc has ≥2 tokens → no bigrams, no pairs. Short-circuit:
+        // the dense path would otherwise build a zero-width bitmap.
+        documents(s, d).select(col("doc_id").as("a_id"),
+          col("doc_id").as("b_id"), lit(0L).as("inter"),
+          lit(0.0).as("jaccard")).limit(0)
+      } else {
       val pairs =
-        if (nUniverse <= 4096) {
-          // Dense path: global bigram→bit index (tiny, broadcast), the
-          // bitmap as nWords plain LONG columns (width is known here,
-          // after the probe) so the pairwise intersection below is a
-          // fully codegen'd bit_count(&) chain — no arrays, no lambda
-          // interpretation, no per-row allocation.
+        if (nUniverse <= 4096 && nDocs <= 100000) {
+          // Dense path — gated on BOTH universe and doc count: a small
+          // vocabulary does not bound the corpus, and the O(nDocs²)
+          // pairwise stage below is only affordable up to ~1e5 docs.
+          // Global bigram→bit index (tiny, broadcast); each doc's set
+          // packed into one array<long> bitmap by a codegen'd kernel,
+          // intersected by a codegen'd popcount-of-AND — no lambda
+          // interpretation in the pairwise loop.
           val nWords = ((nUniverse + 63) / 64).toInt
           val idx = bg.select("bg").distinct()
             .withColumn("i", row_number().over(Window.orderBy("bg")) - 1)
-          val words = (0 until nWords).map(j => expr(
-            s"""aggregate(filter(idxs, i -> i div 64 = $j), 0L,
-               |  (acc, i) -> acc | shiftleft(1L, CAST(i % 64 AS INT)))""".stripMargin)
-            .as(s"w$j"))
           val docs = bg.join(broadcast(idx), "bg")
             .groupBy("doc_id").agg(sort_array(collect_list(col("i"))).as("idxs"))
-            .select(col("doc_id") +: size(col("idxs")).as("nb") +: words: _*)
+            .select(col("doc_id"), size(col("idxs")).as("nb"),
+              bitmap_from_indices(col("idxs"), lit(nWords)).as("words"))
             .persist()
-          val inter = (0 until nWords)
-            .map(j => expr(s"bit_count(a.w$j & b.w$j)"))
-            .reduce(_ + _).cast("long")
           docs.as("a").join(broadcast(docs.as("b")),
               col("a.doc_id") < col("b.doc_id") &&
               col("b.nb") >= ceil(col("a.nb") * 0.4) &&
               col("b.nb") <= floor(col("a.nb") / 0.4))
             .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-              col("a.nb").as("na"), col("b.nb").as("nbb"), inter.as("inter"))
+              col("a.nb").as("na"), col("b.nb").as("nbb"),
+              bitmap_and_count(col("a.words"), col("b.words")).as("inter"))
             .filter(col("inter") > 0)
         } else {
           val sz = bg.groupBy("doc_id").agg(count(lit(1)).as("nb"))
@@ -106,6 +116,7 @@ object TextQueries {
         .filter(col("jaccard") > 0.4)
         .select(col("a_id"), col("b_id"), col("inter"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("a_id", "b_id")
+      }
     }),
 
     // D3 — minhash + LSH banding: 8 universal hashes over the distinct
@@ -121,34 +132,48 @@ object TextQueries {
       val mh = (0 until 8).map(k => min(expr(TextOps.minhashExpr("h", k))).as(s"m$k"))
       val sigCols = (0 until 8).map(k => col(s"m$k"))
       val sig = toks.groupBy("doc_id").agg(mh.head, mh.tail: _*)
-      // gid = hash of the signature tuple: group-local, no global sort.
-      // (A row_number window here would serialize every distinct
-      // signature through one partition at scale; xxhash64 over the 8
-      // minhash values is unique per group by construction — the group
-      // IS its signature.)
-      val sigs = sig.groupBy(sigCols: _*).agg(collect_list(col("doc_id")).as("ids"))
-        .withColumn("gid", xxhash64(sigCols: _*))
+      // Each minhash is < 2^31 (mod 2147483647), so a band's two rows
+      // pack LOSSLESSLY into one long: p_b = m_{2b}·2^31 + m_{2b+1}.
+      // The band bucket key IS p_b (exact band equality, no hash
+      // collisions), and gid = struct(p0..p3) is the full signature —
+      // collision-free group identity at half the struct width of the
+      // raw 8-tuple, so signature shuffles stay cheap.
+      val packs = (0 until 4).map(b =>
+        (col(s"m${2 * b}") * 2147483648L + col(s"m${2 * b + 1}")).as(s"p$b"))
+      val sigs = sig.select(col("doc_id") +: packs: _*)
+        .groupBy("p0", "p1", "p2", "p3")
+        .agg(collect_list(col("doc_id")).as("ids"))
+        .withColumn("gid", struct(col("p0"), col("p1"), col("p2"), col("p3")))
         .persist()
-      val member = sigs.select(col("gid"), explode(col("ids")).as("doc_id"))
       val bands = sigs.select(col("gid"),
         explode(array((0 until 4).map(b =>
-          struct(lit(b).as("band"),
-            (col(s"m${2 * b}") * 1000003 + col(s"m${2 * b + 1}")).as("bh"))): _*)).as("bb"))
+          struct(lit(b).as("band"), col(s"p$b").as("bh"))): _*)).as("bb"))
         .select(col("gid"), col("bb.band").as("band"), col("bb.bh").as("bh"))
       val sigPairs = bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.gid") < col("b.gid"))
         .groupBy(col("a.gid").as("ga"), col("b.gid").as("gb"))
         .agg(count(lit(1)).as("n_bands"))
+      // Pair expansion: every shuffle in this query moves only
+      // DISTINCT-signature rows (each carrying its member-id array);
+      // the O(pairs) doc-pair stream is produced by chained map-side
+      // explodes AFTER the joins and is never shuffled, sorted, or
+      // broadcast. (Broadcasting the one-row-per-document membership
+      // table — the round-1 shape — would ship the whole corpus to
+      // every executor at 100 TB.)
       val cross = sigPairs
-        .join(broadcast(member.select(col("gid").as("ga"), col("doc_id").as("x"))), "ga")
-        .join(broadcast(member.select(col("gid").as("gb"), col("doc_id").as("y"))), "gb")
+        .join(sigs.select(col("gid").as("ga"), col("ids").as("ids_a")), "ga")
+        .join(sigs.select(col("gid").as("gb"), col("ids").as("ids_b")), "gb")
+        .select(col("n_bands"), col("ids_b"), explode(col("ids_a")).as("x"))
+        .select(col("n_bands"), col("x"), explode(col("ids_b")).as("y"))
         .select(least(col("x"), col("y")).as("a_id"),
           greatest(col("x"), col("y")).as("b_id"), col("n_bands"))
-      val within = member.as("a").join(broadcast(member.as("b")),
-          col("a.gid") === col("b.gid") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-          lit(4L).as("n_bands"))
+      val within = sigs
+        .select(col("ids"), posexplode(col("ids")).as(Seq("i", "x")))
+        .select(col("x"),
+          explode(expr("slice(ids, i + 2, size(ids) - i - 1)")).as("y"))
+        .select(least(col("x"), col("y")).as("a_id"),
+          greatest(col("x"), col("y")).as("b_id"), lit(4L).as("n_bands"))
       cross.unionAll(within)
     }),
 
@@ -228,23 +253,19 @@ object TextQueries {
     }),
 
     // E1 — brute-force cosine top-k, integerized at 1e12, exact top-10
-    // per query (5 query vectors). Dot products and norms are row-local
-    // zip_with/aggregate over the embedding arrays (long sums, so
-    // order-independent); the tiny query set is broadcast — the only
-    // wide stage is the per-query top-k window.
+    // per query (5 query vectors). Dot products and norms are the
+    // codegen'd DotI12 kernel (bit-identical to the SQL
+    // aggregate/zip_with form, minus the lambda interpreter); the tiny
+    // query set is broadcast — the only wide stage is the per-query
+    // top-k window.
     "e1_knn_cosine" -> ((s, d) => {
       val withNorm = embeddings(s, d).select(col("vec_id"), col("embedding"))
-        .withColumn("nrm", expr(
-          """aggregate(embedding, 0L, (acc, v) ->
-            |  acc + CAST(round(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) * 1e12) AS BIGINT))""".stripMargin))
+        .withColumn("nrm", dot_i12(col("embedding"), col("embedding")))
       val q = withNorm.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn"))
       val sim = withNorm.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("dot", expr(
-          """aggregate(zip_with(qe, embedding, (a, b) ->
-            |  CAST(round(CAST(a AS DOUBLE) * CAST(b AS DOUBLE) * 1e12) AS BIGINT)),
-            |  0L, (acc, v) -> acc + v)""".stripMargin))
+        .withColumn("dot", dot_i12(col("qe"), col("embedding")))
         .withColumn("sim", (col("dot") / 1e12) /
           nullif(sqrt(col("qn") / 1e12) * sqrt(col("nrm") / 1e12), lit(0.0)))
       val w = Window.partitionBy("q_id").orderBy(desc("sim"), asc("vec_id"))
@@ -262,19 +283,14 @@ object TextQueries {
         when(element_at(col("embedding"), j) > 0.0f, math.pow(2, j - 1).toLong)
           .otherwise(0L)).reduce(_ + _)
       val withNorm = emb.withColumn("bucket", bucketExpr)
-        .withColumn("nrm", expr(
-          """aggregate(embedding, 0L, (acc, v) ->
-            |  acc + CAST(round(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) * 1e12) AS BIGINT))""".stripMargin))
+        .withColumn("nrm", dot_i12(col("embedding"), col("embedding")))
       val q = withNorm.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("bucket").as("q_bucket"),
           col("embedding").as("qe"), col("nrm").as("qn"))
       val sim = withNorm
         .join(broadcast(q), col("q_bucket") === col("bucket"))
         .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("dot", expr(
-          """aggregate(zip_with(qe, embedding, (a, b) ->
-            |  CAST(round(CAST(a AS DOUBLE) * CAST(b AS DOUBLE) * 1e12) AS BIGINT)),
-            |  0L, (acc, v) -> acc + v)""".stripMargin))
+        .withColumn("dot", dot_i12(col("qe"), col("embedding")))
         .withColumn("sim", (col("dot") / 1e12) /
           nullif(sqrt(col("qn") / 1e12) * sqrt(col("nrm") / 1e12), lit(0.0)))
       val w = Window.partitionBy("q_id").orderBy(desc("sim"), asc("vec_id"))
@@ -287,22 +303,24 @@ object TextQueries {
     // D9 — embedding-cosine near-dup: candidate pairs from the sign-LSH
     // bucket (shuffle key at scale), exact integerized cosine inside the
     // bucket, pairs above threshold. Same arithmetic contract as e1/e2.
+    // The bucket width SCALES with the corpus — nbits =
+    // clamp(ceil(log2(N/4)), 8, 16) — so within-bucket pair counts stay
+    // ~(N/2^nbits)² bounded instead of growing quadratically past a
+    // fixed 256 buckets. N enters the plan as a broadcast 1-row cross
+    // join (no eager driver job), and the identical formula lives in
+    // the DuckDB oracle.
     "d9_embed_neardup" -> ((s, d) => {
-      val bucketExpr = (1 to 8).map(j =>
-        when(element_at(col("embedding"), j) > 0.0f, math.pow(2, j - 1).toLong)
-          .otherwise(0L)).reduce(_ + _)
+      val nv = embeddings(s, d).agg(count(lit(1)).as("n_vec"))
       val withNorm = embeddings(s, d)
-        .withColumn("bucket", bucketExpr)
-        .withColumn("nrm", expr(
-          """aggregate(embedding, 0L, (acc, v) ->
-            |  acc + CAST(round(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) * 1e12) AS BIGINT))""".stripMargin))
+        .crossJoin(broadcast(nv))
+        .withColumn("nbits", least(lit(16), greatest(lit(8),
+          ceil(log2(col("n_vec").cast("double") / 4.0)).cast("int"))))
+        .withColumn("bucket", sign_bucket(col("embedding"), col("nbits")))
+        .withColumn("nrm", dot_i12(col("embedding"), col("embedding")))
         .select("vec_id", "bucket", "embedding", "nrm")
       withNorm.as("a").join(withNorm.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-        .withColumn("dot", expr(
-          """aggregate(zip_with(a.embedding, b.embedding, (x, y) ->
-            |  CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1e12) AS BIGINT)),
-            |  0L, (acc, v) -> acc + v)""".stripMargin))
+        .withColumn("dot", dot_i12(col("a.embedding"), col("b.embedding")))
         .withColumn("sim", (col("dot") / 1e12) /
           nullif(sqrt(col("a.nrm") / 1e12) * sqrt(col("b.nrm") / 1e12), lit(0.0)))
         .filter(col("sim") > 0.4)
@@ -368,10 +386,10 @@ object TextQueries {
          |sig AS (SELECT doc_id, $mh FROM th GROUP BY doc_id),
          |bands AS (
          |  SELECT doc_id, band,
-         |    CASE band WHEN 0 THEN m0 * 1000003 + m1
-         |              WHEN 1 THEN m2 * 1000003 + m3
-         |              WHEN 2 THEN m4 * 1000003 + m5
-         |              ELSE m6 * 1000003 + m7 END AS bh
+         |    CASE band WHEN 0 THEN m0 * 2147483648 + m1
+         |              WHEN 1 THEN m2 * 2147483648 + m3
+         |              WHEN 2 THEN m4 * 2147483648 + m5
+         |              ELSE m6 * 2147483648 + m7 END AS bh
          |  FROM sig, (VALUES (0), (1), (2), (3)) bands_t(band))
          |SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_bands
          |FROM bands a JOIN bands b
@@ -493,10 +511,16 @@ object TextQueries {
     },
 
     "d9_embed_neardup" -> {
-      val bucketSql = (1 to 8).map(j =>
-        s"(CASE WHEN embedding[$j] > 0.0 THEN ${math.pow(2, j - 1).toLong} ELSE 0 END)")
-        .mkString(" + ")
-      s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+      // Same adaptive bucket width as the Spark side:
+      // nbits = clamp(ceil(log2(N/4)), 8, 16), bucket = sign bits of
+      // the first nbits dims (DuckDB list comprehension).
+      s"""WITH nv AS (SELECT LEAST(16, GREATEST(8,
+         |    CAST(ceil(log2(count(*) / 4.0)) AS INT))) AS nbits FROM embeddings),
+         |b AS (SELECT vec_id, embedding,
+         |    CAST(list_sum([CASE WHEN embedding[j] > 0.0
+         |        THEN CAST(2**(j-1) AS BIGINT) ELSE CAST(0 AS BIGINT) END
+         |      FOR j IN range(1, nbits + 1)]) AS BIGINT) AS bucket
+         |  FROM embeddings, nv),
          |dims AS (
          |  SELECT vec_id, bucket, pos, CAST(x AS DOUBLE) AS x FROM (
          |    SELECT vec_id, bucket, unnest(embedding) AS x,
