@@ -91,6 +91,21 @@ object Advanced {
         .orderBy("part", "id")
     }),
 
+    // T3 GaussianProcess mode — the reference's DEFAULT detrend
+    // (main.py:7919; Matérn-3/2 kernel 6797–6833), here the exact O(n)
+    // state-space form in a flatMapGroups kernel per (part, region);
+    // not SQL-expressible → rows-only check (golden values in
+    // DetrendSpec pin the kernel).
+    "t3c_detrend_gp" -> ((s, d) => {
+      val df = base(s, d)
+        .select(col("user_id").cast("string").as("part"), col("event_id").as("id"),
+          col("t_us"), col("value"), lit(0.3).as("err"))
+      graft.ops.Detrend.detrend(df, Seq("part"), "t_us", "id", "value", "err",
+          gapUs = 3600000000L, mode = "GaussianProcess", timescaleDays = 2.0)
+        .select("part", "id", "baseline", "detr")
+        .orderBy("part", "id")
+    }),
+
     // T13 — deterministic seeded MCMC fit of a box depth on a collected
     // window; rows-only check (sampler not SQL-expressible).
     "t13_mcmc_fit" -> ((s, d) => {

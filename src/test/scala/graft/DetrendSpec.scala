@@ -36,6 +36,22 @@ class DetrendSpec extends SparkSpec {
     assert(rms < 1.0, s"gp residual rms $rms")
   }
 
+  test("GP baseline golden values are stable (fixed input, fixed seed)") {
+    // Pins the exact Kalman/RTS arithmetic: any change to the
+    // state-space transition or smoother shows up here first. Values
+    // captured from the current kernel on a deterministic input.
+    val (t, y, e) = trended(64, 7)
+    val base = Detrend.gpBaseline(t, y, e, sigma = 10.0, rho = 2.0)
+    val got = Seq(base(0), base(16), base(32), base(63))
+    val want = Seq(100.186306363, 99.586157927, 99.985301208, 97.922401120)
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g - w) < 1e-9, s"golden anchor drifted: $g vs $w")
+    }
+    // determinism across invocations
+    val base2 = Detrend.gpBaseline(t, y, e, sigma = 10.0, rho = 2.0)
+    assert(base.sameElements(base2))
+  }
+
   test("distributed detrend runs per (part, region) and centers at 1") {
     val rng = new scala.util.Random(9)
     val rows = (0 until 2000).map { i =>
