@@ -91,6 +91,52 @@ object Advanced {
         .orderBy("part", "id")
     }),
 
+    // T4 full fixpoint — detrend ⇄ sigma-clip coupled to a fixpoint,
+    // final trend re-evaluated on ALL rows from the surviving fit
+    // (ref main.py:10880–11138; final re-eval 11053–11067; clip
+    // 10989–11002). Detrend mode here is the SQL-expressible rolling
+    // ±1 h RANGE median (medi); 3 unrolled rounds stand in for the
+    // data-dependent ≤5-iteration cap. All arithmetic is exact-integer
+    // eighth-cents: vq = 4·cents, per-row residual d2 = 2·vq − 2·median
+    // (integer, since a two-point median interpolation is k/2), clip
+    // bounds from integer window sums — bit-reproducible across
+    // engines and partitionings. Entirely window-based: no joins in
+    // the iteration, so the shuffle is one exchange per round on
+    // user_id.
+    "t4b_detrend_clip" -> ((s, d) => {
+      val W = 3600000000L
+      val base0 = base(s, d).select(col("event_id"), col("user_id"),
+        col("t_us"), (col("vc") * 4).as("vq"))
+      def round1(df: DataFrame): DataFrame = {
+        val wR = Window.partitionBy("user_id").orderBy("t_us").rangeBetween(-W, W)
+        val wU = Window.partitionBy("user_id")
+        df.withColumn("m2", (expr("percentile(vq, 0.5)").over(wR) * 2).cast("long"))
+          .withColumn("d2", col("vq") * 2 - col("m2"))
+          .withColumn("n", count(lit(1)).over(wU))
+          .withColumn("sv", sum(col("d2")).over(wU))
+          .withColumn("q", sum(col("d2") * col("d2")).over(wU))
+          .withColumn("mean", col("sv").cast("double") / col("n"))
+          .withColumn("sd", sqrt((col("q") - col("sv").cast("double") * col("sv") / col("n")) / col("n")))
+          .filter(col("d2") > col("mean") - lit(3) * col("sd") &&
+                  col("d2") < col("mean") + lit(3) * col("sd"))
+          .select("event_id", "user_id", "t_us", "vq")
+      }
+      val kept = round1(round1(round1(base0)))
+      val flagged = base0.join(kept.select(col("event_id").as("kid")),
+          col("event_id") === col("kid"), "left")
+        .withColumn("kept", col("kid").isNotNull).drop("kid")
+      val wR = Window.partitionBy("user_id").orderBy("t_us").rangeBetween(-W, W)
+      val wU = Window.partitionBy("user_id")
+      val keptMed = expr("percentile(CASE WHEN kept THEN CAST(vq AS DOUBLE) END, 0.5)")
+      flagged
+        .withColumn("tr2", coalesce((keptMed.over(wR) * 2).cast("long"),
+          (keptMed.over(wU) * 2).cast("long")))
+        .withColumn("trend", round(col("tr2") / 800.0, 6))
+        .withColumn("detr", round(lit(1.0) + (col("vq") * 2 - col("tr2")) / 800.0, 6))
+        .select("user_id", "event_id", "kept", "trend", "detr")
+        .orderBy("user_id", "event_id")
+    }),
+
     // T3 GaussianProcess mode — the reference's DEFAULT detrend
     // (main.py:7919; Matérn-3/2 kernel 6797–6833), here the exact O(n)
     // state-space form in a flatMapGroups kernel per (part, region);
@@ -144,7 +190,47 @@ object Advanced {
     })
   )
 
+  /** One detrend+clip round as SQL: input CTE name in, output name out. */
+  private def t4bRound(in: String, out: String): String =
+    s"""c_$out AS (SELECT event_id, user_id, t_us, vq,
+       |    CAST(quantile_cont(vq, 0.5) OVER
+       |      (PARTITION BY user_id ORDER BY t_us
+       |       RANGE BETWEEN 3600000000 PRECEDING AND 3600000000 FOLLOWING) * 2
+       |      AS BIGINT) AS m2
+       |  FROM $in),
+       |$out AS (SELECT event_id, user_id, t_us, vq FROM (
+       |    SELECT *, vq*2 - m2 AS d2,
+       |      count(*) OVER wu AS n,
+       |      sum(vq*2 - m2) OVER wu AS sv,
+       |      sum((vq*2 - m2)*(vq*2 - m2)) OVER wu AS q
+       |    FROM c_$out WINDOW wu AS (PARTITION BY user_id))
+       |  WHERE d2 > CAST(sv AS DOUBLE)/n - 3*sqrt((q - CAST(sv AS DOUBLE)*sv/n)/n)
+       |    AND d2 < CAST(sv AS DOUBLE)/n + 3*sqrt((q - CAST(sv AS DOUBLE)*sv/n)/n))""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "t4b_detrend_clip" ->
+      s"""WITH b0 AS (SELECT event_id, user_id, epoch_us(ts) AS t_us,
+         |    CAST(round(value*100) AS BIGINT)*4 AS vq FROM events),
+         |${t4bRound("b0", "k1")},
+         |${t4bRound("k1", "k2")},
+         |${t4bRound("k2", "k3")},
+         |fin AS (SELECT b0.event_id, b0.user_id, b0.t_us, b0.vq,
+         |    (k3.event_id IS NOT NULL) AS kept
+         |  FROM b0 LEFT JOIN k3 ON b0.event_id = k3.event_id)
+         |SELECT user_id, event_id, kept,
+         |  round(tr2/800.0, 6) AS trend,
+         |  round(1.0 + (vq*2 - tr2)/800.0, 6) AS detr
+         |FROM (SELECT *, coalesce(
+         |    CAST(quantile_cont(CASE WHEN kept THEN CAST(vq AS DOUBLE) END, 0.5)
+         |      OVER wr * 2 AS BIGINT),
+         |    CAST(quantile_cont(CASE WHEN kept THEN CAST(vq AS DOUBLE) END, 0.5)
+         |      OVER wu * 2 AS BIGINT)) AS tr2
+         |  FROM fin
+         |  WINDOW wr AS (PARTITION BY user_id ORDER BY t_us
+         |    RANGE BETWEEN 3600000000 PRECEDING AND 3600000000 FOLLOWING),
+         |  wu AS (PARTITION BY user_id))
+         |ORDER BY user_id, event_id""".stripMargin,
+
     "a8_bls_snr" ->
       s"""WITH $baseSql,
          |mm AS (SELECT min(t_us) AS t0, max(t_us) AS t1, count(*) AS nall,
