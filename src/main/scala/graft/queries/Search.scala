@@ -36,6 +36,38 @@ object Search {
     "t6_bls" -> ((s, d) =>
       Bls.spectrum(base(s, d), "t_us", "vc", 30, Seq(20, 40)).orderBy("p_us")),
 
+    // T6 multi-companion loop (ref main.py:5630–5651, threshold 5322):
+    // two boxes injected at known periods (3 d and 5 d) on a
+    // deterministic LCG-noise grid anchored at the events epoch; the
+    // driver loop finds the best SNR peak, masks its transits, and
+    // repeats until SNR < 7.1. Rows-only check (driver loop is not
+    // SQL-expressible); SearchSpec asserts both injected periods are
+    // recovered and nothing more.
+    "t6b_bls_companions" -> ((s, d) => {
+      import s.implicits._
+      val P3 = 3L * 86400000000L; val P5 = 5L * 86400000000L
+      val n = 6000L
+      val step = 30L * 86400000000L / n
+      val sim = base(s, d).agg(min(col("t_us")).as("t0"))
+        .withColumn("i", explode(sequence(lit(0L), lit(n - 1))))
+        .withColumn("g_us", col("t0") + col("i") * step)
+        .withColumn("r", (col("i") % 65536L * 1103515245L + 12345L) % 2147483648L)
+        .withColumn("noise", (col("r").cast("double") / 2147483648.0 - 0.5) * 0.004)
+        .withColumn("ph1", pmod(col("g_us") - col("t0"), lit(P3)))
+        .withColumn("ph2", pmod(col("g_us") - col("t0"), lit(P5)))
+        .withColumn("flux", lit(1.0)
+          - when(col("ph1") < P3 / 10, 0.03).otherwise(0.0)
+          - when(col("ph2") < P5 / 10, 0.025).otherwise(0.0)
+          + col("noise"))
+        .withColumn("vc", round(col("flux") * 10000).cast("long"))
+        .select("g_us", "vc")
+      val found = Bls.companions(sim, "g_us", "vc", 280, Seq(20, 40),
+        maxCompanions = 4, minSnr = 7.1, osamp = 10)
+      found.zipWithIndex.map { case ((p, m, depth, snr), i) =>
+        (i + 1, p, m, math.rint(depth * 1e6) / 1e6, math.rint(snr * 1e6) / 1e6)
+      }.toDF("comp", "p_us", "m", "depth", "snr").orderBy("comp")
+    }),
+
     // T8/A9/A10 — matched-filter flare search: exponential kernel,
     // 99th-percentile trigger, island clustering, per-island peak.
     "t8_matched_filter" -> ((s, d) =>

@@ -33,17 +33,30 @@ object Bls {
   def periodLadder(nPeriods: Int): Seq[Int] = 2 to (nPeriods + 1)
 
   /** df: integer micros `tUs`, integer cents `vc`. `dutyM`: epoch-step
-    * counts M = 2/dc (e.g. Seq(20, 40) for dc = 10%, 5%).
-    * Returns per period the deepest box: (p_us, m_steps, m, n_in,
-    * box_mean, depth). */
+    * counts M = 2/dc (e.g. Seq(20, 40) for dc = 10%, 5%). `osamp`:
+    * frequency-grid oversampling (ref factosam, main.py:5307 — the
+    * grid is uniform in frequency at deltfreq = (1/baseline)/osamp;
+    * P = osamp·baseline div k reproduces exactly that). Returns per
+    * period the deepest box: (p_us, m_steps, m, n_in, box_mean,
+    * depth). */
   def spectrum(df: DataFrame, tUs: String, vc: String,
-               nPeriods: Int, dutyM: Seq[Int]): DataFrame = {
-    val mm = df.agg(
+               nPeriods: Int, dutyM: Seq[Int], osamp: Int = 1,
+               rankBySR: Boolean = false,
+               anchor: Option[(Long, Long)] = None): DataFrame = {
+    // `anchor`: fixed (t0, t1) for the trial grid — the companion loop
+    // re-scores MASKED data on the ORIGINAL grid (ref reruns BLS with
+    // one grid, main.py:5630–5651); without it the grid re-derives
+    // from the masked min/max and every trial drifts off-period.
+    val mmAgg = df.agg(
       min(col(tUs)).as("t0"), max(col(tUs)).as("t1"),
       count(lit(1)).as("nall"), sum(col(vc)).as("sall"))
+    val mm = anchor match {
+      case Some((a0, a1)) => mmAgg.withColumn("t0", lit(a0)).withColumn("t1", lit(a1))
+      case None => mmAgg
+    }
     val trials = mm
-      .withColumn("kp", explode(sequence(lit(2), lit(nPeriods + 1))))
-      .withColumn("p_us", expr("(t1 - t0) div kp"))
+      .withColumn("kp", explode(sequence(lit(2 * osamp), lit(nPeriods + 2 * osamp - 1))))
+      .withColumn("p_us", expr(s"((t1 - t0) * $osamp) div kp"))
       .withColumn("m_steps", explode(array(dutyM.map(lit(_)): _*)))
       .withColumn("gmean", col("sall").cast("double") / col("nall") / 100.0)
       .select("t0", "p_us", "m_steps", "gmean")
@@ -57,8 +70,17 @@ object Bls {
         min(col("gmean")).as("gmean"))
       .withColumn("box_mean", col("s_in").cast("double") / col("n_in") / 100.0)
       .withColumn("depth", col("gmean") - col("box_mean"))
-    val w = Window.partitionBy("p_us")
-      .orderBy(col("box_mean").asc, col("m_steps").asc, col("m").asc)
+    // Per-period box selection: default = deepest (min box_mean); SR =
+    // max signed signal residue depth²·n_in (classic BLS power) — a
+    // narrow box inside a transit has the same depth but half the
+    // points, so SR keeps the full-transit box and lets the true
+    // period outrank its 2P harmonic downstream.
+    val w =
+      if (rankBySR) Window.partitionBy("p_us").orderBy(
+        (signum(col("depth")) * col("depth") * col("depth") * col("n_in")).desc,
+        col("m_steps").asc, col("m").asc)
+      else Window.partitionBy("p_us")
+        .orderBy(col("box_mean").asc, col("m_steps").asc, col("m").asc)
     boxes
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
@@ -118,21 +140,66 @@ object Bls {
         round(col("box_mean"), 6).as("box_mean"), round(col("depth"), 6).as("depth"))
   }
 
-  /** Multi-companion search driver (ref main.py:5630–5651, exit
-    * 5950–5951): find the deepest box, and if its depth·SNR proxy
-    * clears the threshold, mask its in-transit samples and repeat.
-    * The loop lives on the driver over cached frames (SURVEY §7.4). */
+  /** SNR over a per-period spectrum (ref main.py:5742–5801): signal =
+    * power − rolling median of the spectrum (kernel 2·half+1, ref
+    * sizekern=51 at main.py:5316), noise = GLOBAL percentile-robust
+    * scatter of the signal ((p84−p16)/2), snr = signal/noise. The
+    * ranked power is the BLS signal residue depth·√n_in — a 2P
+    * harmonic box has the same depth but captures fewer in-box
+    * points, so the true period outranks it. The noise deliberately
+    * differs from the reference's peak-cut windowed std
+    * (retr_stdvwind, 6907–6944): on a dense frequency grid the
+    * peak's own shoulder rows inflate a windowed std even after
+    * cutting the max, while the 16/84 spread of the full spectrum
+    * stays anchored to the background — stronger for the same
+    * acceptance threshold. The spectrum is tiny (one row per trial
+    * period), so the global window is by design. */
+  def withSnr(spec: DataFrame, half: Int = 25): DataFrame = {
+    val w = Window.orderBy("p_us")
+    val fr = w.rowsBetween(-half, half)
+    val all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    spec
+      .withColumn("powI", round(col("depth") * sqrt(col("n_in")) * 1e6).cast("long"))
+      .withColumn("sgnl", col("powI") - expr("percentile(powI, 0.5)").over(fr))
+      .withColumn("noise",
+        (expr("percentile(sgnl, 0.84)").over(all) -
+         expr("percentile(sgnl, 0.16)").over(all)) / 2.0)
+      .withColumn("snr",
+        when(col("noise") > 0, col("sgnl") / col("noise")).otherwise(lit(0.0)))
+      .drop("powI")
+  }
+
+  /** Multi-companion search driver (ref main.py:5630–5651): rank trial
+    * periods by spectrum SNR (ref 5742–5801), and while the best peak
+    * clears `minSnr` (thrss2nr=7.1, ref 5322, exit 5950–5951), record
+    * it, mask its in-transit samples and repeat. The loop lives on the
+    * driver over cached frames (SURVEY §7.4).
+    * Returns (p_us, m, depth, snr) per accepted companion, in
+    * acceptance order. */
   def companions(df0: DataFrame, tUs: String, vc: String,
                  nPeriods: Int, dutyM: Seq[Int],
-                 maxCompanions: Int, minDepth: Double): Seq[(Long, Long, Double)] = {
+                 maxCompanions: Int, minSnr: Double = 7.1,
+                 osamp: Int = 1): Seq[(Long, Long, Double, Double)] = {
     var df = df0.persist()
-    val found = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-    val mm = df0.agg(min(col(tUs)).as("t0")).collect()(0)
-    val t0 = mm.getLong(0)
+    val found = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Double)]
+    // Acceptance noise = the iteration's own spectrum scatter, floored
+    // at half the ORIGINAL spectrum's scatter: masking found signals
+    // flattens later spectra, and an unfloored per-iteration estimate
+    // deflates with them, promoting residual junk above threshold —
+    // while the original scatter alone over-counts the true peaks'
+    // shoulder trials.
+    var noise0 = Option.empty[Double]
+    val mmA = df0.agg(min(col(tUs)).as("t0"), max(col(tUs)).as("t1")).collect()(0)
+    val t0A = mmA.getLong(0); val t1A = mmA.getLong(1)
     var continue = true
     while (continue && found.size < maxCompanions) {
-      val best = spectrum(df, tUs, vc, nPeriods, dutyM)
-        .orderBy(col("depth").desc, col("p_us").asc).limit(1).collect()
+      // Candidate = argmax BLS power (signal residue depth·sqrt(n_in));
+      // acceptance gate = its spectrum SNR (ref prints "assuming power
+      // is SNR", 5799 — power ranks, SNR gates).
+      val best = withSnr(spectrum(df, tUs, vc, nPeriods, dutyM, osamp,
+          rankBySR = true, anchor = Some((t0A, t1A))))
+        .withColumn("power", col("depth") * sqrt(col("n_in")))
+        .orderBy(col("power").desc, col("p_us").asc).limit(1).collect()
       if (best.isEmpty) continue = false
       else {
         val b = best(0)
@@ -140,14 +207,22 @@ object Bls {
         val m = b.getAs[Number]("m").longValue
         val mSteps = b.getAs[Number]("m_steps").longValue
         val depth = b.getAs[Double]("depth")
-        if (depth < minDepth) continue = false
+        val sgnl = b.getAs[Double]("sgnl")
+        if (noise0.isEmpty) noise0 = Some(b.getAs[Double]("noise"))
+        val nz = math.max(b.getAs[Double]("noise"), 0.5 * noise0.get)
+        val snr = if (nz > 0) sgnl / nz else 0.0
+        if (snr < minSnr) continue = false
         else {
-          found += ((p, m, depth))
-          // mask the found box — a sample is inside iff its epoch index
-          // m1 = (phase·M) div P lands on step m or m+1 (box = 2 steps)
+          found += ((p, m, depth, snr))
+          val t0 = t0A
+          // mask the found box with a one-step guard band each side —
+          // a sample is inside iff its epoch index m1 = (phase·M) div P
+          // lands on steps m-1..m+2 (box = 2 steps + margins; the guard
+          // absorbs the grid-period drift that would otherwise leak
+          // transit shoulders into the next iteration).
           val m1 = expr(s"((($tUs - $t0) % $p + $p) % $p * $mSteps) div $p")
           val dist = pmod(m1 - m + mSteps, lit(mSteps))
-          val masked = df.filter(!(dist <= 1)).persist()
+          val masked = df.filter(!(dist <= 2 || dist === mSteps - 1)).persist()
           df.unpersist()
           df = masked
         }

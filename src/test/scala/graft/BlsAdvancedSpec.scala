@@ -22,7 +22,7 @@ class BlsAdvancedSpec extends SparkSpec {
       val ph2 = ((tU - E) % p2 + p2) % p2
       val v = 1.0 -
         (if (ph1 < p1 / 10) 0.03 else 0.0) -
-        (if (ph2 < p2 / 12) 0.015 else 0.0) +
+        (if (ph2 < p2 / 10) 0.025 else 0.0) +
         0.002 * rng.nextGaussian()
       (i.toLong, tU, v)
     }.toDF("id", "t_us", "value")
@@ -31,9 +31,11 @@ class BlsAdvancedSpec extends SparkSpec {
 
   test("companion loop recovers two injected planets then stops") {
     val df = twoPlanets(6000)
-    val found = Bls.companions(df, "t_us", "vc", 30, Seq(20, 40),
-      maxCompanions = 4, minDepth = 0.8)   // cents scale: 0.03*1e4/100 ≈ 3
+    val found = Bls.companions(df, "t_us", "vc", 280, Seq(20, 40),
+      maxCompanions = 4, minSnr = 7.1, osamp = 10)
     assert(found.size >= 2, s"found only ${found.size}: $found")
+    found.foreach { case (_, _, _, snr) =>
+      assert(snr >= 7.1, s"accepted below threshold: $found") }
     val periods = found.map(_._1)
     assert(periods.exists(p => math.abs(p - 3 * DAY).toDouble / (3 * DAY) < 0.05),
       s"3d planet missing from $periods")

@@ -57,6 +57,18 @@ class SearchSpec extends SparkSpec {
       s"depth ${best.getAs[Double]("depth")}")
   }
 
+  test("declared companion query recovers both injected periods (F-LC4)") {
+    val DAYu = 86400000000L
+    val rows = SparkEntry.queries("t6b_bls_companions")(spark, sf).collect()
+    assert(rows.length >= 2, s"found ${rows.length} companions")
+    val periods = rows.map(_.getAs[Long]("p_us"))
+    assert(periods.exists(p => math.abs(p - 3 * DAYu).toDouble / (3 * DAYu) < 0.05),
+      s"3d planet missing from ${periods.mkString(",")}")
+    assert(periods.exists(p => math.abs(p - 5 * DAYu).toDouble / (5 * DAYu) < 0.05),
+      s"5d planet missing from ${periods.mkString(",")}")
+    rows.foreach(r => assert(r.getAs[Double]("snr") >= 7.1))
+  }
+
   test("matched filter finds injected flares, not quiet stretches (F-LC3)") {
     val rng = new scala.util.Random(17)
     val n = 4000
