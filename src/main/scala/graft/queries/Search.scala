@@ -74,6 +74,17 @@ object Search {
       MatchedFilter.flares(base(s, d), Seq("user_id"), "t_us", "event_id",
         "vc", 2.0, 0.99).orderBy("user_id", "peak_id")),
 
+    // T8 full fidelity — kernel LADDER (fall timescales 2/3/6 grid
+    // steps, taps 3·τ) × gap-chunking (>2 d) × uniform 12 h resample
+    // with linear interpolation, per-(user, kernel) windowed
+    // percentile threshold (ref main.py:6081–6118, 6225–6295;
+    // parameters scaled to the fixture's ~7 h cadence).
+    "t8b_matched_multi" -> ((s, d) =>
+      MatchedFilter.flaresMulti(base(s, d), Seq("user_id"), "t_us", "event_id",
+          "vc", gapUs = 172800000000L, stepUs = 43200000000L,
+          tauSteps = Seq(2.0, 3.0, 6.0), fillFrac = 0.8, q = 0.99)
+        .orderBy("user_id", "kern", "region", "peak_i")),
+
     // A2 — median normalization per group (ref main.py:7486–7488).
     "a2_median_norm" -> ((s, d) => {
       val med = lineitem(s, d).groupBy("l_returnflag")
@@ -171,6 +182,64 @@ object Search {
          |SELECT p_us, m_steps, m, n_in, round(box_mean, 6) AS box_mean,
          |  round(depth, 6) AS depth
          |FROM scored WHERE rn = 1 ORDER BY p_us""".stripMargin,
+
+    "t8b_matched_multi" -> {
+      val GAP = 172800000000L; val STEP = 43200000000L
+      val ws = MatchedFilter.multiKernelWeights(Seq(2.0, 3.0, 6.0))
+      val corrCtes = ws.zipWithIndex.map { case (wd, k) =>
+        val sumExpr = wd.zipWithIndex.map { case (c, j) =>
+          if (j == 0) s"($c)*vi" else s"($c)*lead(vi, $j) OVER wg"
+        }.mkString(" + ")
+        s"""corr$k AS (SELECT user_id, region, i, $k AS kern, $sumExpr AS corr
+           |  FROM interp WINDOW wg AS (PARTITION BY user_id, region ORDER BY i))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $baseSql,
+         |reg AS (SELECT user_id, event_id, t_us, vc,
+         |    CAST(sum(CASE WHEN gap > $GAP THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY user_id ORDER BY t_us, event_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS region
+         |  FROM (SELECT *, t_us - lag(t_us) OVER
+         |          (PARTITION BY user_id ORDER BY t_us, event_id) AS gap FROM base)),
+         |bnd AS (SELECT user_id, region, min(t_us) AS t0r, max(t_us) AS t1r,
+         |    count(*) AS n_samp,
+         |    (max(t_us) - min(t_us) + $STEP - 1) // $STEP AS n_grid
+         |  FROM reg GROUP BY 1, 2
+         |  HAVING (max(t_us) - min(t_us) + $STEP - 1) // $STEP >= 1
+         |     AND count(*) >= 2
+         |     AND count(*) >= 0.8 * ((max(t_us) - min(t_us) + $STEP - 1) // $STEP)),
+         |grid AS (SELECT user_id, region, t0r,
+         |    unnest(generate_series(0, n_grid - 1)) AS i FROM bnd),
+         |grid2 AS (SELECT user_id, region, i, t0r + i*$STEP AS g_us FROM grid),
+         |seg AS (SELECT user_id, region, t_us, vc,
+         |    lead(t_us) OVER wseg AS t1, lead(vc) OVER wseg AS v1
+         |  FROM reg
+         |  WINDOW wseg AS (PARTITION BY user_id, region ORDER BY t_us, event_id)),
+         |interp AS (SELECT g.user_id, g.region, g.i,
+         |    CAST(floor(1e6*(s.vc + (s.v1 - s.vc) *
+         |      (CAST(g.g_us - s.t_us AS DOUBLE) / CAST(s.t1 - s.t_us AS DOUBLE))))
+         |      AS BIGINT) AS vi
+         |  FROM grid2 g JOIN seg s
+         |    ON s.user_id = g.user_id AND s.region = g.region
+         |   AND g.g_us >= s.t_us AND g.g_us < s.t1
+         |  WHERE s.t1 IS NOT NULL),
+         |$corrCtes,
+         |kerns AS (SELECT * FROM corr0 UNION ALL SELECT * FROM corr1
+         |          UNION ALL SELECT * FROM corr2),
+         |thr AS (SELECT *, quantile_cont(corr, 0.99)
+         |    OVER (PARTITION BY user_id, kern) AS thr
+         |  FROM kerns WHERE corr IS NOT NULL),
+         |trig AS (SELECT * FROM thr WHERE corr > thr),
+         |isl AS (SELECT *, i - row_number()
+         |    OVER (PARTITION BY user_id, region, kern ORDER BY i) AS grp FROM trig),
+         |pk AS (SELECT *, row_number()
+         |    OVER (PARTITION BY user_id, region, kern, grp
+         |          ORDER BY corr DESC, i ASC) AS prn,
+         |    count(*) OVER (PARTITION BY user_id, region, kern, grp) AS n_trig
+         |  FROM isl)
+         |SELECT user_id, kern, region, i AS peak_i, n_trig,
+         |  round(CAST(corr AS DOUBLE)/1e12, 6) AS corr
+         |FROM pk WHERE prn = 1 ORDER BY user_id, kern, region, peak_i""".stripMargin
+    },
 
     "t8_matched_filter" -> {
       val terms = wd.zipWithIndex.map { case (c, j) =>

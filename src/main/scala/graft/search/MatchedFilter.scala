@@ -25,9 +25,99 @@ object MatchedFilter {
     w.map(x => math.round((x - m) * 1e6))
   }
 
+  /** Per-kernel demeaned exponential weights for a ladder of fall
+    * timescales (ref main.py:6081–6118): kernel k has 3·τ_k taps of
+    * exp(−j/τ_k), demeaned, integer-scaled ×1e6 — driver constants. */
+  def multiKernelWeights(tauSteps: Seq[Double]): Seq[Seq[Long]] =
+    tauSteps.map { tau =>
+      val nt = math.max(2, (3 * tau).toInt)
+      val w = (0 until nt).map(j => math.exp(-j / tau))
+      val m = w.sum / nt
+      w.map(x => math.round((x - m) * 1e6)).toSeq
+    }
+
+  /** T8 full fidelity (ref main.py:6081–6118 kernels, 6225–6295
+    * chunking + uniform resample): split each partition into chunks at
+    * gaps > gapUs, lay a uniform grid at stepUs over each chunk
+    * (dropping chunks filled below `fillFrac`, ref 0.8), linearly
+    * interpolate onto the grid, then correlate a LADDER of demeaned
+    * exponential kernels (fall timescales tauSteps, taps 3·τ) at every
+    * grid lag ('valid' mode). Triggers = corr above the q-quantile per
+    * (partition, kernel) — a per-partition WINDOW percentile, not a
+    * global aggregate, so the threshold distributes at scale. Islands
+    * of consecutive triggered grid indices reduce to their peak.
+    *
+    * Everything is exact integer arithmetic after one floor() at the
+    * interpolation (microcents on the grid): correlations are integer
+    * dot products, reproducible across engines and partitionings.
+    * Returns (parts, kern, region, peak_i, n_trig, corr). */
+  def flaresMulti(df: DataFrame, parts: Seq[String], tUs: String, id: String,
+                  vc: String, gapUs: Long, stepUs: Long,
+                  tauSteps: Seq[Double], fillFrac: Double, q: Double): DataFrame = {
+    val pc = parts.map(col)
+    val wreg = Window.partitionBy(pc: _*).orderBy(col(tUs), col(id))
+    val reg = df
+      .withColumn("_gap", col(tUs) - lag(col(tUs), 1).over(wreg))
+      .withColumn("region", sum(when(col("_gap") > gapUs, 1).otherwise(0))
+        .over(wreg.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+      .drop("_gap")
+    val pr = parts :+ "region"
+    val prc = pr.map(col)
+    val bnd = reg.groupBy(prc: _*)
+      .agg(min(col(tUs)).as("t0r"), max(col(tUs)).as("t1r"),
+        count(lit(1)).as("n_samp"))
+      .withColumn("n_grid", expr(s"(t1r - t0r + $stepUs - 1) div $stepUs"))
+      .filter(col("n_grid") >= 1 && col("n_samp") >= 2 &&
+        col("n_samp") >= lit(fillFrac) * col("n_grid"))
+    val grid = bnd
+      .withColumn("i", explode(sequence(lit(0L), col("n_grid") - 1)))
+      .withColumn("g_us", col("t0r") + col("i") * stepUs)
+      .select(prc ++ Seq(col("i"), col("g_us")): _*)
+    val wseg = Window.partitionBy(prc: _*).orderBy(col(tUs), col(id))
+    val seg = reg
+      .withColumn("_t1", lead(col(tUs), 1).over(wseg))
+      .withColumn("_v1", lead(col(vc), 1).over(wseg))
+      .filter(col("_t1").isNotNull)
+    val joinCond = (pr.map(c => col(s"g.$c") === col(s"s.$c")) :+
+      (col("g.g_us") >= col(s"s.$tUs")) :+ (col("g.g_us") < col("s._t1")))
+      .reduce(_ && _)
+    val interp = grid.alias("g").join(seg.alias("s"), joinCond)
+      .select(pr.map(c => col(s"g.$c")) ++ Seq(col("g.i"),
+        floor(lit(1e6) * (col(s"s.$vc") +
+          (col("s._v1") - col(s"s.$vc")) *
+          ((col("g.g_us") - col(s"s.$tUs")) / (col("s._t1") - col(s"s.$tUs")))))
+          .cast("long").as("vi")): _*)
+    val wg = Window.partitionBy(prc: _*).orderBy(col("i"))
+    val weights = multiKernelWeights(tauSteps)
+    val kerns = weights.zipWithIndex.map { case (wd, k) =>
+      interp.withColumn("kern", lit(k))
+        .withColumn("corr", wd.zipWithIndex.map { case (c, j) =>
+          lit(c) * lead(col("vi"), j).over(wg)
+        }.reduce(_ + _))
+        .filter(col("corr").isNotNull)
+    }.reduce(_ unionByName _)
+    val wthr = Window.partitionBy((parts :+ "kern").map(col): _*)
+    val trig = kerns
+      .withColumn("thr", expr(s"percentile(corr, $q)").over(wthr))
+      .filter(col("corr").cast("double") > col("thr"))
+    val wisl = Window.partitionBy((pr :+ "kern").map(col): _*).orderBy(col("i"))
+    val isl = trig.withColumn("grp", col("i") - row_number().over(wisl))
+    val grpPart = (pr ++ Seq("kern", "grp")).map(col)
+    val wpk = Window.partitionBy(grpPart: _*).orderBy(col("corr").desc, col("i").asc)
+    isl
+      .withColumn("prn", row_number().over(wpk))
+      .withColumn("n_trig", count(lit(1)).over(Window.partitionBy(grpPart: _*)))
+      .filter(col("prn") === 1)
+      .select(pc ++ Seq(col("kern"), col("region"), col("i").as("peak_i"),
+        col("n_trig"), round(col("corr").cast("double") / 1e12, 6).as("corr")): _*)
+  }
+
   /** df: parts ++ (tUs, id, vc). Returns per-island flare peaks:
     * (parts, island, peak_id, n_trig, corr). Threshold = q-quantile of
-    * the correlation (exact percentile). */
+    * the correlation — a GLOBAL exact percentile (one ObjectHashAgg
+    * buffering all values), kept for the oracle-checked t8 query; at
+    * 100 TB use [[flaresMulti]], whose threshold is a per-partition
+    * window percentile, or approx_percentile here. */
   def flares(df: DataFrame, parts: Seq[String], tUs: String, id: String,
              vc: String, tauSteps: Double, q: Double): DataFrame = {
     val wd = kernelWeights(tauSteps)
