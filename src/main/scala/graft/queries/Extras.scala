@@ -119,6 +119,39 @@ object Extras {
         .orderBy("s_suppkey")
     }),
 
+    // EN1 — energy/wavelength-axis transmission spectrum (the JWST
+    // per-energy-bin fit shape, ref main.py:9131–9182 spectral light
+    // curves, 12301–12316 per-ener iteration; SURVEY §1.4 long-format
+    // ener design): a synthetic energy bin per event (long format),
+    // phase fold at a fixed (P, epoch), per-(ener, phase-bin)
+    // aggregation, and a per-ener in/out-of-transit box-depth fit —
+    // depth vs energy IS the transmission spectrum. All from exact
+    // integer sums; the per-ener fit is a window over the tiny binned
+    // matrix, so the only wide stage is one shuffle on (ener, bin).
+    "en1_transmission" -> ((s, d) => {
+      val folded = base(s, d)
+        .withColumn("ener", col("event_id") % 8)
+        .withColumn("ph", graft.ops.TsOps.phaseUs(col("t_us"), lit(E), lit(P7)))
+        .withColumn("b", expr(s"(ph * 24) div $P7"))
+      val bins = folded.groupBy("ener", "b")
+        .agg(count(lit(1)).as("n"), sum(col("vc")).as("sv"))
+        .withColumn("bin_mean", col("sv").cast("double") / col("n") / 100.0)
+        .withColumn("intr", col("b") === 0 || col("b") === 23)
+      val wE = Window.partitionBy("ener")
+      bins
+        .withColumn("n_in", sum(when(col("intr"), col("n"))).over(wE))
+        .withColumn("s_in", sum(when(col("intr"), col("sv"))).over(wE))
+        .withColumn("n_out", sum(when(!col("intr"), col("n"))).over(wE))
+        .withColumn("s_out", sum(when(!col("intr"), col("sv"))).over(wE))
+        .withColumn("depth",
+          col("s_out").cast("double") / col("n_out") / 100.0 -
+          col("s_in").cast("double") / col("n_in") / 100.0)
+        .select(col("ener"), col("b"), col("n"),
+          round(col("bin_mean"), 6).as("bin_mean"), col("intr"),
+          round(col("depth"), 6).as("depth"))
+        .orderBy("ener", "b")
+    }),
+
     // T14 — simulation + injection (simutargpartinje main.py:7810–7815,
     // noise 10531): uniform grid, box-transit model, integer-LCG noise
     // (engine-independent), then phase-binned recovery of the depth.
@@ -208,6 +241,26 @@ object Extras {
          |  sqrt((sum(xc*xc) - CAST(sum(xc) AS DOUBLE)*sum(xc)/count(*))
          |       / count(*)) / 100.0 AS std_feat
          |FROM r GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin,
+
+    "en1_transmission" ->
+      s"""WITH $baseSql,
+         |folded AS (SELECT event_id % 8 AS ener, vc,
+         |    ((((t_us - $E) % $P7 + $P7) % $P7) * 24) // $P7 AS b
+         |  FROM base),
+         |bins AS (SELECT ener, b, count(*) AS n, sum(vc) AS sv,
+         |    (b = 0 OR b = 23) AS intr
+         |  FROM folded GROUP BY 1, 2),
+         |fit AS (SELECT *,
+         |    CAST(sum(CASE WHEN intr THEN n END) OVER we AS BIGINT) AS n_in,
+         |    CAST(sum(CASE WHEN intr THEN sv END) OVER we AS BIGINT) AS s_in,
+         |    CAST(sum(CASE WHEN NOT intr THEN n END) OVER we AS BIGINT) AS n_out,
+         |    CAST(sum(CASE WHEN NOT intr THEN sv END) OVER we AS BIGINT) AS s_out
+         |  FROM bins WINDOW we AS (PARTITION BY ener))
+         |SELECT ener, b, n,
+         |  round(CAST(sv AS DOUBLE) / n / 100.0, 6) AS bin_mean, intr,
+         |  round(CAST(s_out AS DOUBLE) / n_out / 100.0
+         |      - CAST(s_in AS DOUBLE) / n_in / 100.0, 6) AS depth
+         |FROM fit ORDER BY ener, b""".stripMargin,
 
     "t14_injection" ->
       s"""WITH $baseSql,
