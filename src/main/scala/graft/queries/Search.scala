@@ -31,10 +31,18 @@ object Search {
     "t5_lombscargle" -> ((s, d) =>
       LombScargle.periodogram(base(s, d), "t_us", "vc", 40).orderBy("k")),
 
-    // T6/A7/J7 — BLS spectrum: deepest box per trial period over a
-    // 30-period ladder × duty cycles {10%, 5%} (M = 20, 40).
+    // T6/A7/J7 — BLS spectrum over a 30-period ladder × duty cycles
+    // {10%, 5%} (M = 20, 40), via the MULTI-RESOLUTION PRE-BINNED path
+    // (ref main.py:5586–5605): samples pre-aggregate into 4 bin-width
+    // levels and each trial routes to the coarsest level ≤ box/4 — at
+    // 100× the data this is the load-bearing trick (long-period trials
+    // score over ~1000× fewer rows). The oracle reproduces the exact
+    // same quantization, so the check stays bit-exact. The row-exact
+    // spectrum stays available as Bls.spectrum (t6b companions uses
+    // it).
     "t6_bls" -> ((s, d) =>
-      Bls.spectrum(base(s, d), "t_us", "vc", 30, Seq(20, 40)).orderBy("p_us")),
+      Bls.spectrumPrebinned(base(s, d), "t_us", "vc", 30, Seq(20, 40), levels = 4)
+        .orderBy("p_us")),
 
     // T6 multi-companion loop (ref main.py:5630–5651, threshold 5322):
     // two boxes injected at known periods (3 d and 5 d) on a
@@ -159,18 +167,41 @@ object Search {
          |FROM fin ORDER BY k""".stripMargin,
 
     "t6_bls" ->
+      // Mirrors Bls.spectrumPrebinned exactly: same integer bin
+      // widths (minDur/4 · 4^l, floored at 1), same trial→level
+      // routing (coarsest width ≤ max(1, dur/4), else level 0), same
+      // bin-midpoint box membership.
       s"""WITH $baseSql,
          |mm AS (SELECT min(t_us) AS t0, max(t_us) AS t1, count(*) AS nall,
          |         sum(vc) AS sall FROM base),
-         |trials AS (SELECT t0, (t1 - t0) // kp AS p_us, m_steps,
-         |    CAST(sall AS DOUBLE) / nall / 100.0 AS gmean
-         |  FROM mm, (SELECT unnest(generate_series(2, 31)) AS kp),
+         |par AS (SELECT t0, t1, t1 - t0 AS bl,
+         |    CAST(sall AS DOUBLE) / nall / 100.0 AS gmean,
+         |    (((t1 - t0) // 31) // 40) // 2 AS mindur
+         |  FROM mm),
+         |lv AS (SELECT l, t0, bl, gmean, mindur,
+         |    GREATEST(1, (mindur // 4) *
+         |      CASE l WHEN 0 THEN 1 WHEN 1 THEN 4 WHEN 2 THEN 16 ELSE 64 END) AS w
+         |  FROM par, (VALUES (0), (1), (2), (3)) lvt(l)),
+         |bins AS (SELECT l, w, t0, (t_us - t0) // w AS bin,
+         |    count(*) AS n, sum(vc) AS s
+         |  FROM base, lv GROUP BY 1, 2, 3, 4),
+         |binmid AS (SELECT l, t0 + bin * w + w // 2 AS tmid, n, s FROM bins),
+         |route AS (SELECT t0, gmean, bl // kp AS p_us, m_steps,
+         |    CASE WHEN GREATEST(1, (mindur // 4) * 64)
+         |           <= GREATEST(1, (((bl // kp) // m_steps) * 2) // 4) THEN 3
+         |         WHEN GREATEST(1, (mindur // 4) * 16)
+         |           <= GREATEST(1, (((bl // kp) // m_steps) * 2) // 4) THEN 2
+         |         WHEN GREATEST(1, (mindur // 4) * 4)
+         |           <= GREATEST(1, (((bl // kp) // m_steps) * 2) // 4) THEN 1
+         |         ELSE 0 END AS l
+         |  FROM par, (SELECT unnest(generate_series(2, 31)) AS kp),
          |       (VALUES (20), (40)) ms(m_steps)),
-         |exploded AS (SELECT p_us, m_steps, gmean, vc,
-         |    (((((t_us - t0) % p_us) * m_steps) // p_us) - d + m_steps) % m_steps AS m
-         |  FROM base, trials, (VALUES (0), (1)) dd(d)),
-         |agg AS (SELECT p_us, m_steps, m, count(*) AS n_in, sum(vc) AS s_in,
-         |    min(gmean) AS gmean
+         |exploded AS (SELECT p_us, m_steps, gmean, n, s,
+         |    ((((((tmid - r.t0) % p_us + p_us) % p_us) * m_steps) // p_us)
+         |      - d + m_steps) % m_steps AS m
+         |  FROM route r JOIN binmid b ON b.l = r.l, (VALUES (0), (1)) dd(d)),
+         |agg AS (SELECT p_us, m_steps, m, CAST(sum(n) AS BIGINT) AS n_in,
+         |    CAST(sum(s) AS BIGINT) AS s_in, min(gmean) AS gmean
          |  FROM exploded GROUP BY 1, 2, 3),
          |scored AS (SELECT p_us, m_steps, m, n_in,
          |    CAST(s_in AS DOUBLE) / n_in / 100.0 AS box_mean,
@@ -294,3 +325,4 @@ object Search {
         |ORDER BY o_orderkey, i""".stripMargin
   )
 }
+

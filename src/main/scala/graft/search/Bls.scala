@@ -109,7 +109,10 @@ object Bls {
     // bin widths: minDur/4 × 4^level
     val widths = (0 until levels).map(l => math.max(1L, minDur / 4 * (1L << (2 * l))))
     val binned = widths.zipWithIndex.map { case (w, l) =>
-      df.groupBy(((col(tUs) - t0) / w).cast("long").as("bin"))
+      // exact integer bin index (a double-division + cast would
+      // truncate in Spark but round in a DuckDB CAST — `div` is
+      // engine-neutral)
+      df.groupBy(expr(s"($tUs - $t0) div $w").as("bin"))
         .agg(count(lit(1)).as("n"), sum(col(vc)).as("s"))
         .withColumn("tmid", lit(t0) + col("bin") * w + w / 2)
         .withColumn("lvl", lit(l))
