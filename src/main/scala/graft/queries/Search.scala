@@ -27,9 +27,12 @@ object Search {
       |  FROM events)""".stripMargin
 
   val queries: Map[String, Q] = Map(
-    // T5 — Lomb–Scargle periodogram, 40-frequency 1/baseline grid.
+    // T5 — Lomb–Scargle periodogram at the reference grid density
+    // (deltfreq = minmfreq/3/2, main.py:4956–4958 → subdiv=6, 120
+    // lines) with the 5% false-alarm level (main.py:5011–5012).
     "t5_lombscargle" -> ((s, d) =>
-      LombScargle.periodogram(base(s, d), "t_us", "vc", 40).orderBy("k")),
+      LombScargle.periodogram(base(s, d), "t_us", "vc", 120,
+        subdiv = 6, fapProb = Some(0.05)).orderBy("k")),
 
     // T6/A7/J7 — BLS spectrum over a 30-period ladder × duty cycles
     // {10%, 5%} (M = 20, 40), via the MULTI-RESOLUTION PRE-BINNED path
@@ -138,11 +141,11 @@ object Search {
          |mm AS (SELECT min(t_us) AS t0, max(t_us) AS t1, count(*) AS n,
          |         sum(vc) AS s, sum(vc*vc) AS q FROM base),
          |freqs AS (SELECT k, t0,
-         |    2.0 * pi() * (CAST(k AS DOUBLE) + 1.0)
+         |    2.0 * pi() * (CAST(k AS DOUBLE) / 6.0 + 1.0)
          |      / (CAST(t1 - t0 AS DOUBLE) / 1000000.0) AS omega,
          |    CAST(s AS DOUBLE) / n / 100.0 AS mean,
          |    (q - CAST(s AS DOUBLE) * s / n) / n / 10000.0 AS varx
-         |  FROM mm, (SELECT unnest(generate_series(0, 39)) AS k)),
+         |  FROM mm, (SELECT unnest(generate_series(0, 119)) AS k)),
          |terms AS (SELECT k, varx,
          |    CAST(round(cos(omega * ts) * 1e6) AS BIGINT) AS ci,
          |    CAST(round(sin(omega * ts) * 1e6) AS BIGINT) AS si,
@@ -163,7 +166,8 @@ object Search {
          |SELECT k, n, round(
          |    (ass * axc * axc - 2.0 * acs * axc * axs + acc * axs * axs)
          |    / nullif(acc * ass - acs * acs, 0.0)
-         |    / nullif(2.0 * varx * n, 0.0), 6) AS power
+         |    / nullif(2.0 * varx * n, 0.0), 6) AS power,
+         |  round(1 - pow(1 - pow(0.95, 1.0/120), 2.0/(n - 3)), 6) AS fap
          |FROM fin ORDER BY k""".stripMargin,
 
     "t6_bls" ->

@@ -232,12 +232,19 @@ object TimeSeries {
         .orderBy("event_type")
     }),
 
-    // A13 — residual RMS vs bin width (ref main.py:911–930): bin means
-    // integerized at 1e-6, population RMS across bins per width.
+    // A13 — residual RMS vs bin width (ref main.py:911–930; width grid
+    // 11157–11164): 50 LINEARLY spaced widths from baseline/2000 to
+    // 0.3·baseline (the reference's linspace(minmdeltrebn,
+    // maxmdeltrebn, 50)), bin means integerized at 1e-6, population
+    // RMS across bins per width. The 50× explode is map-local; the
+    // only shuffle is the (width, bin) aggregation.
     "a13_rms_binwidth" -> ((s, d) => {
-      val widths = Seq(3600000000L, 21600000000L, 86400000000L)
-      base(s, d)
-        .withColumn("width_us", explode(array(widths.map(lit(_)): _*)))
+      val mm = base(s, d).agg(min(col("t_us")).as("t0"), max(col("t_us")).as("t1"))
+      base(s, d).crossJoin(broadcast(mm))
+        .withColumn("k", explode(sequence(lit(0L), lit(49L))))
+        .withColumn("wmin", greatest(lit(1L), expr("(t1 - t0) div 2000")))
+        .withColumn("wmax", expr("3 * (t1 - t0) div 10"))
+        .withColumn("width_us", col("wmin") + expr("(k * (wmax - wmin)) div 49"))
         .withColumn("bin", expr(s"(t_us - ${E}) div width_us"))
         .groupBy("width_us", "bin")
         .agg((sum(col("vc")).cast("double") / 100.0 / count(lit(1))).as("m"))
@@ -487,7 +494,11 @@ object TimeSeries {
 
       "a13_rms_binwidth" ->
         s"""WITH $baseSql,
-           |wd(width_us) AS (VALUES (3600000000), (21600000000), (86400000000)),
+           |mm AS (SELECT min(t_us) AS t0, max(t_us) AS t1 FROM base),
+           |wd AS (SELECT GREATEST(1, (t1 - t0) // 2000)
+           |      + (k * ((3 * (t1 - t0) // 10) - GREATEST(1, (t1 - t0) // 2000))) // 49
+           |      AS width_us
+           |  FROM mm, (SELECT unnest(generate_series(0, 49)) AS k)),
            |bins AS (SELECT width_us, (t_us - $E) // width_us AS bin,
            |    CAST(round(CAST(sum(vc) AS DOUBLE)/100.0/count(*) * 1e6) AS BIGINT) AS mi
            |  FROM base, wd GROUP BY 1, 2),

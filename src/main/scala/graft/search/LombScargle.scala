@@ -21,10 +21,17 @@ import org.apache.spark.sql.functions._
 object LombScargle {
 
   /** df must expose integer micros `tUs` and integer scaled value
-    * `vc` (cents). Returns (k, power) for k = 0..nFreq-1 with
-    * f_k = (k+1)/baseline (the reference's 1/baseline-spaced grid,
-    * main.py:4956–4958). */
-  def periodogram(df: DataFrame, tUs: String, vc: String, nFreq: Int): DataFrame = {
+    * `vc` (cents). Returns (k, power[, fap]) for k = 0..nFreq-1 with
+    * f_k = (1 + k/subdiv)/baseline — subdiv=1 is the plain
+    * 1/baseline-spaced grid; subdiv=6 reproduces the reference's
+    * oversampled deltfreq = minmfreq/factosam/2 with factosam=3
+    * (main.py:4956–4958). `fapProb`: when set, adds the constant
+    * false-alarm power level at that probability (ref 5% line,
+    * main.py:5011–5012) via the classic independent-frequencies
+    * formula z = 1 − (1 − (1−p)^(1/M))^(2/(N−3)) for the
+    * variance-normalized power. */
+  def periodogram(df: DataFrame, tUs: String, vc: String, nFreq: Int,
+                  subdiv: Int = 1, fapProb: Option[Double] = None): DataFrame = {
     val mm = df.agg(
       min(col(tUs)).as("t0"), max(col(tUs)).as("t1"),
       count(lit(1)).as("n"), sum(col(vc)).as("s"),
@@ -32,12 +39,13 @@ object LombScargle {
     val freqs = mm
       .withColumn("k", explode(sequence(lit(0), lit(nFreq - 1))))
       .withColumn("bl", (col("t1") - col("t0")).cast("double") / 1000000.0)
-      .withColumn("omega", lit(2.0) * lit(math.Pi) * (col("k").cast("double") + lit(1.0)) / col("bl"))
+      .withColumn("omega", lit(2.0) * lit(math.Pi) *
+        (col("k").cast("double") / lit(subdiv.toDouble) + lit(1.0)) / col("bl"))
       .withColumn("mean", col("s").cast("double") / col("n") / 100.0)
       .withColumn("varx",
         (col("q") - col("s").cast("double") * col("s") / col("n")) / col("n") / 10000.0)
       .select("k", "t0", "omega", "mean", "varx")
-    df.crossJoin(broadcast(freqs))
+    val out = df.crossJoin(broadcast(freqs))
       .withColumn("ts", (col(tUs) - col("t0")).cast("double") / 1000000.0)
       .withColumn("ci", round(cos(col("omega") * col("ts")) * 1e6).cast("long"))
       .withColumn("si", round(sin(col("omega") * col("ts")) * 1e6).cast("long"))
@@ -61,6 +69,12 @@ object LombScargle {
           + col("acc") * col("axs") * col("axs"))
           / nullif(col("acc") * col("ass") - col("acs") * col("acs"), lit(0.0))
           / nullif(lit(2.0) * col("varx") * col("n"), lit(0.0)), 6))
-      .select("k", "n", "power")
+    fapProb match {
+      case Some(p) =>
+        out.withColumn("fap", expr(
+          s"round(1 - pow(1 - pow(${1 - p}, 1.0/$nFreq), 2.0/(n - 3)), 6)"))
+          .select("k", "n", "power", "fap")
+      case None => out.select("k", "n", "power")
+    }
   }
 }
