@@ -25,6 +25,11 @@ object Tables {
     * ns→us truncation duckdb applies when it surfaces the column as
     * TIMESTAMP, so both engines see identical instants. */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    // Session-level conf mutation at plan-build time: benign in the
+    // single-tenant drivers here (Verify/Bench also set it at session
+    // build), but racy if a shared session plans other queries
+    // concurrently — a multi-tenant caller should set it once at
+    // session construction instead.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(spark, dir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -145,25 +145,36 @@ object TextQueries {
         .agg(collect_list(col("doc_id")).as("ids"))
         .withColumn("gid", struct(col("p0"), col("p1"), col("p2"), col("p3")))
         .persist()
-      val bands = sigs.select(col("gid"),
-        explode(array((0 until 4).map(b =>
-          struct(lit(b).as("band"), col(s"p$b").as("bh"))): _*)).as("bb"))
-        .select(col("gid"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-      val sigPairs = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.gid") < col("b.gid"))
+      // Candidate signature pairs WITHOUT a self-join: group the
+      // signatures sharing a band bucket (shuffle key = (band, bh)),
+      // then explode the i<j member pairs map-side — one shuffle and
+      // one codegen stage instead of a two-sided join. Each signature
+      // carries its member-id array so no later join is needed either.
+      val buckets = sigs.select(
+          explode(array((0 until 4).map(b =>
+            struct(lit(b).as("band"), col(s"p$b").as("bh"))): _*)).as("bb"),
+          struct(col("gid"), col("ids")).as("sg"))
+        .select(col("bb.band").as("band"), col("bb.bh").as("bh"), col("sg"))
+        .groupBy("band", "bh").agg(collect_list(col("sg")).as("ms"))
+        .filter(size(col("ms")) > 1)
+      val pairsRaw = buckets
+        .select(col("ms"), posexplode(col("ms")).as(Seq("i", "x")))
+        .select(col("x"), explode(expr("slice(ms, i + 2, size(ms) - i - 1)")).as("y"))
+        .select(
+          when(col("x.gid") < col("y.gid"), col("x")).otherwise(col("y")).as("a"),
+          when(col("x.gid") < col("y.gid"), col("y")).otherwise(col("x")).as("b"))
+      val sigPairs = pairsRaw
         .groupBy(col("a.gid").as("ga"), col("b.gid").as("gb"))
-        .agg(count(lit(1)).as("n_bands"))
+        .agg(count(lit(1)).as("n_bands"),
+          first(col("a.ids")).as("ids_a"), first(col("b.ids")).as("ids_b"))
       // Pair expansion: every shuffle in this query moves only
       // DISTINCT-signature rows (each carrying its member-id array);
       // the O(pairs) doc-pair stream is produced by chained map-side
-      // explodes AFTER the joins and is never shuffled, sorted, or
-      // broadcast. (Broadcasting the one-row-per-document membership
-      // table — the round-1 shape — would ship the whole corpus to
-      // every executor at 100 TB.)
+      // explodes AFTER the aggregations and is never shuffled, sorted,
+      // or broadcast. (Broadcasting the one-row-per-document
+      // membership table — the round-1 shape — would ship the whole
+      // corpus to every executor at 100 TB.)
       val cross = sigPairs
-        .join(sigs.select(col("gid").as("ga"), col("ids").as("ids_a")), "ga")
-        .join(sigs.select(col("gid").as("gb"), col("ids").as("ids_b")), "gb")
         .select(col("n_bands"), col("ids_b"), explode(col("ids_a")).as("x"))
         .select(col("n_bands"), col("x"), explode(col("ids_b")).as("y"))
         .select(least(col("x"), col("y")).as("a_id"),
