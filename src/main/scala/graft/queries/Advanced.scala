@@ -180,6 +180,70 @@ object Advanced {
         .orderBy("param")
     }),
 
+    // P1 — posterior derived-feature column math (calc_feat_alle, ref
+    // main.py:1231–1585: depth 1391, sini 1402, omeg 1403, rs2a 1404,
+    // durations/blend 1425–1432; the transit-geometry helpers are the
+    // standard Winn-2010 formulas). Deterministic LCG posterior
+    // samples stand in for the sampler output; the derived layer is
+    // pure codegen column math, then the reference's 16/50/84
+    // summaries (dicterrr) per feature over integerized values — one
+    // explode to long format, one shuffle on the feature key.
+    "p1_derived_features" -> ((s, d) => {
+      val nS = 2000L
+      def u(k: Int) = // salted integer LCG in [0,1) — engine-neutral
+        expr(s"CAST(((i + $k * 7919) % 65536 * 1103515245 + 12345) % 2147483648 AS DOUBLE) / 2147483648.0")
+      val samples = base(s, d).agg(count(lit(1)).as("_n")) // anchor: one row
+        .withColumn("i", explode(sequence(lit(0L), lit(nS - 1))))
+        .withColumn("peri", lit(2.0) + lit(8.0) * u(1))
+        .withColumn("rrat", lit(0.02) + lit(0.13) * u(2))
+        .withColumn("rsma", lit(0.05) + lit(0.15) * u(3))
+        .withColumn("cosi", lit(0.08) * u(4))
+        .withColumn("ecos", lit(0.2) * (u(5) - lit(0.5)))
+        .withColumn("esin", lit(0.2) * (u(6) - lit(0.5)))
+      val derived = samples
+        .withColumn("depth_ppt", lit(1e3) * col("rrat") * col("rrat"))
+        .withColumn("sini", sqrt(lit(1.0) - col("cosi") * col("cosi")))
+        .withColumn("ecce", sqrt(col("ecos") * col("ecos") + col("esin") * col("esin")))
+        .withColumn("omeg", lit(180.0 / math.Pi) *
+          expr(s"((atan2(esin, ecos) % ${2 * math.Pi}) + ${2 * math.Pi}) % ${2 * math.Pi}"))
+        .withColumn("rs2a", col("rsma") / (lit(1.0) + col("rrat")))
+        .withColumn("sinw", sin(lit(math.Pi / 180.0) * col("omeg")))
+        .withColumn("imfa", col("cosi") / col("rs2a") *
+          (lit(1.0) - col("ecce") * col("ecce")) /
+          (lit(1.0) + col("ecce") * col("sinw")))
+        // grazing geometries (imfa beyond the chord) clamp the
+        // discriminant at 0 → zero duration, like a NaN-free np.
+        .withColumn("durtot_hr", lit(24.0) * col("peri") / lit(math.Pi) *
+          asin(col("rs2a") * sqrt(greatest(lit(0.0),
+            (lit(1.0) + col("rrat")) * (lit(1.0) + col("rrat"))
+            - col("imfa") * col("imfa"))) / col("sini")))
+        .withColumn("durfull_hr", lit(24.0) * col("peri") / lit(math.Pi) *
+          asin(col("rs2a") * sqrt(greatest(lit(0.0),
+            (lit(1.0) - col("rrat")) * (lit(1.0) - col("rrat"))
+            - col("imfa") * col("imfa"))) / col("sini")))
+        .withColumn("blend_ppt", when(col("durtot_hr") > 0, lit(1e3) *
+          pow(lit(1.0) - col("durfull_hr") / col("durtot_hr"), 2) /
+          pow(lit(1.0) + col("durfull_hr") / col("durtot_hr"), 2))
+          .otherwise(lit(1e3)))
+      val longF = derived.select(col("i"), explode(map(
+        lit("depth_ppt"), col("depth_ppt"), lit("sini"), col("sini"),
+        lit("omeg"), col("omeg"), lit("imfa"), col("imfa"),
+        lit("durtot_hr"), col("durtot_hr"), lit("durfull_hr"), col("durfull_hr"),
+        lit("blend_ppt"), col("blend_ppt"))).as(Seq("feat", "val")))
+        // 1e4 quantum: Java vs C libm (asin/atan2) differ by ~1 ulp,
+      // so a fine quantum occasionally floors across the boundary —
+      // coarse integerization makes the summaries engine-stable.
+      .withColumn("vi", floor(col("val") * 1e4).cast("long"))
+      longF.groupBy("feat")
+        .agg(count(lit(1)).as("n"),
+          (expr("percentile(vi, 0.16)") / 1e4).as("p16"),
+          (expr("percentile(vi, 0.5)") / 1e4).as("p50"),
+          (expr("percentile(vi, 0.84)") / 1e4).as("p84"))
+        .select(col("feat"), col("n"), round(col("p16"), 6).as("p16"),
+          round(col("p50"), 6).as("p50"), round(col("p84"), 6).as("p84"))
+        .orderBy("feat")
+    }),
+
     // Multimodal feature extraction — batched stub decoder; rows-only.
     "m2_media_features" -> ((s, d) => {
       val media = graft.multimodal.Multimodal.fromDocuments(documents(s, d))
@@ -208,6 +272,56 @@ object Advanced {
        |    AND d2 < CAST(sv AS DOUBLE)/n + 3*sqrt((q - CAST(sv AS DOUBLE)*sv/n)/n))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "p1_derived_features" -> {
+      def u(k: Int) =
+        s"CAST(((i + $k * 7919) % 65536 * 1103515245 + 12345) % 2147483648 AS DOUBLE) / 2147483648.0"
+      val twoPi = 2 * math.Pi
+      s"""WITH g AS (SELECT unnest(generate_series(0, 1999)) AS i),
+         |samples AS (SELECT i,
+         |    2.0 + 8.0 * ${u(1)} AS peri,
+         |    0.02 + 0.13 * ${u(2)} AS rrat,
+         |    0.05 + 0.15 * ${u(3)} AS rsma,
+         |    0.08 * ${u(4)} AS cosi,
+         |    0.2 * (${u(5)} - 0.5) AS ecos,
+         |    0.2 * (${u(6)} - 0.5) AS esin
+         |  FROM g),
+         |d1 AS (SELECT *,
+         |    1e3 * rrat * rrat AS depth_ppt,
+         |    sqrt(1.0 - cosi * cosi) AS sini,
+         |    sqrt(ecos * ecos + esin * esin) AS ecce,
+         |    ${180.0 / math.Pi} *
+         |      (((atan2(esin, ecos) % $twoPi) + $twoPi) % $twoPi) AS omeg,
+         |    rsma / (1.0 + rrat) AS rs2a
+         |  FROM samples),
+         |d2 AS (SELECT *,
+         |    cosi / rs2a * (1.0 - ecce * ecce)
+         |      / (1.0 + ecce * sin(${math.Pi / 180.0} * omeg)) AS imfa
+         |  FROM d1),
+         |d3 AS (SELECT *,
+         |    24.0 * peri / pi() * asin(rs2a * sqrt(GREATEST(0.0,
+         |      (1.0 + rrat) * (1.0 + rrat) - imfa * imfa)) / sini) AS durtot_hr,
+         |    24.0 * peri / pi() * asin(rs2a * sqrt(GREATEST(0.0,
+         |      (1.0 - rrat) * (1.0 - rrat) - imfa * imfa)) / sini) AS durfull_hr
+         |  FROM d2),
+         |d4 AS (SELECT *,
+         |    CASE WHEN durtot_hr > 0 THEN 1e3 *
+         |      pow(1.0 - durfull_hr / durtot_hr, 2) /
+         |      pow(1.0 + durfull_hr / durtot_hr, 2) ELSE 1e3 END AS blend_ppt
+         |  FROM d3),
+         |longf AS (
+         |  SELECT feat, CAST(floor(val * 1e4) AS BIGINT) AS vi FROM (
+         |    SELECT unnest(['depth_ppt','sini','omeg','imfa',
+         |                   'durtot_hr','durfull_hr','blend_ppt']) AS feat,
+         |      unnest([depth_ppt, sini, omeg, imfa,
+         |              durtot_hr, durfull_hr, blend_ppt]) AS val
+         |    FROM d4))
+         |SELECT feat, count(*) AS n,
+         |  round(quantile_cont(vi, 0.16) / 1e4, 6) AS p16,
+         |  round(quantile_cont(vi, 0.5) / 1e4, 6) AS p50,
+         |  round(quantile_cont(vi, 0.84) / 1e4, 6) AS p84
+         |FROM longf GROUP BY 1 ORDER BY feat""".stripMargin
+    },
+
     "t4b_detrend_clip" ->
       s"""WITH b0 AS (SELECT event_id, user_id, epoch_us(ts) AS t_us,
          |    CAST(round(value*100) AS BIGINT)*4 AS vq FROM events),
