@@ -98,6 +98,40 @@ object TimeSeries {
         .orderBy("user_id", "s_us")
     }),
 
+    // §2.10 — a GENUINELY streaming declared query: readStream over
+    // the events parquet → watermark → tumbling 1 h window per
+    // event_type with exact-cents sums → memory sink, Trigger
+    // AvailableNow (micro-batch engine runs to completion, then the
+    // materialized sink is returned). Verifies the actual incremental
+    // stateful-aggregation path — not just the batch operator — against
+    // a plain GROUP BY oracle. At scale the same query runs unbounded
+    // with the watermark dropping late state.
+    "st2_stream_tumbling" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      // Glob path: FileStreamSource force-sets basePath to the literal
+      // path for non-glob paths, and basePath must be a directory —
+      // the glob keeps our explicit directory basePath in force.
+      val stream = s.readStream.schema(schema)
+        .option("basePath", d)
+        .parquet(s"$d/events*.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(graft.core.Tables.cents(col("value"))).as("sc"))
+      val q = stream.writeStream
+        .format("memory").queryName("st2_sink")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("st2_sink")
+        .select(unix_micros(col("w.start")).as("w_us"), col("event_type"),
+          col("n"), (col("sc").cast("long") / 100.0).as("sum_value"))
+        .orderBy("w_us", "event_type")
+    }),
+
     // A10 — sessionization (gaps-and-islands, ref main.py:6347–6368):
     // 30-min inactivity threshold, per-session aggregates.
     "a10_sessionize" -> ((s, d) => {
@@ -348,6 +382,12 @@ object TimeSeries {
            |                                  ORDER BY t_us, event_id) AS gap
            |      FROM base)
            |ORDER BY user_id, event_id""".stripMargin,
+
+      "st2_stream_tumbling" ->
+        s"""WITH $baseSql
+           |SELECT t_us - (t_us % 3600000000) AS w_us, event_type,
+           |  count(*) AS n, CAST(sum(vc) AS BIGINT) / 100.0 AS sum_value
+           |FROM base GROUP BY 1, 2 ORDER BY w_us, event_type""".stripMargin,
 
       "st_session_window" ->
         s"""WITH $baseSql,
