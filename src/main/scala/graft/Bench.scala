@@ -37,7 +37,7 @@ object Bench {
       .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
     graft.core.Tables.events(spark, sfDir).count()
     Seq("t1_fold", "a12_conditional_agg", "j1_equi_join_agg", "w1_lag_diff",
-        "d1_exact_dedup", "e2_lsh_ann")
+        "d1_exact_dedup", "e2_lsh_ann", "d4_simhash")
       .foreach { q =>
         try SparkEntry.queries(q)(spark, sfDir).count()
         catch { case _: Throwable => () }
