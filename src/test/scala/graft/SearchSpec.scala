@@ -88,4 +88,43 @@ class SearchSpec extends SparkSpec {
       assert(peakIds.exists(p => math.abs(p - s) <= 12), s"flare at $s not found: ${peakIds.mkString(",")}")
     }
   }
+
+  test("multi-kernel matched filter recovers flares across a gap (F-LC5)") {
+    val rng = new scala.util.Random(23)
+    val step = 600000000L // 10 min cadence == grid step
+    // two chunks split by a 3-day gap; one flare in each chunk
+    val idx = (0 until 2000) ++ (2000 until 4000)
+    val gapAfter = 2000
+    val flareStarts = Set(700, 2900)
+    val df = idx.map { i =>
+      val gap = if (i >= gapAfter) 3L * 86400000000L else 0L
+      val tU = E + i.toLong * step + gap
+      val flare = flareStarts.find(s => i >= s && i < s + 24)
+        .map(s => 6.0 * math.exp(-(i - s) / 6.0)).getOrElse(0.0)
+      val v = 100.0 + flare + 0.3 * rng.nextGaussian()
+      (1L, i.toLong, tU, v)
+    }.toDF("user_id", "id", "t_us", "value")
+      .withColumn("vc", round(col("value") * 100).cast("long"))
+    val peaks = MatchedFilter.flaresMulti(df, Seq("user_id"), "t_us", "id", "vc",
+      gapUs = 86400000000L, stepUs = step, tauSteps = Seq(2.0, 6.0, 12.0),
+      fillFrac = 0.8, q = 0.995).collect()
+    // chunking: both regions present, so the gap did not leak
+    assert(peaks.map(_.getAs[Long]("region")).distinct.length == 2,
+      s"expected peaks in both chunks: ${peaks.mkString(";")}")
+    // each injected flare recovered by the matched kernel (tau=6)
+    val k1 = peaks.filter(_.getAs[Int]("kern") == 1)
+    def gridT(region: Long, i: Long): Long = {
+      val base = if (region == 0) 0L else gapAfter.toLong * step + 3L * 86400000000L
+      // region grids start at the chunk's first sample
+      E + base + (if (region == 0) i * step else i * step)
+    }
+    flareStarts.foreach { s =>
+      val tFlare = E + s.toLong * step + (if (s >= gapAfter) 3L * 86400000000L else 0L)
+      val found = k1.exists { r =>
+        val t = gridT(r.getAs[Long]("region"), r.getAs[Long]("peak_i"))
+        math.abs(t - tFlare) <= 24 * step
+      }
+      assert(found, s"flare at sample $s not recovered by kernel 1: ${k1.mkString(";")}")
+    }
+  }
 }
