@@ -351,6 +351,40 @@ object TextQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // D10 — the full training-data corpus pipeline as ONE declarative
+    // plan (the composition a 100 TB ingest actually runs): token
+    // stats → quality gate (length + uniqueness) → language-ID gate →
+    // order-insensitive fingerprint dedup (keep lowest doc_id) →
+    // per-(source, language) corpus stats. Catalyst fuses the stages;
+    // the only shuffles are the token aggregation, the fingerprint
+    // dedup, and the final stats — no stage materializes between.
+    "d10_corpus_pipeline" -> ((s, d) => {
+      val toks = documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val stats = toks.groupBy("doc_id").agg(
+        count(lit(1)).as("n_tok"),
+        countDistinct(col("tok")).as("n_uniq"),
+        count(when(col("tok").isin("the", "a", "fast", "slow"), 1)).as("s1"),
+        count(when(col("tok").isin("spark", "query", "join", "table"), 1)).as("s2"),
+        count(when(col("tok").isin("data", "row", "column", "batch"), 1)).as("s3"))
+      val gated = documents(s, d).join(stats, "doc_id")
+        .filter(col("n_tok") >= 8 &&
+          col("n_uniq").cast("double") / col("n_tok") > 0.3)
+        .withColumn("lang",
+          when(col("s1") >= col("s2") && col("s1") >= col("s3"), "w1")
+            .when(col("s2") >= col("s3"), "w2").otherwise("w3"))
+        .filter(col("s1") + col("s2") + col("s3") >= 1)
+      val deduped = gated
+        .withColumn("fp", md5(concat_ws(" ", array_sort(split(col("text"), " ")))))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("fp").orderBy("doc_id")))
+      deduped.groupBy("source", "lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+          sum(col("n_tok")).cast("long").as("tot_tok"))
+        .orderBy("source", "lang")
+    }),
+
     // M1 — multimodal scaffold: opaque binary payload + typed metadata
     // (byte length, content-hash head); the decode stage itself is a
     // stubbed kernel in graft.multimodal (no image libs in-container).
@@ -554,6 +588,31 @@ object TextQueries {
          |SELECT a_id, b_id, round(sim, 6) AS sim FROM sim
          |WHERE sim > 0.4 ORDER BY a_id, b_id""".stripMargin
     },
+
+    "d10_corpus_pipeline" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |              FROM documents),
+        |stats AS (SELECT doc_id, count(*) AS n_tok,
+        |    count(DISTINCT tok) AS n_uniq,
+        |    count(CASE WHEN tok IN ('the','a','fast','slow') THEN 1 END) AS s1,
+        |    count(CASE WHEN tok IN ('spark','query','join','table') THEN 1 END) AS s2,
+        |    count(CASE WHEN tok IN ('data','row','column','batch') THEN 1 END) AS s3
+        |  FROM toks GROUP BY 1),
+        |gated AS (SELECT d.doc_id, d.source, d.text, n_tok,
+        |    CASE WHEN s1 >= s2 AND s1 >= s3 THEN 'w1'
+        |         WHEN s2 >= s3 THEN 'w2' ELSE 'w3' END AS lang
+        |  FROM documents d JOIN stats USING (doc_id)
+        |  WHERE n_tok >= 8 AND CAST(n_uniq AS DOUBLE) / n_tok > 0.3
+        |    AND s1 + s2 + s3 >= 1),
+        |deduped AS (SELECT *,
+        |    row_number() OVER (PARTITION BY
+        |        md5(array_to_string(list_sort(string_split(text, ' ')), ' '))
+        |      ORDER BY doc_id) AS rn
+        |  FROM gated)
+        |SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(n_tok) AS BIGINT) AS tot_tok
+        |FROM deduped GROUP BY 1, 2 ORDER BY source, lang""".stripMargin,
 
     "m1_binary_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
