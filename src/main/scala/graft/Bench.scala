@@ -50,8 +50,12 @@ object Bench {
                catch { case _: Throwable => false }
       val sec = (System.nanoTime() - t0) / 1e9
       // Release per-query persisted intermediates so one query's cache
-      // doesn't squeeze the next query's execution memory.
+      // doesn't squeeze the next query's execution memory, and collect
+      // eagerly OUTSIDE the timed section — otherwise the previous
+      // queries' garbage surfaces as a full-GC pause inside a random
+      // later query's measurement.
       spark.catalog.clearCache()
+      System.gc()
       (name, sec, ok)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
