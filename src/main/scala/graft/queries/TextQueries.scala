@@ -74,10 +74,12 @@ object TextQueries {
           lit(0.0).as("jaccard")).limit(0)
       } else {
       val pairs =
-        if (nUniverse <= 4096 && nDocs <= 100000) {
+        if (nUniverse <= 4096 && nDocs <= 20000) {
           // Dense path — gated on BOTH universe and doc count: a small
           // vocabulary does not bound the corpus, and the O(nDocs²)
-          // pairwise stage below is only affordable up to ~1e5 docs.
+          // pairwise stage below (~4e8 cheap popcount probes at the
+          // 2e4 gate) is the most it should ever be asked to do; past
+          // that the bucket join's output-linear cost wins.
           // Global bigram→bit index (tiny, broadcast); each doc's set
           // packed into one array<long> bitmap by a codegen'd kernel,
           // intersected by a codegen'd popcount-of-AND — no lambda
@@ -122,11 +124,11 @@ object TextQueries {
     // D3 — minhash + LSH banding: 8 universal hashes over the distinct
     // token set, 4 bands of 2 rows; a pair is a candidate iff it shares
     // ≥1 band bucket, n_bands = #shared buckets. Near-dup corpora make
-    // the answer quadratic in duplicate-group size, so the band join
-    // and the per-pair aggregation run on DISTINCT signatures (tiny)
-    // and the doc-pair expansion afterwards is pure broadcast-join row
-    // production — no aggregation or sort ever touches the O(pairs)
-    // result (row order is canonicalized by the driver's compare).
+    // the answer quadratic in duplicate-group size, so every shuffle
+    // here moves DISTINCT-signature rows only (tiny), and the O(pairs)
+    // doc-pair stream is produced by map-side explodes at the very
+    // end — never shuffled, sorted, aggregated, or broadcast (row
+    // order is canonicalized by the driver's compare).
     "d3_minhash_lsh" -> ((s, d) => {
       val toks = distinctToks(s, d).withColumn("h", expr(H))
       val mh = (0 until 8).map(k => min(expr(TextOps.minhashExpr("h", k))).as(s"m$k"))
