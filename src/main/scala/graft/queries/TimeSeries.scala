@@ -132,6 +132,33 @@ object TimeSeries {
         .orderBy("w_us", "event_type")
     }),
 
+    // §2.10 — streaming SESSION windows through the micro-batch
+    // engine: same readStream/AvailableNow/memory-sink harness as
+    // st2, but with the merging stateful session_window operator —
+    // the streaming form of A10. Checked bit-exact against the same
+    // gaps-and-islands SQL as the batch st_session_window.
+    "st3_stream_session" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("basePath", d)
+        .parquet(s"$d/events*.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts", "1 hour")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"))
+      val q = stream.writeStream
+        .format("memory").queryName("st3_sink")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("st3_sink")
+        .select(col("user_id"), unix_micros(col("w.start")).as("s_us"),
+          unix_micros(col("w.end")).as("e_us"), col("n"))
+        .orderBy("user_id", "s_us")
+    }),
+
     // A10 — sessionization (gaps-and-islands, ref main.py:6347–6368):
     // 30-min inactivity threshold, per-session aggregates.
     "a10_sessionize" -> ((s, d) => {
@@ -388,6 +415,24 @@ object TimeSeries {
            |SELECT t_us - (t_us % 3600000000) AS w_us, event_type,
            |  count(*) AS n, CAST(sum(vc) AS BIGINT) / 100.0 AS sum_value
            |FROM base GROUP BY 1, 2 ORDER BY w_us, event_type""".stripMargin,
+
+      // identical gaps-and-islands oracle as st_session_window — the
+      // streaming query must produce the same sessions as the batch
+      // operator.
+      "st3_stream_session" ->
+        s"""WITH $baseSql,
+           |flagged AS (SELECT user_id, t_us,
+           |  sum(CASE WHEN gap >= 1800000000 THEN 1 ELSE 0 END)
+           |    OVER (PARTITION BY user_id ORDER BY t_us, event_id
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session
+           |  FROM (SELECT user_id, event_id, t_us,
+           |          t_us - lag(t_us, 1) OVER (PARTITION BY user_id
+           |                                    ORDER BY t_us, event_id) AS gap
+           |        FROM base))
+           |SELECT user_id, min(t_us) AS s_us,
+           |  max(t_us) + 1800000000 AS e_us, count(*) AS n
+           |FROM flagged GROUP BY user_id, session
+           |ORDER BY user_id, s_us""".stripMargin,
 
       "st_session_window" ->
         s"""WITH $baseSql,
