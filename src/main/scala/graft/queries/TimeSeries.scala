@@ -283,6 +283,27 @@ object TimeSeries {
         .orderBy("event_type", "g_us")
     }),
 
+    // J8b — the custom whole-operator as-of join (§2.11(c):
+    // LogicalPlan + SparkStrategy + SparkPlan, graft.plans.AsOfJoin):
+    // nearest PRECEDING sample per (event_type) for every 6-h grid
+    // point — one co-partitioned sorted merge, O(1) state per
+    // partition, against DuckDB's native ASOF JOIN as the oracle.
+    // Samples pre-dedup to one row per (event_type, t_us) so the
+    // as-of pick is unique in both engines.
+    "j8b_asof_nearest" -> ((s, d) => {
+      val b = base(s, d)
+      val samples = b.groupBy("event_type", "t_us").agg(max(col("vc")).as("vc"))
+      val mm = b.agg(min(col("t_us")).as("t0"), max(col("t_us")).as("t1"))
+      val grid = mm.withColumn("i",
+          explode(sequence(lit(0L), expr("(t1 - t0) div 21600000000"))))
+        .select((col("t0") + col("i") * 21600000000L).as("g_us"))
+        .crossJoin(b.select(col("event_type").as("g_type")).distinct())
+      graft.plans.AsOfJoin.asof(grid, samples, "g_type", "g_us", "event_type", "t_us")
+        .select(col("g_type").as("event_type"), col("g_us"),
+          col("t_us").as("s_us"), (col("vc") / 100.0).as("v"))
+        .orderBy("event_type", "g_us")
+    }),
+
     // F4/T4 — iterative sigma clip, 3 rounds of 2.5σ per event_type
     // (scipy sigmaclip semantics, ref main.py:10989–11002).
     "t4_sigma_clip" -> ((s, d) => {
@@ -539,6 +560,20 @@ object TimeSeries {
            |  CAST(sum(vc) AS BIGINT)/100.0/count(*) AS vmean
            |FROM ph WHERE abs(pc) < ${DUR / 2}
            |GROUP BY 1 ORDER BY k""".stripMargin,
+
+      "j8b_asof_nearest" ->
+        s"""WITH $baseSql,
+           |sm AS (SELECT event_type, t_us, max(vc) AS vc FROM base GROUP BY 1, 2),
+           |mm AS (SELECT min(t_us) AS t0, max(t_us) AS t1 FROM base),
+           |grid AS (SELECT g_type, g_us FROM
+           |    (SELECT t0 + 21600000000 * unnest(generate_series(0,
+           |       CAST((t1 - t0) // 21600000000 AS BIGINT))) AS g_us FROM mm),
+           |    (SELECT DISTINCT event_type AS g_type FROM base))
+           |SELECT g.g_type AS event_type, g.g_us, s.t_us AS s_us,
+           |  s.vc / 100.0 AS v
+           |FROM grid g ASOF JOIN sm s
+           |  ON g.g_type = s.event_type AND g.g_us >= s.t_us
+           |ORDER BY event_type, g_us""".stripMargin,
 
       "j8_asof_interp" ->
         s"""WITH $baseSql,

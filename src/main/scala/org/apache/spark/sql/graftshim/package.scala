@@ -9,4 +9,8 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 package object graftshim {
   def toExpr(c: Column): Expression = classic.ExpressionUtils.expression(c)
   def toCol(e: Expression): Column = classic.ExpressionUtils.column(e)
+  /** Wrap a (resolved) logical plan as a DataFrame — the hook custom
+    * logical operators need to enter the Dataset API. */
+  def ofRows(spark: SparkSession, plan: catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }
