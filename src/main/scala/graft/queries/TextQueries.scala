@@ -342,6 +342,62 @@ object TextQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    // E4 — IVF SEARCH with a FIXED codebook, oracle-checked: the
+    // coarse quantizer is a deterministic integer-formula codebook
+    // (cInt = ((cid·64+j)·2654435761 mod 2^31) mod 1025 − 512, c =
+    // cInt/1024 — dyadic, so float and double agree exactly), which
+    // makes the whole search path SQL-expressible: integerized L2
+    // assignment distI = |x|² − 2x·c + |c|² at 1e12 (exact longs),
+    // nProbe=4 nearest lists per query, exact integerized cosine
+    // top-5 inside the probed lists. Complements e3 (which exercises
+    // k-means TRAINING, rows-only) with a bit-exact check of the
+    // search half. Assignment is a broadcast of 16 codebook rows —
+    // the 100 TB shape (posting-list id is the shuffle key).
+    "e4_ivf_fixed" -> ((s, d) => {
+      val dim = 64; val k = 16
+      val code = (0 until k).map { cid =>
+        val arr = Array.tabulate(dim) { j =>
+          val u = ((cid * 64 + j).toLong * 2654435761L) % 2147483648L
+          ((u % 1025) - 512).toFloat / 1024.0f
+        }
+        val nrmc = arr.map(x =>
+          graft.expr.VecExprs.roundHalfAway(x.toDouble * x.toDouble * 1e12)).sum
+        (cid, arr.toSeq, nrmc)
+      }
+      val codeDf = s.createDataFrame(code).toDF("cid", "cvec", "nrmc")
+      val withNorm = embeddings(s, d).select(col("vec_id"), col("embedding"))
+        .withColumn("nrm", dot_i12(col("embedding"), col("embedding")))
+      val assigned = withNorm.crossJoin(broadcast(codeDf))
+        .withColumn("dist",
+          col("nrm") - lit(2) * dot_i12(col("embedding"), col("cvec")) + col("nrmc"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist"), col("cid"))).as("m"),
+          first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"))
+        .select(col("vec_id"), col("m.cid").as("cid"), col("embedding"), col("nrm"))
+      val q = assigned.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+      val wp = Window.partitionBy("q_id").orderBy(asc("qdist"), asc("cid"))
+      val probes = q.crossJoin(broadcast(codeDf))
+        .withColumn("qdist",
+          col("qn") - lit(2) * dot_i12(col("qe"), col("cvec")) + col("nrmc"))
+        .withColumn("rn", row_number().over(wp))
+        .filter(col("rn") <= 4)
+        .select("q_id", "cid")
+      val w = Window.partitionBy("q_id").orderBy(desc("sim"), asc("vec_id"))
+      probes.join(assigned, "cid")
+        .join(broadcast(q.select(col("q_id").as("q_id2"), col("qe"), col("qn"))),
+          col("q_id") === col("q_id2"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("dot", dot_i12(col("qe"), col("embedding")))
+        .withColumn("sim", (col("dot") / 1e12) /
+          nullif(sqrt(col("qn") / 1e12) * sqrt(col("nrm") / 1e12), lit(0.0)))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("cid"), col("rank"), col("vec_id"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy("q_id", "rank")
+    }),
+
     // E3 — IVF ANN (rows-only: k-means training is not SQL-expressible):
     // coarse centroids + posting lists, probe-limited exact search.
     "e3_ivf_ann" -> ((s, d) => {
@@ -615,6 +671,64 @@ object TextQueries {
         |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |  CAST(sum(n_tok) AS BIGINT) AS tot_tok
         |FROM deduped GROUP BY 1, 2 ORDER BY source, lang""".stripMargin,
+
+    "e4_ivf_fixed" ->
+      """WITH cdims AS (
+        |  SELECT cid, j,
+        |    CAST((((cid*64 + j) * 2654435761) % 2147483648) % 1025 - 512
+        |      AS DOUBLE) / 1024.0 AS c
+        |  FROM (SELECT unnest(generate_series(0, 15)) AS cid),
+        |       (SELECT unnest(generate_series(0, 63)) AS j)),
+        |cnorm AS (SELECT cid, sum(CAST(round(c * c * 1e12) AS BIGINT)) AS nrmc
+        |  FROM cdims GROUP BY 1),
+        |dims AS (
+        |  SELECT vec_id, pos, CAST(x AS DOUBLE) AS x FROM (
+        |    SELECT vec_id, unnest(embedding) AS x,
+        |      unnest(generate_series(0, len(embedding) - 1)) AS pos
+        |    FROM embeddings)),
+        |norms AS (SELECT vec_id,
+        |    sum(CAST(round(x * x * 1e12) AS BIGINT)) AS nrm
+        |  FROM dims GROUP BY 1),
+        |cdots AS (SELECT vec_id, cid,
+        |    sum(CAST(round(x * c * 1e12) AS BIGINT)) AS dotc
+        |  FROM dims JOIN cdims ON dims.pos = cdims.j GROUP BY 1, 2),
+        |assigned AS (SELECT vec_id, cid FROM (
+        |    SELECT d.vec_id, d.cid,
+        |      row_number() OVER (PARTITION BY d.vec_id
+        |        ORDER BY n.nrm - 2*d.dotc + cn.nrmc ASC, d.cid ASC) AS rn
+        |    FROM cdots d JOIN norms n ON n.vec_id = d.vec_id
+        |    JOIN cnorm cn ON cn.cid = d.cid)
+        |  WHERE rn = 1),
+        |probes AS (SELECT q_id, cid FROM (
+        |    SELECT d.vec_id AS q_id, d.cid,
+        |      row_number() OVER (PARTITION BY d.vec_id
+        |        ORDER BY n.nrm - 2*d.dotc + cn.nrmc ASC, d.cid ASC) AS rn
+        |    FROM cdots d JOIN norms n ON n.vec_id = d.vec_id
+        |    JOIN cnorm cn ON cn.cid = d.cid
+        |    WHERE d.vec_id < 5)
+        |  WHERE rn <= 4),
+        |cands AS (SELECT p.q_id, a.vec_id, a.cid
+        |  FROM probes p JOIN assigned a ON a.cid = p.cid
+        |  WHERE a.vec_id <> p.q_id),
+        |qdims AS (SELECT vec_id AS q_id, pos, x AS qx FROM dims WHERE vec_id < 5),
+        |dots AS (SELECT c.q_id, c.vec_id, c.cid,
+        |    sum(CAST(round(qx * x * 1e12) AS BIGINT)) AS dot
+        |  FROM cands c
+        |  JOIN qdims q ON q.q_id = c.q_id
+        |  JOIN dims v ON v.vec_id = c.vec_id AND v.pos = q.pos
+        |  GROUP BY 1, 2, 3),
+        |sim AS (SELECT q_id, cid, dots.vec_id AS vec_id,
+        |    (dot / 1e12) / nullif(sqrt(qn.nrm / 1e12) * sqrt(cn2.nrm / 1e12), 0.0) AS sim
+        |  FROM dots
+        |  JOIN norms qn ON qn.vec_id = dots.q_id
+        |  JOIN norms cn2 ON cn2.vec_id = dots.vec_id),
+        |ranked AS (SELECT q_id, cid, vec_id, sim,
+        |    row_number() OVER (PARTITION BY q_id
+        |                       ORDER BY sim DESC, vec_id ASC) AS rank
+        |  FROM sim)
+        |SELECT q_id, CAST(cid AS INTEGER) AS cid, CAST(rank AS INTEGER) AS rank,
+        |  vec_id, round(sim, 6) AS sim
+        |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
     "m1_binary_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
