@@ -19,6 +19,18 @@ class VecExprsSpec extends SparkSpec {
     }
   }
 
+  test("roundHalfAway equals BigDecimal HALF_UP (Spark's round) on random doubles") {
+    // Spark's Round evaluates BigDecimal.valueOf(d).setScale(0, HALF_UP);
+    // the kernel must agree on arbitrary magnitudes in the i12 range.
+    val rng = new scala.util.Random(59)
+    (0 until 20000).foreach { _ =>
+      val x = (rng.nextDouble() - 0.5) * math.pow(10, rng.nextInt(13))
+      val want = java.math.BigDecimal.valueOf(x)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+      assert(VecExprs.roundHalfAway(x) == want, s"x=$x")
+    }
+  }
+
   test("DotI12 equals the aggregate/zip_with SQL form on random arrays") {
     val rng = new scala.util.Random(41)
     val rows = (0 until 200).map { i =>
