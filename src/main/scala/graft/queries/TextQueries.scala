@@ -43,16 +43,23 @@ object TextQueries {
     // D2 — n-gram (bigram) Jaccard near-dup: exact |∩|/|∪| over per-doc
     // distinct-bigram sets, pairs with jaccard > 0.4. The bigram set is
     // built row-locally (zip_with over adjacent-token slices +
-    // array_distinct) — no self-join, no distinct shuffle. Candidate
-    // strategy is chosen by a cheap universe-size probe:
-    //  • small universe (every doc shares bigrams with every other —
-    //    a shared-bigram bucket join degenerates to ~n² pair rows with
-    //    per-row shuffle cost): pack each doc's set into a bitmap of
-    //    the global bigram index and intersect via bit_count(x & y)
-    //    over a length-filtered broadcast nested-loop self-join;
-    //  • large universe (real corpora): bucket join on the shared
-    //    bigram — the scalable shape, pruned by the Jaccard length
-    //    filter 0.4·|A| ≤ |B| ≤ |A|/0.4.
+    // array_distinct) — no self-join, no distinct shuffle. Two
+    // candidate strategies, BOTH present in one static plan, each
+    // gated by a one-row corpus-stats frame crossJoined at its source:
+    //  • dense (universe ≤4096 AND docs ≤2e4 — where a shared-bigram
+    //    bucket join degenerates to ~n² pair rows with per-row shuffle
+    //    cost): pack each doc's set into a bitmap of the global bigram
+    //    index and intersect via popcount(x & y) over a length-filtered
+    //    broadcast nested-loop self-join;
+    //  • sparse (real corpora): bucket join on the shared bigram — the
+    //    scalable shape, pruned by the Jaccard length filter
+    //    0.4·|A| ≤ |B| ≤ |A|/0.4.
+    // No Spark job runs at plan construction: the stats aggregate is a
+    // plan-internal stage, and AQE's empty-relation propagation prunes
+    // the branch whose gate filters to zero rows before its expensive
+    // stages execute (re-optimization replaces Join(x, empty) with an
+    // empty relation). nu == 0 (no doc with ≥2 tokens) empties BOTH
+    // gates → empty result, so the zero-width bitmap is never built.
     "d2_ngram_jaccard" -> ((s, d) => {
       val bg = documents(s, d)
         .select(col("doc_id"), explode(expr(
@@ -60,65 +67,55 @@ object TextQueries {
             |  slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
             |  slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
             |  (x, y) -> concat(x, ' ', y)))""".stripMargin)).as("bg"))
-      // One probe job decides the candidate strategy (note: this runs
-      // an eager Spark job at query-construction time, so it fires
-      // even under Explain).
-      val probe = bg.agg(countDistinct(col("bg")).as("nu"),
-        countDistinct(col("doc_id")).as("nd")).head
-      val (nUniverse, nDocs) = (probe.getLong(0), probe.getLong(1))
-      if (nUniverse == 0) {
-        // No doc has ≥2 tokens → no bigrams, no pairs. Short-circuit:
-        // the dense path would otherwise build a zero-width bitmap.
-        documents(s, d).select(col("doc_id").as("a_id"),
-          col("doc_id").as("b_id"), lit(0L).as("inter"),
-          lit(0.0).as("jaccard")).limit(0)
-      } else {
-      val pairs =
-        if (nUniverse <= 4096 && nDocs <= 20000) {
-          // Dense path — gated on BOTH universe and doc count: a small
-          // vocabulary does not bound the corpus, and the O(nDocs²)
-          // pairwise stage below (~4e8 cheap popcount probes at the
-          // 2e4 gate) is the most it should ever be asked to do; past
-          // that the bucket join's output-linear cost wins.
-          // Global bigram→bit index (tiny, broadcast); each doc's set
-          // packed into one array<long> bitmap by a codegen'd kernel,
-          // intersected by a codegen'd popcount-of-AND — no lambda
-          // interpretation in the pairwise loop.
-          val nWords = ((nUniverse + 63) / 64).toInt
-          val idx = bg.select("bg").distinct()
-            .withColumn("i", row_number().over(Window.orderBy("bg")) - 1)
-          val docs = bg.join(broadcast(idx), "bg")
-            .groupBy("doc_id").agg(sort_array(collect_list(col("i"))).as("idxs"))
-            .select(col("doc_id"), size(col("idxs")).as("nb"),
-              bitmap_from_indices(col("idxs"), lit(nWords)).as("words"))
-            .persist()
-          docs.as("a").join(broadcast(docs.as("b")),
-              col("a.doc_id") < col("b.doc_id") &&
-              col("b.nb") >= ceil(col("a.nb") * 0.4) &&
-              col("b.nb") <= floor(col("a.nb") / 0.4))
-            .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-              col("a.nb").as("na"), col("b.nb").as("nbb"),
-              bitmap_and_count(col("a.words"), col("b.words")).as("inter"))
-            .filter(col("inter") > 0)
-        } else {
-          val sz = bg.groupBy("doc_id").agg(count(lit(1)).as("nb"))
-          val szd = bg.join(sz, "doc_id")
-          val inter = szd.as("a").join(szd.as("b"),
-              col("a.bg") === col("b.bg") && col("a.doc_id") < col("b.doc_id") &&
-              col("b.nb") >= ceil(col("a.nb") * 0.4) &&
-              col("b.nb") <= floor(col("a.nb") / 0.4))
-            .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-            .agg(count(lit(1)).as("inter"),
-              first(col("a.nb")).as("na"), first(col("b.nb")).as("nbb"))
-          inter
-        }
-      pairs
+      val stats = bg.agg(countDistinct(col("bg")).as("nu"),
+        countDistinct(col("doc_id")).as("nd"))
+      val denseOn = col("nu") > 0 && col("nu") <= 4096 && col("nd") <= 20000
+      val gateDense = broadcast(stats.filter(denseOn)
+        .select(expr("CAST((nu + 63) DIV 64 AS INT)").as("nwords")))
+      val gateSparse = broadcast(stats.filter(col("nu") > 0 && !denseOn)
+        .select(lit(1).as("_gate")))
+      val dense = {
+        // Bitmap width travels as a column from the gate frame, so the
+        // packing kernel needs no plan-time literal. Per-row length
+        // bounds are precomputed so the 25M-pair BNLJ condition is
+        // three comparisons, no arithmetic.
+        val bgD = bg.crossJoin(gateDense)
+        val idx = bgD.select("bg").distinct()
+          .withColumn("i", row_number().over(Window.orderBy("bg")) - 1)
+        val docs = bgD.join(broadcast(idx), "bg")
+          .groupBy("doc_id", "nwords")
+          .agg(sort_array(collect_list(col("i"))).as("idxs"))
+          .select(col("doc_id"), size(col("idxs")).as("nb"),
+            bitmap_from_indices(col("idxs"), col("nwords")).as("words"))
+          .withColumn("lo", ceil(col("nb") * 0.4))
+          .withColumn("hi", floor(col("nb") / 0.4))
+          .persist()
+        docs.as("a").join(broadcast(docs.as("b")),
+            col("a.doc_id") < col("b.doc_id") &&
+            col("b.nb") >= col("a.lo") && col("b.nb") <= col("a.hi"))
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+            col("a.nb").as("na"), col("b.nb").as("nbb"),
+            bitmap_and_count(col("a.words"), col("b.words")).as("inter"))
+          .filter(col("inter") > 0)
+      }
+      val sparse = {
+        val bgS = bg.crossJoin(gateSparse).select("doc_id", "bg")
+        val sz = bgS.groupBy("doc_id").agg(count(lit(1)).as("nb"))
+        val szd = bgS.join(sz, "doc_id")
+        szd.as("a").join(szd.as("b"),
+            col("a.bg") === col("b.bg") && col("a.doc_id") < col("b.doc_id") &&
+            col("b.nb") >= ceil(col("a.nb") * 0.4) &&
+            col("b.nb") <= floor(col("a.nb") / 0.4))
+          .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+          .agg(count(lit(1)).as("inter"),
+            first(col("a.nb")).as("na"), first(col("b.nb")).as("nbb"))
+      }
+      dense.unionByName(sparse)
         .withColumn("jaccard", col("inter").cast("double") /
           (col("na") + col("nbb") - col("inter")))
         .filter(col("jaccard") > 0.4)
         .select(col("a_id"), col("b_id"), col("inter"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("a_id", "b_id")
-      }
     }),
 
     // D3 — minhash + LSH banding: 8 universal hashes over the distinct

@@ -173,7 +173,10 @@ object TimeSeries {
 
     // A4 — rolling std excluding the window max (retr_stdvwind
     // main.py:6907–6944), ±5-row frame per user; population std from
-    // exact integer sums; frame-max multiplicity via bounded self-join.
+    // exact integer sums. Frame-max multiplicity: each row is exploded
+    // into its 11 frame memberships (center rn = brn + j, j ∈ −5..5) so
+    // the join is pure equi on (user_id, rn, max) — strictly linear in
+    // rows×11, no per-user cartesian intermediate at any skew.
     "a4_peakcut_std" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
       val fr = w.rowsBetween(-5, 5)
@@ -184,9 +187,10 @@ object TimeSeries {
         .withColumn("q", sum(col("vc") * col("vc")).over(fr))
         .withColumn("m", max(col("vc")).over(fr))
       val rn = st.select(col("user_id").as("b_user"), col("rn").as("brn"), col("vc").as("bvc"))
+        .withColumn("crn", explode(array((-5 to 5).map(j => col("brn") + lit(j)): _*)))
       val cnt = st.join(rn,
           col("user_id") === col("b_user") &&
-          col("brn") >= col("rn") - 5 && col("brn") <= col("rn") + 5 &&
+          col("rn") === col("crn") &&
           col("bvc") === col("m"))
         .groupBy("event_id").agg(count(lit(1)).as("cnt"))
       st.join(cnt, "event_id")
