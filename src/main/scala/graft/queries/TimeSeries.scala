@@ -266,6 +266,51 @@ object TimeSeries {
         .orderBy("k")
     }),
 
+    // F3+/T10b — ingress/egress sub-windows + secondary eclipse
+    // (retr_indxtimetran main.py:6540–6567: typeineg
+    // ingrinit/ingrfinl/eggrinit/eggrfinl quarter-splits and the
+    // boolseco phase-0.5 offset; retr_timetran fracineg
+    // main.py:118–173). rrat = 1/3 ⇒ durafull = (1−rrat)/(1+rrat)·DUR
+    // = DUR/2 exactly, so every sub-window edge is an exact integer
+    // micro offset from the transit center: totl half DUR/2, full half
+    // DUR/4, ingress/egress midpoints at 3·DUR/8. Per-transit
+    // 4-interval counts/means, the reference's fracineg ratios
+    // (ingrinit/ingrfinl, eggrinit/eggrfinl), and the secondary-eclipse
+    // (phase-0.5) window mean, full-outer on the transit index. One
+    // shuffle per aggregate on k — scales like any keyed agg.
+    "t10b_ineg_secondary" -> ((s, d) => {
+      val D2 = DUR / 2; val D38 = 3 * DUR / 8; val D4 = DUR / 4
+      val b = base(s, d)
+        .withColumn("k", TsOps.transitIndex(col("t_us"), lit(E), lit(P7)))
+        .withColumn("dt", col("t_us") - lit(E) - col("k") * P7)
+      def win(lo: Long, hi: Long) = col("dt") > lo && col("dt") < hi
+      val conds = Seq(win(-D2, -D38), win(-D38, -D4), win(D4, D38), win(D38, D2))
+      val aggs = conds.zipWithIndex.flatMap { case (c, i) =>
+        Seq(count(when(c, lit(1))).as(s"n$i"),
+          (sum(when(c, col("vc"))).cast("long") / 100.0 /
+            count(when(c, lit(1)))).as(s"m$i"))
+      }
+      val prim = b.filter(conds.reduce(_ || _))
+        .groupBy("k")
+        .agg(aggs.head, aggs.tail: _*)
+        .withColumn("frac_ingr",
+          when(col("n0") > 0 && col("n1") > 0, round(col("m0") / col("m1"), 6)))
+        .withColumn("frac_eggr",
+          when(col("n2") > 0 && col("n3") > 0, round(col("m2") / col("m3"), 6)))
+      val sec = base(s, d)
+        .withColumn("pm2", ((col("t_us") - E) % P7 + P7) % P7)
+        .withColumn("k", expr(s"(t_us - $E - pm2) div $P7"))
+        .withColumn("dt2", col("pm2") - P7 / 2)
+        .filter(col("dt2") > -D2 && col("dt2") < D2)
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_sec"),
+          (sum(col("vc")).cast("long") / 100.0 / count(lit(1))).as("m_sec"))
+      prim.join(sec, Seq("k"), "full_outer")
+        .select("k", "n0", "m0", "n1", "m1", "n2", "m2", "n3", "m3",
+          "frac_ingr", "frac_eggr", "n_sec", "m_sec")
+        .orderBy("k")
+    }),
+
     // J8 — as-of linear interpolation onto a uniform 6-h grid per
     // event_type (ref interp1d main.py:6286).
     "j8_asof_interp" -> ((s, d) => {
@@ -564,6 +609,42 @@ object TimeSeries {
            |  CAST(sum(vc) AS BIGINT)/100.0/count(*) AS vmean
            |FROM ph WHERE abs(pc) < ${DUR / 2}
            |GROUP BY 1 ORDER BY k""".stripMargin,
+
+      "t10b_ineg_secondary" -> {
+        val D2 = DUR / 2; val D38 = 3 * DUR / 8; val D4 = DUR / 4
+        def n(c: String) = s"count(CASE WHEN $c THEN 1 END)"
+        def m(c: String) =
+          s"CAST(sum(CASE WHEN $c THEN vc END) AS BIGINT)/100.0/count(CASE WHEN $c THEN 1 END)"
+        val cs = Seq(
+          s"dt > ${-D2} AND dt < ${-D38}", s"dt > ${-D38} AND dt < ${-D4}",
+          s"dt > $D4 AND dt < $D38", s"dt > $D38 AND dt < $D2")
+        s"""WITH $baseSql,
+           |ph AS (SELECT vc, t_us, t_us - $E + ${P7 / 2} AS a,
+           |    ((t_us - $E + ${P7 / 2}) % $P7 + $P7) % $P7 AS pm
+           |  FROM base),
+           |kd AS (SELECT vc, CAST((a - pm) / $P7 AS BIGINT) AS k,
+           |    t_us - $E - CAST((a - pm) / $P7 AS BIGINT) * $P7 AS dt
+           |  FROM ph),
+           |prim AS (SELECT k,
+           |    ${cs.zipWithIndex.map { case (c, i) =>
+                  s"${n(c)} AS n$i, ${m(c)} AS m$i" }.mkString(",\n    ")}
+           |  FROM kd
+           |  WHERE ${cs.map(c => s"($c)").mkString(" OR ")}
+           |  GROUP BY k),
+           |prim2 AS (SELECT *,
+           |    CASE WHEN n0 > 0 AND n1 > 0 THEN round(m0 / m1, 6) END AS frac_ingr,
+           |    CASE WHEN n2 > 0 AND n3 > 0 THEN round(m2 / m3, 6) END AS frac_eggr
+           |  FROM prim),
+           |sec AS (SELECT (t_us - $E - pm2) // $P7 AS k,
+           |    count(*) AS n_sec,
+           |    CAST(sum(vc) AS BIGINT)/100.0/count(*) AS m_sec
+           |  FROM (SELECT vc, t_us, ((t_us - $E) % $P7 + $P7) % $P7 AS pm2 FROM base)
+           |  WHERE pm2 - ${P7 / 2} > ${-D2} AND pm2 - ${P7 / 2} < $D2
+           |  GROUP BY 1)
+           |SELECT k, n0, m0, n1, m1, n2, m2, n3, m3, frac_ingr, frac_eggr,
+           |  n_sec, m_sec
+           |FROM prim2 FULL JOIN sec USING (k) ORDER BY k""".stripMargin
+      },
 
       "j8b_asof_nearest" ->
         s"""WITH $baseSql,
