@@ -34,18 +34,28 @@ object Search {
       LombScargle.periodogram(base(s, d), "t_us", "vc", 120,
         subdiv = 6, fapProb = Some(0.05)).orderBy("k")),
 
-    // T6/A7/J7 — BLS spectrum over a 30-period ladder × duty cycles
-    // {10%, 5%} (M = 20, 40), via the MULTI-RESOLUTION PRE-BINNED path
-    // (ref main.py:5586–5605): samples pre-aggregate into 4 bin-width
+    // T6/A7/J7 — BLS spectrum at the REFERENCE grid density
+    // (srch_boxsperi defaults main.py:5307–5320: factosam=10 frequency
+    // oversampling, 0.1-dex duty-cycle grid with Solar-density-scaled
+    // max, main.py:5513–5529) via the MULTI-RESOLUTION PRE-BINNED path
+    // (ref main.py:5586–5605): samples pre-aggregate into 5 bin-width
     // levels and each trial routes to the coarsest level ≤ box/4 — at
     // 100× the data this is the load-bearing trick (long-period trials
-    // score over ~1000× fewer rows). The oracle reproduces the exact
-    // same quantization, so the check stays bit-exact. The row-exact
+    // score over ~1000× fewer rows). 300 frequencies from 1/B at
+    // deltfreq=(1/B)/10 (periods B..B/30.9), ~4-5 duties per period →
+    // ~1300 trials. The oracle reproduces the exact same grid and
+    // quantization, so the check stays bit-exact. The row-exact
     // spectrum stays available as Bls.spectrum (t6b companions uses
     // it).
-    "t6_bls" -> ((s, d) =>
-      Bls.spectrumPrebinned(base(s, d), "t_us", "vc", 30, Seq(20, 40), levels = 4)
-        .orderBy("p_us")),
+    "t6_bls" -> ((s, d) => {
+      val b = base(s, d)
+      val r = b.agg(min(col("t_us")).as("t0"), max(col("t_us")).as("t1"),
+        count(lit(1)).as("n")).collect()(0)
+      val trials = Bls.referenceTrials(r.getLong(1) - r.getLong(0), r.getLong(2),
+        nFreq = 300, osamp = 10)
+      Bls.spectrumPrebinnedTrials(b, "t_us", "vc", trials, levels = 5)
+        .orderBy("p_us")
+    }),
 
     // T6 multi-companion loop (ref main.py:5630–5651, threshold 5322):
     // two boxes injected at known periods (3 d and 5 d) on a
@@ -171,35 +181,58 @@ object Search {
          |FROM fin ORDER BY k""".stripMargin,
 
     "t6_bls" ->
-      // Mirrors Bls.spectrumPrebinned exactly: same integer bin
-      // widths (minDur/4 · 4^l, floored at 1), same trial→level
-      // routing (coarsest width ≤ max(1, dur/4), else level 0), same
-      // bin-midpoint box membership.
+      // Mirrors Bls.referenceTrials + spectrumPrebinnedTrials exactly:
+      // same frequency grid P = (B·10) // (10+k), same 0.1-dex duty
+      // grid (logs quantized at 1e-4, npts = 2 + int(span/0.1),
+      // M = round(2/dc) floored at 2), same integer bin widths
+      // (minDur/4 · 4^l over the trial-wide min box duration, floored
+      // at 1), same trial→level routing (coarsest width ≤ max(1,
+      // dur/4), else level 0), same bin-midpoint box membership.
       s"""WITH $baseSql,
          |mm AS (SELECT min(t_us) AS t0, max(t_us) AS t1, count(*) AS nall,
          |         sum(vc) AS sall FROM base),
-         |par AS (SELECT t0, t1, t1 - t0 AS bl,
-         |    CAST(sall AS DOUBLE) / nall / 100.0 AS gmean,
-         |    (((t1 - t0) // 31) // 40) // 2 AS mindur
+         |par AS (SELECT t0, t1 - t0 AS bl, nall,
+         |    CAST(sall AS DOUBLE) / nall / 100.0 AS gmean
          |  FROM mm),
-         |lv AS (SELECT l, t0, bl, gmean, mindur,
-         |    GREATEST(1, (mindur // 4) *
-         |      CASE l WHEN 0 THEN 1 WHEN 1 THEN 4 WHEN 2 THEN 16 ELSE 64 END) AS w
-         |  FROM par, (VALUES (0), (1), (2), (3)) lvt(l)),
+         |per AS (SELECT DISTINCT t0, bl, nall, gmean, (bl * 10) // (10 + k) AS p_us
+         |  FROM par, (SELECT unnest(generate_series(0, 299)) AS k)),
+         |lg1 AS (SELECT *, round((-2.0/3.0 *
+         |      log10(CAST(p_us AS DOUBLE) / 86400000000.0)
+         |      - 1.0 + 0.1) * 1e4) / 1e4 AS maxlg
+         |  FROM per),
+         |lg2 AS (SELECT *, GREATEST(round(log10(2.0 / nall) * 1e4) / 1e4,
+         |      maxlg - 0.3) AS minlg
+         |  FROM lg1),
+         |np AS (SELECT *, 2 + CAST(floor((maxlg - minlg) / 0.1) AS INT) AS npts
+         |  FROM lg2 WHERE maxlg >= minlg),
+         |ii AS (SELECT t0, bl, gmean, p_us, minlg, maxlg, npts,
+         |    unnest(generate_series(0, npts - 1)) AS i
+         |  FROM np),
+         |tri AS (SELECT DISTINCT t0, bl, gmean, p_us,
+         |    GREATEST(2, CAST(round(2.0 / pow(10.0,
+         |      minlg + i * (maxlg - minlg) / (npts - 1))) AS BIGINT)) AS m_steps
+         |  FROM ii),
+         |trid AS (SELECT *, (p_us // m_steps) * 2 AS dur FROM tri),
+         |mind AS (SELECT min(dur) AS mindur FROM trid),
+         |lv AS (SELECT l, GREATEST(1, (mindur // 4) *
+         |      CASE l WHEN 0 THEN 1 WHEN 1 THEN 4 WHEN 2 THEN 16
+         |             WHEN 3 THEN 64 ELSE 256 END) AS w, t0
+         |  FROM mind, par, (VALUES (0), (1), (2), (3), (4)) lvt(l)),
          |bins AS (SELECT l, w, t0, (t_us - t0) // w AS bin,
          |    count(*) AS n, sum(vc) AS s
          |  FROM base, lv GROUP BY 1, 2, 3, 4),
          |binmid AS (SELECT l, t0 + bin * w + w // 2 AS tmid, n, s FROM bins),
-         |route AS (SELECT t0, gmean, bl // kp AS p_us, m_steps,
-         |    CASE WHEN GREATEST(1, (mindur // 4) * 64)
-         |           <= GREATEST(1, (((bl // kp) // m_steps) * 2) // 4) THEN 3
+         |route AS (SELECT t0, gmean, p_us, m_steps,
+         |    CASE WHEN GREATEST(1, (mindur // 4) * 256)
+         |           <= GREATEST(1, dur // 4) THEN 4
+         |         WHEN GREATEST(1, (mindur // 4) * 64)
+         |           <= GREATEST(1, dur // 4) THEN 3
          |         WHEN GREATEST(1, (mindur // 4) * 16)
-         |           <= GREATEST(1, (((bl // kp) // m_steps) * 2) // 4) THEN 2
+         |           <= GREATEST(1, dur // 4) THEN 2
          |         WHEN GREATEST(1, (mindur // 4) * 4)
-         |           <= GREATEST(1, (((bl // kp) // m_steps) * 2) // 4) THEN 1
+         |           <= GREATEST(1, dur // 4) THEN 1
          |         ELSE 0 END AS l
-         |  FROM par, (SELECT unnest(generate_series(2, 31)) AS kp),
-         |       (VALUES (20), (40)) ms(m_steps)),
+         |  FROM trid, mind),
          |exploded AS (SELECT p_us, m_steps, gmean, n, s,
          |    ((((((tmid - r.t0) % p_us + p_us) % p_us) * m_steps) // p_us)
          |      - d + m_steps) % m_steps AS m
@@ -214,8 +247,7 @@ object Search {
          |                       ORDER BY CAST(s_in AS DOUBLE) / n_in / 100.0 ASC,
          |                                m_steps ASC, m ASC) AS rn
          |  FROM agg)
-         |SELECT p_us, m_steps, m, n_in, round(box_mean, 6) AS box_mean,
-         |  round(depth, 6) AS depth
+         |SELECT p_us, m_steps, m, n_in, box_mean, depth
          |FROM scored WHERE rn = 1 ORDER BY p_us""".stripMargin,
 
     "t8b_matched_multi" -> {

@@ -143,6 +143,95 @@ object Bls {
         round(col("box_mean"), 6).as("box_mean"), round(col("depth"), 6).as("depth"))
   }
 
+  /** Reference-density trial grid (srch_boxsperi defaults
+    * main.py:5307–5320: factosam=10, deltlogtdcyc=0.1; grid build
+    * 5471–5529): the frequency grid is uniform at deltfreq =
+    * (1/B)/osamp starting from 1/B, so P_k = (B·osamp) div (osamp+k);
+    * per-period duty cycles are log-spaced at 0.1 dex over
+    * [max(2/n, dcmax·10^−0.3), dcmax] with dcmax = Pd^(−2/3) ·
+    * 10^(deltlogtdcyc − 1) (Solar density, main.py:5521–5526), npts =
+    * 2 + int(span/0.1) (np.logspace endpoints included), and the
+    * epoch-step count is M = round(2/dc) (factdeltepocdura=0.5).
+    * Log values are quantized at 1e−4 BEFORE the span arithmetic so
+    * the int() grid count is engine-stable: Java and C libm log10/pow
+    * differ by ~1 ulp, and the span sits exactly on the int()
+    * boundary without quantization. Returns distinct (p_us, m_steps).
+    */
+  def referenceTrials(baselineUs: Long, nAll: Long, nFreq: Int,
+                      osamp: Int = 10): Seq[(Long, Long)] = {
+    def q4(x: Double) = graft.expr.VecExprs.roundHalfAway(x * 1e4) / 1e4
+    val periods = (0 until nFreq).map(k => baselineUs * osamp / (osamp + k)).distinct
+    periods.flatMap { p =>
+      val pd = p.toDouble / 86400e6
+      val maxlg = q4(-2.0 / 3.0 * math.log10(pd) - 1.0 + 0.1)
+      val minlg = math.max(q4(math.log10(2.0 / nAll)), maxlg - 0.3)
+      if (maxlg < minlg) Seq.empty
+      else {
+        val npts = 2 + ((maxlg - minlg) / 0.1).toInt
+        (0 until npts).map { i =>
+          val lg = minlg + i * (maxlg - minlg) / (npts - 1)
+          (p, math.max(2L, graft.expr.VecExprs.roundHalfAway(2.0 / math.pow(10.0, lg))))
+        }.distinct
+      }
+    }.distinct
+  }
+
+  /** Pre-binned spectrum over an EXPLICIT (p_us, m_steps) trial list —
+    * the reference-density path (t6). Same multi-resolution scheme as
+    * [[spectrumPrebinned]], but the finest bin width derives from the
+    * shortest trial box and each trial routes to the coarsest level
+    * whose width ≤ its box duration / 4. */
+  def spectrumPrebinnedTrials(df: DataFrame, tUs: String, vc: String,
+                              trials: Seq[(Long, Long)],
+                              levels: Int = 5): DataFrame = {
+    val mmRow = df.agg(
+      min(col(tUs)).as("t0"), max(col(tUs)).as("t1"),
+      count(lit(1)).as("nall"), sum(col(vc)).as("sall")).collect()(0)
+    val t0 = mmRow.getLong(0); val t1 = mmRow.getLong(1)
+    val nall = mmRow.getLong(2); val sall = mmRow.getLong(3)
+    val gmean = sall.toDouble / nall / 100.0
+    val minDur = trials.map { case (p, m) => p / m * 2 }.min
+    val widths = (0 until levels).map(l => math.max(1L, minDur / 4 * (1L << (2 * l))))
+    // One full-data shuffle: only level 0 aggregates the samples;
+    // coarser levels roll up level-0 bins ((t−t0) div (w0·f) ≡
+    // bin0 div f exactly, and every w_l is w0·4^l — or all 1 when
+    // minDur/4 == 0). The level-0 exchange is shared by all branches
+    // (ReuseExchange), so the rollups shuffle only #bins rows.
+    val base0 = df.groupBy(expr(s"($tUs - $t0) div ${widths(0)}").as("bin0"))
+      .agg(count(lit(1)).as("n"), sum(col(vc)).as("s"))
+    val binned = widths.zipWithIndex.map { case (w, l) =>
+      val f = w / widths(0)
+      (if (l == 0) base0.withColumnRenamed("bin0", "bin")
+       else base0.groupBy(expr(s"bin0 div $f").as("bin"))
+         .agg(sum(col("n")).as("n"), sum(col("s")).as("s")))
+        .withColumn("tmid", lit(t0) + col("bin") * w + w / 2)
+        .withColumn("lvl", lit(l))
+    }.reduce(_ unionByName _)
+    val routed = trials.map { case (p, m) =>
+      val dur = p / m * 2
+      (p, m, widths.lastIndexWhere(_ <= math.max(1L, dur / 4)) max 0)
+    }
+    val trialsDf = df.sparkSession.createDataFrame(routed).toDF("p_us", "m_steps", "lvl")
+    val w = Window.partitionBy("p_us")
+      .orderBy(col("box_mean").asc, col("m_steps").asc, col("m").asc)
+    binned.join(broadcast(trialsDf), "lvl")
+      .withColumn("phase_us", pmod(col("tmid") - t0, col("p_us")))
+      .withColumn("m1", expr("(phase_us * m_steps) div p_us"))
+      .withColumn("d", explode(array(lit(0), lit(1))))
+      .withColumn("m", pmod(col("m1") - col("d") + col("m_steps"), col("m_steps")))
+      .groupBy("p_us", "m_steps", "m")
+      .agg(sum(col("n")).as("n_in"), sum(col("s")).as("s_in"))
+      .withColumn("box_mean", col("s_in").cast("double") / col("n_in") / 100.0)
+      .withColumn("depth", lit(gmean) - col("box_mean"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      // no 6dp rounding here: s_in/n_in/100.0 is the same IEEE double
+      // in Spark and DuckDB, so raw doubles hash-match — rounding only
+      // adds boundary risk (a dense grid WILL hit an x.xxxxxx5 value).
+      .select(col("p_us"), col("m_steps"), col("m"), col("n_in"),
+        col("box_mean"), col("depth"))
+  }
+
   /** SNR over a per-period spectrum (ref main.py:5742–5801): signal =
     * power − rolling median of the spectrum (kernel 2·half+1, ref
     * sizekern=51 at main.py:5316), noise = GLOBAL percentile-robust
