@@ -30,6 +30,21 @@ object Extras {
       |  FROM events)""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    // S5 — user-CSV scan (ref np.loadtxt ingest main.py:10222–10233):
+    // explicit schema, sanity filter flux < 1e6, err synthesized as
+    // 1e-4·flux, global sort by time. The fixture is a deterministic
+    // user file written by a pure-JVM helper (no Spark job at plan
+    // construction); the oracle reads the identical file with DuckDB
+    // read_csv.
+    "s5_csv_scan" -> ((s, d) => {
+      val path = graft.sources.CsvFixture.ensure()
+      s.read.schema("t_us LONG, flux DOUBLE").option("header", "true").csv(path)
+        .filter(col("flux") < 1e6)
+        .withColumn("err", col("flux") * 1e-4)
+        .select("t_us", "flux", "err")
+        .orderBy("t_us")
+    }),
+
     // J2 — nearest-neighbor crossmatch (ref MAST cone match
     // main.py:8552–8567): closest supplier by account-balance distance
     // within a tolerance, rank-1 per probe, deterministic tie-break.
@@ -182,6 +197,13 @@ object Extras {
   )
 
   val oracle: Map[String, String] = Map(
+    "s5_csv_scan" ->
+      s"""SELECT t_us, flux, flux * 1e-4 AS err
+         |FROM read_csv('${graft.sources.CsvFixture.path}', header=true,
+         |  columns={'t_us': 'BIGINT', 'flux': 'DOUBLE'})
+         |WHERE flux < 1000000.0
+         |ORDER BY t_us""".stripMargin,
+
     "j2_nn_crossmatch" ->
       """WITH probes AS (SELECT c_custkey, CAST(round(c_acctbal*100) AS BIGINT) AS ca
         |               FROM customer WHERE c_custkey < 20),
