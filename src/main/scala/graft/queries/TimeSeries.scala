@@ -159,6 +159,66 @@ object TimeSeries {
         .orderBy("user_id", "s_us")
     }),
 
+    // §2.10 — streaming APPEND mode with a working watermark: the
+    // fixture is three parquet files = three micro-batches
+    // (maxFilesPerTrigger=1 + AvailableNow): [E, E+10d), [E+10d,
+    // E+20d), then the on-time tail PLUS late duplicates of the first
+    // day — a full watermark behind, which the engine must DROP (the
+    // real §2.10 late-data contract; st2/st3 run complete mode where
+    // the watermark never evicts). Append emits a window when the
+    // watermark passes its end; the watermark in force during the
+    // last batch derives from files 1–2 only (stats apply one batch
+    // later), so the declared result is exactly the closed windows
+    // over on-time rows below E+20d — which the oracle computes in
+    // plain SQL, ms-truncating the max event time the way the
+    // engine's per-batch stats do.
+    "st4_stream_append" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val C1 = E + 10 * PDAY; val C2 = E + 20 * PDAY
+      val root = new java.io.File(
+        s"/tmp/graft_st4_${Integer.toHexString(d.hashCode)}")
+      val dataDir = new java.io.File(root, "data")
+      org.apache.commons.io.FileUtils.deleteQuietly(root)
+      dataDir.mkdirs()
+      val src = events(s, d)
+        .select(col("ts"), col("event_type"), col("value"))
+        .withColumn("t_us", unix_micros(col("ts")))
+      val batches = Seq(
+        src.filter(col("t_us") < C1),
+        src.filter(col("t_us") >= C1 && col("t_us") < C2),
+        src.filter(col("t_us") >= C2)
+          .unionByName(src.filter(col("t_us") < E + PDAY)))
+      batches.zipWithIndex.foreach { case (b, i) =>
+        val stage = new java.io.File(root, s"w$i").toString
+        b.drop("t_us").coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(dataDir, f"b$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified(1000000000000L + i * 60000L)
+      }
+      val schema = s.read.parquet(dataDir.toString).schema
+      val stream = s.readStream.schema(schema)
+        .option("basePath", dataDir.toString)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$dataDir/*.parquet")
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(graft.core.Tables.cents(col("value"))).as("sc"))
+      val q = stream.writeStream
+        .format("memory").queryName("st4_sink")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("st4_sink")
+        .select(unix_micros(col("w.start")).as("w_us"), col("event_type"),
+          col("n"), (col("sc").cast("long") / 100.0).as("sum_value"))
+        .orderBy("w_us", "event_type")
+    }),
+
     // A10 — sessionization (gaps-and-islands, ref main.py:6347–6368):
     // 30-min inactivity threshold, per-session aggregates.
     "a10_sessionize" -> ((s, d) => {
@@ -485,6 +545,26 @@ object TimeSeries {
            |SELECT t_us - (t_us % 3600000000) AS w_us, event_type,
            |  count(*) AS n, CAST(sum(vc) AS BIGINT) / 100.0 AS sum_value
            |FROM base GROUP BY 1, 2 ORDER BY w_us, event_type""".stripMargin,
+
+      // closed windows only: the engine's final no-data micro-batch
+      // (noDataMicroBatches, on by default) applies the watermark from
+      // the last data batch, so the final effective watermark is the
+      // ms-truncated max event time over ALL on-time rows minus the
+      // 1 h delay, and every window it passed is emitted. The late
+      // duplicates never appear — they arrive a full watermark behind
+      // and the engine drops them (their early windows would
+      // double-count otherwise, so the hash check proves the drop).
+      "st4_stream_append" ->
+        s"""WITH $baseSql,
+           |ontime AS (SELECT t_us, event_type, vc FROM base),
+           |wm AS (SELECT (max(t_us) // 1000) * 1000 - 3600000000 AS wm_us
+           |       FROM ontime),
+           |agg AS (SELECT t_us - (t_us % 3600000000) AS w_us, event_type,
+           |    count(*) AS n, CAST(sum(vc) AS BIGINT) / 100.0 AS sum_value
+           |  FROM ontime GROUP BY 1, 2)
+           |SELECT w_us, event_type, n, sum_value FROM agg, wm
+           |WHERE w_us + 3600000000 <= wm_us
+           |ORDER BY w_us, event_type""".stripMargin,
 
       // identical gaps-and-islands oracle as st_session_window — the
       // streaming query must produce the same sessions as the batch

@@ -63,6 +63,41 @@ class StreamingSpec extends SparkSpec {
     assert(w0.get.getAs[Long]("n") === 2L)
   }
 
+  test("declared st4 drops its late fixture rows (engine metric + batch equivalence)") {
+    // the declared append-mode query feeds late duplicates of the
+    // first day in its third micro-batch; the engine must drop them —
+    // proven two ways: the micro-batch engine's own
+    // numRowsDroppedByWatermark metric, and bit-equality of the early
+    // windows against a batch aggregation WITHOUT the duplicates.
+    val dropped = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        e.progress.stateOperators.foreach(s => dropped.addAndGet(s.numRowsDroppedByWatermark))
+    }
+    spark.streams.addListener(listener)
+    val out =
+      try SparkEntry.queries("st4_stream_append")(spark, sf).collect()
+      finally spark.streams.removeListener(listener)
+    assert(dropped.get() > 0, "watermark dropped no rows — late fixture not exercised")
+    val batch = graft.core.Tables.events(spark, sf)
+      .select(unix_micros(col("ts")).as("t_us"), col("event_type"),
+        graft.core.Tables.cents(col("value")).as("vc"))
+      .groupBy((col("t_us") - col("t_us") % 3600000000L).as("w_us"), col("event_type"))
+      .agg(count(lit(1)).as("n"), (sum(col("vc")).cast("long") / 100.0).as("sum_value"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    // every emitted window matches the duplicate-free batch counts
+    out.foreach { r =>
+      val k = (r.getLong(0), r.getString(1))
+      assert(batch(k) === ((r.getLong(2), r.getDouble(3))), s"window $k differs")
+    }
+    assert(out.nonEmpty && out.length < batch.size,
+      "append mode must emit only closed windows")
+  }
+
   test("stateful flare trigger fires on an injected spike train") {
     import spark.implicits._
     val E = 1704067200000000L
