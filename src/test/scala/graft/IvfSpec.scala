@@ -8,7 +8,7 @@ import graft.ann.Ivf
 class IvfSpec extends SparkSpec {
   import spark.implicits._
 
-  test("IVF recall@10 vs brute force is high with nProbe=4 of k=8") {
+  test("IVF recall@10 vs brute force: >=0.8 at nProbe=4, exact at nProbe=8, monotone in probes") {
     val emb = graft.core.Tables.embeddings(spark, sf)
     val queries = Seq(0L, 1L, 2L)
 
@@ -32,13 +32,27 @@ class IvfSpec extends SparkSpec {
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
 
     val centroids = Ivf.train(emb, k = 8, iters = 2)
-    val approx = Ivf.search(emb, centroids, queries, nProbe = 4, topK = 10)
-      .select("q_id", "vec_id").collect()
-      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
-
+    // probe-count sweep: recall must not decrease as more posting
+    // lists are probed (more candidates is a superset), must clear
+    // 0.8 at half the lists, and probing ALL lists IS brute force.
+    val meanRecall = Seq(1, 2, 4, 8).map { nProbe =>
+      val approx = Ivf.search(emb, centroids, queries, nProbe = nProbe, topK = 10)
+        .select("q_id", "vec_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val per = queries.map(q =>
+        q -> (exact(q) intersect approx.getOrElse(q, Set.empty)).size / 10.0)
+      nProbe -> (per.map(_._2).sum / per.size, per.toMap)
+    }
+    meanRecall.sliding(2).foreach { case Seq((p1, (m1, _)), (p2, (m2, _))) =>
+      assert(m2 >= m1, s"mean recall fell from $m1 (nProbe=$p1) to $m2 (nProbe=$p2)")
+    }
+    val at4 = meanRecall.find(_._1 == 4).get._2._2
     queries.foreach { q =>
-      val recall = (exact(q) intersect approx.getOrElse(q, Set.empty)).size / 10.0
-      assert(recall >= 0.5, s"query $q recall $recall; got ${approx.get(q)}")
+      assert(at4(q) >= 0.8, s"query $q recall ${at4(q)} < 0.8 at nProbe=4")
+    }
+    val at8 = meanRecall.find(_._1 == 8).get._2._2
+    queries.foreach { q =>
+      assert(at8(q) == 1.0, s"query $q recall ${at8(q)} != 1.0 probing all lists")
     }
   }
 }
