@@ -19,20 +19,34 @@ object Ensemble {
     *
     * @param logLik  log-likelihood of a parameter vector
     * @param lo,hi   per-parameter uniform prior bounds
+    * @param init    optional walker-initialization center: walkers
+    *                start in a ±ballFrac·(hi−lo) ball around it (the
+    *                emcee/tdpy.samp pattern — the reference seeds
+    *                walkers around the prior parameter means,
+    *                meangauspara main.py:12128; a sharply peaked
+    *                likelihood is never found from uniform init).
+    *                None → uniform over the prior box.
     * @return (samples, acceptance rate): samples after burn-in,
     *         flattened across walkers, each row one parameter vector.
     */
   def sample(logLik: Array[Double] => Double,
              lo: Array[Double], hi: Array[Double],
              nWalkers: Int = 32, nSteps: Int = 200, burnFrac: Double = 0.3,
-             seed: Long = 42L, a: Double = 2.0): (Array[Array[Double]], Double) = {
+             seed: Long = 42L, a: Double = 2.0,
+             init: Option[Array[Double]] = None,
+             ballFrac: Double = 0.02): (Array[Array[Double]], Double) = {
     require(lo.length == hi.length)
     val nd = lo.length
     val rng = new Random(seed)
     def clamp(v: Double, d: Int): Double = math.min(hi(d), math.max(lo(d), v))
 
     var walkers = Array.fill(nWalkers) {
-      Array.tabulate(nd)(d => lo(d) + rng.nextDouble() * (hi(d) - lo(d)))
+      init match {
+        case Some(c) => Array.tabulate(nd)(d => clamp(
+          c(d) + (2 * rng.nextDouble() - 1) * ballFrac * (hi(d) - lo(d)), d))
+        case None =>
+          Array.tabulate(nd)(d => lo(d) + rng.nextDouble() * (hi(d) - lo(d)))
+      }
     }
     var lls = walkers.map(logLik)
     val burn = (nSteps * burnFrac).toInt
@@ -58,6 +72,28 @@ object Ensemble {
       if (step >= burn) walkers.foreach(w => out += w.clone)
     }
     (out.result(), accepted.toDouble / proposed)
+  }
+
+  /** Walker-ball center for a box fit on a phase-binned curve: slide a
+    * `durGuess`-wide CIRCULAR window over the bins (a mini-BLS) and
+    * take the deepest window's center as the epoch and its deficit
+    * below the global mean as the depth — robust where the single
+    * deepest bin sits on a transit edge (which strands the ball in a
+    * no-overlap local optimum). Deterministic: first index wins ties.
+    * Returns Array(depth0, epoch0 ∈ [−P/2, P/2), durGuess). */
+  def boxGuess(t: Array[Double], y: Array[Double],
+               period: Double, durGuess: Double): Array[Double] = {
+    val nb = y.length
+    val h = math.max(1, math.rint(nb * durGuess / period).toInt / 2)
+    def winMean(c: Int): Double = {
+      var s = 0.0; var k = -h
+      while (k <= h) { s += y(((c + k) % nb + nb) % nb); k += 1 }
+      s / (2 * h + 1)
+    }
+    val best = (0 until nb).minBy(winMean)
+    val eRaw = t(best)
+    val epoch0 = if (eRaw >= period / 2) eRaw - period else eRaw
+    Array(y.sum / nb - winMean(best), epoch0, durGuess)
   }
 
   /** Posterior 16/50/84 percentiles per parameter (ref A3,

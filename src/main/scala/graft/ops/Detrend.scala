@@ -69,6 +69,57 @@ object Detrend {
     t.map(ti => dot(basis(ti), coef))
   }
 
+  /** Matérn-3/2 GP marginal log-likelihood of residuals `r` at times
+    * `t` — the same exact state-space form as [[gpBaseline]], forward
+    * pass only: the Kalman innovations give the marginal likelihood
+    * Σ −½(ν²/S + log(2πS)) in O(n) (ref retr_llik_mile main.py:735–850,
+    * GP-baseline branch; kernel main.py:6797–6833). Used as the T13
+    * fit likelihood so correlated baseline wiggle is marginalized out
+    * instead of absorbed into the transit depth. */
+  def gpLogLik(t: Array[Double], r: Array[Double], yerr: Array[Double],
+               sigma: Double, rho: Double): Double = {
+    val n = t.length
+    if (n == 0) return 0.0
+    val lam = math.sqrt(3.0) / rho
+    val s2 = sigma * sigma
+    val p11 = s2; val p22 = s2 * lam * lam
+    var m0 = 0.0; var m1 = 0.0
+    var c00 = p11; var c01 = 0.0; var c11 = p22
+    var ll = 0.0
+    var i = 0
+    while (i < n) {
+      if (i > 0) {
+        val dt = t(i) - t(i - 1)
+        val e = math.exp(-lam * dt)
+        val a00 = e * (1 + lam * dt); val a01 = e * dt
+        val a10 = -e * lam * lam * dt; val a11 = e * (1 - lam * dt)
+        val nm0 = a00 * m0 + a01 * m1
+        val nm1 = a10 * m0 + a11 * m1
+        val q00 = p11 - (a00 * (a00 * p11) + a01 * (a01 * p22))
+        val q01 = -(a10 * (a00 * p11) + a11 * (a01 * p22))
+        val q11 = p22 - (a10 * (a10 * p11) + a11 * (a11 * p22))
+        val t00 = a00 * c00 + a01 * c01; val t01 = a00 * c01 + a01 * c11
+        val t10 = a10 * c00 + a11 * c01; val t11 = a10 * c01 + a11 * c11
+        c00 = t00 * a00 + t01 * a01 + q00
+        c01 = t00 * a10 + t01 * a11 + q01
+        c11 = t10 * a10 + t11 * a11 + q11
+        m0 = nm0; m1 = nm1
+      }
+      val rv = yerr(i) * yerr(i)
+      val sInn = c00 + rv
+      val nu = r(i) - m0
+      ll += -0.5 * (nu * nu / sInn + math.log(2.0 * math.Pi * sInn))
+      val k0 = c00 / sInn; val k1 = c01 / sInn
+      m0 += k0 * nu; m1 += k1 * nu
+      val nc00 = (1 - k0) * c00
+      val nc01 = (1 - k0) * c01
+      val nc11 = c11 - k1 * c01
+      c00 = nc00; c01 = nc01; c11 = nc11
+      i += 1
+    }
+    ll
+  }
+
   /** Matérn-3/2 GP posterior mean by Kalman filtering + RTS smoothing
     * of its exact state-space representation (state = [f, f']):
     * kernel k(τ) = σ²(1 + λτ)e^(−λτ), λ = √3/ρ. O(n), numerically

@@ -152,32 +152,131 @@ object Advanced {
         .orderBy("part", "id")
     }),
 
-    // T13 — deterministic seeded MCMC fit of a box depth on a collected
-    // window; rows-only check (sampler not SQL-expressible).
+    // T13 — seeded MCMC fit at REFERENCE fidelity (proc_modl settings
+    // main.py:12131–12133: 100 walkers × 100 steps, 30% burn) of a
+    // 3-parameter box model (depth, epoch, duration) on a collected
+    // window, under the Matérn-3/2 GP likelihood (retr_llik_mile
+    // main.py:735–850 GP branch — the Kalman-innovation form shared
+    // with the T3 detrend kernel), so correlated baseline structure is
+    // marginalized instead of polluting the depth posterior. Driver
+    // runs the walker loop over the small collected window — the
+    // reference's own division of labor; Spark parallelizes ACROSS
+    // fits (t13b). Rows-only check (sampler not SQL-expressible);
+    // EnsembleSpec pins recovery + determinism.
     "t13_mcmc_fit" -> ((s, d) => {
       import s.implicits._
-      val rows = base(s, d).filter(col("user_id") === 1)
-        .orderBy("t_us").limit(400)
-        .select(col("t_us"), col("value")).collect()
-      val t = rows.map(r => (r.getLong(0) - 1704067200000000L).toDouble / 86400e6)
-      val vals = rows.map(_.getDouble(1))
-      val m = vals.sum / vals.length
-      val y = vals.map(_ / m)
-      val yerr = Array.fill(y.length)(0.3)
+      val E = 1704067200000000L; val PDAY = 86400000000L; val P7 = 7L * PDAY
+      // t6b-style injected fixture anchored at the data epoch: uniform
+      // 30-d grid, integer-LCG noise, a 3%-deep 1-d box at phase 0 —
+      // the events fixture carries no transit, and a fit that provably
+      // RECOVERS a known signal is the fidelity check (injection-
+      // recovery, same contract as t6b/t14). Spark builds and
+      // phase-bins the series (one shuffle, exact integer sums); the
+      // driver collects the 200-bin fit window and runs the walker
+      // loop — the reference's division of labor.
+      val n = 4000L
+      val step = 30L * PDAY / n
+      val bins = base(s, d).agg(min(col("t_us")).as("t0"))
+        .withColumn("i", explode(sequence(lit(0L), lit(n - 1))))
+        .withColumn("g_us", col("t0") + col("i") * step)
+        .withColumn("r", (col("i") % 65536L * 1103515245L + 12345L) % 2147483648L)
+        .withColumn("noise", (col("r").cast("double") / 2147483648.0 - 0.5) * 0.004)
+        .withColumn("ph", pmod(col("g_us") - col("t0"), lit(P7)))
+        .withColumn("flux", lit(1.0)
+          - when(col("ph") < PDAY / 2 || col("ph") > P7 - PDAY / 2, 0.03).otherwise(0.0)
+          + col("noise"))
+        .withColumn("fc", round(col("flux") * 1e6).cast("long"))
+        .withColumn("b", expr(s"(ph * 200) div $P7"))
+        .groupBy("b").agg(count(lit(1)).as("n"), sum(col("fc")).as("sv"))
+        .orderBy("b")
+        .collect()
+      val t = bins.map(r => (r.getLong(0).toDouble + 0.5) * 7.0 / 200)
+      val y = bins.map(r => r.getLong(2).toDouble / r.getLong(1) / 1e6)
+      val yerr = Array.fill(y.length)(0.0004)
       def ll(p: Array[Double]): Double = {
-        val model = graft.model.Ensemble.boxModel(t, p(1), 7.0, 1.0, p(0))
-        graft.model.Ensemble.gaussianLogLik(y, yerr, model)
+        val model = graft.model.Ensemble.boxModel(t, p(1), 7.0, p(2), p(0))
+        val resid = Array.tabulate(y.length)(i => y(i) - model(i))
+        graft.ops.Detrend.gpLogLik(t, resid, yerr, sigma = 0.002, rho = 5.0)
       }
+      // data-derived walker-ball center (the reference seeds walkers
+      // around prior means): a mini-BLS — the deepest 1-day CIRCULAR
+      // window of bins, not the single deepest bin, whose argmin can
+      // sit on a transit edge and strand the ball in a no-overlap
+      // local optimum.
+      val guess = graft.model.Ensemble.boxGuess(t, y, 7.0, 1.0)
       val (samples, acc) = graft.model.Ensemble.sample(ll,
-        lo = Array(-0.5, 0.0), hi = Array(0.5, 7.0),
-        nWalkers = 16, nSteps = 60, seed = 42L)
+        lo = Array(-0.2, -3.5, 0.2), hi = Array(0.2, 3.5, 2.0),
+        nWalkers = 100, nSteps = 100, burnFrac = 0.3, seed = 42L,
+        init = Some(guess), ballFrac = 0.005)
       val pct = graft.model.Ensemble.percentiles(samples)
       Seq(
+        ("acceptance", acc, acc, acc),
         ("depth", pct(0)(0), pct(0)(1), pct(0)(2)),
-        ("epoch", pct(1)(0), pct(1)(1), pct(1)(2)),
-        ("acceptance", acc, acc, acc))
+        ("dur", pct(2)(0), pct(2)(1), pct(2)(2)),
+        ("epoch", pct(1)(0), pct(1)(1), pct(1)(2)))
         .toDF("param", "p16", "p50", "p84")
         .orderBy("param")
+    }),
+
+    // T13 per-energy-bin fits, SPARK-PARALLEL (ref main.py:12301–12316:
+    // typemodlenerfitt='iter' loops the whole fit once per energy bin —
+    // here the loop IS the shuffle key): phase-fold each energy bin at
+    // P7 into 200 exact-integer phase bins (one aggregation), then
+    // groupByKey(ener).mapGroups runs the full 100×100 GP-likelihood
+    // ensemble fit per bin in its own task. The output is the per-ener
+    // depth posterior — the transmission-spectrum table en1 summarizes
+    // descriptively, now with 16/50/84 uncertainties. Deterministic:
+    // integer bin sums, sorted group iteration, per-ener seed.
+    "t13b_mcmc_perener" -> ((s, d) => {
+      import s.implicits._
+      val PDAY = 86400000000L; val P7 = 7L * PDAY
+      val nb = 200; val n = 4000L
+      val step = 30L * PDAY / n
+      // 8 energy bins with an injected DEPTH RAMP 0.015 + 0.003·ener —
+      // the per-ener fits must recover a transmission-spectrum slope,
+      // not just one depth. Grid+inject+bin is one Spark aggregation;
+      // then groupByKey(ener).mapGroups runs the full 100×100 ensemble
+      // fit per energy bin in its own task. Deterministic: integer bin
+      // sums, sorted group iteration, per-ener seed.
+      val bins = base(s, d).agg(min(col("t_us")).as("t0"))
+        .withColumn("ener", explode(sequence(lit(0L), lit(7L))))
+        .withColumn("i", explode(sequence(lit(0L), lit(n - 1))))
+        .withColumn("g_us", col("t0") + col("i") * step)
+        .withColumn("r",
+          ((col("i") + col("ener") * 7919L) % 65536L * 1103515245L + 12345L) % 2147483648L)
+        .withColumn("noise", (col("r").cast("double") / 2147483648.0 - 0.5) * 0.004)
+        .withColumn("ph", pmod(col("g_us") - col("t0"), lit(P7)))
+        .withColumn("dtrue", lit(0.015) + col("ener") * lit(0.003))
+        .withColumn("flux", lit(1.0)
+          - when(col("ph") < PDAY / 2 || col("ph") > P7 - PDAY / 2, col("dtrue"))
+            .otherwise(0.0)
+          + col("noise"))
+        .withColumn("fc", round(col("flux") * 1e6).cast("long"))
+        .withColumn("b", expr(s"(ph * $nb) div $P7"))
+        .groupBy("ener", "b")
+        .agg(count(lit(1)).as("n"), sum(col("fc")).as("sv"))
+        .select(col("ener"), col("b"), col("n"), col("sv"))
+        .as[(Long, Long, Long, Long)]
+      bins.groupByKey(_._1).mapGroups { (ener, it) =>
+        val rs = it.toArray.sortBy(_._2)
+        val t = rs.map(r => (r._2.toDouble + 0.5) * 7.0 / nb)
+        val y = rs.map(r => r._4.toDouble / r._3 / 1e6)
+        val yerr = Array.fill(y.length)(0.0004)
+        def ll(p: Array[Double]): Double = {
+          val model = graft.model.Ensemble.boxModel(t, p(1), 7.0, p(2), p(0))
+          val resid = Array.tabulate(y.length)(i => y(i) - model(i))
+          graft.ops.Detrend.gpLogLik(t, resid, yerr, sigma = 0.002, rho = 5.0)
+        }
+        val guess = graft.model.Ensemble.boxGuess(t, y, 7.0, 1.0)
+        val (samples, acc) = graft.model.Ensemble.sample(ll,
+          lo = Array(-0.2, -3.5, 0.2), hi = Array(0.2, 3.5, 2.0),
+          nWalkers = 100, nSteps = 100, burnFrac = 0.3, seed = 42L + ener,
+          init = Some(guess), ballFrac = 0.005)
+        val pct = graft.model.Ensemble.percentiles(samples)
+        def r6(x: Double) = math.rint(x * 1e6) / 1e6
+        (ener, r6(pct(0)(0)), r6(pct(0)(1)), r6(pct(0)(2)), r6(acc))
+      }.toDF("ener", "depth_p16", "depth_p50", "depth_p84", "acceptance")
+        .orderBy("ener")
     }),
 
     // P1 — posterior derived-feature column math (calc_feat_alle, ref

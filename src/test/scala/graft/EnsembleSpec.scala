@@ -39,4 +39,48 @@ class EnsembleSpec extends AnyFunSuite {
     val (s2, _) = Ensemble.sample(ll, Array(0.0), Array(10.0), 8, 50, seed = 7L)
     assert(s1.map(_.toSeq) sameElements s2.map(_.toSeq))
   }
+
+  test("GP likelihood fit at reference volume (100x100, ball init) beats the white-noise trap") {
+    // 200-bin folded curve with correlated baseline wiggle + 1-day box:
+    // the Matérn-3/2 marginal likelihood must recover the depth the
+    // white-noise likelihood biases (baseline wiggle leaks into depth).
+    val nb = 200; val period = 7.0
+    val t = Array.tabulate(nb)(b => (b + 0.5) * period / nb)
+    val trueDepth = 0.021
+    val wiggle = t.map(ti => 0.002 * math.sin(2 * math.Pi * ti / 3.1))
+    val box = Ensemble.boxModel(t, 0.0, period, 1.0, trueDepth)
+    val rng = new scala.util.Random(5)
+    val y = Array.tabulate(nb)(i => box(i) + wiggle(i) + 0.0004 * rng.nextGaussian())
+    val yerr = Array.fill(nb)(0.0004)
+    def ll(p: Array[Double]): Double = {
+      val m = Ensemble.boxModel(t, p(1), period, p(2), p(0))
+      val resid = Array.tabulate(nb)(i => y(i) - m(i))
+      graft.ops.Detrend.gpLogLik(t, resid, yerr, sigma = 0.002, rho = 5.0)
+    }
+    val guess = Ensemble.boxGuess(t, y, period, 1.0)
+    assert(math.abs(guess(1)) < 0.5, s"mini-BLS epoch guess off: ${guess(1)}")
+    val (samples, acc) = Ensemble.sample(ll,
+      lo = Array(-0.2, -3.5, 0.2), hi = Array(0.2, 3.5, 2.0),
+      nWalkers = 100, nSteps = 100, burnFrac = 0.3, seed = 42L,
+      init = Some(guess), ballFrac = 0.005)
+    assert(acc > 0.1 && acc < 0.9, s"acceptance $acc unhealthy")
+    val pct = Ensemble.percentiles(samples)
+    assert(math.abs(pct(0)(1) - trueDepth) < 0.003,
+      s"GP-likelihood depth ${pct(0)(1)} vs $trueDepth")
+    assert(math.abs(pct(1)(1)) < 0.2, s"epoch ${pct(1)(1)} not near 0")
+    assert(math.abs(pct(2)(1) - 1.0) < 0.3, s"dur ${pct(2)(1)} not near 1")
+  }
+
+  test("boxGuess centers the deepest circular window, not an edge bin") {
+    val nb = 200; val period = 7.0
+    val t = Array.tabulate(nb)(b => (b + 0.5) * period / nb)
+    // dip straddling the fold boundary; deepest single bin forced onto
+    // the dip EDGE by a noise spike there
+    val box = Ensemble.boxModel(t, 0.0, period, 1.0, 0.02)
+    val y = box.clone()
+    y(nb - 15) -= 0.005 // spike near the trailing edge
+    val g = Ensemble.boxGuess(t, y, period, 1.0)
+    assert(math.abs(g(1)) < 0.3, s"epoch guess ${g(1)} should be ~0")
+    assert(g(0) > 0.01 && g(0) < 0.03, s"depth guess ${g(0)}")
+  }
 }
