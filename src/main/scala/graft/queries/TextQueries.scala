@@ -440,6 +440,79 @@ object TextQueries {
         .orderBy("source", "lang")
     }),
 
+    // D11 — TF-IDF term weighting (sklearn-style smooth idf =
+    // ln((1+N)/(1+df)) + 1), top-3 terms per doc ranked by the
+    // INTEGERIZED weight (round at 1e6 — the rank key must be
+    // engine-stable; raw doubles through ln() carry ~1-ulp libm skew).
+    // N arrives as a one-row frame (no probe job); the vocabulary-
+    // sized df aggregate joins without a forced broadcast — AQE
+    // broadcasts it while it fits, shuffle-joins at web-scale vocab.
+    "d11_tfidf" -> ((s, d) => {
+      val toks = documents(s, d).select(col("doc_id"),
+        explode(split(col("text"), " ")).as("tok")).filter(col("tok") =!= "")
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("n_td"))
+      val dfq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val nd = documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id").orderBy(col("si").desc, col("tok").asc)
+      tf.join(dfq, "tok").crossJoin(broadcast(nd))
+        .withColumn("si", round(col("n_td") *
+          (log((lit(1) + col("n_docs")) / (lit(1) + col("df"))) + 1) * 1e6).cast("long"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk").cast("long").as("rnk"),
+          col("tok"), col("si"))
+        .orderBy("doc_id", "rnk")
+    }),
+
+    // D12 — BM25 retrieval scoring (k1=1.2, b=0.75, robertson idf =
+    // ln((N − df + 0.5)/(df + 0.5) + 1)) of a fixed 3-term query over
+    // the corpus, top-20 docs by integerized score. Same shuffle shape
+    // as d11 plus a per-doc length aggregate; the query-term filter
+    // prunes the tf table to 3 terms before any join.
+    "d12_bm25" -> ((s, d) => {
+      val qterms = Seq("join", "hash", "scan")
+      val toks = documents(s, d).select(col("doc_id"),
+        explode(split(col("text"), " ")).as("tok")).filter(col("tok") =!= "")
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("n_td"))
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val dfq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val stats = documents(s, d).agg(count(lit(1)).as("n_docs"))
+        .crossJoin(dl.agg((sum(col("dl")).cast("double") / count(lit(1))).as("avgdl")))
+      tf.filter(col("tok").isin(qterms: _*))
+        .join(dfq, "tok").join(dl, "doc_id").crossJoin(broadcast(stats))
+        .withColumn("idf",
+          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1))
+        .withColumn("contrib", col("idf") * col("n_td") * 2.2 /
+          (col("n_td") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+        // integerize per-term BEFORE summing: a 3-double sum is
+        // order-dependent, and Spark's partial aggregation order is not
+        .withColumn("ci", round(col("contrib") * 1e6).cast("long"))
+        .groupBy("doc_id")
+        .agg(sum(col("ci")).cast("long").as("si"),
+          count(lit(1)).as("n_terms"))
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("si").desc, col("doc_id").asc)))
+        .filter(col("rnk") <= 20)
+        .select(col("rnk").cast("long").as("rnk"), col("doc_id"),
+          col("n_terms"), col("si"))
+        .orderBy("rnk")
+    }),
+
+    // D13 — sliding-window document chunking: 50-token chunks at
+    // stride 40 (10-token overlap), the training-data shard primitive.
+    // Row-local (split + sequence explode + slice) — zero shuffles
+    // before the output sort; chunk text reported by content hash.
+    "d13_chunking" -> ((s, d) => {
+      documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .withColumn("n", size(col("tk")))
+        .withColumn("c", explode(sequence(lit(0L), expr("(n - 1) div 40"))))
+        .withColumn("chunk", expr("slice(tk, c * 40 + 1, 50)"))
+        .select(col("doc_id"), col("c"), size(col("chunk")).cast("long").as("n_tok"),
+          md5(array_join(col("chunk"), " ")).as("chunk_md5"))
+        .orderBy("doc_id", "c")
+    }),
+
     // M1 — multimodal scaffold: opaque binary payload + typed metadata
     // (byte length, content-hash head); the decode stage itself is a
     // stubbed kernel in graft.multimodal (no image libs in-container).
@@ -453,6 +526,53 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "d11_tfidf" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS n_td FROM toks
+        |       WHERE tok <> '' GROUP BY 1, 2),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (SELECT doc_id, tok,
+        |    CAST(round(n_td * (ln((1 + n_docs) / (1 + df)) + 1) * 1e6)
+        |      AS BIGINT) AS si
+        |  FROM tf JOIN df USING (tok), nd),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY si DESC, tok ASC) AS rnk FROM sc)
+        |SELECT doc_id, rnk, tok, si FROM rk WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin,
+
+    "d12_bm25" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS n_td FROM toks
+        |       WHERE tok <> '' GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks WHERE tok <> '' GROUP BY 1),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |ad AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |sc AS (SELECT doc_id, count(*) AS n_terms,
+        |    CAST(sum(CAST(round(
+        |      ln((n_docs - df + 0.5) / (df + 0.5) + 1) * n_td * 2.2 /
+        |      (n_td + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 1e6) AS BIGINT))
+        |      AS BIGINT) AS si
+        |  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id), nd, ad
+        |  WHERE tok IN ('join', 'hash', 'scan') GROUP BY doc_id),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY si DESC, doc_id ASC) AS rnk
+        |       FROM sc)
+        |SELECT rnk, doc_id, n_terms, si FROM rk WHERE rnk <= 20
+        |ORDER BY rnk""".stripMargin,
+
+    "d13_chunking" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |e AS (SELECT doc_id, tk,
+        |    unnest(generate_series(0, (len(tk) - 1) // 40)) AS c
+        |  FROM t)
+        |SELECT doc_id, c, len(list_slice(tk, c * 40 + 1, c * 40 + 50)) AS n_tok,
+        |  md5(array_to_string(list_slice(tk, c * 40 + 1, c * 40 + 50), ' '))
+        |    AS chunk_md5
+        |FROM e ORDER BY doc_id, c""".stripMargin,
+
     "d1_exact_dedup" ->
       """SELECT md5(text) AS content_key, count(*) AS n_dups,
         |  min(doc_id) AS keep_id
