@@ -36,8 +36,11 @@ object Bench {
     Seq("lineitem", "orders", "customer", "documents", "embeddings")
       .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
     graft.core.Tables.events(spark, sfDir).count()
+    // st2 included: the first micro-batch-engine start JITs the whole
+    // streaming runtime (~3 s of fixed cost that would otherwise land
+    // inside whichever st* query runs first).
     Seq("t1_fold", "a12_conditional_agg", "j1_equi_join_agg", "w1_lag_diff",
-        "d1_exact_dedup", "e2_lsh_ann", "d4_simhash")
+        "d1_exact_dedup", "e2_lsh_ann", "d4_simhash", "st2_stream_tumbling")
       .foreach { q =>
         try SparkEntry.queries(q)(spark, sfDir).count()
         catch { case _: Throwable => () }
