@@ -513,6 +513,29 @@ object TextQueries {
         .orderBy("doc_id", "c")
     }),
 
+    // D14 — unigram-LM log-probability (perplexity-proxy quality
+    // score): mean per-token ln p(tok) under the corpus unigram
+    // distribution — the classic cheap LM filter for training-data
+    // curation. Per-token logprobs integerized at 1e6 before the
+    // per-doc sum (order-independent); the final mean is a ratio of
+    // exact integers, bit-identical unrounded.
+    "d14_unigram_lm" -> ((s, d) => {
+      val toks = documents(s, d).select(col("doc_id"),
+        explode(split(col("text"), " ")).as("tok")).filter(col("tok") =!= "")
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("n_td"))
+      val ctf = tf.groupBy("tok").agg(sum(col("n_td")).cast("long").as("ctf"))
+      val tot = toks.agg(count(lit(1)).as("tot"))
+      tf.join(ctf, "tok").crossJoin(broadcast(tot))
+        .withColumn("li",
+          round(log(col("ctf").cast("double") / col("tot")) * 1e6).cast("long"))
+        .groupBy("doc_id")
+        .agg(sum(col("n_td") * col("li")).cast("long").as("lp_sum6"),
+          sum(col("n_td")).cast("long").as("n_tok"))
+        .withColumn("mean_lp", col("lp_sum6").cast("double") / col("n_tok") / 1e6)
+        .select("doc_id", "n_tok", "lp_sum6", "mean_lp")
+        .orderBy("doc_id")
+    }),
+
     // M1 — multimodal scaffold: opaque binary payload + typed metadata
     // (byte length, content-hash head); the decode stage itself is a
     // stubbed kernel in graft.multimodal (no image libs in-container).
@@ -572,6 +595,23 @@ object TextQueries {
         |  md5(array_to_string(list_slice(tk, c * 40 + 1, c * 40 + 50), ' '))
         |    AS chunk_md5
         |FROM e ORDER BY doc_id, c""".stripMargin,
+
+    "d14_unigram_lm" ->
+      """WITH toks AS (SELECT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents) WHERE tok <> ''),
+        |tf AS (SELECT doc_id, tok, count(*) AS n_td FROM toks GROUP BY 1, 2),
+        |ctf AS (SELECT tok, CAST(sum(n_td) AS BIGINT) AS ctf FROM tf GROUP BY 1),
+        |tot AS (SELECT count(*) AS tot FROM toks),
+        |li AS (SELECT doc_id, n_td,
+        |    CAST(round(ln(CAST(ctf AS DOUBLE) / tot) * 1e6) AS BIGINT) AS li
+        |  FROM tf JOIN ctf USING (tok), tot),
+        |ag AS (SELECT doc_id, CAST(sum(n_td * li) AS BIGINT) AS lp_sum6,
+        |    CAST(sum(n_td) AS BIGINT) AS n_tok
+        |  FROM li GROUP BY 1)
+        |SELECT doc_id, n_tok, lp_sum6,
+        |  CAST(lp_sum6 AS DOUBLE) / n_tok / 1e6 AS mean_lp
+        |FROM ag ORDER BY doc_id""".stripMargin,
 
     "d1_exact_dedup" ->
       """SELECT md5(text) AS content_key, count(*) AS n_dups,
