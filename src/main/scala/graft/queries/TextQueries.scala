@@ -536,6 +536,59 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // D15 — connected-component dedup clustering: the step that turns
+    // near-dup PAIRS into dedup GROUPS (keep one doc per component).
+    // Edges are STAR edges within single-band minhash buckets (bands
+    // 0 and 1): doc ↔ bucket-min doc — sufficient for connectivity
+    // and O(corpus) edges, never O(pairs²). Components by iterative
+    // min-label propagation to the fixpoint: the driver loop holds
+    // ONE changed-count scalar per round; labels/edges live in Spark
+    // (at cluster scale add periodic checkpoint() to truncate the
+    // iteration lineage). Oracle = DuckDB recursive CTE over the same
+    // edges — label-propagation fixpoint ≡ reachability min.
+    "d15_components" -> ((s, d) => {
+      val toks = distinctToks(s, d).withColumn("h", expr(H))
+      // two BANDS of two minhash rows each (d3's banding, packed
+      // losslessly into one long per band) — single-hash buckets over
+      // a small vocabulary collide so often the graph degenerates to
+      // one giant component
+      val sig = toks.groupBy("doc_id").agg(
+        min(expr(TextOps.minhashExpr("h", 0))).as("h0"),
+        min(expr(TextOps.minhashExpr("h", 1))).as("h1"),
+        min(expr(TextOps.minhashExpr("h", 2))).as("h2"),
+        min(expr(TextOps.minhashExpr("h", 3))).as("h3"))
+        .select(col("doc_id"),
+          (col("h0") * 2147483648L + col("h1")).as("m0"),
+          (col("h2") * 2147483648L + col("h3")).as("m1"))
+      val edges = Seq("m0", "m1").map { b =>
+        sig.withColumn("root", min(col("doc_id")).over(Window.partitionBy(b)))
+          .filter(col("doc_id") =!= col("root"))
+          .select(col("doc_id").as("src"), col("root").as("dst"))
+      }.reduce(_ unionByName _)
+      val sym = edges
+        .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().persist()
+      var labels = sig.select(col("doc_id").as("node"), col("doc_id").as("label"))
+        .persist()
+      var changed = 1L; var iter = 0
+      while (changed > 0 && iter < 20) {
+        val prop = sym.join(labels, col("src") === col("node"))
+          .groupBy(col("dst")).agg(min(col("label")).as("nl"))
+          .select(col("dst").as("node2"), col("nl"))
+        val next = labels.join(prop, col("node") === col("node2"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+          .persist()
+        changed = next.as("n").join(labels.as("o"), col("n.node") === col("o.node"))
+          .filter(col("n.label") =!= col("o.label")).count()
+        labels.unpersist(); labels = next; iter += 1
+      }
+      val sz = labels.groupBy("label").agg(count(lit(1)).as("comp_size"))
+      labels.join(sz, "label")
+        .select(col("node").as("doc_id"), col("label").as("comp"), col("comp_size"))
+        .orderBy("doc_id")
+    }),
+
     // M1 — multimodal scaffold: opaque binary payload + typed metadata
     // (byte length, content-hash head); the decode stage itself is a
     // stubbed kernel in graft.multimodal (no image libs in-container).
@@ -595,6 +648,39 @@ object TextQueries {
         |  md5(array_to_string(list_slice(tk, c * 40 + 1, c * 40 + 50), ' '))
         |    AS chunk_md5
         |FROM e ORDER BY doc_id, c""".stripMargin,
+
+    "d15_components" -> {
+      val h = TextOps.md5Hash32("tok")
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |th AS (SELECT doc_id, $h AS h FROM toks),
+         |sg0 AS (SELECT doc_id,
+         |    min(${TextOps.minhashExpr("h", 0)}) AS h0,
+         |    min(${TextOps.minhashExpr("h", 1)}) AS h1,
+         |    min(${TextOps.minhashExpr("h", 2)}) AS h2,
+         |    min(${TextOps.minhashExpr("h", 3)}) AS h3
+         |  FROM th GROUP BY 1),
+         |sig AS (SELECT doc_id, h0 * 2147483648 + h1 AS m0,
+         |    h2 * 2147483648 + h3 AS m1 FROM sg0),
+         |e0 AS (SELECT doc_id AS src, min(doc_id) OVER (PARTITION BY m0) AS dst
+         |       FROM sig),
+         |e1 AS (SELECT doc_id AS src, min(doc_id) OVER (PARTITION BY m1) AS dst
+         |       FROM sig),
+         |edges AS (SELECT DISTINCT src, dst FROM (
+         |  SELECT src, dst FROM e0 WHERE src <> dst
+         |  UNION ALL SELECT src, dst FROM e1 WHERE src <> dst
+         |  UNION ALL SELECT dst, src FROM e0 WHERE src <> dst
+         |  UNION ALL SELECT dst, src FROM e1 WHERE src <> dst)),
+         |lab AS (
+         |  SELECT doc_id AS node, doc_id AS label FROM sig
+         |  UNION
+         |  SELECT e.dst AS node, l.label FROM lab l JOIN edges e ON e.src = l.node),
+         |fin AS (SELECT node, min(label) AS comp FROM lab GROUP BY 1),
+         |sz AS (SELECT comp, count(*) AS comp_size FROM fin GROUP BY 1)
+         |SELECT node AS doc_id, comp, comp_size
+         |FROM fin JOIN sz USING (comp) ORDER BY doc_id""".stripMargin
+    },
 
     "d14_unigram_lm" ->
       """WITH toks AS (SELECT doc_id, tok FROM (
