@@ -202,6 +202,47 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // D4b — simhash NEAR-DUP PAIRS at Hamming ≤ 3 via pigeonhole
+    // banding (the production simhash-dedup trick, Manku et al.
+    // WWW'07): split the 16-bit simhash into 4 bands of 4 bits; any
+    // pair within Hamming distance 3 differs in at most 3 bands, so it
+    // MUST agree on at least one band — banded candidate generation is
+    // EXACT, not approximate. Candidates are generated bucket-locally
+    // (shuffle key = (band, value), the d3 shape: group + map-side
+    // i<j explode, never a self-join), then verified with one codegen
+    // popcount on the XOR. At 100 TB the bucket key keeps candidate
+    // pairs O(Σ bucket²) with 16-way band fanout — never O(corpus²).
+    "d4b_simhash_pairs" -> ((s, d) => {
+      val toks = distinctToks(s, d).withColumn("h", expr(H))
+      val votes = (0 until 16).map(j =>
+        sum(expr(s"2 * ((h div ${1L << j}) % 2) - 1")).as(s"s$j"))
+      val sh = toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+        .withColumn("simhash", (0 until 16).map(j =>
+          when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _))
+        .select("doc_id", "simhash")
+      val buckets = sh.select(
+          explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+            expr(s"(simhash div ${1L << (4 * b)}) % 16").as("bv"))): _*)).as("bb"),
+          struct(col("doc_id"), col("simhash")).as("m"))
+        .select(col("bb.band").as("band"), col("bb.bv").as("bv"), col("m"))
+        .groupBy("band", "bv").agg(collect_list(col("m")).as("ms"))
+        .filter(size(col("ms")) > 1)
+      val cand = buckets
+        .select(col("ms"), posexplode(col("ms")).as(Seq("i", "x")))
+        .select(col("x"), explode(expr("slice(ms, i + 2, size(ms) - i - 1)")).as("y"))
+        .select(
+          when(col("x.doc_id") < col("y.doc_id"), col("x")).otherwise(col("y")).as("a"),
+          when(col("x.doc_id") < col("y.doc_id"), col("y")).otherwise(col("x")).as("b"))
+      cand
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("n_shared_bands"),
+          first(expr("bit_count(a.simhash ^ b.simhash)")).as("hamming"))
+        .filter(col("hamming") <= 3)
+        .select(col("a_id"), col("b_id"), col("hamming").cast("long").as("hamming"),
+          col("n_shared_bands").cast("long").as("n_shared_bands"))
+        .orderBy("a_id", "b_id")
+    }),
+
     // D5 — language-ID heuristic: stopword-list overlap, argmax score
     // with deterministic tie-break.
     "d5_langid" -> ((s, d) => {
@@ -536,6 +577,79 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // D16 — repetition signals (Gopher-rule family, Rae et al. 2021):
+    // fraction of tokens in the most-common token, duplicate-bigram
+    // fraction, and most-common-bigram fraction — the standard cheap
+    // filters for boilerplate/spam in web-corpus curation. Everything
+    // is two keyed aggregations (token counts, bigram counts) rolled
+    // up per doc — one shuffle each, no joins beyond the per-doc
+    // merge; fractions are exact integer ratios so they hash-match
+    // bit-exact. Bigrams are built row-locally (adjacent-slice
+    // zip_with, the d2 kernel without the distinct).
+    "d16_repetition" -> ((s, d) => {
+      val tf = documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
+      val ta = tf.groupBy("doc_id").agg(
+        sum(col("n")).cast("long").as("n_tok"),
+        max(col("n")).cast("long").as("top_tok"))
+      val bf = documents(s, d)
+        .select(col("doc_id"), explode(expr(
+          """zip_with(
+            |  slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
+            |  slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
+            |  (x, y) -> concat(x, ' ', y))""".stripMargin)).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("n"))
+      val ba = bf.groupBy("doc_id").agg(
+        sum(col("n")).cast("long").as("n_bg"),
+        count(lit(1)).cast("long").as("n_bg_uniq"),
+        max(col("n")).cast("long").as("top_bg"))
+      ta.join(ba, "doc_id")
+        .withColumn("top_tok_frac",
+          col("top_tok").cast("double") / nullif(col("n_tok"), lit(0L)))
+        .withColumn("dup_bg_frac",
+          (col("n_bg") - col("n_bg_uniq")).cast("double") / nullif(col("n_bg"), lit(0L)))
+        .withColumn("top_bg_frac",
+          col("top_bg").cast("double") / nullif(col("n_bg"), lit(0L)))
+        .withColumn("is_repetitive",
+          col("top_tok_frac") > 0.12 || col("dup_bg_frac") > 0.35 ||
+          col("top_bg_frac") > 0.05)
+        .select("doc_id", "n_tok", "top_tok", "n_bg", "n_bg_uniq", "top_bg",
+          "top_tok_frac", "dup_bg_frac", "top_bg_frac", "is_repetitive")
+        .orderBy("doc_id")
+    }),
+
+    // D17 — per-document token-distribution Shannon entropy (plus its
+    // ln(n_uniq)-normalized form): low-entropy documents are template
+    // or keyword-stuffed text. Per-term surprisal integerized at 1e6
+    // BEFORE the per-doc sum (order-independent exact integers, the
+    // d14 discipline); the normalizer ln(n_uniq) is integerized the
+    // same way so every emitted double is a ratio of exact BIGINTs.
+    // One token-count shuffle and one per-doc rollup — nothing wide.
+    "d17_token_entropy" -> ((s, d) => {
+      val tf = documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("n_td"))
+      val withTot = tf.withColumn("n_tok",
+        sum(col("n_td")).over(Window.partitionBy("doc_id")))
+      withTot
+        .withColumn("li",
+          round(log(col("n_td").cast("double") / col("n_tok")) * 1e6).cast("long"))
+        .groupBy("doc_id")
+        .agg(sum(col("n_td") * col("li")).cast("long").as("neg_ent6"),
+          max(col("n_tok")).cast("long").as("n_tok"),
+          count(lit(1)).cast("long").as("n_uniq"))
+        .withColumn("entropy", -col("neg_ent6").cast("double") / col("n_tok") / 1e6)
+        .withColumn("lmax6", round(log(col("n_uniq").cast("double")) * 1e6).cast("long"))
+        .withColumn("norm_entropy",
+          -col("neg_ent6").cast("double") / col("n_tok") /
+            nullif(col("lmax6"), lit(0L)))
+        .select("doc_id", "n_tok", "n_uniq", "neg_ent6", "entropy", "norm_entropy")
+        .orderBy("doc_id")
+    }),
+
     // D15 — connected-component dedup clustering: the step that turns
     // near-dup PAIRS into dedup GROUPS (keep one doc per component).
     // Edges are STAR edges within single-band minhash buckets (bands
@@ -570,18 +684,32 @@ object TextQueries {
         .distinct().persist()
       var labels = sig.select(col("doc_id").as("node"), col("doc_id").as("label"))
         .persist()
-      var changed = 1L; var iter = 0
-      while (changed > 0 && iter < 20) {
+      // Min-label propagation with POINTER JUMPING: each round takes
+      // the neighbor min AND the label-of-label shortcut (label
+      // doubling), so convergence is O(log diameter) rounds instead of
+      // O(diameter) — on long bucket chains that is ~5 rounds, not ~20,
+      // and round count is what dominates wall-clock (each round is a
+      // fixed number of tiny-shuffle jobs). Convergence is detected by
+      // the sum of labels: labels only ever decrease, so the sum is
+      // strictly monotone until the fixpoint — one scalar aggregate per
+      // round, no change-count join.
+      var prevSum = Long.MaxValue; var iter = 0; var converged = false
+      while (!converged && iter < 12) {
         val prop = sym.join(labels, col("src") === col("node"))
           .groupBy(col("dst")).agg(min(col("label")).as("nl"))
           .select(col("dst").as("node2"), col("nl"))
-        val next = labels.join(prop, col("node") === col("node2"), "left")
+        val cand = labels.join(prop, col("node") === col("node2"), "left")
           .select(col("node"),
-            least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+            least(col("label"), coalesce(col("nl"), col("label"))).as("l1"))
+        val next = cand.join(
+            cand.select(col("node").as("pn"), col("l1").as("pl")),
+            col("l1") === col("pn"), "left")
+          .select(col("node"),
+            least(col("l1"), coalesce(col("pl"), col("l1"))).as("label"))
           .persist()
-        changed = next.as("n").join(labels.as("o"), col("n.node") === col("o.node"))
-          .filter(col("n.label") =!= col("o.label")).count()
+        val s = next.agg(sum(col("label")).cast("long")).head.getLong(0)
         labels.unpersist(); labels = next; iter += 1
+        converged = s == prevSum; prevSum = s
       }
       val sz = labels.groupBy("label").agg(count(lit(1)).as("comp_size"))
       labels.join(sz, "label")
@@ -699,6 +827,51 @@ object TextQueries {
         |  CAST(lp_sum6 AS DOUBLE) / n_tok / 1e6 AS mean_lp
         |FROM ag ORDER BY doc_id""".stripMargin,
 
+    "d16_repetition" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS n FROM toks
+        |       WHERE tok <> '' GROUP BY 1, 2),
+        |ta AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tok,
+        |       CAST(max(n) AS BIGINT) AS top_tok FROM tf GROUP BY 1),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |bgi AS (SELECT doc_id, tk,
+        |        unnest(generate_series(1, len(tk) - 1)) AS i FROM t),
+        |bg0 AS (SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS bg FROM bgi),
+        |bf AS (SELECT doc_id, bg, count(*) AS n FROM bg0 GROUP BY 1, 2),
+        |ba AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bg,
+        |       CAST(count(*) AS BIGINT) AS n_bg_uniq,
+        |       CAST(max(n) AS BIGINT) AS top_bg FROM bf GROUP BY 1)
+        |SELECT doc_id, n_tok, top_tok, n_bg, n_bg_uniq, top_bg,
+        |  CAST(top_tok AS DOUBLE) / nullif(n_tok, 0) AS top_tok_frac,
+        |  CAST(n_bg - n_bg_uniq AS DOUBLE) / nullif(n_bg, 0) AS dup_bg_frac,
+        |  CAST(top_bg AS DOUBLE) / nullif(n_bg, 0) AS top_bg_frac,
+        |  (CAST(top_tok AS DOUBLE) / nullif(n_tok, 0) > 0.12
+        |   OR CAST(n_bg - n_bg_uniq AS DOUBLE) / nullif(n_bg, 0) > 0.35
+        |   OR CAST(top_bg AS DOUBLE) / nullif(n_bg, 0) > 0.05) AS is_repetitive
+        |FROM ta JOIN ba USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "d17_token_entropy" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS n_td FROM toks
+        |       WHERE tok <> '' GROUP BY 1, 2),
+        |wt AS (SELECT doc_id, n_td,
+        |       sum(n_td) OVER (PARTITION BY doc_id) AS n_tok FROM tf),
+        |li AS (SELECT doc_id, n_td, n_tok,
+        |    CAST(round(ln(CAST(n_td AS DOUBLE) / n_tok) * 1e6) AS BIGINT) AS li
+        |  FROM wt),
+        |ag AS (SELECT doc_id, CAST(sum(n_td * li) AS BIGINT) AS neg_ent6,
+        |    CAST(max(n_tok) AS BIGINT) AS n_tok,
+        |    CAST(count(*) AS BIGINT) AS n_uniq
+        |  FROM li GROUP BY 1)
+        |SELECT doc_id, n_tok, n_uniq, neg_ent6,
+        |  -CAST(neg_ent6 AS DOUBLE) / n_tok / 1e6 AS entropy,
+        |  -CAST(neg_ent6 AS DOUBLE) / n_tok /
+        |    nullif(CAST(round(ln(CAST(n_uniq AS DOUBLE)) * 1e6) AS BIGINT), 0)
+        |    AS norm_entropy
+        |FROM ag ORDER BY doc_id""".stripMargin,
+
     "d1_exact_dedup" ->
       """SELECT md5(text) AS content_key, count(*) AS n_dups,
         |  min(doc_id) AS keep_id
@@ -756,6 +929,35 @@ object TextQueries {
          |SELECT doc_id,
          |  CAST(sum(CASE WHEN sj > 0 THEN pw ELSE 0 END) AS BIGINT) AS simhash
          |FROM bits GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "d4b_simhash_pairs" -> {
+      s"""WITH toks AS (
+         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |th AS (SELECT doc_id, ${TextOps.md5Hash32("tok")} AS h FROM toks),
+         |bits AS (SELECT doc_id, j, min(pw) AS pw, sum(c) AS sj FROM (
+         |    SELECT doc_id, j, CAST(pow(2.0, j) AS BIGINT) AS pw,
+         |      2 * ((h // CAST(pow(2.0, j) AS BIGINT)) % 2) - 1 AS c
+         |    FROM th, (SELECT unnest(generate_series(0, 15)) AS j))
+         |  GROUP BY 1, 2),
+         |sh AS (SELECT doc_id,
+         |    CAST(sum(CASE WHEN sj > 0 THEN pw ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM bits GROUP BY 1)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) AS BIGINT)
+         |    AS hamming,
+         |  CAST((CASE WHEN (a.simhash // 1) % 16 = (b.simhash // 1) % 16
+         |             THEN 1 ELSE 0 END)
+         |     + (CASE WHEN (a.simhash // 16) % 16 = (b.simhash // 16) % 16
+         |             THEN 1 ELSE 0 END)
+         |     + (CASE WHEN (a.simhash // 256) % 16 = (b.simhash // 256) % 16
+         |             THEN 1 ELSE 0 END)
+         |     + (CASE WHEN (a.simhash // 4096) % 16 = (b.simhash // 4096) % 16
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_bands
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) <= 3
+         |ORDER BY a_id, b_id""".stripMargin
+    },
 
     "d5_langid" ->
       """WITH stops(cand, w) AS (VALUES
