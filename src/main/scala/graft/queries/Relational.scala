@@ -213,6 +213,65 @@ object Relational {
           round(atan2(col("x"), lit(1.0)), 6).as("at2"),
           round(sin(col("x")), 6).as("sn"))
         .orderBy("s_suppkey")
+    }),
+
+    // J9 — SALTED skew join: the manual hot-key treatment for joins
+    // that must shuffle (dim too large to broadcast — the 100 TB case
+    // AQE's skew-split doesn't cover when the build side is hash-
+    // partitioned). A synthetic 80%-hot key (skey 0) would put 80% of
+    // lineitem in ONE reducer of a plain shuffle join; instead the
+    // fact side carries a deterministic row-local salt in 0..15 and
+    // the dim side is exploded ×16, so the shuffle key (skey, salt)
+    // splits the hot key across 16 reducers. The salt never reaches
+    // the output — it exists only as a partitioning refinement — so
+    // the oracle is the UNSALTED join. shuffle_hash hint keeps the
+    // plan the shuffle join the technique is for (broadcast would
+    // hide the skew entirely at fixture scale).
+    "j9_salted_join" -> ((s, d) => {
+      val skew = lineitem(s, d)
+        .withColumn("skey",
+          when(col("l_suppkey") % 25 < 20, lit(0)).otherwise(col("l_suppkey") % 25))
+        .withColumn("salt", pmod(col("l_orderkey") * 31 + col("l_linenumber"), lit(16)))
+      val dim = nation(s, d)
+        .withColumn("dsalt", explode(sequence(lit(0), lit(15))))
+      skew.join(dim.hint("shuffle_hash"),
+          col("skey") === col("n_nationkey") && col("salt") === col("dsalt"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_items"),
+          (sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .cast("long") / 100.0).as("revenue"))
+        .orderBy("n_name")
+    }),
+
+    // B1 — bucketed co-located join: both sides pre-bucketed by the
+    // join key into the same bucket count, so the sort-merge join
+    // needs NO Exchange on either side — at 100 TB this is the
+    // difference between re-shuffling every query and shuffling once
+    // at ingest (the reference's CSV-stage memoization, SURVEY §4,
+    // recast as a physical-layout property). The bucketed tables are
+    // written once per (session, sf) and memoized via the catalog;
+    // JoinScaleSpec asserts the join stage is Exchange-free.
+    "b1_bucketed_join" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val lt = s"graft_li_bkt$tag"; val ot = s"graft_or_bkt$tag"
+      val base = sys.props("java.io.tmpdir") + "/graft_bucketed"
+      if (!s.catalog.tableExists(lt)) {
+        lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount")
+          .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$base/$lt").mode("overwrite").saveAsTable(lt)
+      }
+      if (!s.catalog.tableExists(ot)) {
+        orders(s, d).select("o_orderkey", "o_orderpriority")
+          .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"$base/$ot").mode("overwrite").saveAsTable(ot)
+      }
+      s.table(lt).join(s.table(ot).hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          (sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .cast("long") / 100.0).as("revenue"))
+        .orderBy("o_orderpriority")
     })
   )
 
@@ -338,6 +397,22 @@ object Relational {
         |  round(pow(x, 1.5), 6) AS pw, round(atan2(x, 1.0), 6) AS at2,
         |  round(sin(x), 6) AS sn
         |FROM (SELECT s_suppkey, abs(s_acctbal)/10000.0 + 1e-3 AS x FROM supplier)
-        |ORDER BY s_suppkey""".stripMargin
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "j9_salted_join" ->
+      """SELECT n_name, count(*) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) / 100.0 AS revenue
+        |FROM (SELECT *, CASE WHEN l_suppkey % 25 < 20 THEN 0
+        |                     ELSE l_suppkey % 25 END AS skey FROM lineitem) f
+        |JOIN nation ON skey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "b1_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) / 100.0 AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 }

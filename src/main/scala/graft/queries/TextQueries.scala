@@ -204,25 +204,30 @@ object TextQueries {
 
     // D4b — simhash NEAR-DUP PAIRS at Hamming ≤ 3 via pigeonhole
     // banding (the production simhash-dedup trick, Manku et al.
-    // WWW'07): split the 16-bit simhash into 4 bands of 4 bits; any
+    // WWW'07): split a 32-bit simhash into 4 bands of 8 bits; any
     // pair within Hamming distance 3 differs in at most 3 bands, so it
     // MUST agree on at least one band — banded candidate generation is
-    // EXACT, not approximate. Candidates are generated bucket-locally
-    // (shuffle key = (band, value), the d3 shape: group + map-side
-    // i<j explode, never a self-join), then verified with one codegen
-    // popcount on the XOR. At 100 TB the bucket key keeps candidate
-    // pairs O(Σ bucket²) with 16-way band fanout — never O(corpus²).
+    // EXACT, not approximate. (32 bits, not d4's declared 16: a 16-bit
+    // sketch over this vocabulary collapses the corpus into a few
+    // hashes and the pair set degenerates to ~all-pairs.) Candidates
+    // are generated bucket-locally (shuffle key = (band, value), the
+    // d3 shape: group + map-side i<j explode, never a self-join), and
+    // the popcount verification runs ON the exploded candidate stream
+    // BEFORE the pair groupBy, so the only pair-keyed shuffle moves
+    // rows that already passed the Hamming gate. At 100 TB the bucket
+    // key keeps candidate pairs O(Σ bucket²) with 256-way band fanout
+    // — never O(corpus²).
     "d4b_simhash_pairs" -> ((s, d) => {
       val toks = distinctToks(s, d).withColumn("h", expr(H))
-      val votes = (0 until 16).map(j =>
+      val votes = (0 until 32).map(j =>
         sum(expr(s"2 * ((h div ${1L << j}) % 2) - 1")).as(s"s$j"))
       val sh = toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-        .withColumn("simhash", (0 until 16).map(j =>
+        .withColumn("simhash", (0 until 32).map(j =>
           when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _))
         .select("doc_id", "simhash")
       val buckets = sh.select(
           explode(array((0 until 4).map(b => struct(lit(b).as("band"),
-            expr(s"(simhash div ${1L << (4 * b)}) % 16").as("bv"))): _*)).as("bb"),
+            expr(s"(simhash div ${1L << (8 * b)}) % 256").as("bv"))): _*)).as("bb"),
           struct(col("doc_id"), col("simhash")).as("m"))
         .select(col("bb.band").as("band"), col("bb.bv").as("bv"), col("m"))
         .groupBy("band", "bv").agg(collect_list(col("m")).as("ms"))
@@ -233,11 +238,12 @@ object TextQueries {
         .select(
           when(col("x.doc_id") < col("y.doc_id"), col("x")).otherwise(col("y")).as("a"),
           when(col("x.doc_id") < col("y.doc_id"), col("y")).otherwise(col("x")).as("b"))
-      cand
-        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .agg(count(lit(1)).as("n_shared_bands"),
-          first(expr("bit_count(a.simhash ^ b.simhash)")).as("hamming"))
+        .withColumn("hamming", expr("bit_count(a.simhash ^ b.simhash)"))
         .filter(col("hamming") <= 3)
+      cand
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          col("hamming"))
+        .agg(count(lit(1)).as("n_shared_bands"))
         .select(col("a_id"), col("b_id"), col("hamming").cast("long").as("hamming"),
           col("n_shared_bands").cast("long").as("n_shared_bands"))
         .orderBy("a_id", "b_id")
@@ -938,7 +944,7 @@ object TextQueries {
          |bits AS (SELECT doc_id, j, min(pw) AS pw, sum(c) AS sj FROM (
          |    SELECT doc_id, j, CAST(pow(2.0, j) AS BIGINT) AS pw,
          |      2 * ((h // CAST(pow(2.0, j) AS BIGINT)) % 2) - 1 AS c
-         |    FROM th, (SELECT unnest(generate_series(0, 15)) AS j))
+         |    FROM th, (SELECT unnest(generate_series(0, 31)) AS j))
          |  GROUP BY 1, 2),
          |sh AS (SELECT doc_id,
          |    CAST(sum(CASE WHEN sj > 0 THEN pw ELSE 0 END) AS BIGINT) AS simhash
@@ -946,14 +952,15 @@ object TextQueries {
          |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
          |  CAST(bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) AS BIGINT)
          |    AS hamming,
-         |  CAST((CASE WHEN (a.simhash // 1) % 16 = (b.simhash // 1) % 16
+         |  CAST((CASE WHEN (a.simhash // 1) % 256 = (b.simhash // 1) % 256
          |             THEN 1 ELSE 0 END)
-         |     + (CASE WHEN (a.simhash // 16) % 16 = (b.simhash // 16) % 16
+         |     + (CASE WHEN (a.simhash // 256) % 256 = (b.simhash // 256) % 256
          |             THEN 1 ELSE 0 END)
-         |     + (CASE WHEN (a.simhash // 256) % 16 = (b.simhash // 256) % 16
-         |             THEN 1 ELSE 0 END)
-         |     + (CASE WHEN (a.simhash // 4096) % 16 = (b.simhash // 4096) % 16
-         |             THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_bands
+         |     + (CASE WHEN (a.simhash // 65536) % 256
+         |              = (b.simhash // 65536) % 256 THEN 1 ELSE 0 END)
+         |     + (CASE WHEN (a.simhash // 16777216) % 256
+         |              = (b.simhash // 16777216) % 256 THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_shared_bands
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) <= 3
          |ORDER BY a_id, b_id""".stripMargin
