@@ -34,6 +34,89 @@ object TimeSeries {
       |  epoch_us(ts) AS t_us, CAST(round(value*100) AS BIGINT) AS vc
       |  FROM events)""".stripMargin
 
+  /** Three-micro-batch arrival fixture shared by the append-mode
+    * streaming queries (st4/st5): batch files [E, E+10d), [E+10d,
+    * E+20d), then the on-time tail PLUS late duplicates of the first
+    * day — a full watermark behind, which the engine must DROP.
+    * Fixture content is a pure function of `d` (testdata is
+    * immutable), so an existing complete fixture is reused — the
+    * rebuild otherwise costs three passes over events per call. */
+  private def arrivalFixture(s: SparkSession, d: String, prefix: String,
+      project: DataFrame => DataFrame): java.io.File = {
+    val C1 = E + 10 * PDAY; val C2 = E + 20 * PDAY
+    val root = new java.io.File(
+      s"/tmp/${prefix}_${Integer.toHexString(d.hashCode)}")
+    val dataDir = new java.io.File(root, "data")
+    val complete = Option(dataDir.listFiles())
+      .exists(_.count(_.getName.endsWith(".parquet")) == 3)
+    if (!complete) {
+      org.apache.commons.io.FileUtils.deleteQuietly(root)
+      dataDir.mkdirs()
+      val src = project(events(s, d))
+        .withColumn("t_us", unix_micros(col("ts")))
+      val batches = Seq(
+        src.filter(col("t_us") < C1),
+        src.filter(col("t_us") >= C1 && col("t_us") < C2),
+        src.filter(col("t_us") >= C2)
+          .unionByName(src.filter(col("t_us") < E + PDAY)))
+      batches.zipWithIndex.foreach { case (b, i) =>
+        val stage = new java.io.File(root, s"w$i").toString
+        b.drop("t_us").coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(dataDir, f"b$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified(1000000000000L + i * 60000L)
+      }
+    }
+    dataDir
+  }
+
+  case class StRow(user_id: Long, t_us: Long, ts: java.sql.Timestamp)
+  case class StSess(s_us: Long, e_us: Long, n: Long)
+  case class StOut(user_id: Long, s_us: Long, e_us: Long, n: Long)
+
+  /** st5's stateful kernel: per-user gap sessionization (30 min) with
+    * explicit watermark handling. State = the one open tail session;
+    * closed sessions stream out append-style. Late rows are dropped at
+    * the same ms boundary the engine's own watermark filter uses, so
+    * the kernel's behavior is identical whether or not the engine
+    * pre-filters. */
+  private def sessionKernel(key: Long, rows: Iterator[StRow],
+      state: org.apache.spark.sql.streaming.GroupState[StSess]): Iterator[StOut] = {
+    val gapUs = 1800000000L; val gapMs = 1800000L
+    val wm = state.getCurrentWatermarkMs()
+    if (state.hasTimedOut) {
+      val c = state.get; state.remove()
+      Iterator(StOut(key, c.s_us, c.e_us, c.n))
+    } else {
+      val ontime = rows.filter(_.t_us / 1000 >= wm).toArray.sortBy(_.t_us)
+      val out = scala.collection.mutable.ArrayBuffer[StOut]()
+      var cur = state.getOption
+      for (r <- ontime) cur match {
+        case Some(c) if r.t_us - c.e_us <= gapUs =>
+          cur = Some(StSess(c.s_us, r.t_us, c.n + 1))
+        case Some(c) =>
+          out += StOut(key, c.s_us, c.e_us, c.n)
+          cur = Some(StSess(r.t_us, r.t_us, 1))
+        case None =>
+          cur = Some(StSess(r.t_us, r.t_us, 1))
+      }
+      cur match {
+        case Some(c) if c.e_us / 1000 + gapMs < wm =>
+          // watermark already passed this tail — no on-time event can
+          // ever extend it (any future row is >= wm > end+gap)
+          out += StOut(key, c.s_us, c.e_us, c.n); state.remove()
+        case Some(c) =>
+          state.update(c)
+          state.setTimeoutTimestamp(math.max(c.e_us / 1000 + gapMs, wm + 1))
+        case None => ()
+      }
+      out.iterator
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     // T1 — phase fold (ref main.py:7346–7380): pure integer modulus.
     "t1_fold" -> ((s, d) => {
@@ -174,37 +257,8 @@ object TimeSeries {
     // engine's per-batch stats do.
     "st4_stream_append" -> ((s, d) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val C1 = E + 10 * PDAY; val C2 = E + 20 * PDAY
-      val root = new java.io.File(
-        s"/tmp/graft_st4_${Integer.toHexString(d.hashCode)}")
-      val dataDir = new java.io.File(root, "data")
-      // fixture content is a pure function of `d` (testdata is
-      // immutable), so an existing complete fixture is reused — the
-      // rebuild otherwise costs three passes over events per call
-      val complete = Option(dataDir.listFiles())
-        .exists(_.count(_.getName.endsWith(".parquet")) == 3)
-      if (!complete) {
-        org.apache.commons.io.FileUtils.deleteQuietly(root)
-        dataDir.mkdirs()
-        val src = events(s, d)
-          .select(col("ts"), col("event_type"), col("value"))
-          .withColumn("t_us", unix_micros(col("ts")))
-        val batches = Seq(
-          src.filter(col("t_us") < C1),
-          src.filter(col("t_us") >= C1 && col("t_us") < C2),
-          src.filter(col("t_us") >= C2)
-            .unionByName(src.filter(col("t_us") < E + PDAY)))
-        batches.zipWithIndex.foreach { case (b, i) =>
-          val stage = new java.io.File(root, s"w$i").toString
-          b.drop("t_us").coalesce(1).write.mode("overwrite").parquet(stage)
-          val part = new java.io.File(stage).listFiles()
-            .find(_.getName.endsWith(".parquet")).get
-          val dst = new java.io.File(dataDir, f"b$i%02d.parquet")
-          java.nio.file.Files.move(part.toPath, dst.toPath,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          dst.setLastModified(1000000000000L + i * 60000L)
-        }
-      }
+      val dataDir = arrivalFixture(s, d, "graft_st4",
+        df => df.select(col("ts"), col("event_type"), col("value")))
       val schema = s.read.parquet(dataDir.toString).schema
       val stream = s.readStream.schema(schema)
         .option("basePath", dataDir.toString)
@@ -224,6 +278,55 @@ object TimeSeries {
         .select(unix_micros(col("w.start")).as("w_us"), col("event_type"),
           col("n"), (col("sc").cast("long") / 100.0).as("sum_value"))
         .orderBy("w_us", "event_type")
+    }),
+
+    // §2.10 — CUSTOM stateful streaming (the mapGroupsWithState rung
+    // of the §2.11 ladder as a DECLARED query, not just a lib spec):
+    // per-user sessionization via flatMapGroupsWithState with
+    // event-time timeouts, through the real micro-batch engine on the
+    // same three-batch arrival fixture as st4. Contract (derived from
+    // the engine's watermark mechanics, asserted by the oracle):
+    //  • late rows (below the batch watermark) are dropped by the
+    //    kernel — the batch-3 day-one duplicates vanish;
+    //  • a session closed by a LATER on-time event emits in that
+    //    batch regardless of the watermark;
+    //  • an open tail session emits iff the final in-force watermark
+    //    (from batches 1–2 stats: max ms below E+20d minus the 1 h
+    //    delay) passed its end+gap — via the event-time timeout when
+    //    the key has no batch-3 data, or the kernel's own
+    //    watermark check when it does;
+    //  • anything later stays in state — exactly what an unbounded
+    //    run would still hold open.
+    // The oracle states that contract in SQL: gaps-and-islands
+    // sessions over on-time rows, emitted iff not the user's last
+    // session OR closed by the final watermark.
+    "st5_stateful_session" -> ((s, d) => {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val dataDir = arrivalFixture(s, d, "graft_st5",
+        df => df.select(col("ts"), col("user_id")))
+      val schema = s.read.parquet(dataDir.toString).schema
+      val stream = s.readStream.schema(schema)
+        .option("basePath", dataDir.toString)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$dataDir/*.parquet")
+        .withWatermark("ts", "1 hour")
+        // ts itself must survive the projection: the event-time-timeout
+        // analyzer looks for the watermarked column in the kernel input
+        .select(col("user_id"), unix_micros(col("ts")).as("t_us"), col("ts"))
+        .as[StRow]
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(
+          org.apache.spark.sql.streaming.OutputMode.Append(),
+          org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout)(
+          sessionKernel)
+      val q = stream.writeStream
+        .format("memory").queryName("st5_sink")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("st5_sink").orderBy("user_id", "s_us")
     }),
 
     // A10 — sessionization (gaps-and-islands, ref main.py:6347–6368):
@@ -572,6 +675,31 @@ object TimeSeries {
            |SELECT w_us, event_type, n, sum_value FROM agg, wm
            |WHERE w_us + 3600000000 <= wm_us
            |ORDER BY w_us, event_type""".stripMargin,
+
+      // st5 contract in SQL: gap sessions over on-time rows; a session
+      // is emitted iff a later on-time event closed it (not the user's
+      // last) OR the final watermark — max event ms minus the 1 h
+      // delay, in force during the timeout-flushing no-data batch the
+      // engine runs after the last file — passed its end + gap.
+      "st5_stateful_session" ->
+        s"""WITH $baseSql,
+           |wm AS (SELECT max(t_us // 1000) - 3600000 AS wm_ms FROM base),
+           |d AS (SELECT user_id, t_us,
+           |    CASE WHEN t_us - lag(t_us) OVER (PARTITION BY user_id
+           |                                     ORDER BY t_us) > 1800000000
+           |         THEN 1 ELSE 0 END AS brk
+           |  FROM base),
+           |i AS (SELECT user_id, t_us,
+           |    sum(brk) OVER (PARTITION BY user_id ORDER BY t_us
+           |                   ROWS UNBOUNDED PRECEDING) AS sess
+           |  FROM d),
+           |ag AS (SELECT user_id, sess, min(t_us) AS s_us, max(t_us) AS e_us,
+           |    CAST(count(*) AS BIGINT) AS n FROM i GROUP BY 1, 2),
+           |mx AS (SELECT user_id, max(sess) AS last_sess FROM ag GROUP BY 1)
+           |SELECT ag.user_id, s_us, e_us, n
+           |FROM ag JOIN mx USING (user_id), wm
+           |WHERE sess < last_sess OR (e_us // 1000) + 1800000 < wm_ms
+           |ORDER BY user_id, s_us""".stripMargin,
 
       // identical gaps-and-islands oracle as st_session_window — the
       // streaming query must produce the same sessions as the batch
