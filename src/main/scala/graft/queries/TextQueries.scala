@@ -442,6 +442,73 @@ object TextQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // E5 — product-quantization ADC search with exact rerank (Jégou
+    // et al. 2011): the embedding-COMPRESSION path for ANN at 100 TB.
+    // Vectors are encoded once into M=8 sub-space codes (nearest of
+    // K=16 centroids per 8-dim sub-vector — 8 bytes/vector instead of
+    // 256), each query scans CODES ONLY via an Asymmetric Distance
+    // Computation lookup table (approx L2² = Σ_m lut[m][code_m], the
+    // 128-entry LUT being the query's exact integer distance to every
+    // sub-centroid), and the ADC top-20 shortlist is re-ranked by
+    // exact distance — the standard scan-compressed/rerank-exact
+    // architecture. The codebook is SAMPLED from the corpus (centroid
+    // c of subspace m = sub-vector m of vec_id c) — deterministic
+    // sampling init, so the whole operator including "training" stays
+    // SQL-expressible (recall@5 ≈ 0.6 here vs 0.0 for a data-blind
+    // random codebook; PqRecallSpec pins the floor). All distances
+    // are exact integers through the DotI12 kernel (nrm − 2·dot +
+    // nrmc at 1e12), so encode argmin, LUT, shortlist, and rerank are
+    // bit-exact vs the oracle. Scale shape: codes shuffle by (m, c) —
+    // 64 keys — then one pair-keyed rollup; full vectors are touched
+    // again only for the 20 shortlisted candidates per query.
+    "e5_pq_adc" -> ((s, d) => {
+      val M = 8
+      val withNorm = embeddings(s, d).select(col("vec_id"), col("embedding"))
+        .withColumn("nrm", dot_i12(col("embedding"), col("embedding")))
+      val subs = withNorm
+        .select(col("vec_id"),
+          explode(sequence(lit(0), lit(M - 1))).as("m"), col("embedding"))
+        .withColumn("sub", expr("slice(embedding, m * 8 + 1, 8)"))
+        .withColumn("nrm_s", dot_i12(col("sub"), col("sub")))
+        .drop("embedding")
+      val codeDf = subs.filter(col("vec_id") < 16)
+        .select(col("m"), col("vec_id").cast("int").as("c"),
+          col("sub").as("cvec"), col("nrm_s").as("nrmc"))
+      val codes = subs.join(broadcast(codeDf), "m")
+        .withColumn("dist",
+          col("nrm_s") - lit(2) * dot_i12(col("sub"), col("cvec")) + col("nrmc"))
+        .groupBy("vec_id", "m")
+        .agg(min(struct(col("dist"), col("c"))).as("mm"))
+        .select(col("vec_id"), col("m"), col("mm.c").as("c"))
+      val lut = subs.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("m"),
+          col("sub").as("qsub"), col("nrm_s").as("qn"))
+        .join(broadcast(codeDf), "m")
+        .withColumn("qdist",
+          col("qn") - lit(2) * dot_i12(col("qsub"), col("cvec")) + col("nrmc"))
+        .select("q_id", "m", "c", "qdist")
+      val wa = Window.partitionBy("q_id").orderBy(asc("adist"), asc("vec_id"))
+      val shortlist = codes.join(broadcast(lut), Seq("m", "c"))
+        .groupBy("q_id", "vec_id")
+        .agg(sum(col("qdist")).cast("long").as("adist"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("arank", row_number().over(wa))
+        .filter(col("arank") <= 20)
+      val qFull = withNorm.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id2"), col("embedding").as("qe"),
+          col("nrm").as("qn2"))
+      val we = Window.partitionBy("q_id").orderBy(asc("edist"), asc("vec_id"))
+      shortlist
+        .join(withNorm, "vec_id")
+        .join(broadcast(qFull), col("q_id") === col("q_id2"))
+        .withColumn("edist",
+          col("qn2") - lit(2) * dot_i12(col("qe"), col("embedding")) + col("nrm"))
+        .withColumn("rank", row_number().over(we))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("rank"), col("vec_id"), col("adist"), col("edist"))
+        .orderBy("q_id", "rank")
+    }),
+
     // E3 — IVF ANN (rows-only: k-means training is not SQL-expressible):
     // coarse centroids + posting lists, probe-limited exact search.
     "e3_ivf_ann" -> ((s, d) => {
@@ -1181,6 +1248,65 @@ object TextQueries {
         |SELECT q_id, CAST(cid AS INTEGER) AS cid, CAST(rank AS INTEGER) AS rank,
         |  vec_id, round(sim, 6) AS sim
         |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "e5_pq_adc" ->
+      """WITH dims AS (SELECT vec_id, pos, CAST(x AS DOUBLE) AS x FROM (
+        |    SELECT vec_id, unnest(embedding) AS x,
+        |      unnest(generate_series(0, len(embedding) - 1)) AS pos
+        |    FROM embeddings)),
+        |dd AS (SELECT vec_id, pos // 8 AS m, pos % 8 AS j, x FROM dims),
+        |cd AS (SELECT vec_id AS c, m, j, x AS cv FROM dd WHERE vec_id < 16),
+        |cn AS (SELECT m, c,
+        |    CAST(sum(CAST(round(cv * cv * 1e12) AS BIGINT)) AS BIGINT) AS nrmc
+        |  FROM cd GROUP BY 1, 2),
+        |snorm AS (SELECT vec_id, m,
+        |    CAST(sum(CAST(round(x * x * 1e12) AS BIGINT)) AS BIGINT) AS nrm_s
+        |  FROM dd GROUP BY 1, 2),
+        |fnorm AS (SELECT vec_id,
+        |    CAST(sum(CAST(round(x * x * 1e12) AS BIGINT)) AS BIGINT) AS nrm
+        |  FROM dims GROUP BY 1),
+        |sdot AS (SELECT dd.vec_id, dd.m, cd.c,
+        |    CAST(sum(CAST(round(x * cv * 1e12) AS BIGINT)) AS BIGINT) AS dotc
+        |  FROM dd JOIN cd ON cd.m = dd.m AND cd.j = dd.j
+        |  GROUP BY 1, 2, 3),
+        |codes AS (SELECT vec_id, m, c FROM (
+        |    SELECT d.vec_id, d.m, d.c,
+        |      row_number() OVER (PARTITION BY d.vec_id, d.m
+        |        ORDER BY n.nrm_s - 2*d.dotc + cn.nrmc ASC, d.c ASC) AS rn
+        |    FROM sdot d JOIN snorm n ON n.vec_id = d.vec_id AND n.m = d.m
+        |    JOIN cn ON cn.m = d.m AND cn.c = d.c)
+        |  WHERE rn = 1),
+        |lut AS (SELECT d.vec_id AS q_id, d.m, d.c,
+        |    n.nrm_s - 2*d.dotc + cn.nrmc AS qdist
+        |  FROM sdot d JOIN snorm n ON n.vec_id = d.vec_id AND n.m = d.m
+        |  JOIN cn ON cn.m = d.m AND cn.c = d.c
+        |  WHERE d.vec_id < 5),
+        |sc AS (SELECT q_id, codes.vec_id AS vec_id,
+        |    CAST(sum(qdist) AS BIGINT) AS adist
+        |  FROM codes JOIN lut ON lut.m = codes.m AND lut.c = codes.c
+        |  WHERE codes.vec_id <> lut.q_id
+        |  GROUP BY 1, 2),
+        |shortlist AS (SELECT q_id, vec_id, adist FROM (
+        |    SELECT q_id, vec_id, adist,
+        |      row_number() OVER (PARTITION BY q_id
+        |                         ORDER BY adist ASC, vec_id ASC) AS arank
+        |    FROM sc) WHERE arank <= 20),
+        |qdot AS (SELECT a.vec_id AS q_id, b.vec_id,
+        |    CAST(sum(CAST(round(a.x * b.x * 1e12) AS BIGINT)) AS BIGINT) AS dote
+        |  FROM dims a JOIN dims b ON a.pos = b.pos
+        |  WHERE a.vec_id < 5 GROUP BY 1, 2),
+        |rr AS (SELECT s.q_id, s.vec_id, s.adist,
+        |    qn.nrm - 2*qd.dote + vn.nrm AS edist
+        |  FROM shortlist s
+        |  JOIN qdot qd ON qd.q_id = s.q_id AND qd.vec_id = s.vec_id
+        |  JOIN fnorm qn ON qn.vec_id = s.q_id
+        |  JOIN fnorm vn ON vn.vec_id = s.vec_id),
+        |rk AS (SELECT q_id, vec_id, adist, edist,
+        |    row_number() OVER (PARTITION BY q_id
+        |                       ORDER BY edist ASC, vec_id ASC) AS rank
+        |  FROM rr)
+        |SELECT q_id, CAST(rank AS INTEGER) AS rank, vec_id, adist, edist
+        |FROM rk WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
     "m1_binary_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
