@@ -747,16 +747,32 @@ object TextQueries {
         .select(col("doc_id"),
           (col("h0") * 2147483648L + col("h1")).as("m0"),
           (col("h2") * 2147483648L + col("h3")).as("m1"))
+        // persisted: the signature aggregation would otherwise be
+        // recomputed once per window pass and once for the initial
+        // labels — 5 token-explode + minhash passes instead of 1
+        .persist()
       val edges = Seq("m0", "m1").map { b =>
         sig.withColumn("root", min(col("doc_id")).over(Window.partitionBy(b)))
           .filter(col("doc_id") =!= col("root"))
           .select(col("doc_id").as("src"), col("root").as("dst"))
       }.reduce(_ unionByName _)
+      // localCheckpoint, not persist: persist caches DATA but keeps the
+      // full logical plan, and the loop below embeds `labels` several
+      // times per round (propagation join + the label-of-label
+      // self-join) — with persist the plan TREE doubles every round and
+      // Catalyst re-optimization time grows exponentially (measured:
+      // round 2 planned 8× slower than round 0, and the final action
+      // re-planned the whole tree for ~40 s at sf0.1). Checkpointing
+      // truncates the lineage to the materialized partitions, so every
+      // round plans a constant-size tree. At cluster scale use
+      // checkpoint() on reliable storage for the same reason.
       val sym = edges
         .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct().persist()
-      var labels = sig.select(col("doc_id").as("node"), col("doc_id").as("label"))
-        .persist()
+        .distinct().localCheckpoint(true)
+      var labels = sig
+        .select(col("doc_id").as("node"), col("doc_id").as("label"))
+        .localCheckpoint(true)
+      sig.unpersist()
       // Min-label propagation with POINTER JUMPING: each round takes
       // the neighbor min AND the label-of-label shortcut (label
       // doubling), so convergence is O(log diameter) rounds instead of
@@ -768,20 +784,29 @@ object TextQueries {
       // round, no change-count join.
       var prevSum = Long.MaxValue; var iter = 0; var converged = false
       while (!converged && iter < 12) {
-        val prop = sym.join(labels, col("src") === col("node"))
+        // shuffle_hash everywhere in the round: every broadcast join
+        // would spend a separate collect-to-driver job per round —
+        // on a frame this small the job overhead IS the runtime
+        val prop = sym.hint("shuffle_hash")
+          .join(labels, col("src") === col("node"))
           .groupBy(col("dst")).agg(min(col("label")).as("nl"))
           .select(col("dst").as("node2"), col("nl"))
-        val cand = labels.join(prop, col("node") === col("node2"), "left")
+        // cand is checkpointed: the label-of-label shortcut reads it
+        // from BOTH sides of a self-join — otherwise the propagation
+        // join would execute twice per round and double the plan
+        val cand = labels.hint("shuffle_hash")
+          .join(prop, col("node") === col("node2"), "left")
           .select(col("node"),
             least(col("label"), coalesce(col("nl"), col("label"))).as("l1"))
-        val next = cand.join(
+          .localCheckpoint(true)
+        val next = cand.hint("shuffle_hash").join(
             cand.select(col("node").as("pn"), col("l1").as("pl")),
             col("l1") === col("pn"), "left")
           .select(col("node"),
             least(col("l1"), coalesce(col("pl"), col("l1"))).as("label"))
-          .persist()
+          .localCheckpoint(true)
         val s = next.agg(sum(col("label")).cast("long")).head.getLong(0)
-        labels.unpersist(); labels = next; iter += 1
+        labels = next; iter += 1
         converged = s == prevSum; prevSum = s
       }
       val sz = labels.groupBy("label").agg(count(lit(1)).as("comp_size"))
