@@ -255,16 +255,34 @@ object Relational {
       val tag = d.replaceAll("[^A-Za-z0-9]", "_")
       val lt = s"graft_li_bkt$tag"; val ot = s"graft_or_bkt$tag"
       val base = sys.props("java.io.tmpdir") + "/graft_bucketed"
-      if (!s.catalog.tableExists(lt)) {
-        lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount")
-          .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-          .option("path", s"$base/$lt").mode("overwrite").saveAsTable(lt)
-      }
-      if (!s.catalog.tableExists(ot)) {
-        orders(s, d).select("o_orderkey", "o_orderpriority")
-          .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-          .option("path", s"$base/$ot").mode("overwrite").saveAsTable(ot)
-      }
+      // The bucketed layout is the INGEST-ONCE artifact this operator
+      // exists to demonstrate, so honor it across sessions too: if a
+      // prior session already wrote the files (fixtures are
+      // immutable), register them as an external bucketed table via
+      // DDL instead of rewriting — the write cost is paid once, not
+      // once per session.
+      def ensure(name: String, cols: String, key: String,
+          write: => Unit): Unit =
+        if (!s.catalog.tableExists(name)) {
+          val dir = new java.io.File(s"$base/$name")
+          if (new java.io.File(dir, "_SUCCESS").exists())
+            s.sql(s"""CREATE TABLE $name ($cols) USING parquet
+                     |CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS
+                     |LOCATION '${dir.getAbsolutePath}'""".stripMargin)
+          else write
+        }
+      ensure(lt, "l_orderkey BIGINT, l_extendedprice DOUBLE, l_discount DOUBLE",
+        "l_orderkey", {
+          lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount")
+            .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+            .option("path", s"$base/$lt").mode("overwrite").saveAsTable(lt)
+        })
+      ensure(ot, "o_orderkey BIGINT, o_orderpriority STRING",
+        "o_orderkey", {
+          orders(s, d).select("o_orderkey", "o_orderpriority")
+            .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .option("path", s"$base/$ot").mode("overwrite").saveAsTable(ot)
+        })
       s.table(lt).join(s.table(ot).hint("merge"),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))
