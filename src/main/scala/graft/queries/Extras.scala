@@ -30,6 +30,39 @@ object Extras {
       |  FROM events)""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    // T15 — visibility calculation (ref examples/target_visibility.py:
+    // 34–66, args main.py:7664–7699): target altitude over a night
+    // grid from an observatory location, as pure column trig — the
+    // alt/az formula alt = asin(sin δ sin φ + cos δ cos φ cos H) with
+    // H = LST − α and the standard LST polynomial. Targets are derived
+    // from the nation table (25 synthetic α/δ), the 10-min grid is a
+    // generated sequence (T11 pattern) — no shuffle until the output
+    // sort. Transcendental outputs are rounded at 1e-4 (Java vs C
+    // libm differ in the last ulp; 4 dp absorbs it — the sc_math
+    // discipline, coarser because asin'(x)→∞ near the poles).
+    "t15_visibility" -> ((s, d) => {
+      val J2000 = 946728000000000L // 2000-01-01T12:00Z, micros
+      val lat = 28.3; val lon = -16.5
+      val targets = nation(s, d).select(
+        col("n_nationkey").as("target"),
+        (col("n_nationkey") * 14.4).as("ra_deg"),
+        ((col("n_nationkey") * 7 % 120) - 60).cast("double").as("dec_deg"))
+      targets
+        .withColumn("k", explode(sequence(lit(0L), lit(143L))))
+        .withColumn("t_us", lit(E) + col("k") * 600000000L)
+        .withColumn("d_j2000", (col("t_us") - J2000) / 86400e6)
+        .withColumn("lst_deg",
+          pmod(lit(280.46061837) + lit(360.98564736629) * col("d_j2000") + lon,
+            lit(360.0)))
+        .withColumn("sinalt",
+          sin(radians(col("dec_deg"))) * math.sin(math.toRadians(lat)) +
+            cos(radians(col("dec_deg"))) * math.cos(math.toRadians(lat)) *
+            cos(radians(col("lst_deg") - col("ra_deg"))))
+        .withColumn("alt4", round(degrees(asin(col("sinalt"))), 4))
+        .withColumn("is_up", col("alt4") > 20.0)
+        .select("target", "k", "t_us", "alt4", "is_up")
+        .orderBy("target", "k")
+    }),
     // S5 — user-CSV scan (ref np.loadtxt ingest main.py:10222–10233):
     // explicit schema, sanity filter flux < 1e6, err synthesized as
     // 1e-4·flux, global sort by time. The fixture is a deterministic
