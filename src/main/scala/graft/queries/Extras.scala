@@ -230,6 +230,36 @@ object Extras {
   )
 
   val oracle: Map[String, String] = Map(
+    // Same LST polynomial + alt-az formula in DuckDB trig; both engines
+    // round the transcendental output at 4 dp (sc_math discipline,
+    // coarsened — see the query comment). pmod(x, 360) is spelled as
+    // the double-fmod sandwich DuckDB lacks a pmod for.
+    "t15_visibility" ->
+      """WITH t AS (SELECT n_nationkey AS target,
+        |    n_nationkey * 14.4 AS ra_deg,
+        |    CAST((n_nationkey * 7 % 120) - 60 AS DOUBLE) AS dec_deg
+        |  FROM nation),
+        |g AS (SELECT target, ra_deg, dec_deg,
+        |    unnest(generate_series(0, 143)) AS k FROM t),
+        |c AS (SELECT target, k, ra_deg, dec_deg,
+        |    1704067200000000 + k * 600000000 AS t_us,
+        |    (1704067200000000 + k * 600000000 - 946728000000000) / 86400e6
+        |      AS d_j2000
+        |  FROM g),
+        |l AS (SELECT *,
+        |    fmod(fmod(280.46061837 + 360.98564736629 * d_j2000 + -16.5,
+        |              360.0) + 360.0, 360.0) AS lst_deg
+        |  FROM c),
+        |s AS (SELECT *,
+        |    sin(radians(dec_deg)) * sin(radians(28.3)) +
+        |    cos(radians(dec_deg)) * cos(radians(28.3)) *
+        |    cos(radians(lst_deg - ra_deg)) AS sinalt
+        |  FROM l)
+        |SELECT target, k, t_us,
+        |  round(degrees(asin(sinalt)), 4) AS alt4,
+        |  round(degrees(asin(sinalt)), 4) > 20.0 AS is_up
+        |FROM s ORDER BY target, k""".stripMargin,
+
     "s5_csv_scan" ->
       s"""SELECT t_us, flux, flux * 1e-4 AS err
          |FROM read_csv('${graft.sources.CsvFixture.path}', header=true,

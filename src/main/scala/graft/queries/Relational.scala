@@ -261,15 +261,27 @@ object Relational {
       // immutable), register them as an external bucketed table via
       // DDL instead of rewriting — the write cost is paid once, not
       // once per session.
+      // A stale or foreign directory in world-writable /tmp must not be
+      // trusted: reuse only when the manifest this code wrote alongside
+      // the data matches the exact schema/key/bucket-count/fixture this
+      // version expects — anything else is rebuilt from scratch.
       def ensure(name: String, cols: String, key: String,
           write: => Unit): Unit =
         if (!s.catalog.tableExists(name)) {
           val dir = new java.io.File(s"$base/$name")
-          if (new java.io.File(dir, "_SUCCESS").exists())
+          val mf = new java.io.File(dir, "_graft_manifest")
+          val expect = s"graft-bucketed-v1|$cols|$key|8|$d"
+          val reusable = new java.io.File(dir, "_SUCCESS").exists() &&
+            mf.exists() && new String(java.nio.file.Files.readAllBytes(
+              mf.toPath), "UTF-8") == expect
+          if (reusable)
             s.sql(s"""CREATE TABLE $name ($cols) USING parquet
                      |CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS
                      |LOCATION '${dir.getAbsolutePath}'""".stripMargin)
-          else write
+          else {
+            write
+            java.nio.file.Files.write(mf.toPath, expect.getBytes("UTF-8"))
+          }
         }
       ensure(lt, "l_orderkey BIGINT, l_extendedprice DOUBLE, l_discount DOUBLE",
         "l_orderkey", {

@@ -782,7 +782,7 @@ object TextQueries {
       // the sum of labels: labels only ever decrease, so the sum is
       // strictly monotone until the fixpoint — one scalar aggregate per
       // round, no change-count join.
-      var prevSum = Long.MaxValue; var iter = 0; var converged = false
+      var prevSum: java.math.BigDecimal = null; var iter = 0; var converged = false
       while (!converged && iter < 12) {
         // shuffle_hash everywhere in the round: every broadcast join
         // would spend a separate collect-to-driver job per round —
@@ -805,10 +805,17 @@ object TextQueries {
           .select(col("node"),
             least(col("l1"), coalesce(col("pl"), col("l1"))).as("label"))
           .localCheckpoint(true)
-        val s = next.agg(sum(col("label")).cast("long")).head.getLong(0)
+        // DECIMAL(38,0) sum, not long: at extreme doc_id×count scale a
+        // long sum can overflow and alias a non-fixpoint as converged
+        val sd = next.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
         labels = next; iter += 1
-        converged = s == prevSum; prevSum = s
+        converged = prevSum != null && sd.compareTo(prevSum) == 0; prevSum = sd
       }
+      // the cap is a runaway backstop, not an accepted outcome: pointer
+      // jumping converges in O(log diameter) rounds, so 12 covers any
+      // plausible component; hitting it without a fixpoint is a bug
+      if (!converged) throw new IllegalStateException(
+        s"d15_components: label propagation did not converge in $iter rounds")
       val sz = labels.groupBy("label").agg(count(lit(1)).as("comp_size"))
       labels.join(sz, "label")
         .select(col("node").as("doc_id"), col("label").as("comp"), col("comp_size"))

@@ -44,8 +44,13 @@ object TimeSeries {
   private def arrivalFixture(s: SparkSession, d: String, prefix: String,
       project: DataFrame => DataFrame): java.io.File = {
     val C1 = E + 10 * PDAY; val C2 = E + 20 * PDAY
-    val root = new java.io.File(
-      s"/tmp/${prefix}_${Integer.toHexString(d.hashCode)}")
+    // the fixture tag encodes the projected schema and every cut
+    // constant, not just the data dir: changing the projection or the
+    // batch boundaries must force a rebuild, never silently reuse
+    val schemaTag = project(events(s, d)).schema
+      .map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")
+    val root = new java.io.File(s"/tmp/${prefix}_" + Integer.toHexString(
+      (d + "|" + schemaTag + s"|$E|$C1|$C2").hashCode))
     val dataDir = new java.io.File(root, "data")
     val complete = Option(dataDir.listFiles())
       .exists(_.count(_.getName.endsWith(".parquet")) == 3)

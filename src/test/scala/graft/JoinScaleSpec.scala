@@ -1,7 +1,7 @@
 package graft
 
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
 import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
 import org.apache.spark.sql.execution.SparkPlan
 
@@ -14,13 +14,20 @@ class JoinScaleSpec extends SparkSpec {
 
   private def executed(name: String): SparkPlan = {
     val df = SparkEntry.queries(name)(spark, sf)
-    df.count() // finalize AQE so the assertions see the real plan
+    // execute THIS DataFrame (not a derived .count(), which builds its
+    // own QueryExecution) so df.queryExecution holds the AQE-finalized
+    // plan the assertions inspect
+    df.collect()
     df.queryExecution.executedPlan
   }
 
   private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
+    // QueryStageExec is a LeafExecNode — the finalized stage tree is
+    // reachable only through .plan (and ReusedExchange through .child)
     val here = p match {
       case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)(pf)
+      case q: QueryStageExec => collectAll(q.plan)(pf)
+      case r: ReusedExchangeExec => collectAll(r.child)(pf)
       case _ => p.children.flatMap(c => collectAll(c)(pf))
     }
     (pf.lift(p).toSeq ++ here) ++ (p.subqueries.flatMap(s => collectAll(s)(pf)))
