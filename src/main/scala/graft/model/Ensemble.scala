@@ -115,14 +115,20 @@ object Ensemble {
   /** T12-style box-transit model on a time axis (days):
     * flux(t) = 1 − depth·[|centered phase| < dur/2]. */
   def boxModel(t: Array[Double], epoch: Double, period: Double,
-               dur: Double, depth: Double): Array[Double] =
-    t.map { ti =>
-      val ph = {
-        val m = (ti - epoch + period / 2) % period
-        (if (m < 0) m + period else m) - period / 2
-      }
-      if (math.abs(ph) < dur / 2) 1.0 - depth else 1.0
+               dur: Double, depth: Double): Array[Double] = {
+    // hot path: ~10⁴ calls per ensemble fit — primitive while loop, no
+    // ArrayOps.map boxing
+    val out = new Array[Double](t.length)
+    val half = period / 2; val dhalf = dur / 2
+    var i = 0
+    while (i < t.length) {
+      val m = (t(i) - epoch + half) % period
+      val ph = (if (m < 0) m + period else m) - half
+      out(i) = if (math.abs(ph) < dhalf) 1.0 - depth else 1.0
+      i += 1
     }
+    out
+  }
 
   /** Gaussian log-likelihood of data vs model (ref retr_llik_mile
     * main.py:735–850, white-noise branch). */

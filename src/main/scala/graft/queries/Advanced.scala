@@ -257,8 +257,17 @@ object Advanced {
         .agg(count(lit(1)).as("n"), sum(col("fc")).as("sv"))
         .select(col("ener"), col("b"), col("n"), col("sv"))
         .as[(Long, Long, Long, Long)]
-      bins.groupByKey(_._1).mapGroups { (ener, it) =>
-        val rs = it.toArray.sortBy(_._2)
+      // one fit per TASK, explicitly: groupByKey's exchange moves ~1600
+      // tiny rows, so AQE coalesces it to a single partition and the 8
+      // CPU-bound fits run serially in one task (measured 3.9 s vs
+      // 0.43 s/fit). repartitionByRange with an explicit partition
+      // count is exempt from AQE coalescing and range-splits 8 distinct
+      // keys into exactly one ener per partition — the fit fan-out IS
+      // the partitioning, the right shape for ~10⁴ per-target fits too.
+      bins.repartitionByRange(8, col("ener"))
+        .mapPartitions(_.toArray.groupBy(_._1).toSeq.sortBy(_._1).iterator
+          .map { case (ener, rs0) =>
+        val rs = rs0.sortBy(_._2)
         val t = rs.map(r => (r._2.toDouble + 0.5) * 7.0 / nb)
         val y = rs.map(r => r._4.toDouble / r._3 / 1e6)
         val yerr = Array.fill(y.length)(0.0004)
@@ -275,7 +284,7 @@ object Advanced {
         val pct = graft.model.Ensemble.percentiles(samples)
         def r6(x: Double) = math.rint(x * 1e6) / 1e6
         (ener, r6(pct(0)(0)), r6(pct(0)(1)), r6(pct(0)(2)), r6(acc))
-      }.toDF("ener", "depth_p16", "depth_p50", "depth_p84", "acceptance")
+      }).toDF("ener", "depth_p16", "depth_p50", "depth_p84", "acceptance")
         .orderBy("ener")
     }),
 

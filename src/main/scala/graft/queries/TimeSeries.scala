@@ -78,6 +78,25 @@ object TimeSeries {
     dataDir
   }
 
+  /** Isolated child session for the streaming queries: the state-store
+    * partition count is fixed from spark.sql.shuffle.partitions at the
+    * first micro-batch, and the shared session's 32 is ~10× more state
+    * stores than these small aggregates need — every instance pays its
+    * own per-batch commit (delta file write + maintenance). A child
+    * session pins 8 without mutating the shared session's conf
+    * mid-suite. (At real cluster scale the state partition count is a
+    * sizing decision per stream — this helper is where it lives.) */
+  private def streamSession(s: SparkSession): SparkSession = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // StreamingQueryManager is per-session: carry the caller's
+    // listeners over so progress observers (metrics assertions,
+    // monitoring) keep seeing these queries
+    s.streams.listListeners().foreach(ss.streams.addListener)
+    ss
+  }
+
   case class StRow(user_id: Long, t_us: Long, ts: java.sql.Timestamp)
   case class StSess(s_us: Long, e_us: Long, n: Long)
   case class StOut(user_id: Long, s_us: Long, e_us: Long, n: Long)
@@ -195,12 +214,12 @@ object TimeSeries {
     // a plain GROUP BY oracle. At scale the same query runs unbounded
     // with the watermark dropping late state.
     "st2_stream_tumbling" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val ss = streamSession(s)
+      val schema = ss.read.parquet(s"$d/events.parquet").schema
       // Glob path: FileStreamSource force-sets basePath to the literal
       // path for non-glob paths, and basePath must be a directory —
       // the glob keeps our explicit directory basePath in force.
-      val stream = s.readStream.schema(schema)
+      val stream = ss.readStream.schema(schema)
         .option("basePath", d)
         .parquet(s"$d/events*.parquet")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -214,7 +233,7 @@ object TimeSeries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.table("st2_sink")
+      ss.table("st2_sink")
         .select(unix_micros(col("w.start")).as("w_us"), col("event_type"),
           col("n"), (col("sc").cast("long") / 100.0).as("sum_value"))
         .orderBy("w_us", "event_type")
@@ -226,9 +245,9 @@ object TimeSeries {
     // the streaming form of A10. Checked bit-exact against the same
     // gaps-and-islands SQL as the batch st_session_window.
     "st3_stream_session" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = s.read.parquet(s"$d/events.parquet").schema
-      val stream = s.readStream.schema(schema)
+      val ss = streamSession(s)
+      val schema = ss.read.parquet(s"$d/events.parquet").schema
+      val stream = ss.readStream.schema(schema)
         .option("basePath", d)
         .parquet(s"$d/events*.parquet")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -241,7 +260,7 @@ object TimeSeries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.table("st3_sink")
+      ss.table("st3_sink")
         .select(col("user_id"), unix_micros(col("w.start")).as("s_us"),
           unix_micros(col("w.end")).as("e_us"), col("n"))
         .orderBy("user_id", "s_us")
@@ -261,11 +280,11 @@ object TimeSeries {
     // plain SQL, ms-truncating the max event time the way the
     // engine's per-batch stats do.
     "st4_stream_append" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ss = streamSession(s)
       val dataDir = arrivalFixture(s, d, "graft_st4",
         df => df.select(col("ts"), col("event_type"), col("value")))
-      val schema = s.read.parquet(dataDir.toString).schema
-      val stream = s.readStream.schema(schema)
+      val schema = ss.read.parquet(dataDir.toString).schema
+      val stream = ss.readStream.schema(schema)
         .option("basePath", dataDir.toString)
         .option("maxFilesPerTrigger", "1")
         .parquet(s"$dataDir/*.parquet")
@@ -279,7 +298,7 @@ object TimeSeries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.table("st4_sink")
+      ss.table("st4_sink")
         .select(unix_micros(col("w.start")).as("w_us"), col("event_type"),
           col("n"), (col("sc").cast("long") / 100.0).as("sum_value"))
         .orderBy("w_us", "event_type")
@@ -306,12 +325,12 @@ object TimeSeries {
     // sessions over on-time rows, emitted iff not the user's last
     // session OR closed by the final watermark.
     "st5_stateful_session" -> ((s, d) => {
-      import s.implicits._
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ss = streamSession(s)
+      import ss.implicits._
       val dataDir = arrivalFixture(s, d, "graft_st5",
         df => df.select(col("ts"), col("user_id")))
-      val schema = s.read.parquet(dataDir.toString).schema
-      val stream = s.readStream.schema(schema)
+      val schema = ss.read.parquet(dataDir.toString).schema
+      val stream = ss.readStream.schema(schema)
         .option("basePath", dataDir.toString)
         .option("maxFilesPerTrigger", "1")
         .parquet(s"$dataDir/*.parquet")
@@ -331,7 +350,7 @@ object TimeSeries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.table("st5_sink").orderBy("user_id", "s_us")
+      ss.table("st5_sink").orderBy("user_id", "s_us")
     }),
 
     // A10 — sessionization (gaps-and-islands, ref main.py:6347–6368):
