@@ -61,13 +61,16 @@ object Bench {
       System.gc()
       (name, sec, ok)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    // 3-decimal values keep the whole line short enough to survive a
+    // bounded tail-capture of the sbt output (round 3's full-precision
+    // line was ~2.9 KB and got clipped mid-JSON, defeating the parse).
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     // A failed query must not masquerade as a fast success: list
     // failures explicitly so the JSON is self-describing.
     val errs = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

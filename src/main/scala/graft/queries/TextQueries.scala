@@ -822,6 +822,117 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // D18 — PII / denylist scrub: redact denylisted terms and numeric
+    // runs, report hit counts and the scrubbed-content hash. Pure
+    // map-side regex (codegen'd string kernels) — zero shuffle, the
+    // shape a 100 TB redaction pass must have. Word-boundary regex
+    // semantics are identical between java.util.regex and RE2 for
+    // ASCII classes, so the oracle matches byte-for-byte.
+    "d18_pii_scrub" -> ((s, d) => {
+      val pat = "\\b(the|data|spark|query)\\b"
+      documents(s, d).select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(pat), lit(0))).as("n_hits"),
+          size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).as("n_num"),
+          md5(regexp_replace(col("text"), pat, "[REDACTED]")).as("scrub_md5"),
+          length(regexp_replace(col("text"), pat, "[REDACTED]")).as("len_after"))
+        .orderBy("doc_id")
+    }),
+
+    // D19 — benchmark decontamination (GPT-3 appx C style): flag
+    // training docs sharing token 3-grams with a held-out benchmark
+    // set (here: doc_id % 50 == 0). Trigram sets are built row-locally
+    // (transform over index sequence + array_distinct — no shuffle
+    // spent on per-doc dedup); the benchmark side is tiny by
+    // construction, so the contamination probe is a broadcast join
+    // against the corpus-sized trigram stream — the 100 TB shape
+    // (benchmarks are KBs; corpora are TBs).
+    "d19_decontaminate" -> ((s, d) => {
+      val tg = documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))")))
+          .as("tg"))
+      val bench = tg.filter(col("doc_id") % 50 === 0).select("tg").distinct()
+      val train = tg.filter(col("doc_id") % 50 =!= 0)
+      val cnt = train.groupBy("doc_id").agg(count(lit(1)).as("n_tg"))
+      val ov = train.join(broadcast(bench), "tg")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+      cnt.join(ov, "doc_id")
+        .withColumn("ratio", round(col("n_overlap").cast("double") / col("n_tg"), 6))
+        .withColumn("contaminated", col("n_overlap") * 10 >= col("n_tg") * 8)
+        .select("doc_id", "n_tg", "n_overlap", "ratio", "contaminated")
+        .orderBy("doc_id")
+    }),
+
+    // D20 — stratified mixing sample: per-language rates (the data-mix
+    // weights of a pretraining recipe) applied as a deterministic
+    // multiplicative-hash gate — a PURE FILTER, no shuffle, so the
+    // rate stage costs one scan at any corpus size — then an exact
+    // per-stratum cap (row_number over md5 order) for the survivors
+    // only. At 100 TB the cap window shuffles just the rate-gated
+    // subset, and only when an exact cap is actually required.
+    "d20_stratified_sample" -> ((s, d) => {
+      val w = s.createDataFrame(Seq(
+        ("en", 9), ("de", 6), ("es", 4), ("fr", 3), ("zh", 2)))
+        .toDF("lang", "rate")
+      val gated = documents(s, d).join(broadcast(w), "lang")
+        .withColumn("h", (col("doc_id") * lit(2654435761L)) % lit(2147483648L) % 10)
+        .filter(col("h") < col("rate"))
+      val win = Window.partitionBy("lang")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      gated.withColumn("rn", row_number().over(win))
+        .filter(col("rn") <= 40)
+        .select("doc_id", "lang", "source", "h", "rn")
+        .orderBy("doc_id")
+    }),
+
+    // E6 — SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    // dedup by clustering embeddings (deterministic e4 codebook) and
+    // comparing pairs WITHIN clusters only — the property that makes
+    // embedding dedup feasible at 100 TB: the pairwise stage is local
+    // to the cid shuffle key and cluster sizes stay bounded as k
+    // scales with the corpus. A vector is a duplicate if a
+    // same-cluster neighbor with smaller vec_id has cosine ≥ 0.45;
+    // the representative kept is the smallest such neighbor. All
+    // similarities are exact integers through the DotI12 kernel.
+    "e6_semdedup" -> ((s, d) => {
+      val dim = 64; val k = 16
+      val code = (0 until k).map { cid =>
+        val arr = Array.tabulate(dim) { j =>
+          val u = ((cid * 64 + j).toLong * 2654435761L) % 2147483648L
+          ((u % 1025) - 512).toFloat / 1024.0f
+        }
+        val nrmc = arr.map(x =>
+          graft.expr.VecExprs.roundHalfAway(x.toDouble * x.toDouble * 1e12)).sum
+        (cid, arr.toSeq, nrmc)
+      }
+      val codeDf = s.createDataFrame(code).toDF("cid", "cvec", "nrmc")
+      val withNorm = embeddings(s, d).select(col("vec_id"), col("embedding"))
+        .withColumn("nrm", dot_i12(col("embedding"), col("embedding")))
+      val assigned = withNorm.crossJoin(broadcast(codeDf))
+        .withColumn("dist",
+          col("nrm") - lit(2) * dot_i12(col("embedding"), col("cvec")) + col("nrmc"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist"), col("cid"))).as("m"),
+          first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"))
+        .select(col("vec_id"), col("m.cid").as("cid"), col("embedding"), col("nrm"))
+      val csize = Window.partitionBy("cid")
+      val a = assigned.withColumn("csize", count(lit(1)).over(csize))
+      val b = assigned.select(col("cid").as("b_cid"), col("vec_id").as("vb"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+      val dups = a.join(b, col("cid") === col("b_cid") && col("vec_id") < col("vb"))
+        .withColumn("sim", (dot_i12(col("embedding"), col("eb")) / 1e12) /
+          nullif(sqrt(col("nrm") / 1e12) * sqrt(col("nb") / 1e12), lit(0.0)))
+        .filter(col("sim") >= 0.45)
+        .groupBy(col("vb").as("vec_id2")).agg(min(col("vec_id")).as("rep"))
+      a.join(dups, col("vec_id") === col("vec_id2"), "left")
+        .withColumn("is_dup", col("rep").isNotNull)
+        .withColumn("keep_id", coalesce(col("rep"), col("vec_id")))
+        .select("vec_id", "cid", "csize", "is_dup", "keep_id")
+        .orderBy("vec_id")
+    }),
+
     // M1 — multimodal scaffold: opaque binary payload + typed metadata
     // (byte length, content-hash head); the decode stage itself is a
     // stubbed kernel in graft.multimodal (no image libs in-container).
@@ -1343,6 +1454,97 @@ object TextQueries {
     "m1_binary_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |  substr(md5(text), 1, 8) AS head
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d18_pii_scrub" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\b(the|data|spark|query)\b'))
+        |    AS INTEGER) AS n_hits,
+        |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_num,
+        |  md5(regexp_replace(text, '\b(the|data|spark|query)\b',
+        |    '[REDACTED]', 'g')) AS scrub_md5,
+        |  CAST(length(regexp_replace(text, '\b(the|data|spark|query)\b',
+        |    '[REDACTED]', 'g')) AS INTEGER) AS len_after
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d19_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |pos AS (SELECT doc_id, l,
+        |    unnest(generate_series(1, greatest(len(l) - 2, 0))) AS i FROM toks),
+        |tg AS (SELECT DISTINCT doc_id, array_to_string(l[i:i+2], ' ') AS tg
+        |       FROM pos),
+        |bench AS (SELECT DISTINCT tg FROM tg WHERE doc_id % 50 = 0),
+        |cnt AS (SELECT doc_id, count(*) AS n_tg FROM tg
+        |        WHERE doc_id % 50 <> 0 GROUP BY 1),
+        |ov AS (SELECT t.doc_id, count(*) AS n_overlap
+        |  FROM tg t JOIN bench b USING (tg) WHERE t.doc_id % 50 <> 0 GROUP BY 1)
+        |SELECT c.doc_id, c.n_tg, o.n_overlap,
+        |  round(CAST(o.n_overlap AS DOUBLE) / c.n_tg, 6) AS ratio,
+        |  (o.n_overlap * 10 >= c.n_tg * 8) AS contaminated
+        |FROM cnt c JOIN ov o ON o.doc_id = c.doc_id
+        |ORDER BY c.doc_id""".stripMargin,
+
+    "d20_stratified_sample" ->
+      """WITH w AS (SELECT * FROM (VALUES ('en', 9), ('de', 6), ('es', 4),
+        |    ('fr', 3), ('zh', 2)) AS t(lang, rate)),
+        |gated AS (SELECT d.doc_id, d.lang, d.source,
+        |    ((d.doc_id * 2654435761) % 2147483648) % 10 AS h
+        |  FROM documents d JOIN w ON w.lang = d.lang
+        |  WHERE ((d.doc_id * 2654435761) % 2147483648) % 10 < w.rate),
+        |capped AS (SELECT doc_id, lang, source, h,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM gated)
+        |SELECT doc_id, lang, source, h, CAST(rn AS INTEGER) AS rn
+        |FROM capped WHERE rn <= 40 ORDER BY doc_id""".stripMargin,
+
+    "e6_semdedup" ->
+      """WITH cdims AS (
+        |  SELECT cid, j,
+        |    CAST((((cid*64 + j) * 2654435761) % 2147483648) % 1025 - 512
+        |      AS DOUBLE) / 1024.0 AS c
+        |  FROM (SELECT unnest(generate_series(0, 15)) AS cid),
+        |       (SELECT unnest(generate_series(0, 63)) AS j)),
+        |cnorm AS (SELECT cid, sum(CAST(round(c * c * 1e12) AS BIGINT)) AS nrmc
+        |  FROM cdims GROUP BY 1),
+        |dims AS (
+        |  SELECT vec_id, pos, CAST(x AS DOUBLE) AS x FROM (
+        |    SELECT vec_id, unnest(embedding) AS x,
+        |      unnest(generate_series(0, len(embedding) - 1)) AS pos
+        |    FROM embeddings)),
+        |norms AS (SELECT vec_id,
+        |    sum(CAST(round(x * x * 1e12) AS BIGINT)) AS nrm
+        |  FROM dims GROUP BY 1),
+        |cdots AS (SELECT vec_id, cid,
+        |    sum(CAST(round(x * c * 1e12) AS BIGINT)) AS dotc
+        |  FROM dims JOIN cdims ON dims.pos = cdims.j GROUP BY 1, 2),
+        |assigned AS (SELECT vec_id, cid FROM (
+        |    SELECT d.vec_id, d.cid,
+        |      row_number() OVER (PARTITION BY d.vec_id
+        |        ORDER BY n.nrm - 2*d.dotc + cn.nrmc ASC, d.cid ASC) AS rn
+        |    FROM cdots d JOIN norms n ON n.vec_id = d.vec_id
+        |    JOIN cnorm cn ON cn.cid = d.cid)
+        |  WHERE rn = 1),
+        |csz AS (SELECT cid, count(*) AS csize FROM assigned GROUP BY 1),
+        |pairs AS (SELECT a.vec_id AS va, b.vec_id AS vb, a.cid
+        |  FROM assigned a JOIN assigned b
+        |  ON a.cid = b.cid AND a.vec_id < b.vec_id),
+        |pd AS (SELECT p.va, p.vb,
+        |    sum(CAST(round(da.x * db.x * 1e12) AS BIGINT)) AS dot
+        |  FROM pairs p JOIN dims da ON da.vec_id = p.va
+        |  JOIN dims db ON db.vec_id = p.vb AND db.pos = da.pos
+        |  GROUP BY 1, 2),
+        |dups AS (SELECT vb AS vec_id2, min(va) AS rep
+        |  FROM pd JOIN norms na ON na.vec_id = pd.va
+        |  JOIN norms nb ON nb.vec_id = pd.vb
+        |  WHERE (dot / 1e12) /
+        |    nullif(sqrt(na.nrm / 1e12) * sqrt(nb.nrm / 1e12), 0.0) >= 0.45
+        |  GROUP BY 1)
+        |SELECT a.vec_id, CAST(a.cid AS INTEGER) AS cid, s.csize,
+        |  (d.rep IS NOT NULL) AS is_dup,
+        |  coalesce(d.rep, a.vec_id) AS keep_id
+        |FROM assigned a JOIN csz s ON s.cid = a.cid
+        |LEFT JOIN dups d ON d.vec_id2 = a.vec_id
+        |ORDER BY a.vec_id""".stripMargin
   )
 }
