@@ -225,24 +225,25 @@ object TextQueries {
         .withColumn("simhash", (0 until 32).map(j =>
           when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _))
         .select("doc_id", "simhash")
-      val buckets = sh.select(
-          explode(array((0 until 4).map(b => struct(lit(b).as("band"),
-            expr(s"(simhash div ${1L << (8 * b)}) % 256").as("bv"))): _*)).as("bb"),
-          struct(col("doc_id"), col("simhash")).as("m"))
-        .select(col("bb.band").as("band"), col("bb.bv").as("bv"), col("m"))
-        .groupBy("band", "bv").agg(collect_list(col("m")).as("ms"))
-        .filter(size(col("ms")) > 1)
-      val cand = buckets
-        .select(col("ms"), posexplode(col("ms")).as(Seq("i", "x")))
-        .select(col("x"), explode(expr("slice(ms, i + 2, size(ms) - i - 1)")).as("y"))
-        .select(
-          when(col("x.doc_id") < col("y.doc_id"), col("x")).otherwise(col("y")).as("a"),
-          when(col("x.doc_id") < col("y.doc_id"), col("y")).otherwise(col("x")).as("b"))
-        .withColumn("hamming", expr("bit_count(a.simhash ^ b.simhash)"))
+      // Candidate pairs via a plain equi-self-join on the (band, byte)
+      // bucket key: the shuffle moves only the 4-band stream (4 rows
+      // per doc), every pair flows straight through the codegen'd
+      // bit_count filter without materializing per-bucket arrays, and
+      // a degenerate bucket is AQE-skew-splittable — unlike a
+      // collect_list whose array pins the whole bucket to one task.
+      val bands = sh.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+          expr(s"(simhash div ${1L << (8 * b)}) % 256").as("bv"))): _*)).as("bb"))
+        .select(col("doc_id"), col("simhash"),
+          col("bb.band").as("band"), col("bb.bv").as("bv"))
+      val rhs = bands.select(col("band").as("band2"), col("bv").as("bv2"),
+        col("doc_id").as("b_id"), col("simhash").as("sh2"))
+      bands.join(rhs,
+          col("band") === col("band2") && col("bv") === col("bv2") &&
+          col("doc_id") < col("b_id"))
+        .withColumn("hamming", expr("bit_count(simhash ^ sh2)"))
         .filter(col("hamming") <= 3)
-      cand
-        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-          col("hamming"))
+        .groupBy(col("doc_id").as("a_id"), col("b_id"), col("hamming"))
         .agg(count(lit(1)).as("n_shared_bands"))
         .select(col("a_id"), col("b_id"), col("hamming").cast("long").as("hamming"),
           col("n_shared_bands").cast("long").as("n_shared_bands"))
@@ -933,6 +934,80 @@ object TextQueries {
         .orderBy("vec_id")
     }),
 
+    // D21 — training-sequence packing: assemble docs into fixed-budget
+    // (256-token) shards per source in deterministic doc_id order — the
+    // shard-assembly stage that turns a filtered corpus into training
+    // sequences. A prefix-sum window keyed by source assigns each doc
+    // its start offset; the bin is pure arithmetic on that offset. One
+    // shuffle on the pack key; at 100 TB the pack key is (source,
+    // date-bucket) so each window partition stays machine-sized.
+    "d21_seq_packing" -> ((s, d) => {
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      documents(s, d)
+        .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+        .withColumn("off", sum(col("n_tok")).over(w) - col("n_tok"))
+        .groupBy(col("source"), (col("off") / 256).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tot_tok"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy("source", "bin")
+    }),
+
+    // D22 — winnowing fingerprints (Schleimer et al. 2003, the MOSS
+    // scheme): hash every token 3-gram, slide a w=4 window over the
+    // gram sequence, keep each window's minimum — the fingerprint set
+    // that makes robust substring-level dedup O(doc length) instead of
+    // all-substrings. Grams and hashes are row-local; the only wide
+    // stages are the per-doc window (keyed by doc_id) and the final
+    // per-doc rollup — both shuffle the gram stream once.
+    "d22_winnowing" -> ((s, d) => {
+      val toks = documents(s, d)
+        .withColumn("l", split(col("text"), " "))
+        .filter(size(col("l")) >= 3)
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(1, size(l) - 2), i -> concat_ws(' ', slice(l, i, 3)))"))
+          .as(Seq("i0", "gram")))
+        .withColumn("i", col("i0") + 1).drop("i0")
+      val wN = Window.partitionBy("doc_id")
+      val wm = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, 3)
+      toks
+        .withColumn("gh", expr(graft.text.TextOps.md5Hash32Fast("gram")))
+        .withColumn("n_grams", count(lit(1)).over(wN).cast("int"))
+        .withColumn("fp", min(col("gh")).over(wm))
+        .filter(col("i") <= col("n_grams") - 3)
+        .groupBy("doc_id", "n_grams")
+        .agg(countDistinct(col("fp")).as("n_fp"),
+          min(col("fp")).as("min_fp"), max(col("fp")).as("max_fp"))
+        .orderBy("doc_id")
+    }),
+
+    // E7 — sparse random projection (Achlioptas 2003): 64→16 dims with
+    // a deterministic {−1, 0, +1} matrix (2/3 sparse), the
+    // dimensionality-reduction front of an ANN stack at 100 TB — a
+    // map-only pass (16 codegen DotI12 kernels against broadcast-
+    // literal rows), zero shuffle before the output sort. Exact:
+    // x·s at ±1/0 keeps DotI12's per-element 1e12 rounding identical
+    // to the oracle's sum of rounded products.
+    "e7_random_projection" -> ((s, d) => {
+      val proj = (0 until 16).map { r =>
+        val arr = Array.tabulate(64) { j =>
+          (((r * 64 + j).toLong * 2654435761L) % 2147483648L % 6) match {
+            case 0 => 1.0f
+            case 1 => -1.0f
+            case _ => 0.0f
+          }
+        }
+        (r, arr.toSeq)
+      }
+      val projDf = s.createDataFrame(proj).toDF("r", "pvec")
+      embeddings(s, d).select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(projDf))
+        .select(col("vec_id"), col("r"),
+          dot_i12(col("embedding"), col("pvec")).as("y_i12"))
+        .withColumn("y", col("y_i12") / 1e12)
+        .orderBy("vec_id", "r")
+    }),
+
     // M1 — multimodal scaffold: opaque binary payload + typed metadata
     // (byte length, content-hash head); the decode stage itself is a
     // stubbed kernel in graft.multimodal (no image libs in-container).
@@ -1497,6 +1572,50 @@ object TextQueries {
         |  FROM gated)
         |SELECT doc_id, lang, source, h, CAST(rn AS INTEGER) AS rn
         |FROM capped WHERE rn <= 40 ORDER BY doc_id""".stripMargin,
+
+    "d21_seq_packing" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    len(string_split(text, ' ')) AS n_tok FROM documents),
+        |c AS (SELECT doc_id, source, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tok AS off FROM t)
+        |SELECT source, CAST(off // 256 AS BIGINT) AS bin, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS tot_tok,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2 ORDER BY source, bin""".stripMargin,
+
+    "d22_winnowing" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l
+        |              FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |pos AS (SELECT doc_id, l,
+        |    unnest(generate_series(1, greatest(len(l) - 2, 0))) AS i FROM toks),
+        |g AS (SELECT doc_id, i,
+        |    ${graft.text.TextOps.md5Hash32("array_to_string(l[i:i+2], ' ')")} AS gh,
+        |    len(l) - 2 AS n_grams FROM pos),
+        |m AS (SELECT doc_id, i, n_grams,
+        |    min(gh) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |  FROM g),
+        |fp AS (SELECT DISTINCT doc_id, n_grams, fp FROM m WHERE i <= n_grams - 3)
+        |SELECT doc_id, CAST(n_grams AS INTEGER) AS n_grams, count(*) AS n_fp,
+        |  min(fp) AS min_fp, max(fp) AS max_fp
+        |FROM fp GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
+
+    "e7_random_projection" ->
+      """WITH dims AS (SELECT vec_id, pos, CAST(x AS DOUBLE) AS x FROM (
+        |    SELECT vec_id, unnest(embedding) AS x,
+        |      unnest(generate_series(0, len(embedding) - 1)) AS pos
+        |    FROM embeddings)),
+        |proj AS (SELECT r, j,
+        |    CASE ((r*64 + j) * 2654435761) % 2147483648 % 6
+        |      WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END AS sgn
+        |  FROM (SELECT unnest(generate_series(0, 15)) AS r),
+        |       (SELECT unnest(generate_series(0, 63)) AS j))
+        |SELECT vec_id, CAST(r AS INTEGER) AS r,
+        |  CAST(sum(CAST(round(x * sgn * 1e12) AS BIGINT)) AS BIGINT) AS y_i12,
+        |  CAST(sum(CAST(round(x * sgn * 1e12) AS BIGINT)) AS BIGINT) / 1e12 AS y
+        |FROM dims JOIN proj ON proj.j = dims.pos
+        |GROUP BY 1, 2 ORDER BY vec_id, r""".stripMargin,
 
     "e6_semdedup" ->
       """WITH cdims AS (

@@ -353,6 +353,30 @@ object TimeSeries {
       ss.table("st5_sink").orderBy("user_id", "s_us")
     }),
 
+    // §2.10 — streaming INGEST DEDUP: dropDuplicates through the
+    // micro-batch engine — the first stage of a streaming corpus
+    // pipeline (each key emitted exactly once, on first arrival, in
+    // append mode). State is one entry per distinct key, bounded by
+    // key cardinality, not stream length; for time-scoped keys at
+    // 100 TB the dropDuplicatesWithinWatermark variant caps state by
+    // the watermark horizon instead. Oracle: plain SELECT DISTINCT.
+    "st6_stream_dedup" -> ((s, d) => {
+      val ss = streamSession(s)
+      val schema = ss.read.parquet(s"$d/events.parquet").schema
+      val stream = ss.readStream.schema(schema)
+        .option("basePath", d)
+        .parquet(s"$d/events*.parquet")
+        .select(col("user_id"), col("event_type"))
+        .dropDuplicates("user_id", "event_type")
+      val q = stream.writeStream
+        .format("memory").queryName("st6_sink")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ss.table("st6_sink").orderBy("user_id", "event_type")
+    }),
+
     // A10 — sessionization (gaps-and-islands, ref main.py:6347–6368):
     // 30-min inactivity threshold, per-session aggregates.
     "a10_sessionize" -> ((s, d) => {
@@ -673,6 +697,10 @@ object TimeSeries {
            |                                  ORDER BY t_us, event_id) AS gap
            |      FROM base)
            |ORDER BY user_id, event_id""".stripMargin,
+
+      "st6_stream_dedup" ->
+        """SELECT DISTINCT user_id, event_type FROM events
+          |ORDER BY user_id, event_type""".stripMargin,
 
       "st2_stream_tumbling" ->
         s"""WITH $baseSql
