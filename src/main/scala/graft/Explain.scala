@@ -42,7 +42,14 @@ object Explain {
       "d13_chunking" -> "row-local split + sequence explode + slice — no shuffle before the output sort",
       "d14_unigram_lm" -> "per-token logprobs integerized before the per-doc sum; two keyed aggregations + broadcast scalar",
       "t13b_mcmc_perener" -> "one exact-integer phase-bin aggregation, then mapGroups runs one ensemble fit per energy bin — fits parallelize across the shuffle key",
-      "d4b_simhash_pairs" -> "candidates grouped by (band, value) buckets — no self-join; popcount Hamming gate runs on the exploded candidate stream BEFORE the pair-keyed shuffle",
+      "d4b_simhash_pairs" -> "equi-self-join on the (band, byte) bucket key — pairs stream through the codegen popcount gate with no per-bucket arrays; skewed buckets remain AQE-splittable",
+      "d18_pii_scrub" -> "map-only regex scrub: no Exchange anywhere before the output sort",
+      "d19_decontaminate" -> "trigram sets built row-locally; benchmark side joins as a BroadcastHashJoin (corpus side never shuffles for the probe)",
+      "d20_stratified_sample" -> "rate gate is a pure Filter above the scan (no shuffle); the cap window shuffles only gated survivors, partitioned by lang",
+      "d21_seq_packing" -> "ONE exchange on the pack key (source); offset prefix-sum and bin are window+arithmetic over it",
+      "d22_winnowing" -> "gram hash is row-local; rolling-min window and rollup share the doc_id partitioning — one shuffle of the gram stream",
+      "e6_semdedup" -> "pairwise cosine confined to within-cluster join on cid; codebook broadcast; no global cross join",
+      "e7_random_projection" -> "map-only: 16 DotI12 kernels vs a broadcast 16-row literal frame, no Exchange before the output sort",
       "d16_repetition" -> "token and bigram counts are two keyed aggregations rolled up per doc; bigrams built row-locally (no shuffle to construct them)",
       "d17_token_entropy" -> "one token-count shuffle; surprisal integerized per term then rolled up per doc",
       "e5_pq_adc" -> "codes shuffle by (m, c) — 64 keys; ADC LUT is broadcast; full vectors rejoin only for the 20-candidate shortlist rerank",
