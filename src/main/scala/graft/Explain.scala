@@ -54,7 +54,8 @@ object Explain {
       "d17_token_entropy" -> "one token-count shuffle; surprisal integerized per term then rolled up per doc",
       "e5_pq_adc" -> "codes shuffle by (m, c) — 64 keys; ADC LUT is broadcast; full vectors rejoin only for the 20-candidate shortlist rerank",
       "j9_salted_join" -> "ShuffledHashJoin keyed on (skey, salt) — the hot key is split across 16 reducers; dim side exploded x16 before the exchange",
-      "b1_bucketed_join" -> "SortMergeJoin directly over two bucketed scans — no Exchange on either side below the join")
+      "b1_bucketed_join" -> "SortMergeJoin directly over two bucketed scans — no Exchange on either side below the join",
+      "b2_bloom_semi_join" -> "bloom probe (might_contain over a scalar-subquery filter) filters the fact scan BEFORE the semi-join shuffle; no job at plan construction")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by graft.Explain)\n\n")

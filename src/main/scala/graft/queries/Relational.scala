@@ -243,6 +243,37 @@ object Relational {
         .orderBy("n_name")
     }),
 
+    // B2 — Bloom-filter runtime pruning ahead of a semi join: the dim
+    // side (urgent orders) builds a Bloom filter DISTRIBUTEDLY via
+    // Catalyst's BloomFilterAggregate; a scalar subquery delivers the
+    // ~KB filter to a codegen'd BloomFilterMightContain probe on the
+    // fact scan — so at 100 TB the shuffle only carries fact rows that
+    // might match (the InjectRuntimeFilter pattern, built explicitly).
+    // No job runs at plan construction — the filter build is a
+    // plan-internal subquery stage. The exact semi join behind the
+    // probe removes Bloom false positives; false negatives don't
+    // exist, so the result is bit-equal to the plain semi join the
+    // oracle states.
+    "b2_bloom_semi_join" -> ((s, d) => {
+      import org.apache.spark.sql.graftshim.{toCol, toExpr}
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, ScalarSubquery}
+      val urgent = orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val bloomDf = urgent.select(toCol(new BloomFilterAggregate(
+        toExpr(xxhash64(col("o_orderkey"))), 8192L)
+        .toAggregateExpression()).as("bf"))
+      val probe = toCol(BloomFilterMightContain(
+        ScalarSubquery(bloomDf.queryExecution.analyzed),
+        toExpr(xxhash64(col("l_orderkey")))))
+      lineitem(s, d).filter(probe)
+        .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_items"),
+          (sum(cents(col("l_extendedprice"))).cast("long") / 100.0).as("gross"))
+        .orderBy("l_orderkey")
+    }),
+
     // B1 — bucketed co-located join: both sides pre-bucketed by the
     // join key into the same bucket count, so the sort-merge join
     // needs NO Exchange on either side — at 100 TB this is the
@@ -437,6 +468,15 @@ object Relational {
         |                     ELSE l_suppkey % 25 END AS skey FROM lineitem) f
         |JOIN nation ON skey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "b2_bloom_semi_join" ->
+      """SELECT l_orderkey, count(*) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |    AS BIGINT) / 100.0 AS gross
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |                     WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
 
     "b1_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,

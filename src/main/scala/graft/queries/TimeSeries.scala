@@ -377,6 +377,44 @@ object TimeSeries {
       ss.table("st6_sink").orderBy("user_id", "event_type")
     }),
 
+    // §2.10 — STREAM-STREAM inner join through the micro-batch engine:
+    // click→purchase attribution within 6 h per user — the funnel
+    // query. Both sides carry watermarks and the join condition
+    // bounds purchase time to [click, click+6h], which is what lets
+    // the engine evict click state once the purchase-side watermark
+    // passes click+6h — bounded state on an unbounded stream. The
+    // oracle is the identical range join in plain SQL.
+    "st7_stream_join" -> ((s, d) => {
+      val ss = streamSession(s)
+      val schema = ss.read.parquet(s"$d/events.parquet").schema
+      def src = ss.readStream.schema(schema)
+        .option("basePath", d)
+        .parquet(s"$d/events*.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val clicks = src.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val buys = src.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("b_user"), col("event_id").as("buy_id"),
+          col("ts").as("b_ts"))
+        .withWatermark("b_ts", "1 hour")
+      val joined = clicks.join(buys,
+        col("user_id") === col("b_user") &&
+        col("b_ts") >= col("c_ts") &&
+        col("b_ts") <= col("c_ts") + expr("INTERVAL 6 HOURS"))
+      val q = joined.writeStream
+        .format("memory").queryName("st7_sink")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ss.table("st7_sink")
+        .select(col("user_id"), col("click_id"), col("buy_id"),
+          (unix_micros(col("b_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
+        .orderBy("user_id", "click_id", "buy_id")
+    }),
+
     // A10 — sessionization (gaps-and-islands, ref main.py:6347–6368):
     // 30-min inactivity threshold, per-session aggregates.
     "a10_sessionize" -> ((s, d) => {
@@ -701,6 +739,17 @@ object TimeSeries {
       "st6_stream_dedup" ->
         """SELECT DISTINCT user_id, event_type FROM events
           |ORDER BY user_id, event_type""".stripMargin,
+
+      // ns→us truncation via `ts div 1000` matches the Spark loader;
+      // duckdb's TIMESTAMP is already micros so epoch_us is exact.
+      "st7_stream_join" ->
+        """SELECT a.user_id, a.event_id AS click_id, b.event_id AS buy_id,
+          |  epoch_us(b.ts) - epoch_us(a.ts) AS lag_us
+          |FROM events a JOIN events b
+          |  ON a.user_id = b.user_id
+          | AND a.event_type = 'click' AND b.event_type = 'purchase'
+          | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+          |ORDER BY a.user_id, click_id, buy_id""".stripMargin,
 
       "st2_stream_tumbling" ->
         s"""WITH $baseSql

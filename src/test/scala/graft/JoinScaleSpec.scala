@@ -46,6 +46,32 @@ class JoinScaleSpec extends SparkSpec {
       s"bucketed join must be Exchange-free below the join:\n$plan")
   }
 
+  test("b2: bloom probe sits in the plan as a subquery — no job at construction") {
+    // Building the DataFrame must NOT run a Spark job beyond the
+    // schema-inference reads any two-table plan construction performs
+    // (the filter is a plan-internal scalar subquery, not an eager
+    // collect) — so compare against a plain construction's job count.
+    def jobs = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val j0 = jobs
+    graft.core.Tables.lineitem(spark, sf).join(
+      graft.core.Tables.orders(spark, sf),
+      org.apache.spark.sql.functions.expr("l_orderkey = o_orderkey"))
+    val plainDelta = jobs - j0
+    val j1 = jobs
+    val df = SparkEntry.queries("b2_bloom_semi_join")(spark, sf)
+    val bloomDelta = jobs - j1
+    assert(bloomDelta <= plainDelta,
+      s"bloom construction fired extra jobs: $bloomDelta vs plain $plainDelta")
+    // the codegen probe is present above the fact scan
+    val plan = df.queryExecution.executedPlan
+    df.collect()
+    val hasProbe = collectAll(df.queryExecution.executedPlan) {
+      case p if p.expressions.exists(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain])) => p
+    }
+    assert(hasProbe.nonEmpty, s"expected BloomFilterMightContain in\n$plan")
+  }
+
   test("j9: shuffle join keys include the salt column") {
     val plan = executed("j9_salted_join")
     val shjs = collectAll(plan) { case j: ShuffledHashJoinExec => j }
