@@ -70,7 +70,13 @@ object Bench {
     // failures explicitly so the JSON is self-describing.
     val errs = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val line = f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // Belt-and-braces vs bounded tail-capture of stdout: persist the
+    // same line where a reader of the repo can always find it.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_SELF.json"), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }
