@@ -55,7 +55,8 @@ object Explain {
       "e5_pq_adc" -> "codes shuffle by (m, c) — 64 keys; ADC LUT is broadcast; full vectors rejoin only for the 20-candidate shortlist rerank",
       "j9_salted_join" -> "ShuffledHashJoin keyed on (skey, salt) — the hot key is split across 16 reducers; dim side exploded x16 before the exchange",
       "b1_bucketed_join" -> "SortMergeJoin directly over two bucketed scans — no Exchange on either side below the join",
-      "b2_bloom_semi_join" -> "bloom probe (might_contain over a scalar-subquery filter) filters the fact scan BEFORE the semi-join shuffle; no job at plan construction")
+      "b2_bloom_semi_join" -> "bloom probe (might_contain over a scalar-subquery filter) filters the fact scan BEFORE the semi-join shuffle; no job at plan construction",
+      "o8_zorder_layout" -> "both stats frames are one-row broadcast crossJoins; the interleave is pure codegen arithmetic; one shuffle for the per-file rollup")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by graft.Explain)\n\n")

@@ -89,6 +89,40 @@ object Relational {
         .orderBy("event_id")
     }),
 
+    // O8 — Z-ORDER layout audit: interleave the bits of two normalized
+    // join/filter columns into a space-filling-curve key, range-bucket
+    // rows into 32 "files" by it, and report per-file min/max of BOTH
+    // dims — the data-skipping property (each file's bounds stay tight
+    // in pk AND sk simultaneously, so range predicates on EITHER
+    // column prune most files; a linear sort only bounds one). This is
+    // the layout decision that turns a 100 TB scan into a partial
+    // scan; at ingest the same key feeds repartitionByRange + sortBy.
+    // All stats frames are plan-internal one-row aggregates (broadcast
+    // crossJoin, the d9 pattern) — no job at plan construction; the
+    // interleave itself is engine-neutral integer arithmetic.
+    "o8_zorder_layout" -> ((s, d) => {
+      def zExpr(x: String, y: String): String =
+        (0 until 16).flatMap { b =>
+          Seq(s"((($x div ${1L << b}) % 2) * CAST(${1L << (2 * b)} AS BIGINT))",
+              s"((($y div ${1L << b}) % 2) * CAST(${1L << (2 * b + 1)} AS BIGINT))")
+        }.mkString("(", " + ", ")")
+      val li = lineitem(s, d).select("l_partkey", "l_suppkey")
+      val st = li.agg(min(col("l_partkey")).as("pmin"), max(col("l_partkey")).as("pmax"),
+        min(col("l_suppkey")).as("smin"), max(col("l_suppkey")).as("smax"))
+      val z = li.crossJoin(broadcast(st))
+        .withColumn("xn", expr("(l_partkey - pmin) * 65536 div (pmax - pmin + 1)"))
+        .withColumn("yn", expr("(l_suppkey - smin) * 65536 div (smax - smin + 1)"))
+        .withColumn("zv", expr(zExpr("xn", "yn")))
+      val zs = z.agg(min(col("zv")).as("zmin"), max(col("zv")).as("zmax"))
+      z.crossJoin(broadcast(zs))
+        .withColumn("file_id", expr("CAST((zv - zmin) * 32 div (zmax - zmin + 1) AS BIGINT)"))
+        .groupBy("file_id")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_partkey")).as("pk_min"), max(col("l_partkey")).as("pk_max"),
+          min(col("l_suppkey")).as("sk_min"), max(col("l_suppkey")).as("sk_max"))
+        .orderBy("file_id")
+    }),
+
     // U1/U3 — union all + distinct (ref main.py:10621, 9502).
     "u1_union_distinct" -> ((s, d) => {
       val e = events(s, d)
@@ -468,6 +502,29 @@ object Relational {
         |                     ELSE l_suppkey % 25 END AS skey FROM lineitem) f
         |JOIN nation ON skey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "o8_zorder_layout" -> {
+      def zSql(x: String, y: String): String =
+        (0 until 16).flatMap { b =>
+          Seq(s"((($x // ${1L << b}) % 2) * CAST(${1L << (2 * b)} AS BIGINT))",
+              s"((($y // ${1L << b}) % 2) * CAST(${1L << (2 * b + 1)} AS BIGINT))")
+        }.mkString("(", " + ", ")")
+      s"""WITH st AS (SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+        |    min(l_suppkey) AS smin, max(l_suppkey) AS smax FROM lineitem),
+        |n AS (SELECT l_partkey, l_suppkey,
+        |    (l_partkey - pmin) * 65536 // (pmax - pmin + 1) AS xn,
+        |    (l_suppkey - smin) * 65536 // (smax - smin + 1) AS yn
+        |  FROM lineitem, st),
+        |z AS (SELECT l_partkey, l_suppkey, ${zSql("xn", "yn")} AS zv FROM n),
+        |zs AS (SELECT min(zv) AS zmin, max(zv) AS zmax FROM z),
+        |f AS (SELECT l_partkey, l_suppkey,
+        |    CAST((zv - zmin) * 32 // (zmax - zmin + 1) AS BIGINT) AS file_id
+        |  FROM z, zs)
+        |SELECT file_id, count(*) AS n_rows,
+        |  min(l_partkey) AS pk_min, max(l_partkey) AS pk_max,
+        |  min(l_suppkey) AS sk_min, max(l_suppkey) AS sk_max
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     "b2_bloom_semi_join" ->
       """SELECT l_orderkey, count(*) AS n_items,

@@ -72,6 +72,23 @@ class JoinScaleSpec extends SparkSpec {
     assert(hasProbe.nonEmpty, s"expected BloomFilterMightContain in\n$plan")
   }
 
+  test("o8: z-order files bound BOTH dimensions tighter than the full span") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("o8_zorder_layout")(spark, sf).collect()
+    assert(out.length === 32)
+    val pkSpan = out.map(_.getLong(3)).max - out.map(_.getLong(2)).min + 1
+    val skSpan = out.map(_.getLong(5)).max - out.map(_.getLong(4)).min + 1
+    // mean per-file extent must be well below the global span in BOTH
+    // dims — a linear sort would achieve this in one dim only
+    def meanExtent(lo: Int, hi: Int) =
+      out.map(r => r.getLong(hi) - r.getLong(lo) + 1).sum.toDouble / out.length
+    assert(meanExtent(2, 3) <= pkSpan * 0.6, s"pk extent ${meanExtent(2, 3)} vs span $pkSpan")
+    assert(meanExtent(4, 5) <= skSpan * 0.6, s"sk extent ${meanExtent(4, 5)} vs span $skSpan")
+    // every row lands in exactly one file
+    assert(out.map(_.getLong(1)).sum ===
+      graft.core.Tables.lineitem(spark, sf).count())
+  }
+
   test("j9: shuffle join keys include the salt column") {
     val plan = executed("j9_salted_join")
     val shjs = collectAll(plan) { case j: ShuffledHashJoinExec => j }
