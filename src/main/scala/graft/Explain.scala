@@ -56,7 +56,8 @@ object Explain {
       "j9_salted_join" -> "ShuffledHashJoin keyed on (skey, salt) — the hot key is split across 16 reducers; dim side exploded x16 before the exchange",
       "b1_bucketed_join" -> "SortMergeJoin directly over two bucketed scans — no Exchange on either side below the join",
       "b2_bloom_semi_join" -> "bloom probe (might_contain over a scalar-subquery filter) filters the fact scan BEFORE the semi-join shuffle; no job at plan construction",
-      "o8_zorder_layout" -> "both stats frames are one-row broadcast crossJoins; the interleave is pure codegen arithmetic; one shuffle for the per-file rollup")
+      "o8_zorder_layout" -> "both stats frames are one-row broadcast crossJoins; the interleave is pure codegen arithmetic; one shuffle for the per-file rollup",
+      "p2_profile" -> "ONE scan: multi-distinct aggregate planned via Expand, then a row-per-column unpivot — no per-column re-scans")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by graft.Explain)\n\n")

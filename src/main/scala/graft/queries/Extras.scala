@@ -78,6 +78,66 @@ object Extras {
         .orderBy("t_us")
     }),
 
+    // S6b — SCHEMA-EVOLUTION scan: two parquet generations of the same
+    // table (v2 adds o_orderpriority), read through Spark's
+    // mergeSchema so old files surface the new column as NULL — the
+    // schema-drift reality of a 100 TB ingest that accretes columns
+    // over years. The derived two-generation fixture is written once
+    // (manifest-gated, pure derivation of the immutable orders
+    // fixture); the oracle reconstructs the same merge in SQL by
+    // NULLing the column on even (v1) keys.
+    "s6_schema_evolution" -> ((s, d) => {
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_schemadrift_${d.replaceAll("[^A-Za-z0-9]", "_")}")
+      val mf = new java.io.File(dir, "_graft_manifest")
+      val expect = s"graft-drift-v1|$d"
+      val ok = mf.exists() &&
+        new String(java.nio.file.Files.readAllBytes(mf.toPath), "UTF-8") == expect
+      if (!ok) {
+        val o = orders(s, d)
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "o_totalprice")
+          .write.mode("overwrite").parquet(s"$dir/v1")
+        o.filter(col("o_orderkey") % 2 === 1)
+          .select("o_orderkey", "o_totalprice", "o_orderpriority")
+          .write.mode("overwrite").parquet(s"$dir/v2")
+        java.nio.file.Files.write(mf.toPath, expect.getBytes("UTF-8"))
+      }
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$dir/v1", s"$dir/v2")
+        .groupBy(col("o_orderpriority").as("pri"))
+        .agg(count(lit(1)).as("n"),
+          (sum(Tables.cents(col("o_totalprice"))).cast("long") / 100.0).as("total"))
+        .orderBy(asc_nulls_first("pri"))
+    }),
+
+    // P2 — one-pass table profiling (the ANALYZE TABLE step that feeds
+    // a 100 TB optimizer): null counts, distinct counts, min/max for a
+    // column set in ONE scan — a single aggregate (Spark plans the
+    // multi-distinct via Expand) unpivoted to a row per column.
+    "p2_profile" -> ((s, d) => {
+      val o = orders(s, d)
+      val tp = Tables.cents(col("o_totalprice"))
+      val agg = o.agg(
+        count(lit(1)).as("n"),
+        count(col("o_orderkey")).as("nn_ok"),
+        countDistinct(col("o_orderkey")).as("nd_ok"),
+        min(col("o_orderkey")).as("mn_ok"), max(col("o_orderkey")).as("mx_ok"),
+        count(col("o_custkey")).as("nn_ck"),
+        countDistinct(col("o_custkey")).as("nd_ck"),
+        min(col("o_custkey")).as("mn_ck"), max(col("o_custkey")).as("mx_ck"),
+        count(col("o_totalprice")).as("nn_tp"),
+        countDistinct(tp).as("nd_tp"),
+        min(tp).as("mn_tp"), max(tp).as("mx_tp"))
+      agg.select(expr(
+        """stack(3,
+          |  'o_orderkey', n, n - nn_ok, nd_ok, mn_ok, mx_ok,
+          |  'o_custkey', n, n - nn_ck, nd_ck, mn_ck, mx_ck,
+          |  'o_totalprice_cents', n, n - nn_tp, nd_tp, mn_tp, mx_tp)
+          |AS (col, n, n_null, n_distinct, vmin, vmax)""".stripMargin))
+        .orderBy("col")
+    }),
+
     // J2 — nearest-neighbor crossmatch (ref MAST cone match
     // main.py:8552–8567): closest supplier by account-balance distance
     // within a tolerance, rank-1 per probe, deterministic tie-break.
@@ -266,6 +326,33 @@ object Extras {
          |  columns={'t_us': 'BIGINT', 'flux': 'DOUBLE'})
          |WHERE flux < 1000000.0
          |ORDER BY t_us""".stripMargin,
+
+    // NULL on even keys reconstructs what mergeSchema surfaces for the
+    // v1 files that lack the column.
+    "s6_schema_evolution" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS pri,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    / 100.0 AS total
+        |FROM orders GROUP BY 1 ORDER BY pri NULLS FIRST""".stripMargin,
+
+    "p2_profile" ->
+      """WITH s AS (SELECT count(*) AS n,
+        |    count(o_orderkey) AS nn_ok, count(DISTINCT o_orderkey) AS nd_ok,
+        |      min(o_orderkey) AS mn_ok, max(o_orderkey) AS mx_ok,
+        |    count(o_custkey) AS nn_ck, count(DISTINCT o_custkey) AS nd_ck,
+        |      min(o_custkey) AS mn_ck, max(o_custkey) AS mx_ck,
+        |    count(o_totalprice) AS nn_tp,
+        |    count(DISTINCT CAST(round(o_totalprice * 100) AS BIGINT)) AS nd_tp,
+        |      min(CAST(round(o_totalprice * 100) AS BIGINT)) AS mn_tp,
+        |      max(CAST(round(o_totalprice * 100) AS BIGINT)) AS mx_tp
+        |  FROM orders)
+        |SELECT 'o_orderkey' AS col, n, n - nn_ok AS n_null, nd_ok AS n_distinct,
+        |  mn_ok AS vmin, mx_ok AS vmax FROM s
+        |UNION ALL SELECT 'o_custkey', n, n - nn_ck, nd_ck, mn_ck, mx_ck FROM s
+        |UNION ALL SELECT 'o_totalprice_cents', n, n - nn_tp, nd_tp, mn_tp, mx_tp
+        |  FROM s
+        |ORDER BY col""".stripMargin,
 
     "j2_nn_crossmatch" ->
       """WITH probes AS (SELECT c_custkey, CAST(round(c_acctbal*100) AS BIGINT) AS ca
