@@ -510,8 +510,13 @@ object TextQueries {
         .orderBy("q_id", "rank")
     }),
 
-    // E3 — IVF ANN (rows-only: k-means training is not SQL-expressible):
-    // coarse centroids + posting lists, probe-limited exact search.
+    // E3 — IVF ANN with REAL k-means training (2 Lloyd rounds,
+    // deterministic lowest-id init): coarse centroids + posting lists,
+    // probe-limited exact search. Oracle-checked end to end — the
+    // training chain is reproducible because centroid updates are
+    // order-free integer sums and the assignment distance (L2SqFD)
+    // fixes its summation order, which the oracle spells out as an
+    // explicit left-associative addition chain.
     "e3_ivf_ann" -> ((s, d) => {
       val emb = embeddings(s, d)
       val centroids = graft.ann.Ivf.train(emb, k = 16, iters = 2)
@@ -1572,6 +1577,69 @@ object TextQueries {
         |  FROM gated)
         |SELECT doc_id, lang, source, h, CAST(rn AS INTEGER) AS rn
         |FROM capped WHERE rn <= 40 ORDER BY doc_id""".stripMargin,
+
+    // e3's FULL training chain in SQL: k-means init + two Lloyd rounds
+    // + probe-limited search. The one subtle piece is the assignment
+    // distance — L2SqFD sums (x−c)² left-to-right in doubles, so the
+    // oracle spells the 64-term addition chain out explicitly (SQL +
+    // is left-associative ⇒ identical IEEE rounding sequence), while
+    // centroid updates are order-free integer sums (Σ round(x·1e6) as
+    // BIGINT, then the same two divisions) — every intermediate is
+    // bit-reproducible across engines.
+    "e3_ivf_ann" -> {
+      def chain(e: String, c: String): String =
+        (1 to 64).map(j =>
+          s"((CAST($e[$j] AS DOUBLE) - $c[$j]) * (CAST($e[$j] AS DOUBLE) - $c[$j]))")
+          .mkString("(", " + ", ")")
+      def assignSql(cents: String, filter: String = ""): String =
+        s"""(SELECT vec_id, cid FROM (
+           |    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY ${chain("e.embedding", "c.cvec")} ASC, c.cid ASC) AS rn
+           |    FROM embeddings e, $cents c$filter) WHERE rn = 1)""".stripMargin
+      def updateSql(a: String): String =
+        s"""(SELECT $a.cid, j.j AS j,
+           |    sum(CAST(round(CAST(e.embedding[j.j] AS DOUBLE) * 1e6) AS BIGINT)) AS s,
+           |    count(*) AS n
+           |  FROM embeddings e JOIN $a ON $a.vec_id = e.vec_id,
+           |    (SELECT unnest(generate_series(1, 64)) AS j) j
+           |  GROUP BY 1, 2)""".stripMargin
+      val centSql =
+        "(SELECT cid, list(CAST(s AS DOUBLE) / 1e6 / CAST(n AS DOUBLE) ORDER BY j) AS cvec FROM %s GROUP BY 1)"
+      s"""WITH c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+         |a1 AS ${assignSql("c0")},
+         |u1 AS ${updateSql("a1")},
+         |c1 AS ${centSql.format("u1")},
+         |a2 AS ${assignSql("c1")},
+         |u2 AS ${updateSql("a2")},
+         |c2 AS ${centSql.format("u2")},
+         |af AS ${assignSql("c2")},
+         |dims AS (SELECT vec_id, pos, CAST(x AS DOUBLE) AS x FROM (
+         |    SELECT vec_id, unnest(embedding) AS x,
+         |      unnest(generate_series(0, len(embedding) - 1)) AS pos FROM embeddings)),
+         |norms AS (SELECT vec_id, sum(CAST(round(x * x * 1e12) AS BIGINT)) AS nrm
+         |  FROM dims GROUP BY 1),
+         |probes AS (SELECT q_id, cid FROM (
+         |    SELECT e.vec_id AS q_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${chain("e.embedding", "c.cvec")} ASC, c.cid ASC) AS rn
+         |    FROM embeddings e, c2 c WHERE e.vec_id < 5) WHERE rn <= 4),
+         |cands AS (SELECT DISTINCT p.q_id, a.vec_id
+         |  FROM probes p JOIN af a ON a.cid = p.cid WHERE a.vec_id <> p.q_id),
+         |dots AS (SELECT c.q_id, c.vec_id,
+         |    sum(CAST(round(qd.x * vd.x * 1e12) AS BIGINT)) AS dot
+         |  FROM cands c JOIN dims qd ON qd.vec_id = c.q_id
+         |  JOIN dims vd ON vd.vec_id = c.vec_id AND vd.pos = qd.pos
+         |  GROUP BY 1, 2),
+         |sims AS (SELECT q_id, dots.vec_id,
+         |    (dot / 1e12) / nullif(sqrt(qn.nrm / 1e12) * sqrt(vn.nrm / 1e12), 0.0) AS sim
+         |  FROM dots JOIN norms qn ON qn.vec_id = dots.q_id
+         |  JOIN norms vn ON vn.vec_id = dots.vec_id),
+         |rk AS (SELECT q_id, vec_id, sim, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, vec_id ASC) AS rank FROM sims)
+         |SELECT q_id, CAST(rank AS INTEGER) AS rank, vec_id, round(sim, 6) AS sim
+         |FROM rk WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+    },
 
     "d21_seq_packing" ->
       """WITH t AS (SELECT doc_id, source,
