@@ -111,6 +111,35 @@ object Extras {
         .orderBy(asc_nulls_first("pri"))
     }),
 
+    // S7 — PARTITION-PRUNED scan: events re-laid-out hive-style by
+    // event_type (the ingest-once partitioning decision), then a
+    // predicate on the partition column — the scan must touch ONLY the
+    // matching directories (PartitionFilters, zero data rows read from
+    // the other 3/5 partitions). At 100 TB this is the first and
+    // biggest data-skipping lever; the derived layout is
+    // manifest-gated like b1/s6. The oracle states the same aggregate
+    // over the logical table.
+    "s7_partition_pruning" -> ((s, d) => {
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_partbytype_${d.replaceAll("[^A-Za-z0-9]", "_")}")
+      val mf = new java.io.File(dir, "_graft_manifest")
+      val expect = s"graft-partbytype-v1|$d"
+      val ok = mf.exists() &&
+        new String(java.nio.file.Files.readAllBytes(mf.toPath), "UTF-8") == expect
+      if (!ok) {
+        events(s, d).select(col("event_id"), col("user_id"),
+            col("value"), col("event_type"))
+          .write.mode("overwrite").partitionBy("event_type").parquet(dir.toString)
+        java.nio.file.Files.write(mf.toPath, expect.getBytes("UTF-8"))
+      }
+      s.read.parquet(dir.toString)
+        .filter(col("event_type").isin("click", "error"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          (sum(Tables.cents(col("value"))).cast("long") / 100.0).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // P2 — one-pass table profiling (the ANALYZE TABLE step that feeds
     // a 100 TB optimizer): null counts, distinct counts, min/max for a
     // column set in ONE scan — a single aggregate (Spark plans the
@@ -335,6 +364,13 @@ object Extras {
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |    / 100.0 AS total
         |FROM orders GROUP BY 1 ORDER BY pri NULLS FIRST""".stripMargin,
+
+    "s7_partition_pruning" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+        |    AS sum_value
+        |FROM events WHERE event_type IN ('click', 'error')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "p2_profile" ->
       """WITH s AS (SELECT count(*) AS n,

@@ -89,6 +89,18 @@ class JoinScaleSpec extends SparkSpec {
       graft.core.Tables.lineitem(spark, sf).count())
   }
 
+  test("s7: scan prunes to exactly the two matching hive partitions") {
+    val df = SparkEntry.queries("s7_partition_pruning")(spark, sf)
+    df.collect()
+    val scans = collectAll(df.queryExecution.executedPlan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "expected a FileSourceScan")
+    assert(scans.head.partitionFilters.nonEmpty, "partition filter missing")
+    assert(scans.head.selectedPartitions.partitionCount === 2,
+      s"expected 2 of 5 partitions, got ${scans.head.selectedPartitions.partitionCount}")
+  }
+
   test("j9: shuffle join keys include the salt column") {
     val plan = executed("j9_salted_join")
     val shjs = collectAll(plan) { case j: ShuffledHashJoinExec => j }
