@@ -277,6 +277,34 @@ object Relational {
         .orderBy("n_name")
     }),
 
+    // U5 — MERGE / upsert: apply a change batch to a base table via
+    // one FULL OUTER join — matched keys take the update, unmatched
+    // updates insert, unmatched base rows carry forward. This is the
+    // CDC/compaction primitive of a continuously-updated 100 TB table
+    // (Delta/Iceberg MERGE INTO semantics, expressed relationally);
+    // the join shuffles both sides by the merge key once, and at real
+    // scale the base side would be bucketed by that key (b1) so only
+    // the delta shuffles. Exact: prices integerized at cents on both
+    // engines (round(x·1.1·100) is the same IEEE product).
+    "u5_merge_upsert" -> ((s, d) => {
+      val base = orders(s, d).filter(col("o_orderkey") < 10000)
+        .select(col("o_orderkey").as("bk"), cents(col("o_totalprice")).as("bpc"))
+      val upd = orders(s, d)
+        .filter(col("o_orderkey") >= 8000 && col("o_orderkey") < 12000)
+        .select(col("o_orderkey").as("uk"),
+          cents(col("o_totalprice") * 1.1).as("upc"))
+      base.join(upd, col("bk") === col("uk"), "full_outer")
+        .select(coalesce(col("bk"), col("uk")).as("k"),
+          coalesce(col("upc"), col("bpc")).as("pc"),
+          when(col("bk").isNotNull && col("uk").isNotNull, "updated")
+            .when(col("uk").isNotNull, "inserted").otherwise("kept").as("src"))
+        .groupBy("src")
+        .agg(count(lit(1)).as("n"), min(col("k")).as("min_key"),
+          max(col("k")).as("max_key"),
+          (sum(col("pc")).cast("long") / 100.0).as("total"))
+        .orderBy("src")
+    }),
+
     // B2 — Bloom-filter runtime pruning ahead of a semi join: the dim
     // side (urgent orders) builds a Bloom filter DISTRIBUTEDLY via
     // Catalyst's BloomFilterAggregate; a scalar subquery delivers the
@@ -502,6 +530,22 @@ object Relational {
         |                     ELSE l_suppkey % 25 END AS skey FROM lineitem) f
         |JOIN nation ON skey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "u5_merge_upsert" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+        |  FROM orders WHERE o_orderkey < 10000),
+        |upd AS (SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 1.1 * 100) AS BIGINT) AS pc
+        |  FROM orders WHERE o_orderkey >= 8000 AND o_orderkey < 12000),
+        |merged AS (SELECT coalesce(b.k, u.k) AS k,
+        |    coalesce(u.pc, b.pc) AS pc,
+        |    CASE WHEN b.k IS NOT NULL AND u.k IS NOT NULL THEN 'updated'
+        |         WHEN u.k IS NOT NULL THEN 'inserted' ELSE 'kept' END AS src
+        |  FROM base b FULL OUTER JOIN upd u ON b.k = u.k)
+        |SELECT src, count(*) AS n, min(k) AS min_key, max(k) AS max_key,
+        |  CAST(sum(pc) AS BIGINT) / 100.0 AS total
+        |FROM merged GROUP BY src ORDER BY src""".stripMargin,
 
     "o8_zorder_layout" -> {
       def zSql(x: String, y: String): String =

@@ -1013,6 +1013,57 @@ object TextQueries {
         .orderBy("vec_id", "r")
     }),
 
+    // D23 — PageRank over the corpus similarity graph (the link-graph
+    // quality signal of web-scale corpus curation): same minhash-band
+    // star edges as d15, then THREE unrolled power-iteration rounds —
+    // a static plan, one shuffle per round on the edge key. The rank
+    // is integer-scaled (1e9) with floor-div edge contributions and a
+    // single rounded double op per round, so every iteration is
+    // bit-reproducible across engines — the same integerization
+    // discipline that makes the MC/percentile operators exact. At
+    // 100 TB each round is one join+aggregate keyed by dst; the
+    // damping constant folds into codegen.
+    "d23_pagerank" -> ((s, d) => {
+      val toks = distinctToks(s, d).withColumn("h", expr(H))
+      val sig = toks.groupBy("doc_id").agg(
+        min(expr(TextOps.minhashExpr("h", 0))).as("h0"),
+        min(expr(TextOps.minhashExpr("h", 1))).as("h1"),
+        min(expr(TextOps.minhashExpr("h", 2))).as("h2"),
+        min(expr(TextOps.minhashExpr("h", 3))).as("h3"))
+        .select(col("doc_id"),
+          (col("h0") * 2147483648L + col("h1")).as("m0"),
+          (col("h2") * 2147483648L + col("h3")).as("m1"))
+        .persist()
+      val star = Seq("m0", "m1").map { b =>
+        sig.withColumn("root", min(col("doc_id")).over(Window.partitionBy(b)))
+          .filter(col("doc_id") =!= col("root"))
+          .select(col("doc_id").as("src"), col("root").as("dst"))
+      }.reduce(_ unionByName _)
+      val edges = star
+        .unionByName(star.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().persist()
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val nodes = documents(s, d).select("doc_id")
+      def round1(pr: DataFrame): DataFrame = {
+        val c = edges.join(deg, "src")
+          .join(pr.select(col("doc_id").as("src"), col("pr")), "src")
+          .select(col("dst").as("doc_id"), expr("pr div deg").as("contrib"))
+          .groupBy("doc_id").agg(sum(col("contrib")).as("c"))
+        nodes.join(c, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            round(lit(150000000.0) + lit(0.85) * coalesce(col("c"), lit(0L)))
+              .cast("long").as("pr"))
+      }
+      val p0 = nodes.withColumn("pr", lit(1000000000L))
+      val p3 = round1(round1(round1(p0)))
+      // persisted frames stay registered until the harness clears
+      // caches post-query — the three rounds each reuse the cached
+      // edge/signature partitions instead of re-exploding tokens
+      p3.select(col("doc_id"), col("pr").as("pr_i9"),
+          (col("pr") / 1e9).as("pr"))
+        .orderBy("doc_id")
+    }),
+
     // M1 — multimodal scaffold: opaque binary payload + typed metadata
     // (byte length, content-hash head); the decode stage itself is a
     // stubbed kernel in graft.multimodal (no image libs in-container).
@@ -1104,6 +1155,47 @@ object TextQueries {
          |sz AS (SELECT comp, count(*) AS comp_size FROM fin GROUP BY 1)
          |SELECT node AS doc_id, comp, comp_size
          |FROM fin JOIN sz USING (comp) ORDER BY doc_id""".stripMargin
+    },
+
+    "d23_pagerank" -> {
+      val h = TextOps.md5Hash32("tok")
+      def prRound(prev: String, out: String): String =
+        s"""$out AS (SELECT n.doc_id,
+           |    CAST(round(150000000 + 0.85 * coalesce(s.c, 0)) AS BIGINT) AS pr
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS doc_id, CAST(sum(p.pr // d.deg) AS BIGINT) AS c
+           |    FROM edges e JOIN $prev p ON p.doc_id = e.src
+           |    JOIN deg d ON d.src = e.src GROUP BY 1) s
+           |  ON s.doc_id = n.doc_id)""".stripMargin
+      s"""WITH toks AS (
+         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |th AS (SELECT doc_id, $h AS h FROM toks),
+         |sg0 AS (SELECT doc_id,
+         |    min(${TextOps.minhashExpr("h", 0)}) AS h0,
+         |    min(${TextOps.minhashExpr("h", 1)}) AS h1,
+         |    min(${TextOps.minhashExpr("h", 2)}) AS h2,
+         |    min(${TextOps.minhashExpr("h", 3)}) AS h3
+         |  FROM th GROUP BY 1),
+         |sig AS (SELECT doc_id, h0 * 2147483648 + h1 AS m0,
+         |    h2 * 2147483648 + h3 AS m1 FROM sg0),
+         |e0 AS (SELECT doc_id AS src, min(doc_id) OVER (PARTITION BY m0) AS dst
+         |       FROM sig),
+         |e1 AS (SELECT doc_id AS src, min(doc_id) OVER (PARTITION BY m1) AS dst
+         |       FROM sig),
+         |edges AS (SELECT DISTINCT src, dst FROM (
+         |  SELECT src, dst FROM e0 WHERE src <> dst
+         |  UNION ALL SELECT src, dst FROM e1 WHERE src <> dst
+         |  UNION ALL SELECT dst, src FROM e0 WHERE src <> dst
+         |  UNION ALL SELECT dst, src FROM e1 WHERE src <> dst)),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+         |nodes AS (SELECT doc_id FROM documents),
+         |p0 AS (SELECT doc_id, CAST(1000000000 AS BIGINT) AS pr FROM nodes),
+         |${prRound("p0", "p1")},
+         |${prRound("p1", "p2")},
+         |${prRound("p2", "p3")}
+         |SELECT doc_id, pr AS pr_i9, pr / 1e9 AS pr FROM p3
+         |ORDER BY doc_id""".stripMargin
     },
 
     "d14_unigram_lm" ->

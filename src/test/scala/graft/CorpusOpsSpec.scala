@@ -95,6 +95,31 @@ class CorpusOpsSpec extends SparkSpec {
     assert(nz > 0 && nz < sgn.size / 2, s"unexpected density $nz/${sgn.size}")
   }
 
+  test("d23: ranks positive, floor at the damping term, hubs above init") {
+    val out = SparkEntry.queries("d23_pagerank")(spark, sf).cache()
+    try {
+      // every node retains at least the damping mass (isolated nodes
+      // sit exactly at 0.15e9 after round 1 and stay there)
+      assert(out.filter(col("pr_i9") < 150000000L).count() === 0)
+      // the graph is non-trivial: some hub exceeds the uniform init
+      assert(out.filter(col("pr_i9") > 1000000000L).count() > 0)
+      // total mass conserved within the floor-div leakage (< 1%)
+      val n = out.count().toDouble
+      val tot = out.agg(sum(col("pr_i9"))).head.getLong(0).toDouble
+      assert(math.abs(tot / (n * 1e9) - 1.0) < 0.01, s"mass ${tot / (n * 1e9)}")
+    } finally out.unpersist()
+  }
+
+  test("u5: merge partitions the key space exactly") {
+    val out = SparkEntry.queries("u5_merge_upsert")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val orders = graft.core.Tables.orders(spark, sf)
+    val nBase = orders.filter(col("o_orderkey") < 10000).count()
+    val nUpd = orders.filter(col("o_orderkey") >= 8000 && col("o_orderkey") < 12000).count()
+    assert(out.getOrElse("updated", 0L) + out.getOrElse("kept", 0L) === nBase)
+    assert(out.getOrElse("updated", 0L) + out.getOrElse("inserted", 0L) === nUpd)
+  }
+
   test("e6: representative precedes its duplicates and shares the cluster") {
     val out = SparkEntry.queries("e6_semdedup")(spark, sf).cache()
     try {
