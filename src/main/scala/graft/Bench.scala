@@ -64,7 +64,7 @@ object Bench {
     // 3-decimal values keep the whole line short enough to survive a
     // bounded tail-capture of the sbt output (round 3's full-precision
     // line was ~2.9 KB and got clipped mid-JSON, defeating the parse).
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
     // A failed query must not masquerade as a fast success: list
     // failures explicitly so the JSON is self-describing.
