@@ -77,6 +77,44 @@ object Multimodal {
     }(enc)
   }
 
+  /** Integer variant of the stub decoder: per-residue-class byte sums
+    * (exact longs, order-free) — the quantized-feature form whose
+    * result is reproducible in plain SQL, which is what lets the m2
+    * declared query carry a DuckDB oracle. Same `???`-marked stand-in
+    * status as [[stubDecodeFeatures]]: a real decoder replaces this. */
+  def stubDecodeSums(payload: Array[Byte], dim: Int): Array[Long] = {
+    // ??? <- real decoder goes here (libjpeg/ffmpeg etc. not in container)
+    val out = new Array[Long](dim)
+    if (payload == null) return out
+    var i = 0
+    while (i < payload.length) {
+      out(i % dim) += (payload(i) & 0xff).toLong
+      i += 1
+    }
+    out
+  }
+
+  /** Batched integer-feature extraction — same partition-local batch
+    * shape as [[extractFeatures]], exact long sums per residue. */
+  def extractSums(media: DataFrame, dim: Int = 8): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("kind", StringType),
+      StructField("n_bytes", IntegerType),
+      StructField("features", ArrayType(LongType))))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    media.select("media_id", "kind", "payload").mapPartitions { it =>
+      it.grouped(64).flatMap { batch =>
+        batch.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"),
+            if (payload == null) 0 else payload.length,
+            stubDecodeSums(payload, dim).toSeq)
+        }
+      }
+    }(enc)
+  }
+
   /** Frame sampling for video-kind rows: explode n_frames into a
     * bounded sample of frame indices (decode stub per frame). */
   def sampleFrames(media: DataFrame, every: Int = 30): DataFrame =

@@ -352,13 +352,18 @@ object Advanced {
         .orderBy("feat")
     }),
 
-    // Multimodal feature extraction — batched stub decoder; rows-only.
+    // Multimodal feature extraction through the batched partition-local
+    // kernel (JVM mapInPandas shape). The decode stub emits per-residue
+    // byte sums — exact integers, so the whole path INCLUDING the
+    // mapPartitions kernel is oracle-checked: the fixture payloads are
+    // UTF-8 of pure-ASCII text, and the oracle recomputes the same sums
+    // from character codes in SQL.
     "m2_media_features" -> ((s, d) => {
       val media = graft.multimodal.Multimodal.fromDocuments(documents(s, d))
-      graft.multimodal.Multimodal.extractFeatures(media, dim = 8)
+      graft.multimodal.Multimodal.extractSums(media, dim = 8)
         .select(col("media_id"), col("kind"), col("n_bytes"),
-          element_at(col("features"), 1).as("f0"))
-        .orderBy("media_id")
+          posexplode(col("features")).as(Seq("j", "fsum")))
+        .orderBy("media_id", "j")
     })
   )
 
@@ -380,6 +385,22 @@ object Advanced {
        |    AND d2 < CAST(sv AS DOUBLE)/n + 3*sqrt((q - CAST(sv AS DOUBLE)*sv/n)/n))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // payload = UTF-8 of pure-ASCII text, so byte i (0-based) equals
+    // the character code at position i+1 — the kernel's residue sums
+    // restate exactly in SQL.
+    "m2_media_features" ->
+      """WITH pos AS (SELECT doc_id, text, n_chars,
+        |    unnest(generate_series(1, length(text))) AS i FROM documents),
+        |s AS (SELECT doc_id, CAST((i - 1) % 8 AS INTEGER) AS j,
+        |    CAST(sum(ascii(substr(text, i, 1))) AS BIGINT) AS fsum
+        |  FROM pos GROUP BY 1, 2)
+        |SELECT d.doc_id AS media_id,
+        |  CASE WHEN d.doc_id % 3 = 0 THEN 'image'
+        |       WHEN d.doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(length(d.text) AS INTEGER) AS n_bytes, s.j, s.fsum
+        |FROM documents d JOIN s ON s.doc_id = d.doc_id
+        |ORDER BY media_id, j""".stripMargin,
+
     "p1_derived_features" -> {
       def u(k: Int) =
         s"CAST(((i + $k * 7919) % 65536 * 1103515245 + 12345) % 2147483648 AS DOUBLE) / 2147483648.0"
