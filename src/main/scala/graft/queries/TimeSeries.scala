@@ -377,6 +377,39 @@ object TimeSeries {
       ss.table("st6_sink").orderBy("user_id", "event_type")
     }),
 
+    // §2.10 — state-BOUNDED streaming dedup: dropDuplicatesWithinWatermark
+    // through the engine on the three-batch arrival fixture, with exact
+    // duplicates injected into the on-time stream (event_id % 50). The
+    // watermark contract this query proves: duplicates within the delay
+    // are removed even across batches, state for expired keys is
+    // evicted (bounded state — the 100 TB requirement st6's
+    // unbounded-state dropDuplicates can't meet), and batch-3's day-one
+    // replays — a full watermark behind — are dropped as late rather
+    // than re-emitted from evicted state. All three outcomes collapse
+    // to one SQL statement: DISTINCT over the logical table.
+    "st8_stream_dedup_wm" -> ((s, d) => {
+      val ss = streamSession(s)
+      val dataDir = arrivalFixture(s, d, "graft_st8", df => {
+        val base = df.select(col("ts"), col("user_id"), col("event_id"))
+        base.unionByName(base.filter(col("event_id") % 50 === 0))
+      })
+      val schema = ss.read.parquet(dataDir.toString).schema
+      val stream = ss.readStream.schema(schema)
+        .option("basePath", dataDir.toString)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$dataDir/*.parquet")
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("user_id", "event_id")
+        .select(col("user_id"), col("event_id"))
+      val q = stream.writeStream
+        .format("memory").queryName("st8_sink")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ss.table("st8_sink").orderBy("user_id", "event_id")
+    }),
+
     // §2.10 — STREAM-STREAM inner join through the micro-batch engine:
     // click→purchase attribution within 6 h per user — the funnel
     // query. Both sides carry watermarks and the join condition
@@ -739,6 +772,10 @@ object TimeSeries {
       "st6_stream_dedup" ->
         """SELECT DISTINCT user_id, event_type FROM events
           |ORDER BY user_id, event_type""".stripMargin,
+
+      "st8_stream_dedup_wm" ->
+        """SELECT DISTINCT user_id, event_id FROM events
+          |ORDER BY user_id, event_id""".stripMargin,
 
       // ns→us truncation via `ts div 1000` matches the Spark loader;
       // duckdb's TIMESTAMP is already micros so epoch_us is exact.
