@@ -58,7 +58,9 @@ object Explain {
       "b2_bloom_semi_join" -> "bloom probe (might_contain over a scalar-subquery filter) filters the fact scan BEFORE the semi-join shuffle; no job at plan construction",
       "o8_zorder_layout" -> "both stats frames are one-row broadcast crossJoins; the interleave is pure codegen arithmetic; one shuffle for the per-file rollup",
       "p2_profile" -> "ONE scan: multi-distinct aggregate planned via Expand, then a row-per-column unpivot — no per-column re-scans",
-      "s7_partition_pruning" -> "PartitionFilters prune the hive layout to 2 of 5 event_type directories before any data is read")
+      "s7_partition_pruning" -> "PartitionFilters prune the hive layout to 2 of 5 event_type directories before any data is read",
+      "u5_merge_upsert" -> "ONE full-outer shuffle on the merge key applies the whole change batch; both sides' filters reach the scans",
+      "d23_pagerank" -> "three static power-iteration rounds — per round one join+aggregate keyed by dst; edges/signatures cached, no driver loop")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by graft.Explain)\n\n")
