@@ -61,16 +61,19 @@ object Bench {
       System.gc()
       (name, sec, ok)
     }
-    // 3-decimal values keep the whole line short enough to survive a
+    // 2-decimal values keep the whole line short enough to survive a
     // bounded tail-capture of the sbt output (round 3's full-precision
     // line was ~2.9 KB and got clipped mid-JSON, defeating the parse).
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.2f" }
+    // Locale.ROOT: f"" uses the JVM default locale, and a comma-decimal
+    // locale (de_DE) would make the line invalid JSON.
+    def d2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + d2(v) }
       .mkString("{", ",", "}")
     // A failed query must not masquerade as a fast success: list
     // failures explicitly so the JSON is self-describing.
     val errs = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val line = f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${d2(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
     // Belt-and-braces vs bounded tail-capture of stdout: persist the
     // same line where a reader of the repo can always find it.

@@ -39,6 +39,7 @@ object Explain {
       "en1_transmission" -> "one shuffle on (ener, phase-bin); the per-ener box fit is a window over the tiny binned matrix",
       "p1_derived_features" -> "derived layer is pure codegen column math; one explode + one shuffle on the feature key",
       "d11_tfidf" -> "tf and df are keyed aggregations; corpus size is a broadcast one-row frame; vocabulary join left to AQE (broadcast while it fits)",
+      "d12_bm25" -> "final top-20 is TakeOrderedAndProject (per-partition heaps) — no Exchange SinglePartition, no global sort of the scored corpus; the rank window sees only the 20 survivors",
       "d13_chunking" -> "row-local split + sequence explode + slice — no shuffle before the output sort",
       "d14_unigram_lm" -> "per-token logprobs integerized before the per-doc sum; two keyed aggregations + broadcast scalar",
       "t13b_mcmc_perener" -> "one exact-integer phase-bin aggregation, then mapGroups runs one ensemble fit per energy bin — fits parallelize across the shuffle key",
@@ -52,7 +53,7 @@ object Explain {
       "e7_random_projection" -> "map-only: 16 DotI12 kernels vs a broadcast 16-row literal frame, no Exchange before the output sort",
       "d16_repetition" -> "token and bigram counts are two keyed aggregations rolled up per doc; bigrams built row-locally (no shuffle to construct them)",
       "d17_token_entropy" -> "one token-count shuffle; surprisal integerized per term then rolled up per doc",
-      "e5_pq_adc" -> "codes shuffle by (m, c) — 64 keys; ADC LUT is broadcast; full vectors rejoin only for the 20-candidate shortlist rerank",
+      "e5_pq_adc" -> "Lloyd-refined codebook trains in-plan (integer sums); codes shuffle by (m, c) — 64 keys; ADC LUT is broadcast; full vectors rejoin only for the 50-candidate shortlist rerank",
       "j9_salted_join" -> "ShuffledHashJoin keyed on (skey, salt) — the hot key is split across 16 reducers; dim side exploded x16 before the exchange",
       "b1_bucketed_join" -> "SortMergeJoin directly over two bucketed scans — no Exchange on either side below the join",
       "b2_bloom_semi_join" -> "bloom probe (might_contain over a scalar-subquery filter) filters the fact scan BEFORE the semi-join shuffle; no job at plan construction",

