@@ -353,15 +353,19 @@ object Advanced {
     }),
 
     // Multimodal feature extraction through the batched partition-local
-    // kernel (JVM mapInPandas shape). The decode stub emits per-residue
-    // byte sums — exact integers, so the whole path INCLUDING the
-    // mapPartitions kernel is oracle-checked: the fixture payloads are
-    // UTF-8 of pure-ASCII text, and the oracle recomputes the same sums
-    // from character codes in SQL.
+    // kernel (JVM mapInPandas shape) — with REAL decode: image-kind
+    // payloads are genuine PNGs decoded by javax.imageio, audio-kind
+    // payloads genuine WAVs decoded by javax.sound.sampled (both
+    // JDK-native codecs; video has none, so video rows are byte-level
+    // by declaration). Pixel/sample values are closed-form in
+    // (media_id, position), so the oracle recomputes the decoded
+    // per-residue sums in plain SQL — the encode→decode round-trip is
+    // what's being hash-checked. n_units = decoded pixels/samples (or
+    // raw bytes for video), not the compressed payload length.
     "m2_media_features" -> ((s, d) => {
       val media = graft.multimodal.Multimodal.fromDocuments(documents(s, d))
       graft.multimodal.Multimodal.extractSums(media, dim = 8)
-        .select(col("media_id"), col("kind"), col("n_bytes"),
+        .select(col("media_id"), col("kind"), col("n_units"),
           posexplode(col("features")).as(Seq("j", "fsum")))
         .orderBy("media_id", "j")
     })
@@ -385,21 +389,47 @@ object Advanced {
        |    AND d2 < CAST(sv AS DOUBLE)/n + 3*sqrt((q - CAST(sv AS DOUBLE)*sv/n)/n))""".stripMargin
 
   val oracle: Map[String, String] = Map(
-    // payload = UTF-8 of pure-ASCII text, so byte i (0-based) equals
-    // the character code at position i+1 — the kernel's residue sums
-    // restate exactly in SQL.
+    // The oracle recomputes what the kernel DECODES from the real
+    // PNG/WAV payloads, from the same closed-form generation formulas
+    // (Multimodal.Codec): image pixel (x,y) = (id·31+x·7+y·13)%256
+    // over w×h = (id%13+4)×(id%11+4); audio sample i =
+    // (id·131+i·17)%65536−32768 over id%50+20 samples; video = raw
+    // UTF-8 bytes (pure-ASCII fixture ⇒ byte i = character code at
+    // i+1, invariant asserted in PipelineSpec). Every residue class
+    // 0..7 exists because min units (16 px / 20 samples / ≥8 chars,
+    // also asserted) ≥ 8.
     "m2_media_features" ->
-      """WITH pos AS (SELECT doc_id, text, n_chars,
-        |    unnest(generate_series(1, length(text))) AS i FROM documents),
-        |s AS (SELECT doc_id, CAST((i - 1) % 8 AS INTEGER) AS j,
+      """WITH img AS (SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 11 + 4 AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |ipx AS (SELECT doc_id, w, h,
+        |    unnest(generate_series(0, w * h - 1)) AS p FROM img),
+        |isum AS (SELECT doc_id, CAST(w * h AS INTEGER) AS n_units,
+        |    CAST(p % 8 AS INTEGER) AS j,
+        |    CAST(sum((doc_id * 31 + (p % w) * 7 + (p // w) * 13) % 256)
+        |      AS BIGINT) AS fsum
+        |  FROM ipx GROUP BY 1, 2, 3),
+        |aud AS (SELECT doc_id, doc_id % 50 + 20 AS n
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |apx AS (SELECT doc_id, n,
+        |    unnest(generate_series(0, n - 1)) AS i FROM aud),
+        |asum AS (SELECT doc_id, CAST(n AS INTEGER) AS n_units,
+        |    CAST(i % 8 AS INTEGER) AS j,
+        |    CAST(sum((doc_id * 131 + i * 17) % 65536 - 32768) AS BIGINT) AS fsum
+        |  FROM apx GROUP BY 1, 2, 3),
+        |vpos AS (SELECT doc_id, length(text) AS nu, text,
+        |    unnest(generate_series(1, length(text))) AS i
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |vsum AS (SELECT doc_id, CAST(nu AS INTEGER) AS n_units,
+        |    CAST((i - 1) % 8 AS INTEGER) AS j,
         |    CAST(sum(ascii(substr(text, i, 1))) AS BIGINT) AS fsum
-        |  FROM pos GROUP BY 1, 2)
-        |SELECT d.doc_id AS media_id,
-        |  CASE WHEN d.doc_id % 3 = 0 THEN 'image'
-        |       WHEN d.doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
-        |  CAST(length(d.text) AS INTEGER) AS n_bytes, s.j, s.fsum
-        |FROM documents d JOIN s ON s.doc_id = d.doc_id
-        |ORDER BY media_id, j""".stripMargin,
+        |  FROM vpos GROUP BY 1, 2, 3),
+        |u AS (SELECT * FROM isum UNION ALL SELECT * FROM asum
+        |      UNION ALL SELECT * FROM vsum)
+        |SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  n_units, j, fsum
+        |FROM u ORDER BY media_id, j""".stripMargin,
 
     "p1_derived_features" -> {
       def u(k: Int) =

@@ -33,4 +33,37 @@ class PipelineSpec extends SparkSpec {
     val frames = Multimodal.sampleFrames(media, every = 30)
     assert(frames.count() > 0)
   }
+
+  test("codec round-trip: PNG and WAV decode back to the generation formula") {
+    for (id <- Seq(0L, 3L, 57L, 498L)) { // image-kind ids (id % 3 == 0 not required for the codec itself)
+      val (n, sums) = Multimodal.decodeSums("image", Multimodal.Codec.png(id), 8)
+      val w = Multimodal.Codec.imgW(id); val h = Multimodal.Codec.imgH(id)
+      assert(n === w * h)
+      val want = new Array[Long](8)
+      for (y <- 0 until h; x <- 0 until w)
+        want((y * w + x) % 8) += Multimodal.Codec.gray(id, x, y).toLong
+      assert(sums.toSeq === want.toSeq, s"png id=$id")
+    }
+    for (id <- Seq(1L, 4L, 58L, 499L)) {
+      val (n, sums) = Multimodal.decodeSums("audio", Multimodal.Codec.wav(id), 8)
+      assert(n === Multimodal.Codec.nSamples(id))
+      val want = new Array[Long](8)
+      for (i <- 0 until n) want(i % 8) += Multimodal.Codec.sample(id, i).toLong
+      assert(sums.toSeq === want.toSeq, s"wav id=$id")
+    }
+  }
+
+  test("m2 fixture invariant: every document is >=8 chars and pure ASCII") {
+    // The video-kind oracle equates byte i with character code i+1 and
+    // assumes all 8 residue classes are populated; both hold only while
+    // the fixture text is non-empty ASCII of length >= 8. Pin it so a
+    // fixture change fails HERE, not as a confusing row-count mismatch
+    // in the m2 correctness gate.
+    import org.apache.spark.sql.functions._
+    val bad = graft.core.Tables.documents(spark, sf)
+      .filter(length(col("text")) < 8 ||
+        col("text") =!= regexp_replace(col("text"), "[^\\x00-\\x7F]", ""))
+      .count()
+    assert(bad === 0L)
+  }
 }
