@@ -27,46 +27,68 @@ object Detrend {
     * continuity at knots is overkill for a baseline; the reference's
     * default is a smoothing spline with knots every `timescale`. We fit
     * a cubic B-spline-like basis via ridge-regularized normal equations
-    * on a truncated power basis — small dense system, one per region. */
+    * on a truncated power basis — small dense system, one per region.
+    *
+    * ORACLE-REPRODUCIBLE arithmetic (the e3 k-means / t4b contract):
+    * basis values and y are quantized at 1e6 (roundHalfAway == both
+    * engines' SQL round), the normal equations accumulate as exact
+    * integer sums — order-free across any partitioning — and the solve
+    * is FIXED-ORDER Gauss–Jordan with no pivoting (A'A + ridge is
+    * symmetric positive definite, so elimination in index order is
+    * stable), making every coefficient a fixed IEEE operation sequence
+    * a SQL oracle can restate term by term. Exactness contract:
+    * |y| ≲ 100 and n ≲ 3·10⁴ per region keep the integer sums far from
+    * Long overflow (normalized-flux regions are O(1)·10⁴). */
   def splineBaseline(t: Array[Double], y: Array[Double], timescale: Double): Array[Double] = {
+    import graft.expr.VecExprs.roundHalfAway
     val n = t.length
     if (n < 8) return Array.fill(n)(mean(y))
     val t0 = t.head; val t1 = t.last
     val nKnots = math.max(1, math.min(20, ((t1 - t0) / timescale).toInt))
     val knots = Array.tabulate(nKnots)(i => t0 + (t1 - t0) * (i + 1) / (nKnots + 1.0))
-    // basis: [1, t, t², t³, (t−k₁)³₊, …]
+    // basis: [1, t, t², t³, (t−k₁)³₊, …], quantized at 1e6
     val nb = 4 + nKnots
-    val basis = (ti: Double) => {
-      val b = new Array[Double](nb)
+    val basisQ = (ti: Double) => {
+      val b = new Array[Long](nb)
       val x = (ti - t0) / (t1 - t0)
-      b(0) = 1; b(1) = x; b(2) = x * x; b(3) = x * x * x
+      b(0) = 1000000L
+      b(1) = roundHalfAway(x * 1e6)
+      b(2) = roundHalfAway(x * x * 1e6)
+      b(3) = roundHalfAway(x * x * x * 1e6)
       var k = 0
       while (k < nKnots) {
         val d = (ti - knots(k)) / (t1 - t0)
-        b(4 + k) = if (d > 0) d * d * d else 0.0
+        b(4 + k) = if (d > 0) roundHalfAway(d * d * d * 1e6) else 0L
         k += 1
       }
       b
     }
-    // normal equations A'A c = A'y with tiny ridge for conditioning
-    val ata = Array.ofDim[Double](nb, nb)
-    val aty = new Array[Double](nb)
+    // normal equations A'A c = A'y as exact integer sums at 1e12
+    val ata = Array.ofDim[Long](nb, nb)
+    val aty = new Array[Long](nb)
     var i = 0
     while (i < n) {
-      val b = basis(t(i))
+      val b = basisQ(t(i))
+      val yq = roundHalfAway(y(i) * 1e6)
       var r = 0
       while (r < nb) {
-        aty(r) += b(r) * y(i)
+        aty(r) += b(r) * yq
         var c = 0
         while (c < nb) { ata(r)(c) += b(r) * b(c); c += 1 }
         r += 1
       }
       i += 1
     }
-    var d = 0
-    while (d < nb) { ata(d)(d) += 1e-9; d += 1 }
-    val coef = solve(ata, aty)
-    t.map(ti => dot(basis(ti), coef))
+    val a = Array.tabulate(nb, nb)((r, c) =>
+      ata(r)(c) / 1e12 + (if (r == c) 1e-9 else 0.0))
+    val rhs = Array.tabulate(nb)(r => aty(r) / 1e12)
+    val coef = solveGaussJordan(a, rhs)
+    t.map { ti =>
+      val b = basisQ(ti)
+      var s = 0.0; var r = 0
+      while (r < nb) { s += b(r) / 1e6 * coef(r); r += 1 }
+      s
+    }
   }
 
   /** Matérn-3/2 GP marginal log-likelihood of residuals `r` at times
@@ -256,43 +278,28 @@ object Detrend {
     val m = mean(a); math.sqrt(a.map(x => (x - m) * (x - m)).sum / math.max(1, a.length))
   }
 
-  private def dot(a: Array[Double], b: Array[Double]): Double = {
-    var s = 0.0; var i = 0
-    while (i < a.length) { s += a(i) * b(i); i += 1 }
-    s
-  }
-
-  /** Gaussian elimination with partial pivoting (small dense systems). */
-  private def solve(a: Array[Array[Double]], b: Array[Double]): Array[Double] = {
+  /** Fixed-order Gauss–Jordan elimination, NO pivoting: step k
+    * eliminates column k from every other row with
+    * f = m(r,k)/m(k,k); m(r,c) −= f·m(k,c), then x(r) = rhs(r)/m(r,r).
+    * Safe because callers pass SPD (normal-equation + ridge) systems;
+    * the fixed operation order is what lets a SQL oracle replay the
+    * identical IEEE sequence step by step. */
+  private[graft] def solveGaussJordan(a: Array[Array[Double]], b: Array[Double]): Array[Double] = {
     val n = b.length
     val m = Array.tabulate(n)(i => a(i) :+ b(i))
-    var col = 0
-    while (col < n) {
-      var piv = col
-      var r = col + 1
-      while (r < n) { if (math.abs(m(r)(col)) > math.abs(m(piv)(col))) piv = r; r += 1 }
-      val tmp = m(col); m(col) = m(piv); m(piv) = tmp
-      val p = m(col)(col)
-      if (math.abs(p) > 1e-300) {
-        r = col + 1
-        while (r < n) {
-          val f = m(r)(col) / p
-          var c = col
-          while (c <= n) { m(r)(c) -= f * m(col)(c); c += 1 }
-          r += 1
+    var k = 0
+    while (k < n) {
+      var r = 0
+      while (r < n) {
+        if (r != k) {
+          val f = m(r)(k) / m(k)(k)
+          var c = 0
+          while (c <= n) { m(r)(c) -= f * m(k)(c); c += 1 }
         }
+        r += 1
       }
-      col += 1
+      k += 1
     }
-    val x = new Array[Double](n)
-    var i = n - 1
-    while (i >= 0) {
-      var s = m(i)(n)
-      var j = i + 1
-      while (j < n) { s -= m(i)(j) * x(j); j += 1 }
-      x(i) = if (math.abs(m(i)(i)) > 1e-300) s / m(i)(i) else 0.0
-      i -= 1
-    }
-    x
+    Array.tabulate(n)(r => m(r)(n) / m(r)(r))
   }
 }

@@ -27,6 +27,17 @@ object Advanced {
       |  epoch_us(ts) AS t_us, CAST(round(value*100) AS BIGINT) AS vc
       |  FROM events)""".stripMargin
 
+  /** t3b's synthetic lightcurve value — ONE expression string shared
+    * verbatim between the Spark builder (expr) and the DuckDB oracle,
+    * so the generation arithmetic cannot drift. Cubic trend with a
+    * per-part slope, LCG noise at ±0.005, 2-day-ish periodic dip; no
+    * transcendentals (Java vs C libm differ at 1 ulp). */
+  private[queries] val t3bSimValue: String =
+    "1.0 + (0.1 + 0.03 * p) * u - 0.15 * u * u + 0.08 * u * u * u" +
+      " + (CAST((i % 65536 * 1103515245 + 12345 + p * 999331) % 2147483648" +
+      " AS DOUBLE) / 2147483648.0 - 0.5) * 0.01" +
+      " - CASE WHEN i % 97 < 5 THEN 0.02 ELSE 0.0 END"
+
   /** The t6 BLS spectrum re-derived (shared shape with Search.t6_bls),
     * depth integerized at 1e6 for the windowed post-processing. */
   private def blsDepths(s: SparkSession, d: String): DataFrame = {
@@ -79,13 +90,28 @@ object Advanced {
         .orderBy("p_us")
     }),
 
-    // T3 spline mode — flatMapGroups kernel; not SQL-expressible →
-    // rows-only check.
+    // T3 spline mode, oracle-checked end to end. The events fixture's
+    // gap-regions are all ≤4 rows (7 h cadence vs the 1 h gap split),
+    // which would route every region to the n<8 mean fallback and
+    // never run the spline — so the declared query detrends a
+    // deterministic dense lightcurve instead (8 parts × 500 samples at
+    // 30 min, anchored at the events epoch; cubic trend + LCG noise +
+    // periodic dip, no transcendentals). One region per part, span
+    // 10.4 d ⇒ 5 knots, a 9-dim truncated-power LSQ system. The
+    // kernel's integerized normal equations + fixed-order Gauss–Jordan
+    // (Detrend.splineBaseline) replay term by term in the DuckDB
+    // oracle, so fit coefficients AND per-row baselines hash-match.
     "t3b_detrend_spline" -> ((s, d) => {
-      val df = base(s, d)
-        .select(col("user_id").cast("string").as("part"), col("event_id").as("id"),
+      val sim = base(s, d).agg(min(col("t_us")).as("t0"))
+        .withColumn("p", explode(sequence(lit(0), lit(7))))
+        .withColumn("i", explode(sequence(lit(0L), lit(499L))))
+        .withColumn("t_us", col("t0") + col("i") * 1800000000L)
+        .withColumn("u", expr("CAST(i AS DOUBLE) / 499.0"))
+        .withColumn("value", expr(t3bSimValue))
+        .select(col("p").cast("string").as("part"),
+          (col("p") * 1000L + col("i")).as("id"),
           col("t_us"), col("value"), lit(1.0).as("err"))
-      graft.ops.Detrend.detrend(df, Seq("part"), "t_us", "id", "value", "err",
+      graft.ops.Detrend.detrend(sim, Seq("part"), "t_us", "id", "value", "err",
           gapUs = 3600000000L, mode = "Spline", timescaleDays = 2.0)
         .select("part", "id", "baseline", "detr")
         .orderBy("part", "id")
@@ -430,6 +456,76 @@ object Advanced {
         |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
         |  n_units, j, fsum
         |FROM u ORDER BY media_id, j""".stripMargin,
+
+    // t3b's full spline fit in SQL: quantized truncated-power basis →
+    // integer normal equations (order-free sums) → 9 fixed-order
+    // Gauss–Jordan elimination steps (one MATERIALIZED CTE each,
+    // replaying Detrend.solveGaussJordan's exact IEEE sequence) →
+    // per-row baseline as the explicit 9-term evaluation chain.
+    "t3b_detrend_spline" -> {
+      val nb = 9 // 4 + 5 knots (span 10.396 d / timescale 2 d)
+      def gjStep(k: Int): String =
+        s"""m${k + 1} AS MATERIALIZED (SELECT m.part, m.r, m.c,
+           |    CASE WHEN m.r = $k THEN m.v
+           |         ELSE m.v - (rk.v / kk.v) * kc.v END AS v
+           |  FROM m$k m
+           |  JOIN m$k rk ON rk.part = m.part AND rk.r = m.r AND rk.c = $k
+           |  JOIN m$k kc ON kc.part = m.part AND kc.r = $k AND kc.c = m.c
+           |  JOIN m$k kk ON kk.part = m.part AND kk.r = $k AND kk.c = $k)"""
+      val bqCase = (0 until nb).map(r => s"WHEN $r THEN bq$r").mkString(" ")
+      val evalChain = (0 until nb).map(r => s"bq$r / 1e6 * c$r").mkString(" + ")
+      val coefPivot = (0 until nb)
+        .map(r => s"max(CASE WHEN r = $r THEN coef END) AS c$r").mkString(", ")
+      val knotCols = (0 until 5).map { k =>
+        s"CASE WHEN (t_d - (t0d + (t1d - t0d) * ${k + 1} / 6.0)) / (t1d - t0d) > 0" +
+          s" THEN CAST(round(((t_d - (t0d + (t1d - t0d) * ${k + 1} / 6.0)) / (t1d - t0d))" +
+          s" * ((t_d - (t0d + (t1d - t0d) * ${k + 1} / 6.0)) / (t1d - t0d))" +
+          s" * ((t_d - (t0d + (t1d - t0d) * ${k + 1} / 6.0)) / (t1d - t0d))" +
+          s" * 1e6) AS BIGINT) ELSE 0 END AS bq${4 + k}"
+      }.mkString(",\n    ")
+      s"""WITH e0 AS (SELECT min(epoch_us(ts)) AS t0 FROM events),
+         |sim AS (SELECT p, i, CAST(p AS VARCHAR) AS part, p * 1000 + i AS id,
+         |    t0 + i * 1800000000 AS t_us, CAST(i AS DOUBLE) / 499.0 AS u
+         |  FROM e0, (SELECT unnest(generate_series(0, 7)) AS p),
+         |       (SELECT unnest(generate_series(0, 499)) AS i)),
+         |simv AS (SELECT part, id, i, t_us, $t3bSimValue AS value FROM sim),
+         |td AS (SELECT *, CAST(t_us AS DOUBLE) / 86400e6 AS t_d FROM simv),
+         |bnd AS (SELECT part, min(t_d) AS t0d, max(t_d) AS t1d
+         |  FROM td GROUP BY 1),
+         |bas AS (SELECT td.part, td.id, td.i, td.value,
+         |    CAST(round(td.value * 1e6) AS BIGINT) AS yq,
+         |    1000000 AS bq0,
+         |    CAST(round((t_d - t0d) / (t1d - t0d) * 1e6) AS BIGINT) AS bq1,
+         |    CAST(round((t_d - t0d) / (t1d - t0d) * ((t_d - t0d) / (t1d - t0d))
+         |      * 1e6) AS BIGINT) AS bq2,
+         |    CAST(round((t_d - t0d) / (t1d - t0d) * ((t_d - t0d) / (t1d - t0d))
+         |      * ((t_d - t0d) / (t1d - t0d)) * 1e6) AS BIGINT) AS bq3,
+         |    $knotCols
+         |  FROM td JOIN bnd ON bnd.part = td.part),
+         |bl AS (SELECT part, i, yq, r,
+         |    CASE r $bqCase END AS bq
+         |  FROM bas, (SELECT unnest(generate_series(0, ${nb - 1})) AS r)),
+         |ata AS (SELECT a.part, a.r AS r, b.r AS c,
+         |    CAST(sum(a.bq * b.bq) AS BIGINT) AS v
+         |  FROM bl a JOIN bl b ON b.part = a.part AND b.i = a.i
+         |  GROUP BY 1, 2, 3),
+         |aty AS (SELECT part, r, CAST(sum(bq * yq) AS BIGINT) AS v
+         |  FROM bl GROUP BY 1, 2),
+         |m0 AS (SELECT part, r, c, CAST(v AS DOUBLE) / 1e12
+         |    + CASE WHEN r = c THEN 1e-9 ELSE 0.0 END AS v FROM ata
+         |  UNION ALL
+         |  SELECT part, r, $nb, CAST(v AS DOUBLE) / 1e12 FROM aty),
+         |${(0 until nb).map(gjStep).mkString(",\n")},
+         |coef AS (SELECT d.part, d.r, rh.v / d.v AS coef
+         |  FROM m$nb d JOIN m$nb rh ON rh.part = d.part AND rh.r = d.r
+         |    AND rh.c = $nb
+         |  WHERE d.c = d.r),
+         |cw AS (SELECT part, $coefPivot FROM coef GROUP BY 1)
+         |SELECT b.part, b.id, $evalChain AS baseline,
+         |  b.value - ($evalChain) + 1.0 AS detr
+         |FROM bas b JOIN cw ON cw.part = b.part
+         |ORDER BY b.part, b.id""".stripMargin
+    },
 
     "p1_derived_features" -> {
       def u(k: Int) =
