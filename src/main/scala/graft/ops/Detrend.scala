@@ -166,7 +166,7 @@ object Detrend {
     while (i < n) {
       if (i > 0) {
         val dt = t(i) - t(i - 1)
-        val e = math.exp(-lam * dt)
+        val e = expQ(lam, dt)
         // transition for Matérn-3/2: A = e^{−λdt} [[1+λdt, dt], [−λ²dt, 1−λdt]]
         val a00 = e * (1 + lam * dt); val a01 = e * dt
         val a10 = -e * lam * lam * dt; val a11 = e * (1 - lam * dt)
@@ -205,7 +205,7 @@ object Detrend {
     i = n - 2
     while (i >= 0) {
       val dt = t(i + 1) - t(i)
-      val e = math.exp(-lam * dt)
+      val e = expQ(lam, dt)
       val a00 = e * (1 + lam * dt); val a01 = e * dt
       val a10 = -e * lam * lam * dt; val a11 = e * (1 - lam * dt)
       // G = Pf A' Pp⁻¹  (2×2 inverse of predicted cov at i+1)
@@ -260,7 +260,13 @@ object Detrend {
           val e = rows.map(_.getAs[Double](err))
           val base = mode match {
             case "Spline" => splineBaseline(t, y, timescaleDays)
-            case "GaussianProcess" => gpBaseline(t, y, e, stddev(y), timescaleDays)
+            case "GaussianProcess" =>
+              // center on the integerized mean: the state-space prior is
+              // zero-mean, so fitting raw ~1.0-level flux would shrink
+              // the baseline toward 0 instead of the lightcurve level.
+              val yb = meanQ(y)
+              gpBaseline(t, y.map(_ - yb), e, stddevQ(y), timescaleDays)
+                .map(_ + yb)
             case _ => Array.fill(t.length)(mean(y))
           }
           rows.iterator.zipWithIndex.map { case (r, i) =>
@@ -274,8 +280,35 @@ object Detrend {
   }
 
   private def mean(a: Array[Double]): Double = if (a.isEmpty) 0.0 else a.sum / a.length
-  private def stddev(a: Array[Double]): Double = {
-    val m = mean(a); math.sqrt(a.map(x => (x - m) * (x - m)).sum / math.max(1, a.length))
+
+  /** Transition decay e^(−λ·dt), quantized at 1e9 — the ONE
+    * transcendental in the GP recurrence. Java and C libm exp differ
+    * at 1 ulp, which a 500-step Kalman recurrence would amplify past
+    * any output rounding; quantizing the decay before use makes the
+    * whole recurrence an engine-neutral fixed IEEE sequence (SQL:
+    * round(exp(−λ·dt)·1e9)/1e9). The 1e-9 perturbation of the decay
+    * is far below the fit's noise floor. */
+  private[graft] def expQ(lam: Double, dt: Double): Double =
+    graft.expr.VecExprs.roundHalfAway(math.exp(-lam * dt) * 1e9) / 1e9
+
+  /** Mean from integer sums of y quantized at 1e6 (SQL:
+    * CAST(sq AS DOUBLE)/n/1e6) — order-free, engine-neutral. */
+  private[graft] def meanQ(a: Array[Double]): Double = {
+    import graft.expr.VecExprs.roundHalfAway
+    var sq = 0L
+    a.foreach { v => sq += roundHalfAway(v * 1e6) }
+    sq.toDouble / math.max(1, a.length) / 1e6
+  }
+
+  /** σ from integer sums of y quantized at 1e6 — order-free across
+    * partitionings and restated exactly in SQL as
+    * sqrt((qq − CAST(sq AS DOUBLE)·sq/n)/n)/1e6. */
+  private[graft] def stddevQ(a: Array[Double]): Double = {
+    import graft.expr.VecExprs.roundHalfAway
+    var sq = 0L; var qq = 0L
+    a.foreach { v => val yq = roundHalfAway(v * 1e6); sq += yq; qq += yq * yq }
+    val n = math.max(1, a.length)
+    math.sqrt((qq - sq.toDouble * sq / n) / n) / 1e6
   }
 
   /** Fixed-order Gauss–Jordan elimination, NO pivoting: step k

@@ -38,6 +38,31 @@ object Advanced {
       " AS DOUBLE) / 2147483648.0 - 0.5) * 0.01" +
       " - CASE WHEN i % 97 < 5 THEN 0.02 ELSE 0.0 END"
 
+  /** The shared t3b/t3c synthetic lightcurve: 8 parts × 500 samples at
+    * 30-min cadence anchored at the events epoch (one gap-region per
+    * part — the events fixture's own regions are all ≤4 rows at its
+    * 7 h cadence, which would never exercise the detrend kernels). */
+  private def t3Sim(s: SparkSession, d: String, err: Double): DataFrame =
+    base(s, d).agg(min(col("t_us")).as("t0"))
+      .withColumn("p", explode(sequence(lit(0), lit(7))))
+      .withColumn("i", explode(sequence(lit(0L), lit(499L))))
+      .withColumn("t_us", col("t0") + col("i") * 1800000000L)
+      .withColumn("u", expr("CAST(i AS DOUBLE) / 499.0"))
+      .withColumn("value", expr(t3bSimValue))
+      .select(col("p").cast("string").as("part"),
+        (col("p") * 1000L + col("i")).as("id"),
+        col("t_us"), col("value"), lit(err).as("err"))
+
+  /** The sim restated for DuckDB — shares [[t3bSimValue]] verbatim. */
+  private val t3SimSql: String =
+    s"""e0 AS (SELECT min(epoch_us(ts)) AS t0 FROM events),
+       |sim AS (SELECT p, i, CAST(p AS VARCHAR) AS part, p * 1000 + i AS id,
+       |    t0 + i * 1800000000 AS t_us, CAST(i AS DOUBLE) / 499.0 AS u
+       |  FROM e0, (SELECT unnest(generate_series(0, 7)) AS p),
+       |       (SELECT unnest(generate_series(0, 499)) AS i)),
+       |simv AS (SELECT part, id, i, t_us, $t3bSimValue AS value FROM sim),
+       |td AS (SELECT *, CAST(t_us AS DOUBLE) / 86400e6 AS t_d FROM simv)""".stripMargin
+
   /** The t6 BLS spectrum re-derived (shared shape with Search.t6_bls),
     * depth integerized at 1e6 for the windowed post-processing. */
   private def blsDepths(s: SparkSession, d: String): DataFrame = {
@@ -102,16 +127,8 @@ object Advanced {
     // (Detrend.splineBaseline) replay term by term in the DuckDB
     // oracle, so fit coefficients AND per-row baselines hash-match.
     "t3b_detrend_spline" -> ((s, d) => {
-      val sim = base(s, d).agg(min(col("t_us")).as("t0"))
-        .withColumn("p", explode(sequence(lit(0), lit(7))))
-        .withColumn("i", explode(sequence(lit(0L), lit(499L))))
-        .withColumn("t_us", col("t0") + col("i") * 1800000000L)
-        .withColumn("u", expr("CAST(i AS DOUBLE) / 499.0"))
-        .withColumn("value", expr(t3bSimValue))
-        .select(col("p").cast("string").as("part"),
-          (col("p") * 1000L + col("i")).as("id"),
-          col("t_us"), col("value"), lit(1.0).as("err"))
-      graft.ops.Detrend.detrend(sim, Seq("part"), "t_us", "id", "value", "err",
+      graft.ops.Detrend.detrend(t3Sim(s, d, err = 1.0), Seq("part"),
+          "t_us", "id", "value", "err",
           gapUs = 3600000000L, mode = "Spline", timescaleDays = 2.0)
         .select("part", "id", "baseline", "detr")
         .orderBy("part", "id")
@@ -164,15 +181,18 @@ object Advanced {
     }),
 
     // T3 GaussianProcess mode — the reference's DEFAULT detrend
-    // (main.py:7919; Matérn-3/2 kernel 6797–6833), here the exact O(n)
-    // state-space form in a flatMapGroups kernel per (part, region);
-    // not SQL-expressible → rows-only check (golden values in
-    // DetrendSpec pin the kernel).
+    // (main.py:7919; Matérn-3/2 kernel 6797–6833), the exact O(n)
+    // state-space form (Kalman filter + RTS smoother) in a
+    // flatMapGroups kernel per (part, region), over the same dense
+    // sim as t3b (the events fixture's regions never reach the
+    // kernel — see t3b). Oracle-checked: the recurrence is a fixed
+    // IEEE sequence once the one transcendental (the transition decay
+    // e^{−λΔt}) is quantized at 1e9 (Detrend.expQ) and σ comes from
+    // integer sums (stddevQ), so DuckDB recursive CTEs replay the
+    // forward filter and backward smoother state-by-state, bit-exact.
     "t3c_detrend_gp" -> ((s, d) => {
-      val df = base(s, d)
-        .select(col("user_id").cast("string").as("part"), col("event_id").as("id"),
-          col("t_us"), col("value"), lit(0.3).as("err"))
-      graft.ops.Detrend.detrend(df, Seq("part"), "t_us", "id", "value", "err",
+      graft.ops.Detrend.detrend(t3Sim(s, d, err = 0.01), Seq("part"),
+          "t_us", "id", "value", "err",
           gapUs = 3600000000L, mode = "GaussianProcess", timescaleDays = 2.0)
         .select("part", "id", "baseline", "detr")
         .orderBy("part", "id")
@@ -483,13 +503,7 @@ object Advanced {
           s" * ((t_d - (t0d + (t1d - t0d) * ${k + 1} / 6.0)) / (t1d - t0d))" +
           s" * 1e6) AS BIGINT) ELSE 0 END AS bq${4 + k}"
       }.mkString(",\n    ")
-      s"""WITH e0 AS (SELECT min(epoch_us(ts)) AS t0 FROM events),
-         |sim AS (SELECT p, i, CAST(p AS VARCHAR) AS part, p * 1000 + i AS id,
-         |    t0 + i * 1800000000 AS t_us, CAST(i AS DOUBLE) / 499.0 AS u
-         |  FROM e0, (SELECT unnest(generate_series(0, 7)) AS p),
-         |       (SELECT unnest(generate_series(0, 499)) AS i)),
-         |simv AS (SELECT part, id, i, t_us, $t3bSimValue AS value FROM sim),
-         |td AS (SELECT *, CAST(t_us AS DOUBLE) / 86400e6 AS t_d FROM simv),
+      s"""WITH $t3SimSql,
          |bnd AS (SELECT part, min(t_d) AS t0d, max(t_d) AS t1d
          |  FROM td GROUP BY 1),
          |bas AS (SELECT td.part, td.id, td.i, td.value,
@@ -525,6 +539,106 @@ object Advanced {
          |  b.value - ($evalChain) + 1.0 AS detr
          |FROM bas b JOIN cw ON cw.part = b.part
          |ORDER BY b.part, b.id""".stripMargin
+    },
+
+    // t3c's Kalman forward filter + RTS backward smoother replayed in
+    // DuckDB recursive CTEs, one recursion step per sample, every
+    // expression mirroring Detrend.gpBaseline's operation order
+    // exactly. σ and the centering mean come from integer sums
+    // (stddevQ/meanQ); the transition decay is round(exp(−λΔt)·1e9)
+    // /1e9 on both sides (expQ). Measurement noise 0.01² restates the
+    // kernel's yerr·yerr with err ≡ 0.01. fwdm materializes the
+    // forward pass once — joining the recursive fwd directly from bwd
+    // would re-run the whole forward recursion per smoother step.
+    "t3c_detrend_gp" -> {
+      // transition matrix layer, shared by filter and smoother
+      val transSql =
+        """SELECT *, e * (1 + lam * dt) AS a00, e * dt AS a01,
+          |      -e * lam * lam * dt AS a10, e * (1 - lam * dt) AS a11
+          |    FROM (SELECT *, round(exp(-lam * dt) * 1e9) / 1e9 AS e""".stripMargin
+      s"""WITH RECURSIVE $t3SimSql,
+         |consts AS MATERIALIZED (SELECT part, s2 AS p11, s2 * lam * lam AS p22,
+         |    lam, ybar
+         |  FROM (SELECT part, sigma * sigma AS s2, lam, ybar FROM (
+         |    SELECT part, sqrt((qq - CAST(sq AS DOUBLE) * sq / n) / n) / 1e6 AS sigma,
+         |      sqrt(3.0) / 2.0 AS lam, CAST(sq AS DOUBLE) / n / 1e6 AS ybar
+         |    FROM (SELECT part, count(*) AS n, CAST(sum(yq) AS BIGINT) AS sq,
+         |            CAST(sum(yq * yq) AS BIGINT) AS qq
+         |          FROM (SELECT part, CAST(round(value * 1e6) AS BIGINT) AS yq
+         |                FROM td) GROUP BY 1)))),
+         |dat AS MATERIALIZED (SELECT td.part, td.id, td.i, td.value,
+         |    td.value - c.ybar AS vcen, td.t_d
+         |  FROM td JOIN consts c ON c.part = td.part),
+         |fwd AS (
+         |  SELECT part, i, t_d, mp0, mp1, pp00, pp01, pp11,
+         |    mp0 + k0 * nu AS mf0, mp1 + k1 * nu AS mf1,
+         |    (1 - k0) * pp00 AS pf00, (1 - k0) * pp01 AS pf01,
+         |    pp11 - k1 * pp01 AS pf11
+         |  FROM (SELECT *, pp00 / sInn AS k0, pp01 / sInn AS k1
+         |    FROM (SELECT *, pp00 + 0.01 * 0.01 AS sInn, vcen - mp0 AS nu
+         |      FROM (SELECT d.part, d.i, d.t_d, d.vcen,
+         |          CAST(0.0 AS DOUBLE) AS mp0, CAST(0.0 AS DOUBLE) AS mp1,
+         |          c.p11 AS pp00, CAST(0.0 AS DOUBLE) AS pp01, c.p22 AS pp11
+         |        FROM dat d JOIN consts c ON c.part = d.part WHERE d.i = 0)))
+         |  UNION ALL
+         |  SELECT part, i, t_d, nm0 AS mp0, nm1 AS mp1,
+         |    pp00n AS pp00, pp01n AS pp01, pp11n AS pp11,
+         |    nm0 + k0 * nu AS mf0, nm1 + k1 * nu AS mf1,
+         |    (1 - k0) * pp00n AS pf00, (1 - k0) * pp01n AS pf01,
+         |    pp11n - k1 * pp01n AS pf11
+         |  FROM (SELECT *, pp00n / sInn AS k0, pp01n / sInn AS k1
+         |    FROM (SELECT *, pp00n + 0.01 * 0.01 AS sInn, vcen - nm0 AS nu
+         |    FROM (SELECT *,
+         |        t00 * a00 + t01 * a01 + q00 AS pp00n,
+         |        t00 * a10 + t01 * a11 + q01 AS pp01n,
+         |        t10 * a10 + t11 * a11 + q11 AS pp11n
+         |    FROM (SELECT *,
+         |        a00 * m0 + a01 * m1 AS nm0, a10 * m0 + a11 * m1 AS nm1,
+         |        p11 - (a00 * (a00 * p11) + a01 * (a01 * p22)) AS q00,
+         |        -(a10 * (a00 * p11) + a11 * (a01 * p22)) AS q01,
+         |        p22 - (a10 * (a10 * p11) + a11 * (a11 * p22)) AS q11,
+         |        a00 * c00 + a01 * c01 AS t00, a00 * c01 + a01 * c11 AS t01,
+         |        a10 * c00 + a11 * c01 AS t10, a10 * c01 + a11 * c11 AS t11
+         |    FROM ($transSql
+         |    FROM (SELECT f.part, d.i, d.t_d, d.vcen,
+         |        f.mf0 AS m0, f.mf1 AS m1,
+         |        f.pf00 AS c00, f.pf01 AS c01, f.pf11 AS c11,
+         |        d.t_d - f.t_d AS dt, c.p11, c.p22, c.lam
+         |      FROM fwd f
+         |      JOIN dat d ON d.part = f.part AND d.i = f.i + 1
+         |      JOIN consts c ON c.part = f.part)))))))),
+         |fwdm AS MATERIALIZED (SELECT * FROM fwd),
+         |bwd AS (
+         |  SELECT part, i, mf0 AS ms0, mf1 AS ms1 FROM fwdm WHERE i = 499
+         |  UNION ALL
+         |  SELECT part, i,
+         |    CASE WHEN abs(det) < 1e-300 THEN mf0
+         |         ELSE mf0 + g00 * d0 + g01 * d1 END AS ms0,
+         |    CASE WHEN abs(det) < 1e-300 THEN mf1
+         |         ELSE mf1 + g10 * d0 + g11 * d1 END AS ms1
+         |  FROM (SELECT *,
+         |      pa00 * i00 + pa01 * i01 AS g00, pa00 * i01 + pa01 * i11 AS g01,
+         |      pa10 * i00 + pa11 * i01 AS g10, pa10 * i01 + pa11 * i11 AS g11
+         |    FROM (SELECT *,
+         |        pp11 / det AS i00, -pp01 / det AS i01, pp00 / det AS i11,
+         |        pf00 * a00 + pf01 * a01 AS pa00, pf00 * a10 + pf01 * a11 AS pa01,
+         |        pf01 * a00 + pf11 * a01 AS pa10, pf01 * a10 + pf11 * a11 AS pa11
+         |    FROM (SELECT *, pp00 * pp11 - pp01 * pp01 AS det
+         |    FROM ($transSql
+         |    FROM (SELECT b.part, f0.i, f0.mf0, f0.mf1,
+         |        f0.pf00, f0.pf01, f0.pf11,
+         |        f1.pp00, f1.pp01, f1.pp11,
+         |        b.ms0 - f1.mp0 AS d0, b.ms1 - f1.mp1 AS d1,
+         |        f1.t_d - f0.t_d AS dt, c.lam
+         |      FROM bwd b
+         |      JOIN fwdm f1 ON f1.part = b.part AND f1.i = b.i
+         |      JOIN fwdm f0 ON f0.part = b.part AND f0.i = b.i - 1
+         |      JOIN consts c ON c.part = b.part)))))))
+         |SELECT d.part, d.id, b.ms0 + c.ybar AS baseline,
+         |  d.value - (b.ms0 + c.ybar) + 1.0 AS detr
+         |FROM dat d JOIN bwd b ON b.part = d.part AND b.i = d.i
+         |JOIN consts c ON c.part = d.part
+         |ORDER BY d.part, d.id""".stripMargin
     },
 
     "p1_derived_features" -> {
