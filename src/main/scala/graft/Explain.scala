@@ -26,7 +26,7 @@ object Explain {
       "t1_fold" -> "pure narrow projection + sort; no shuffle before the sort",
       "t6_bls" -> "pre-binned at reference grid density: ONE full-data aggregation (level-0 bins), coarser levels rolled up from it, broadcast trial routing; box scoring over bins, not samples",
       "a4_peakcut_std" -> "frame-max multiplicity via exploded-offset EQUI join (no non-equi band self-join, no per-user cartesian)",
-      "d2_ngram_jaccard" -> "both dense/sparse strategies in ONE static plan, gated by a one-row stats frame; AQE empty-relation propagation prunes the inactive branch; no job at plan construction",
+      "d2_ngram_jaccard" -> "both dense/sparse strategies in ONE static plan, gated by a one-row stats frame; AQE empty-relation propagation prunes the inactive branch; the only build-time job is the shared bigram-stream checkpoint (5 consumers, one parse)",
       "t10b_ineg_secondary" -> "two keyed aggregations on transit index + broadcast-side full-outer merge; sub-window predicates are pure column arithmetic",
       "t9_robust_z" -> "window partitioned by user_id (no single-partition WindowExec)",
       "e1_knn_cosine" -> "norms+dots as aggregations; rank window partitioned by query id",

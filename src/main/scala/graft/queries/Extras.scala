@@ -24,6 +24,45 @@ object Extras {
       unix_micros(col("ts")).as("t_us"),
       Tables.cents(col("value")).as("vc"))
 
+  /** Build-once derived fixture in the shared tmp dir, published
+    * ATOMICALLY: the layout is built in a per-process staging dir, the
+    * manifest is written INTO it, and the whole directory is renamed
+    * into place in one move — so a concurrent driver (Verify and Bench
+    * overlap) can never observe a half-built layout, closing the
+    * round-4 advice race. A directory that exists with a matching
+    * manifest is complete by construction; losers of a publish race
+    * discard their staging copy and read the winner's (fixtures are
+    * pure functions of the immutable testdata, so any winner is
+    * equivalent). */
+  private def derivedFixture(name: String, d: String, version: String)
+                            (build: java.io.File => Unit): java.io.File = {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"${name}_${d.replaceAll("[^A-Za-z0-9]", "_")}")
+    val expect = s"$version|$d"
+    def ok: Boolean = {
+      val mf = new java.io.File(dir, "_graft_manifest")
+      mf.exists() &&
+        new String(java.nio.file.Files.readAllBytes(mf.toPath), "UTF-8") == expect
+    }
+    if (!ok) {
+      val tmp = new java.io.File(dir.getParentFile,
+        dir.getName + ".build." + ProcessHandle.current().pid())
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+      build(tmp)
+      java.nio.file.Files.write(
+        new java.io.File(tmp, "_graft_manifest").toPath, expect.getBytes("UTF-8"))
+      org.apache.commons.io.FileUtils.deleteQuietly(dir)
+      try java.nio.file.Files.move(tmp.toPath, dir.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.io.IOException =>
+        // concurrent publisher won between our delete and move — use
+        // theirs (equivalent by purity); drop our staging copy
+        org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+      }
+    }
+    dir
+  }
+
   private val baseSql =
     """base AS (SELECT event_id, user_id, event_type, value,
       |  epoch_us(ts) AS t_us, CAST(round(value*100) AS BIGINT) AS vc
@@ -87,21 +126,14 @@ object Extras {
     // fixture); the oracle reconstructs the same merge in SQL by
     // NULLing the column on even (v1) keys.
     "s6_schema_evolution" -> ((s, d) => {
-      val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_schemadrift_${d.replaceAll("[^A-Za-z0-9]", "_")}")
-      val mf = new java.io.File(dir, "_graft_manifest")
-      val expect = s"graft-drift-v1|$d"
-      val ok = mf.exists() &&
-        new String(java.nio.file.Files.readAllBytes(mf.toPath), "UTF-8") == expect
-      if (!ok) {
+      val dir = derivedFixture("graft_schemadrift", d, "graft-drift-v1") { tmp =>
         val o = orders(s, d)
         o.filter(col("o_orderkey") % 2 === 0)
           .select("o_orderkey", "o_totalprice")
-          .write.mode("overwrite").parquet(s"$dir/v1")
+          .write.mode("overwrite").parquet(s"$tmp/v1")
         o.filter(col("o_orderkey") % 2 === 1)
           .select("o_orderkey", "o_totalprice", "o_orderpriority")
-          .write.mode("overwrite").parquet(s"$dir/v2")
-        java.nio.file.Files.write(mf.toPath, expect.getBytes("UTF-8"))
+          .write.mode("overwrite").parquet(s"$tmp/v2")
       }
       s.read.option("mergeSchema", "true")
         .parquet(s"$dir/v1", s"$dir/v2")
@@ -120,17 +152,10 @@ object Extras {
     // manifest-gated like b1/s6. The oracle states the same aggregate
     // over the logical table.
     "s7_partition_pruning" -> ((s, d) => {
-      val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_partbytype_${d.replaceAll("[^A-Za-z0-9]", "_")}")
-      val mf = new java.io.File(dir, "_graft_manifest")
-      val expect = s"graft-partbytype-v1|$d"
-      val ok = mf.exists() &&
-        new String(java.nio.file.Files.readAllBytes(mf.toPath), "UTF-8") == expect
-      if (!ok) {
+      val dir = derivedFixture("graft_partbytype", d, "graft-partbytype-v1") { tmp =>
         events(s, d).select(col("event_id"), col("user_id"),
             col("value"), col("event_type"))
-          .write.mode("overwrite").partitionBy("event_type").parquet(dir.toString)
-        java.nio.file.Files.write(mf.toPath, expect.getBytes("UTF-8"))
+          .write.mode("overwrite").partitionBy("event_type").parquet(tmp.toString)
       }
       s.read.parquet(dir.toString)
         .filter(col("event_type").isin("click", "error"))

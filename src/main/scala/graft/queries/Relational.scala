@@ -316,6 +316,13 @@ object Relational {
     // probe removes Bloom false positives; false negatives don't
     // exist, so the result is bit-equal to the plain semi join the
     // oracle states.
+    // VERSION COUPLING (accepted while Spark is pinned at 4.1.x): the
+    // BloomFilterAggregate constructor and catalyst ScalarSubquery
+    // wrapped around another DataFrame's analyzed plan are private,
+    // unstable APIs — a Spark minor upgrade that breaks compilation
+    // should point HERE; the public fallback is a collected
+    // filter + might_contain literal, at the cost of a build job at
+    // plan construction.
     "b2_bloom_semi_join" -> ((s, d) => {
       import org.apache.spark.sql.graftshim.{toCol, toExpr}
       import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate

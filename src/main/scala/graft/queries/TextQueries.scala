@@ -61,12 +61,18 @@ object TextQueries {
     // empty relation). nu == 0 (no doc with ≥2 tokens) empties BOTH
     // gates → empty result, so the zero-width bitmap is never built.
     "d2_ngram_jaccard" -> ((s, d) => {
+      // The bigram stream feeds FIVE consumers (corpus stats, the
+      // dense index, the dense bitmap build, and both sides of the
+      // sparse join); checkpointing it once replaces four re-parses of
+      // the corpus (split/zip_with/array_distinct/explode ≈ 0.35 s
+      // each at sf0.1) and keeps every downstream plan constant-size.
       val bg = documents(s, d)
         .select(col("doc_id"), explode(expr(
           """array_distinct(zip_with(
             |  slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
             |  slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
             |  (x, y) -> concat(x, ' ', y)))""".stripMargin)).as("bg"))
+        .localCheckpoint()
       val stats = bg.agg(countDistinct(col("bg")).as("nu"),
         countDistinct(col("doc_id")).as("nd"))
       val denseOn = col("nu") > 0 && col("nu") <= 4096 && col("nd") <= 20000
