@@ -63,32 +63,20 @@ object Advanced {
        |simv AS (SELECT part, id, i, t_us, $t3bSimValue AS value FROM sim),
        |td AS (SELECT *, CAST(t_us AS DOUBLE) / 86400e6 AS t_d FROM simv)""".stripMargin
 
-  /** The t6 BLS spectrum re-derived (shared shape with Search.t6_bls),
-    * depth integerized at 1e6 for the windowed post-processing. */
+  /** The a8 spectrum re-derived through the PRE-BINNED multi-resolution
+    * path (t6's load-bearing scale trick — this was the one remaining
+    * row-exact sample×trial explode in the suite): the 60 trials route
+    * over 5 bin resolutions, so the only full-data pass is the level-0
+    * binning aggregate. depth integerized at 1e6 for the windowed
+    * post-processing. */
   private def blsDepths(s: SparkSession, d: String): DataFrame = {
-    val mm = base(s, d).agg(
-      min(col("t_us")).as("t0"), max(col("t_us")).as("t1"),
-      count(lit(1)).as("nall"), sum(col("vc")).as("sall"))
-    val trials = mm
-      .withColumn("kp", explode(sequence(lit(2), lit(31))))
-      .withColumn("p_us", expr("(t1 - t0) div kp"))
-      .withColumn("m_steps", explode(array(lit(20), lit(40))))
-      .withColumn("gmean", col("sall").cast("double") / col("nall") / 100.0)
-      .select("t0", "p_us", "m_steps", "gmean")
-    val w = Window.partitionBy("p_us")
-      .orderBy(col("box_mean").asc, col("m_steps").asc, col("m").asc)
-    base(s, d).crossJoin(broadcast(trials))
-      .withColumn("phase_us", pmod(col("t_us") - col("t0"), col("p_us")))
-      .withColumn("m1", expr("(phase_us * m_steps) div p_us"))
-      .withColumn("dd", explode(array(lit(0), lit(1))))
-      .withColumn("m", pmod(col("m1") - col("dd") + col("m_steps"), col("m_steps")))
-      .groupBy("p_us", "m_steps", "m")
-      .agg(count(lit(1)).as("n_in"), sum(col("vc")).as("s_in"), min(col("gmean")).as("gmean"))
-      .withColumn("box_mean", col("s_in").cast("double") / col("n_in") / 100.0)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("p_us"),
-        round((col("gmean") - col("box_mean")) * 1e6).cast("long").as("dc"))
+    val b = base(s, d)
+    val r = b.agg(min(col("t_us")).as("t0"), max(col("t_us")).as("t1")).collect()(0)
+    val baseline = r.getLong(1) - r.getLong(0)
+    val trials = (2L to 31L)
+      .flatMap(kp => Seq(20L, 40L).map(m => (baseline / kp, m))).distinct
+    graft.search.Bls.spectrumPrebinnedTrials(b, "t_us", "vc", trials, levels = 5)
+      .select(col("p_us"), round(col("depth") * 1e6).cast("long").as("dc"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -714,19 +702,48 @@ object Advanced {
          |  wu AS (PARTITION BY user_id))
          |ORDER BY user_id, event_id""".stripMargin,
 
+    // Mirrors the pre-binned path exactly (the t6 oracle's binning
+    // machinery over a8's simpler fixed-duty grid): same integer bin
+    // widths from the shortest trial box, same coarsest-level routing,
+    // same bin-midpoint membership — direct per-level binning here
+    // equals the engine's level-0 rollup because every width is an
+    // exact multiple of width 0 (integer-div composition).
     "a8_bls_snr" ->
       s"""WITH $baseSql,
          |mm AS (SELECT min(t_us) AS t0, max(t_us) AS t1, count(*) AS nall,
          |         sum(vc) AS sall FROM base),
-         |trials AS (SELECT t0, (t1 - t0) // kp AS p_us, m_steps,
-         |    CAST(sall AS DOUBLE) / nall / 100.0 AS gmean
-         |  FROM mm, (SELECT unnest(generate_series(2, 31)) AS kp),
+         |par AS (SELECT t0, t1 - t0 AS bl, nall,
+         |    CAST(sall AS DOUBLE) / nall / 100.0 AS gmean FROM mm),
+         |tri AS (SELECT DISTINCT t0, gmean, bl // kp AS p_us, m_steps
+         |  FROM par, (SELECT unnest(generate_series(2, 31)) AS kp),
          |       (VALUES (20), (40)) ms(m_steps)),
-         |exploded AS (SELECT p_us, m_steps, gmean, vc,
-         |    (((((t_us - t0) % p_us) * m_steps) // p_us) - dd + m_steps) % m_steps AS m
-         |  FROM base, trials, (VALUES (0), (1)) ddt(dd)),
-         |agg AS (SELECT p_us, m_steps, m, count(*) AS n_in, sum(vc) AS s_in,
-         |    min(gmean) AS gmean
+         |trid AS (SELECT *, (p_us // m_steps) * 2 AS dur FROM tri),
+         |mind AS (SELECT min(dur) AS mindur FROM trid),
+         |lv AS (SELECT l, GREATEST(1, (mindur // 4) *
+         |      CASE l WHEN 0 THEN 1 WHEN 1 THEN 4 WHEN 2 THEN 16
+         |             WHEN 3 THEN 64 ELSE 256 END) AS w, t0
+         |  FROM mind, par, (VALUES (0), (1), (2), (3), (4)) lvt(l)),
+         |bins AS (SELECT l, w, t0, (t_us - t0) // w AS bin,
+         |    count(*) AS n, sum(vc) AS s
+         |  FROM base, lv GROUP BY 1, 2, 3, 4),
+         |binmid AS (SELECT l, t0 + bin * w + w // 2 AS tmid, n, s FROM bins),
+         |route AS (SELECT t0, gmean, p_us, m_steps,
+         |    CASE WHEN GREATEST(1, (mindur // 4) * 256)
+         |           <= GREATEST(1, dur // 4) THEN 4
+         |         WHEN GREATEST(1, (mindur // 4) * 64)
+         |           <= GREATEST(1, dur // 4) THEN 3
+         |         WHEN GREATEST(1, (mindur // 4) * 16)
+         |           <= GREATEST(1, dur // 4) THEN 2
+         |         WHEN GREATEST(1, (mindur // 4) * 4)
+         |           <= GREATEST(1, dur // 4) THEN 1
+         |         ELSE 0 END AS l
+         |  FROM trid, mind),
+         |exploded AS (SELECT p_us, m_steps, gmean, n, s,
+         |    ((((((tmid - r.t0) % p_us + p_us) % p_us) * m_steps) // p_us)
+         |      - d + m_steps) % m_steps AS m
+         |  FROM route r JOIN binmid b ON b.l = r.l, (VALUES (0), (1)) dd(d)),
+         |agg AS (SELECT p_us, m_steps, m, CAST(sum(n) AS BIGINT) AS n_in,
+         |    CAST(sum(s) AS BIGINT) AS s_in, min(gmean) AS gmean
          |  FROM exploded GROUP BY 1, 2, 3),
          |scored AS (SELECT p_us, m_steps, m,
          |    CAST(s_in AS DOUBLE) / n_in / 100.0 AS box_mean, gmean,
