@@ -61,7 +61,10 @@ object Explain {
       "p2_profile" -> "ONE scan: multi-distinct aggregate planned via Expand, then a row-per-column unpivot — no per-column re-scans",
       "s7_partition_pruning" -> "PartitionFilters prune the hive layout to 2 of 5 event_type directories before any data is read",
       "u5_merge_upsert" -> "ONE full-outer shuffle on the merge key applies the whole change batch; both sides' filters reach the scans",
-      "d23_pagerank" -> "three static power-iteration rounds — per round one join+aggregate keyed by dst; edges/signatures cached, no driver loop")
+      "d23_pagerank" -> "three static power-iteration rounds — per round one join+aggregate keyed by dst; edges/signatures cached, no driver loop",
+      "a8_bls_snr" -> "pre-binned multi-resolution spectrum (r5): ONE full-data level-0 binning aggregate, coarser levels rolled up from it, 60 trials broadcast-routed by level — no sample×trial explode; SNR windows run over the 30-row spectrum",
+      "t3b_detrend_spline" -> "sim generation is pure codegen column math; ONE exchange on (part, region) feeds the group-local spline kernel (flatMapGroups); integerized normal equations inside the kernel",
+      "m2_media_features" -> "partition-local batched decode kernel (mapPartitions) directly over the payload build — no shuffle before the output sort")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by graft.Explain)\n\n")
