@@ -8,10 +8,13 @@ import graft.core.Tables._
 
 /** A8 — BLS spectrum post-processing (ref main.py:5742–5801): signal =
   * depth − rolling median of the spectrum, noise = peak-cut rolling
-  * std, SNR, argmax — composed over the t6 spectrum. Plus the
-  * non-SQL-expressible kernels exposed as rows-only queries (driver
-  * records a weaker check): spline detrend (T3), MCMC fit (T13),
-  * multimodal feature extraction.
+  * std, SNR, argmax — composed over the pre-binned t6-style spectrum.
+  * Plus the solver-kernel queries: spline detrend (t3b) and GP detrend
+  * (t3c) — both oracle bit-exact since round 5 (integerized normal
+  * equations / recursive-CTE Kalman replay) — multimodal decode (m2,
+  * oracle-checked JDK PNG/WAV round-trip), and the seeded MCMC fits
+  * (t13/t13b, the two remaining rows-only queries: RNG-driven by
+  * nature, pinned by EnsembleSpec goldens instead).
   */
 object Advanced {
   type Q = (SparkSession, String) => DataFrame

@@ -410,9 +410,10 @@ object TextQueries {
     // makes the whole search path SQL-expressible: integerized L2
     // assignment distI = |x|² − 2x·c + |c|² at 1e12 (exact longs),
     // nProbe=4 nearest lists per query, exact integerized cosine
-    // top-5 inside the probed lists. Complements e3 (which exercises
-    // k-means TRAINING, rows-only) with a bit-exact check of the
-    // search half. Assignment is a broadcast of 16 codebook rows —
+    // top-5 inside the probed lists. Complements e3 (whose k-means
+    // TRAINING chain is itself oracle-exact since r3) with a
+    // fixed-codebook check of the search half alone.
+    // Assignment is a broadcast of 16 codebook rows —
     // the 100 TB shape (posting-list id is the shuffle key).
     "e4_ivf_fixed" -> ((s, d) => {
       val dim = 64; val k = 16
@@ -1117,8 +1118,8 @@ object TextQueries {
     }),
 
     // M1 — multimodal scaffold: opaque binary payload + typed metadata
-    // (byte length, content-hash head); the decode stage itself is a
-    // stubbed kernel in graft.multimodal (no image libs in-container).
+    // (byte length, content-hash head); the decode stage lives in
+    // graft.multimodal (REAL JDK PNG/WAV decode since r5 — see m2).
     "m1_binary_meta" -> ((s, d) => {
       documents(s, d)
         .withColumn("n_bytes", expr("octet_length(text)"))
