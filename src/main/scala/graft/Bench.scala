@@ -61,24 +61,27 @@ object Bench {
       System.gc()
       (name, sec, ok)
     }
-    // 2-decimal values keep the whole line short enough to survive a
-    // bounded tail-capture of the sbt output (round 3's full-precision
-    // line was ~2.9 KB and got clipped mid-JSON, defeating the parse).
     // Locale.ROOT: f"" uses the JVM default locale, and a comma-decimal
     // locale (de_DE) would make the line invalid JSON.
     def d2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + d2(v) }
-      .mkString("{", ",", "}")
+    def qmap(rs: Seq[(String, Double, Boolean)]): String =
+      rs.map { case (k, v, _) => "\"" + k + "\":" + d2(v) }.mkString("{", ",", "}")
     // A failed query must not masquerade as a fast success: list
     // failures explicitly so the JSON is self-describing.
     val errs = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":${d2(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    // The full 111-query map is ~2.5 KB — past the driver's bounded
+    // tail-capture of sbt stdout (BENCH_r0{3,4,5} all recorded
+    // "parsed": null from a line clipped mid-JSON). The STDOUT line
+    // therefore carries only the slowest queries (the ones a perf
+    // reader acts on), capped so the line stays well under the ~2.5 KB
+    // tail window; the COMPLETE per-query map goes to BENCH_SELF.json.
+    val top = results.sortBy(-_._2).take(20).sortBy(_._1)
+    val line = s"""{"metric":"total","value":${d2(total)},"unit":"sec","queries":${qmap(top)},"n_queries":${results.size},"errors":$errs,"sf":"$sfDir","full":"BENCH_SELF.json"}"""
     println(line)
-    // Belt-and-braces vs bounded tail-capture of stdout: persist the
-    // same line where a reader of the repo can always find it.
+    val full = s"""{"metric":"total","value":${d2(total)},"unit":"sec","queries":${qmap(results)},"errors":$errs,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_SELF.json"), line + "\n")
+      java.nio.file.Paths.get("BENCH_SELF.json"), full + "\n")
     catch { case _: Throwable => () }
     spark.stop()
   }

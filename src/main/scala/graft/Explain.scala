@@ -26,7 +26,7 @@ object Explain {
       "t1_fold" -> "pure narrow projection + sort; no shuffle before the sort",
       "t6_bls" -> "pre-binned at reference grid density: ONE full-data aggregation (level-0 bins), coarser levels rolled up from it, broadcast trial routing; box scoring over bins, not samples",
       "a4_peakcut_std" -> "frame-max multiplicity via exploded-offset EQUI join (no non-equi band self-join, no per-user cartesian)",
-      "d2_ngram_jaccard" -> "both dense/sparse strategies in ONE static plan, gated by a one-row stats frame; AQE empty-relation propagation prunes the inactive branch; the only build-time job is the shared bigram-stream checkpoint (5 consumers, one parse)",
+      "d2_ngram_jaccard" -> "both dense/sparse strategies in ONE static plan, gated by a one-row stats frame; AQE empty-relation propagation prunes the inactive branch; two build-time checkpoint jobs: the shared bigram stream (5 consumers, one parse) and the dense docs frame (near-empty when the sparse gate is active)",
       "t10b_ineg_secondary" -> "two keyed aggregations on transit index + broadcast-side full-outer merge; sub-window predicates are pure column arithmetic",
       "t9_robust_z" -> "window partitioned by user_id (no single-partition WindowExec)",
       "e1_knn_cosine" -> "norms+dots as aggregations; rank window partitioned by query id",
@@ -61,7 +61,7 @@ object Explain {
       "p2_profile" -> "ONE scan: multi-distinct aggregate planned via Expand, then a row-per-column unpivot — no per-column re-scans",
       "s7_partition_pruning" -> "PartitionFilters prune the hive layout to 2 of 5 event_type directories before any data is read",
       "u5_merge_upsert" -> "ONE full-outer shuffle on the merge key applies the whole change batch; both sides' filters reach the scans",
-      "d23_pagerank" -> "three static power-iteration rounds — per round one join+aggregate keyed by dst; edges/signatures cached, no driver loop",
+      "d23_pagerank" -> "three static power-iteration rounds — per round one join+aggregate keyed by dst; edges localCheckpointed (constant plan), signatures released after edge build, no driver loop",
       "a8_bls_snr" -> "pre-binned multi-resolution spectrum (r5): ONE full-data level-0 binning aggregate, coarser levels rolled up from it, 60 trials broadcast-routed by level — no sample×trial explode; SNR windows run over the 30-row spectrum",
       "t3b_detrend_spline" -> "sim generation is pure codegen column math; ONE exchange on (part, region) feeds the group-local spline kernel (flatMapGroups); integerized normal equations inside the kernel",
       "m2_media_features" -> "partition-local batched decode kernel (mapPartitions) directly over the payload build — no shuffle before the output sort")

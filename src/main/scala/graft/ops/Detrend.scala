@@ -287,7 +287,18 @@ object Detrend {
     * any output rounding; quantizing the decay before use makes the
     * whole recurrence an engine-neutral fixed IEEE sequence (SQL:
     * round(exp(−λ·dt)·1e9)/1e9). The 1e-9 perturbation of the decay
-    * is far below the fit's noise floor. */
+    * is far below the fit's noise floor.
+    *
+    * Caveat: quantization closes the 1-ulp gap only when exp(−λ·dt)
+    * does not land within ~1 ulp of a .5e-9 rounding boundary — there
+    * the two engines can still round apart. The bit-exact claim is
+    * therefore EMPIRICAL, not analytic: the t3c fixture's uniform
+    * 30-min cadence yields a single dt, so exactly one exp value is
+    * ever evaluated, and CORRECTNESS_r05 verified it rounds
+    * identically in both engines at both SFs. A new fixture with a
+    * different λ·dt set re-rolls that (low-probability, ~1e-7 per
+    * distinct dt) dice — if t3c ever hash-mismatches with every other
+    * detrend green, check this boundary first. */
   private[graft] def expQ(lam: Double, dt: Double): Double =
     graft.expr.VecExprs.roundHalfAway(math.exp(-lam * dt) * 1e9) / 1e9
 

@@ -74,11 +74,16 @@ object Advanced {
     * post-processing. */
   private def blsDepths(s: SparkSession, d: String): DataFrame = {
     val b = base(s, d)
-    val r = b.agg(min(col("t_us")).as("t0"), max(col("t_us")).as("t1")).collect()(0)
+    // ONE driver stats pass serves both the trial grid and the
+    // spectrum's global mean (passed through as `stats`) — previously
+    // this was two full-data jobs at query-construction time.
+    val r = b.agg(min(col("t_us")).as("t0"), max(col("t_us")).as("t1"),
+      count(lit(1)).as("n"), sum(col("vc")).as("sv")).collect()(0)
     val baseline = r.getLong(1) - r.getLong(0)
     val trials = (2L to 31L)
       .flatMap(kp => Seq(20L, 40L).map(m => (baseline / kp, m))).distinct
-    graft.search.Bls.spectrumPrebinnedTrials(b, "t_us", "vc", trials, levels = 5)
+    graft.search.Bls.spectrumPrebinnedTrials(b, "t_us", "vc", trials, levels = 5,
+        stats = Some((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))))
       .select(col("p_us"), round(col("depth") * 1e6).cast("long").as("dc"))
   }
 

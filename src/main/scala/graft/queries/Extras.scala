@@ -26,14 +26,18 @@ object Extras {
 
   /** Build-once derived fixture in the shared tmp dir, published
     * ATOMICALLY: the layout is built in a per-process staging dir, the
-    * manifest is written INTO it, and the whole directory is renamed
-    * into place in one move — so a concurrent driver (Verify and Bench
-    * overlap) can never observe a half-built layout, closing the
-    * round-4 advice race. A directory that exists with a matching
-    * manifest is complete by construction; losers of a publish race
-    * discard their staging copy and read the winner's (fixtures are
-    * pure functions of the immutable testdata, so any winner is
-    * equivalent). */
+    * manifest is written INTO it, and the directory is renamed into
+    * place — so a concurrent driver (Verify and Bench overlap) can
+    * never observe a half-built layout. Publish order matters: the
+    * atomic move is tried FIRST (it fails if the target exists), so a
+    * CURRENT published dir is never deleted out from under a reader
+    * whose lazy DataFrame still holds its file listing; only a dir
+    * whose manifest is STALE (version bump) is deleted before one
+    * retry. After any fallback the manifest is re-verified — a stale
+    * fixture fails loudly instead of being silently served. Losers of
+    * a same-version race discard their staging copy and read the
+    * winner's (fixtures are pure functions of the immutable testdata,
+    * so any winner is equivalent). */
   private def derivedFixture(name: String, d: String, version: String)
                             (build: java.io.File => Unit): java.io.File = {
     val dir = new java.io.File(sys.props("java.io.tmpdir"),
@@ -51,14 +55,18 @@ object Extras {
       build(tmp)
       java.nio.file.Files.write(
         new java.io.File(tmp, "_graft_manifest").toPath, expect.getBytes("UTF-8"))
-      org.apache.commons.io.FileUtils.deleteQuietly(dir)
-      try java.nio.file.Files.move(tmp.toPath, dir.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch { case _: java.io.IOException =>
-        // concurrent publisher won between our delete and move — use
-        // theirs (equivalent by purity); drop our staging copy
+      def tryMove(): Boolean =
+        try { java.nio.file.Files.move(tmp.toPath, dir.toPath,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE); true }
+        catch { case _: java.io.IOException => false }
+      if (!tryMove()) {
+        // Target exists. Current manifest → a concurrent publisher won;
+        // use theirs. Stale manifest → version bump: replace it, once.
+        if (!ok) { org.apache.commons.io.FileUtils.deleteQuietly(dir); tryMove() }
         org.apache.commons.io.FileUtils.deleteQuietly(tmp)
       }
+      require(ok, s"derivedFixture $name: publish failed and $dir's " +
+        s"manifest does not match '$expect' — refusing to serve a stale fixture")
     }
     dir
   }

@@ -49,11 +49,14 @@ object Search {
     // it).
     "t6_bls" -> ((s, d) => {
       val b = base(s, d)
+      // one driver stats pass: trial grid AND the spectrum's global
+      // mean come from the same aggregate (stats passed through)
       val r = b.agg(min(col("t_us")).as("t0"), max(col("t_us")).as("t1"),
-        count(lit(1)).as("n")).collect()(0)
+        count(lit(1)).as("n"), sum(col("vc")).as("sv")).collect()(0)
       val trials = Bls.referenceTrials(r.getLong(1) - r.getLong(0), r.getLong(2),
         nFreq = 300, osamp = 10)
-      Bls.spectrumPrebinnedTrials(b, "t_us", "vc", trials, levels = 5)
+      Bls.spectrumPrebinnedTrials(b, "t_us", "vc", trials, levels = 5,
+          stats = Some((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))))
         .orderBy("p_us")
     }),
 
@@ -87,6 +90,16 @@ object Search {
         .select("g_us", "vc")
       val found = Bls.companions(sim, "g_us", "vc", 280, Seq(20, 40),
         maxCompanions = 4, minSnr = 7.1, osamp = 10)
+      // Fixture-invariant guard: the DuckDB oracle unrolls exactly 3
+      // BLS rounds (2 accepted companions + the sub-threshold round
+      // that terminates the loop). A third above-threshold companion
+      // would send the engine into a 4th round the oracle cannot
+      // represent — fail HERE with the cause named, not downstream as
+      // an opaque hash mismatch.
+      require(found.size <= 2,
+        s"t6b fixture drifted: ${found.size} companions accepted but the " +
+        "oracle SQL unrolls only 3 BLS rounds (2 accepted + the " +
+        "terminating sub-threshold round) — re-derive the oracle unroll")
       // roundHalfAway, not math.rint: rint is half-to-EVEN while the
       // DuckDB oracle's round() is half-away — roundHalfAway matches
       // it exactly (the VecExprs arithmetic contract).

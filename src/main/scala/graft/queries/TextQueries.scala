@@ -54,12 +54,16 @@ object TextQueries {
     //  • sparse (real corpora): bucket join on the shared bigram — the
     //    scalable shape, pruned by the Jaccard length filter
     //    0.4·|A| ≤ |B| ≤ |A|/0.4.
-    // No Spark job runs at plan construction: the stats aggregate is a
-    // plan-internal stage, and AQE's empty-relation propagation prunes
-    // the branch whose gate filters to zero rows before its expensive
-    // stages execute (re-optimization replaces Join(x, empty) with an
-    // empty relation). nu == 0 (no doc with ≥2 tokens) empties BOTH
-    // gates → empty result, so the zero-width bitmap is never built.
+    // TWO eager localCheckpoint() jobs run at plan CONSTRUCTION (the
+    // shared bigram stream, and the dense `docs` frame — the latter
+    // executes even when the sparse branch is active, but as a
+    // near-empty job after AQE's empty-relation propagation has pruned
+    // the gated-off branch upstream of it). Everything else is
+    // plan-internal: the stats aggregate is a stage, and re-optimization
+    // replaces Join(x, empty) with an empty relation, so the pruned
+    // branch's expensive stages never execute. nu == 0 (no doc with ≥2
+    // tokens) empties BOTH gates → empty result, so the zero-width
+    // bitmap is never built.
     "d2_ngram_jaccard" -> ((s, d) => {
       // The bigram stream feeds FIVE consumers (corpus stats, the
       // dense index, the dense bitmap build, and both sides of the
@@ -1086,15 +1090,23 @@ object TextQueries {
         .select(col("doc_id"),
           (col("h0") * 2147483648L + col("h1")).as("m0"),
           (col("h2") * 2147483648L + col("h3")).as("m1"))
+        // persist → consume → unpersist (d15's lifecycle): the two band
+        // passes each read sig; releasing it after the edge checkpoint
+        // leaves nothing registered when the query returns
         .persist()
       val star = Seq("m0", "m1").map { b =>
         sig.withColumn("root", min(col("doc_id")).over(Window.partitionBy(b)))
           .filter(col("doc_id") =!= col("root"))
           .select(col("doc_id").as("src"), col("root").as("dst"))
       }.reduce(_ unionByName _)
+      // localCheckpoint, not persist: each power-iteration round embeds
+      // `edges` in its plan — checkpointing truncates the lineage so the
+      // 3 unrolled rounds plan a constant-size tree (see d15), and the
+      // eager materialization lets sig be released immediately.
       val edges = star
         .unionByName(star.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct().persist()
+        .distinct().localCheckpoint(true)
+      sig.unpersist()
       val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       val nodes = documents(s, d).select("doc_id")
       def round1(pr: DataFrame): DataFrame = {
@@ -1109,9 +1121,6 @@ object TextQueries {
       }
       val p0 = nodes.withColumn("pr", lit(1000000000L))
       val p3 = round1(round1(round1(p0)))
-      // persisted frames stay registered until the harness clears
-      // caches post-query — the three rounds each reuse the cached
-      // edge/signature partitions instead of re-exploding tokens
       p3.select(col("doc_id"), col("pr").as("pr_i9"),
           (col("pr") / 1e9).as("pr"))
         .orderBy("doc_id")

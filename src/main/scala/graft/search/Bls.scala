@@ -180,15 +180,24 @@ object Bls {
     * the reference-density path (t6). Same multi-resolution scheme as
     * [[spectrumPrebinned]], but the finest bin width derives from the
     * shortest trial box and each trial routes to the coarsest level
-    * whose width ≤ its box duration / 4. */
+    * whose width ≤ its box duration / 4.
+    *
+    * `stats` = pre-collected (t0, t1, nall, Σcents): callers that
+    * already ran a driver stats pass to derive the trial grid pass it
+    * here, so trial derivation + spectrum cost ONE full-data driver
+    * job at query-construction time instead of two (the d2/b2
+    * no-job-at-plan-construction discipline, weakened to one-job for
+    * the driver-derived trial grids). */
   def spectrumPrebinnedTrials(df: DataFrame, tUs: String, vc: String,
                               trials: Seq[(Long, Long)],
-                              levels: Int = 5): DataFrame = {
-    val mmRow = df.agg(
-      min(col(tUs)).as("t0"), max(col(tUs)).as("t1"),
-      count(lit(1)).as("nall"), sum(col(vc)).as("sall")).collect()(0)
-    val t0 = mmRow.getLong(0); val t1 = mmRow.getLong(1)
-    val nall = mmRow.getLong(2); val sall = mmRow.getLong(3)
+                              levels: Int = 5,
+                              stats: Option[(Long, Long, Long, Long)] = None): DataFrame = {
+    val (t0, t1, nall, sall) = stats.getOrElse {
+      val mmRow = df.agg(
+        min(col(tUs)).as("t0"), max(col(tUs)).as("t1"),
+        count(lit(1)).as("nall"), sum(col(vc)).as("sall")).collect()(0)
+      (mmRow.getLong(0), mmRow.getLong(1), mmRow.getLong(2), mmRow.getLong(3))
+    }
     val gmean = sall.toDouble / nall / 100.0
     val minDur = trials.map { case (p, m) => p / m * 2 }.min
     val widths = (0 until levels).map(l => math.max(1L, minDur / 4 * (1L << (2 * l))))
