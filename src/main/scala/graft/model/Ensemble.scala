@@ -74,6 +74,160 @@ object Ensemble {
     (out.result(), accepted.toDouble / proposed)
   }
 
+  // ---------------------------------------------------------------
+  // Cross-engine-exact sampler (the t13 oracle path)
+  // ---------------------------------------------------------------
+  // [[sample]] above is the general API; [[sampleQ]] below is the
+  // bit-reproducible variant whose ENTIRE walk a SQL engine can
+  // replay: every draw is a stateless integer hash (order-free —
+  // each (step, walker, channel) indexes its own draw, so SQL needs
+  // no sequential RNG state), every float op is plain IEEE +−×÷ /
+  // min/max/fmod (bit-identical across engines), the likelihood is
+  // an order-free INTEGER sum, and the accept/reject comparison is
+  // pure integer arithmetic over ln-values quantized at 1e6
+  // ("micro-nats"). ln is the ONE transcendental; Java vs C libm may
+  // differ in the last ulp, so lnQ6 asserts every evaluation sits
+  // ≥1e-7 quanta away from a rounding boundary (worst-case libm
+  // disagreement moves the scaled value by ~5e-9 quanta — 20× margin),
+  // turning "empirically exact" into a runtime-verified guarantee
+  // (the t3c/expQ lesson, hardened).
+
+  private val M31 = 2147483648L // 2^31
+
+  /** Stateless indexed draw in [0, 2^31): two LCG rounds with xorshift
+    * mixing between them (pure 64-bit-safe integer arithmetic — max
+    * intermediate 2^31·1103515245 < 2^63, so a BIGINT engine computes
+    * it without overflow). Not crypto — statistically adequate for a
+    * 3-parameter box-fit ensemble, and trivially SQL-expressible. */
+  private[graft] def draw(seed: Long, idx: Long): Long = {
+    val x0 = (seed + idx) % M31
+    val x1 = (x0 * 1103515245L + 12345L) % M31
+    val x2 = x1 ^ (x1 >> 15)
+    val x3 = (x2 * 69069L + 1L) % M31
+    val x4 = x3 ^ (x3 >> 13)
+    (x4 * 1103515245L + 12345L) % M31
+  }
+
+  /** Uniform draw in (0, 1]: (r+1)/(2^31+1) — an exact IEEE division
+    * of exact integers, so both engines produce the identical double.
+    * Never 0 (ln-safe). */
+  private[graft] def uni(seed: Long, idx: Long): Double =
+    (draw(seed, idx) + 1).toDouble / 2147483649.0
+
+  /** ln(x) quantized to integer micro-nats: round(ln(x)·1e6),
+    * half-away (SQL: CAST(round(ln(x)*1e6) AS BIGINT)). The margin
+    * `require` proves the fixed fixture never evaluates ln within
+    * 1e-7 quanta of a .5 boundary, so ANY libm within 1 ulp of the
+    * true value rounds to the same integer. */
+  private[graft] def lnQ6(x: Double): Long = {
+    val v = math.log(x) * 1e6
+    val r = graft.expr.VecExprs.roundHalfAway(v)
+    require(math.abs(v - r.toDouble) < 0.5 - 1e-7,
+      s"lnQ6($x) = $v sits within 1e-7 of a rounding boundary — " +
+      "cross-engine exactness unprovable; bump the fixture seed")
+    r
+  }
+
+  /** Order-free integer log-likelihood for a box-transit fit under
+    * iid Gaussian noise (ref retr_llik_mile main.py:735–850,
+    * white-noise branch), in micro-nats up to an additive constant:
+    * −Σ_i round((y_i − model_i)²·scale) with scale = 1e6/(2σ²).
+    * Every per-bin term is the same IEEE double in any engine
+    * (products of exact inputs), so the rounded integers — and their
+    * order-free sum — are bit-identical. */
+  def boxLlq(t: Array[Double], y: Array[Double], scale: Double,
+             period: Double)(p: Array[Double]): Long = {
+    val model = boxModel(t, p(1), period, p(2), p(0))
+    var s = 0L; var i = 0
+    while (i < y.length) {
+      val r = y(i) - model(i)
+      s += graft.expr.VecExprs.roundHalfAway(r * r * scale)
+      i += 1
+    }
+    -s
+  }
+
+  /** [[boxGuess]] over PRE-QUANTIZED flux (yq = round(y·1e9)): window
+    * sums are integer (order-free), argmin is an integer compare with
+    * first-index tiebreak — the SQL replay is a window-sum aggregate
+    * plus ORDER BY (sum, index) LIMIT 1. Returns the same
+    * (depth0, epoch0, durGuess) triple as [[boxGuess]]. */
+  def boxGuessQ(t: Array[Double], yq: Array[Long],
+                period: Double, durGuess: Double): Array[Double] = {
+    val nb = yq.length
+    val h = math.max(1,
+      (graft.expr.VecExprs.roundHalfAway(nb * durGuess / period) / 2).toInt)
+    def winSum(c: Int): Long = {
+      var s = 0L; var k = -h
+      while (k <= h) { s += yq(((c + k) % nb + nb) % nb); k += 1 }
+      s
+    }
+    val best = (0 until nb).minBy(winSum)
+    val eRaw = t(best)
+    val epoch0 = if (eRaw >= period / 2) eRaw - period else eRaw
+    var sall = 0L; var i = 0
+    while (i < nb) { sall += yq(i); i += 1 }
+    val depth0 = (sall.toDouble / nb - winSum(best).toDouble / (2 * h + 1)) / 1e9
+    Array(depth0, epoch0, durGuess)
+  }
+
+  /** Draw-index layout shared with the SQL replay: 3 channels per
+    * (step, walker) proposal; init draws live at a disjoint base. */
+  private[graft] def stepIdx(step: Int, k: Int, c: Int, nWalkers: Int): Long =
+    (step.toLong * nWalkers + k) * 3L + c
+  private[graft] val InitIdxBase = 1000000L
+
+  /** Affine-invariant stretch move (same algorithm as [[sample]],
+    * a = 2) made cross-engine-exact: indexed integer draws, integer
+    * likelihood `llq` (micro-nats, see [[boxLlq]]), and the accept
+    * rule lnQ6(u) < (nd−1)·lnQ6(z) + (llq_prop − llq_k) — an integer
+    * comparison. Walkers all move from the PREVIOUS ensemble state
+    * (within a step, proposals are independent given step s−1), which
+    * is what lets the SQL replay advance one whole step per recursion
+    * round. Returns (post-burn samples flattened across walkers,
+    * acceptance rate). */
+  def sampleQ(llq: Array[Double] => Long,
+              lo: Array[Double], hi: Array[Double],
+              nWalkers: Int = 100, nSteps: Int = 100, burnFrac: Double = 0.3,
+              seed: Long = 42L,
+              init: Array[Double], ballFrac: Double = 0.005)
+      : (Array[Array[Double]], Double) = {
+    require(lo.length == hi.length && init.length == lo.length)
+    val nd = lo.length
+    def clamp(v: Double, d: Int): Double = math.min(hi(d), math.max(lo(d), v))
+    var walkers = Array.tabulate(nWalkers) { k =>
+      Array.tabulate(nd) { d =>
+        val u = uni(seed, InitIdxBase + k.toLong * nd + d)
+        clamp(init(d) + (2 * u - 1) * ballFrac * (hi(d) - lo(d)), d)
+      }
+    }
+    var lls = walkers.map(llq)
+    val burn = (nSteps * burnFrac).toInt
+    val out = Array.newBuilder[Array[Double]]
+    var accepted = 0L; var proposed = 0L
+    for (step <- 0 until nSteps) {
+      val next = walkers.map(_.clone); val nextLl = lls.clone
+      for (k <- 0 until nWalkers) {
+        val rj = draw(seed, stepIdx(step, k, 0, nWalkers))
+        val j0 = (rj % (nWalkers - 1)).toInt
+        val j = if (j0 >= k) j0 + 1 else j0
+        val u1 = uni(seed, stepIdx(step, k, 1, nWalkers))
+        val z = (u1 + 1) * (u1 + 1) / 2 // stretch g(z) ∝ 1/√z, a = 2
+        val prop = Array.tabulate(nd)(d =>
+          clamp(walkers(j)(d) + z * (walkers(k)(d) - walkers(j)(d)), d))
+        val llp = llq(prop)
+        proposed += 1
+        val u2 = uni(seed, stepIdx(step, k, 2, nWalkers))
+        if (lnQ6(u2) < (nd - 1) * lnQ6(z) + (llp - lls(k))) {
+          next(k) = prop; nextLl(k) = llp; accepted += 1
+        }
+      }
+      walkers = next; lls = nextLl
+      if (step >= burn) walkers.foreach(w => out += w.clone)
+    }
+    (out.result(), accepted.toDouble / proposed)
+  }
+
   /** Walker-ball center for a box fit on a phase-binned curve: slide a
     * `durGuess`-wide CIRCULAR window over the bins (a mini-BLS) and
     * take the deepest window's center as the epoch and its deficit

@@ -207,7 +207,7 @@ object Advanced {
     // EnsembleSpec pins recovery + determinism.
     "t13_mcmc_fit" -> ((s, d) => {
       import s.implicits._
-      val E = 1704067200000000L; val PDAY = 86400000000L; val P7 = 7L * PDAY
+      val PDAY = 86400000000L; val P7 = 7L * PDAY
       // t6b-style injected fixture anchored at the data epoch: uniform
       // 30-d grid, integer-LCG noise, a 3%-deep 1-d box at phase 0 —
       // the events fixture carries no transit, and a fit that provably
@@ -216,6 +216,16 @@ object Advanced {
       // phase-bins the series (one shuffle, exact integer sums); the
       // driver collects the 200-bin fit window and runs the walker
       // loop — the reference's division of labor.
+      //
+      // ORACLE-EXACT since r6: the walk runs through Ensemble.sampleQ —
+      // indexed integer draws, integer micro-nat likelihood, integer
+      // accept comparison (see Ensemble.scala) — so DuckDB replays all
+      // 100 steps in a recursive CTE and the posterior percentiles
+      // hash-match bit-for-bit. The likelihood is the white-noise
+      // branch (ref retr_llik_mile main.py:735–850): the fixture's
+      // noise IS white by construction, so it is the matched model
+      // here; the GP-marginalized branch (gpLogLik) remains covered by
+      // EnsembleSpec's correlated-baseline test and the t3c oracle.
       val n = 4000L
       val step = 30L * PDAY / n
       val bins = base(s, d).agg(min(col("t_us")).as("t0"))
@@ -234,22 +244,21 @@ object Advanced {
         .collect()
       val t = bins.map(r => (r.getLong(0).toDouble + 0.5) * 7.0 / 200)
       val y = bins.map(r => r.getLong(2).toDouble / r.getLong(1) / 1e6)
-      val yerr = Array.fill(y.length)(0.0004)
-      def ll(p: Array[Double]): Double = {
-        val model = graft.model.Ensemble.boxModel(t, p(1), 7.0, p(2), p(0))
-        val resid = Array.tabulate(y.length)(i => y(i) - model(i))
-        graft.ops.Detrend.gpLogLik(t, resid, yerr, sigma = 0.002, rho = 5.0)
-      }
+      // yerr = 4e-4 (the fixture's noise scale): micro-nat likelihood
+      // scale = 1e6 / (2·yerr²) = 3.125e12
+      val llq = graft.model.Ensemble.boxLlq(t, y, scale = 3.125e12, period = 7.0) _
       // data-derived walker-ball center (the reference seeds walkers
       // around prior means): a mini-BLS — the deepest 1-day CIRCULAR
       // window of bins, not the single deepest bin, whose argmin can
       // sit on a transit edge and strand the ball in a no-overlap
-      // local optimum.
-      val guess = graft.model.Ensemble.boxGuess(t, y, 7.0, 1.0)
-      val (samples, acc) = graft.model.Ensemble.sample(ll,
+      // local optimum. Integer window sums (boxGuessQ) so the SQL
+      // replay is order-free.
+      val yq = y.map(v => graft.expr.VecExprs.roundHalfAway(v * 1e9))
+      val guess = graft.model.Ensemble.boxGuessQ(t, yq, 7.0, 1.0)
+      val (samples, acc) = graft.model.Ensemble.sampleQ(llq,
         lo = Array(-0.2, -3.5, 0.2), hi = Array(0.2, 3.5, 2.0),
         nWalkers = 100, nSteps = 100, burnFrac = 0.3, seed = 42L,
-        init = Some(guess), ballFrac = 0.005)
+        init = guess, ballFrac = 0.005)
       val pct = graft.model.Ensemble.percentiles(samples)
       Seq(
         ("acceptance", acc, acc, acc),
@@ -306,26 +315,26 @@ object Advanced {
       // count is exempt from AQE coalescing and range-splits 8 distinct
       // keys into exactly one ener per partition — the fit fan-out IS
       // the partitioning, the right shape for ~10⁴ per-target fits too.
+      // Oracle-exact since r6 (the sampleQ machinery, one recursion
+      // per ener in the SQL replay); the white-noise likelihood is the
+      // matched model for this white-noise fixture — see t13. Raw
+      // doubles out (bit-identical chain; rounding would only add
+      // boundary risk — the a8 lesson).
       bins.repartitionByRange(8, col("ener"))
         .mapPartitions(_.toArray.groupBy(_._1).toSeq.sortBy(_._1).iterator
           .map { case (ener, rs0) =>
         val rs = rs0.sortBy(_._2)
         val t = rs.map(r => (r._2.toDouble + 0.5) * 7.0 / nb)
         val y = rs.map(r => r._4.toDouble / r._3 / 1e6)
-        val yerr = Array.fill(y.length)(0.0004)
-        def ll(p: Array[Double]): Double = {
-          val model = graft.model.Ensemble.boxModel(t, p(1), 7.0, p(2), p(0))
-          val resid = Array.tabulate(y.length)(i => y(i) - model(i))
-          graft.ops.Detrend.gpLogLik(t, resid, yerr, sigma = 0.002, rho = 5.0)
-        }
-        val guess = graft.model.Ensemble.boxGuess(t, y, 7.0, 1.0)
-        val (samples, acc) = graft.model.Ensemble.sample(ll,
+        val llq = graft.model.Ensemble.boxLlq(t, y, scale = 3.125e12, period = 7.0) _
+        val yq = y.map(v => graft.expr.VecExprs.roundHalfAway(v * 1e9))
+        val guess = graft.model.Ensemble.boxGuessQ(t, yq, 7.0, 1.0)
+        val (samples, acc) = graft.model.Ensemble.sampleQ(llq,
           lo = Array(-0.2, -3.5, 0.2), hi = Array(0.2, 3.5, 2.0),
           nWalkers = 100, nSteps = 100, burnFrac = 0.3, seed = 42L + ener,
-          init = Some(guess), ballFrac = 0.005)
+          init = guess, ballFrac = 0.005)
         val pct = graft.model.Ensemble.percentiles(samples)
-        def r6(x: Double) = math.rint(x * 1e6) / 1e6
-        (ener, r6(pct(0)(0)), r6(pct(0)(1)), r6(pct(0)(2)), r6(acc))
+        (ener, pct(0)(0), pct(0)(1), pct(0)(2), acc)
       }).toDF("ener", "depth_p16", "depth_p50", "depth_p84", "acceptance")
         .orderBy("ener")
     }),
@@ -430,7 +439,248 @@ object Advanced {
        |  WHERE d2 > CAST(sv AS DOUBLE)/n - 3*sqrt((q - CAST(sv AS DOUBLE)*sv/n)/n)
        |    AND d2 < CAST(sv AS DOUBLE)/n + 3*sqrt((q - CAST(sv AS DOUBLE)*sv/n)/n))""".stripMargin
 
+  /** SQL replay of Ensemble.sampleQ for the t13 oracles: one recursive
+    * CTE advances the WHOLE 100-walker ensemble one stretch-move step
+    * per recursion round (walkers move from the previous ensemble
+    * state, so within a step all 100 proposals are independent — the
+    * property that makes the walk set-expressible). Every float op
+    * mirrors the Scala kernel's IEEE expression shape exactly; draws
+    * are the same stateless integer hash; the likelihood is the same
+    * order-free integer micro-nat sum; accept/reject is the same
+    * integer comparison over ln-values quantized at 1e6 (ln is the one
+    * transcendental — lnQ6's runtime margin assert on the Scala side
+    * proves the fixed fixture rounds identically under any ≤1-ulp
+    * libm). DECIMAL pitfalls (memory: round5): every literal that
+    * meets another literal is CAST to DOUBLE; sums of BIGINT are CAST
+    * back from HUGEINT.
+    *
+    * @param enersSql  one row per fit: `SELECT ... AS ener`
+    * @param fixtureSql CTEs ending in `bins(ener, b, tb, y, yq)`
+    * @param seedBase  Scala-side seed = seedBase + ener
+    */
+  private def mcmcSamplerSql(enersSql: String, fixtureSql: String,
+                             seedBase: Long): String = {
+    def D(x: Double) = s"CAST($x AS DOUBLE)"
+    // box model at bin `bb` for parameter columns $al.${p}0..2 —
+    // mirrors Ensemble.boxModel: ph = fmod-wrap into [0,P) minus P/2
+    // (DuckDB fmod is floored mod = Java's truncated % plus the same
+    // +P wrap, bit-identically — verified on negative operands)
+    def mdl(al: String, p: String) =
+      s"(1.0 - $al.${p}0 * (CASE WHEN abs(fmod(bb.tb - $al.${p}1 + 3.5, 7.0) - 3.5) < $al.${p}2 / 2" +
+      s" THEN ${D(1.0)} ELSE ${D(0.0)} END))"
+    // order-free integer micro-nat log-likelihood (Ensemble.boxLlq),
+    // scale = 1e6/(2·(4e-4)²) = 3.125e12
+    def llq(al: String, p: String) =
+      s"(SELECT CAST(-sum(CAST(round((bb.y - ${mdl(al, p)}) * (bb.y - ${mdl(al, p)}) * 3.125e12)" +
+      s" AS BIGINT)) AS BIGINT) FROM bins bb WHERE bb.ener = $al.ener)"
+    def lnq(x: String) = s"CAST(round(ln($x) * 1e6) AS BIGINT)"
+    val los = Seq(-0.2, -3.5, 0.2); val his = Seq(0.2, 3.5, 2.0)
+    def clamp(d: Int, v: String) =
+      s"LEAST(${D(his(d))}, GREATEST(${D(los(d))}, $v))"
+    // walker-ball init around the boxGuessQ center (Ensemble.sampleQ):
+    // w_d = clamp(g_d + (2u−1)·0.005·(hi_d−lo_d)); the span is computed
+    // in DOUBLE like the Scala hi(d)-lo(d) (NOT as a decimal literal —
+    // 2.0−0.2 in DECIMAL is exactly 1.8, a different double)
+    def initW(d: Int) = clamp(d,
+      s"g$d + (2 * (SELECT u FROM dr WHERE dr.ener = gx.ener AND dr.idx = 1000000 + wk.k * 3 + $d) - 1)" +
+      s" * ${D(0.005)} * (${D(his(d))} - ${D(los(d))})")
+    def prop(d: Int) = clamp(d, s"wj$d + z * (wk$d - wj$d)")
+    s"""WITH RECURSIVE
+       |eners AS ($enersSql),
+       |$fixtureSql,
+       |-- stateless indexed draws (Ensemble.draw): 2 LCG rounds with
+       |-- xorshift mixing, mod 2^31; u = (r+1)/(2^31+1) exact IEEE
+       |dr AS MATERIALIZED (
+       |  SELECT ener, idx, r, CAST(r + 1 AS DOUBLE) / 2147483649.0 AS u FROM (
+       |    SELECT ener, idx,
+       |        (xor(x3, x3 >> 13) * 1103515245 + 12345) % 2147483648 AS r
+       |    FROM (SELECT ener, idx,
+       |            (xor(x1, x1 >> 15) * 69069 + 1) % 2147483648 AS x3
+       |          FROM (SELECT en.ener AS ener, ix.idx AS idx,
+       |                  ((($seedBase + en.ener + ix.idx) % 2147483648)
+       |                   * 1103515245 + 12345) % 2147483648 AS x1
+       |                FROM eners en,
+       |                  (SELECT unnest(range(0, 30000)) AS idx
+       |                   UNION ALL
+       |                   SELECT unnest(range(1000000, 1000300))) ix)))),
+       |-- boxGuessQ: deepest 1-day CIRCULAR window of integer yq sums
+       |-- (h = round(200·1.0/7.0)/2 = 14, width 2h+1 = 29), first-index
+       |-- tiebreak; depth/epoch from the same IEEE expression shapes
+       |gw AS (SELECT c.ener AS ener, c.b AS c, CAST(sum(b2.yq) AS BIGINT) AS w
+       |  FROM bins c
+       |  CROSS JOIN (SELECT unnest(range(-14, 15)) AS kk) o
+       |  JOIN bins b2 ON b2.ener = c.ener
+       |    AND b2.b = ((c.b + o.kk) % 200 + 200) % 200
+       |  GROUP BY 1, 2),
+       |best AS (SELECT ener, c, w FROM (
+       |    SELECT ener, c, w,
+       |      row_number() OVER (PARTITION BY ener ORDER BY w ASC, c ASC) AS rw
+       |    FROM gw) WHERE rw = 1),
+       |sall AS (SELECT ener, CAST(sum(yq) AS BIGINT) AS sa FROM bins GROUP BY 1),
+       |gx AS (SELECT best.ener AS ener,
+       |    (CAST(sa AS DOUBLE) / 200 - CAST(w AS DOUBLE) / 29) / 1e9 AS g0,
+       |    CASE WHEN (CAST(c AS DOUBLE) + 0.5) * 7.0 / 200 >= 3.5
+       |         THEN (CAST(c AS DOUBLE) + 0.5) * 7.0 / 200 - 7.0
+       |         ELSE (CAST(c AS DOUBLE) + 0.5) * 7.0 / 200 END AS g1,
+       |    ${D(1.0)} AS g2
+       |  FROM best JOIN sall ON sall.ener = best.ener),
+       |ini AS (SELECT gx.ener AS ener, wk.k AS k,
+       |    ${initW(0)} AS w0, ${initW(1)} AS w1, ${initW(2)} AS w2
+       |  FROM gx CROSS JOIN (SELECT unnest(range(0, 100)) AS k) wk),
+       |inil AS (SELECT i0.ener AS ener, i0.k AS k,
+       |    i0.w0 AS w00, i0.w1 AS w01, i0.w2 AS w02, ${llq("i0", "w")} AS llq
+       |  FROM ini i0),
+       |-- the walk: one recursion round = one whole-ensemble step;
+       |-- state = (ener, step, #accepts, 4×100-element lists)
+       |ens AS (
+       |  SELECT ener, 0 AS step, CAST(0 AS BIGINT) AS nacc,
+       |      list(w00 ORDER BY k) AS w0s, list(w01 ORDER BY k) AS w1s,
+       |      list(w02 ORDER BY k) AS w2s, list(llq ORDER BY k) AS llqs
+       |  FROM inil GROUP BY ener
+       |  UNION ALL
+       |  SELECT ener, step + 1, max(pnacc) + CAST(sum(acci) AS BIGINT),
+       |      list(nw0 ORDER BY k), list(nw1 ORDER BY k),
+       |      list(nw2 ORDER BY k), list(nllq ORDER BY k)
+       |  FROM (
+       |    SELECT ener, step, pnacc, k,
+       |        CASE WHEN acc THEN p0 ELSE wk0 END AS nw0,
+       |        CASE WHEN acc THEN p1 ELSE wk1 END AS nw1,
+       |        CASE WHEN acc THEN p2 ELSE wk2 END AS nw2,
+       |        CASE WHEN acc THEN llp ELSE llk END AS nllq,
+       |        CASE WHEN acc THEN 1 ELSE 0 END AS acci
+       |    FROM (
+       |      SELECT l3.*,
+       |          (${lnq("l3.u2")} < 2 * ${lnq("l3.z")} + (l3.llp - l3.llk)) AS acc
+       |      FROM (
+       |        SELECT l2.*, ${llq("l2", "p")} AS llp
+       |        FROM (
+       |          SELECT l1.ener AS ener, l1.step AS step, l1.pnacc AS pnacc,
+       |              l1.k AS k, l1.wk0 AS wk0, l1.wk1 AS wk1, l1.wk2 AS wk2,
+       |              l1.llk AS llk, l1.z AS z, l1.u2 AS u2,
+       |              ${prop(0)} AS p0, ${prop(1)} AS p1, ${prop(2)} AS p2
+       |          FROM (
+       |            SELECT e.ener AS ener, e.step AS step, e.nacc AS pnacc,
+       |                wt.k AS k,
+       |                e.w0s[wt.k + 1] AS wk0, e.w1s[wt.k + 1] AS wk1,
+       |                e.w2s[wt.k + 1] AS wk2, e.llqs[wt.k + 1] AS llk,
+       |                e.w0s[(SELECT CASE WHEN r % 99 >= wt.k THEN r % 99 + 1 ELSE r % 99 END
+       |                       FROM dr WHERE dr.ener = e.ener
+       |                         AND dr.idx = (e.step * 100 + wt.k) * 3) + 1] AS wj0,
+       |                e.w1s[(SELECT CASE WHEN r % 99 >= wt.k THEN r % 99 + 1 ELSE r % 99 END
+       |                       FROM dr WHERE dr.ener = e.ener
+       |                         AND dr.idx = (e.step * 100 + wt.k) * 3) + 1] AS wj1,
+       |                e.w2s[(SELECT CASE WHEN r % 99 >= wt.k THEN r % 99 + 1 ELSE r % 99 END
+       |                       FROM dr WHERE dr.ener = e.ener
+       |                         AND dr.idx = (e.step * 100 + wt.k) * 3) + 1] AS wj2,
+       |                (SELECT (u + 1) * (u + 1) / 2 FROM dr
+       |                 WHERE dr.ener = e.ener
+       |                   AND dr.idx = (e.step * 100 + wt.k) * 3 + 1) AS z,
+       |                (SELECT u FROM dr WHERE dr.ener = e.ener
+       |                   AND dr.idx = (e.step * 100 + wt.k) * 3 + 2) AS u2
+       |            FROM ens e
+       |            CROSS JOIN (SELECT unnest(range(0, 100)) AS k) wt
+       |            WHERE e.step < 100
+       |          ) l1
+       |        ) l2
+       |      ) l3
+       |    ) l4
+       |  ) l5 GROUP BY ener, step
+       |),
+       |ensm AS MATERIALIZED (SELECT * FROM ens),
+       |-- post-burn samples: Scala records the post-move ensemble at
+       |-- 0-based steps 30..99 = recursion rows 31..100 (70×100 = 7000)
+       |smp AS MATERIALIZED (SELECT ener,
+       |    unnest(w0s) AS w0, unnest(w1s) AS w1, unnest(w2s) AS w2
+       |  FROM ensm WHERE step >= 31),
+       |qs AS (SELECT ${D(0.16)} AS q UNION ALL SELECT ${D(0.5)}
+       |       UNION ALL SELECT ${D(0.84)}),
+       |o0 AS (SELECT ener, w0 AS x,
+       |    row_number() OVER (PARTITION BY ener ORDER BY w0) - 1 AS rn FROM smp),
+       |o1 AS (SELECT ener, w1 AS x,
+       |    row_number() OVER (PARTITION BY ener ORDER BY w1) - 1 AS rn FROM smp),
+       |o2 AS (SELECT ener, w2 AS x,
+       |    row_number() OVER (PARTITION BY ener ORDER BY w2) - 1 AS rn FROM smp),
+       |-- Ensemble.percentiles: xs(i) + (xs(i+1)−xs(i))·(idx−i),
+       |-- idx = q·6999, i = trunc(idx) — the exact interpolation shape
+       |pc0 AS (SELECT a.ener AS ener, qs.q AS q,
+       |    a.x + (b.x - a.x) * (qs.q * 6999 - trunc(qs.q * 6999)) AS v
+       |  FROM qs, o0 a, o0 b
+       |  WHERE a.rn = CAST(trunc(qs.q * 6999) AS BIGINT)
+       |    AND b.ener = a.ener AND b.rn = a.rn + 1),
+       |pc1 AS (SELECT a.ener AS ener, qs.q AS q,
+       |    a.x + (b.x - a.x) * (qs.q * 6999 - trunc(qs.q * 6999)) AS v
+       |  FROM qs, o1 a, o1 b
+       |  WHERE a.rn = CAST(trunc(qs.q * 6999) AS BIGINT)
+       |    AND b.ener = a.ener AND b.rn = a.rn + 1),
+       |pc2 AS (SELECT a.ener AS ener, qs.q AS q,
+       |    a.x + (b.x - a.x) * (qs.q * 6999 - trunc(qs.q * 6999)) AS v
+       |  FROM qs, o2 a, o2 b
+       |  WHERE a.rn = CAST(trunc(qs.q * 6999) AS BIGINT)
+       |    AND b.ener = a.ener AND b.rn = a.rn + 1),
+       |accr AS (SELECT ener, CAST(nacc AS DOUBLE) / 10000 AS a
+       |  FROM ensm WHERE step = 100)""".stripMargin
+  }
+
+  /** t13's fixture CTEs (mirrors the declared query's Spark fixture
+    * bit-for-bit) ending in bins(ener, b, tb, y, yq); ener ≡ 0. */
+  private def t13FixtureSql(perEner: Boolean): String = {
+    val rExpr =
+      if (perEner) "((i + ener * 7919) % 65536 * 1103515245 + 12345) % 2147483648"
+      else "(i % 65536 * 1103515245 + 12345) % 2147483648"
+    val depthExpr =
+      if (perEner) "CAST(0.015 AS DOUBLE) + ener * CAST(0.003 AS DOUBLE)"
+      else "CAST(0.03 AS DOUBLE)"
+    s"""e0 AS (SELECT min(epoch_us(ts)) AS t0 FROM events),
+       |gn AS (SELECT en.ener AS ener, ii.i AS i,
+       |    $rExpr AS r,
+       |    (ii.i * 648000000) % 604800000000 AS ph
+       |  FROM e0, eners en, (SELECT unnest(range(0, 4000)) AS i) ii),
+       |fl AS (SELECT ener, ph,
+       |    1.0 - (CASE WHEN ph < 43200000000 OR ph > 561600000000
+       |                THEN $depthExpr ELSE CAST(0.0 AS DOUBLE) END)
+       |        + (CAST(r AS DOUBLE) / 2147483648.0 - 0.5) * 0.004 AS flux
+       |  FROM gn),
+       |bnr AS (SELECT ener, (ph * 200) // 604800000000 AS b, count(*) AS n,
+       |    CAST(sum(CAST(round(flux * 1e6) AS BIGINT)) AS BIGINT) AS sv
+       |  FROM fl GROUP BY 1, 2),
+       |bins AS MATERIALIZED (SELECT ener, b,
+       |    (CAST(b AS DOUBLE) + 0.5) * 7.0 / 200 AS tb,
+       |    CAST(sv AS DOUBLE) / n / 1e6 AS y,
+       |    CAST(round(CAST(sv AS DOUBLE) / n / 1e6 * 1e9) AS BIGINT) AS yq
+       |  FROM bnr)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "t13_mcmc_fit" ->
+      s"""${mcmcSamplerSql("SELECT CAST(0 AS BIGINT) AS ener",
+                           t13FixtureSql(perEner = false), 42L)}
+         |SELECT * FROM (
+         |  SELECT 'acceptance' AS param, a AS p16, a AS p50, a AS p84 FROM accr
+         |  UNION ALL
+         |  SELECT 'depth', max(CASE WHEN q < 0.3 THEN v END),
+         |      max(CASE WHEN q > 0.3 AND q < 0.7 THEN v END),
+         |      max(CASE WHEN q > 0.7 THEN v END) FROM pc0
+         |  UNION ALL
+         |  SELECT 'dur', max(CASE WHEN q < 0.3 THEN v END),
+         |      max(CASE WHEN q > 0.3 AND q < 0.7 THEN v END),
+         |      max(CASE WHEN q > 0.7 THEN v END) FROM pc2
+         |  UNION ALL
+         |  SELECT 'epoch', max(CASE WHEN q < 0.3 THEN v END),
+         |      max(CASE WHEN q > 0.3 AND q < 0.7 THEN v END),
+         |      max(CASE WHEN q > 0.7 THEN v END) FROM pc1
+         |) ORDER BY param""".stripMargin,
+
+    "t13b_mcmc_perener" ->
+      s"""${mcmcSamplerSql("SELECT unnest(range(0, 8)) AS ener",
+                           t13FixtureSql(perEner = true), 42L)}
+         |SELECT p.ener AS ener,
+         |    max(CASE WHEN q < 0.3 THEN v END) AS depth_p16,
+         |    max(CASE WHEN q > 0.3 AND q < 0.7 THEN v END) AS depth_p50,
+         |    max(CASE WHEN q > 0.7 THEN v END) AS depth_p84,
+         |    max(a) AS acceptance
+         |FROM pc0 p JOIN accr ON accr.ener = p.ener
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // The oracle recomputes what the kernel DECODES from the real
     // PNG/WAV payloads, from the same closed-form generation formulas
     // (Multimodal.Codec): image pixel (x,y) = (id·31+x·7+y·13)%256

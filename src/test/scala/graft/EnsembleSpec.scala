@@ -71,6 +71,62 @@ class EnsembleSpec extends AnyFunSuite {
     assert(math.abs(pct(2)(1) - 1.0) < 0.3, s"dur ${pct(2)(1)} not near 1")
   }
 
+  test("sampleQ (cross-engine-exact path) recovers an injected box at t13 volume") {
+    val nb = 200; val period = 7.0
+    val t = Array.tabulate(nb)(b => (b + 0.5) * period / nb)
+    val trueDepth = 0.03
+    val box = Ensemble.boxModel(t, 0.0, period, 1.0, trueDepth)
+    // deterministic integer-hash noise, the t13 fixture's scale
+    val y = Array.tabulate(nb)(i =>
+      box(i) + ((Ensemble.draw(99L, i) + 1).toDouble / 2147483649.0 - 0.5) * 0.0008)
+    val yq = y.map(v => graft.expr.VecExprs.roundHalfAway(v * 1e9))
+    val guess = Ensemble.boxGuessQ(t, yq, period, 1.0)
+    val llq = Ensemble.boxLlq(t, y, scale = 3.125e12, period = period) _
+    val (samples, acc) = Ensemble.sampleQ(llq,
+      lo = Array(-0.2, -3.5, 0.2), hi = Array(0.2, 3.5, 2.0),
+      nWalkers = 100, nSteps = 100, burnFrac = 0.3, seed = 42L,
+      init = guess, ballFrac = 0.005)
+    assert(acc > 0.1 && acc < 0.9, s"acceptance $acc unhealthy")
+    val pct = Ensemble.percentiles(samples)
+    assert(math.abs(pct(0)(1) - trueDepth) < 0.003, s"depth ${pct(0)(1)}")
+    assert(math.abs(pct(1)(1)) < 0.2, s"epoch ${pct(1)(1)}")
+    assert(math.abs(pct(2)(1) - 1.0) < 0.3, s"dur ${pct(2)(1)}")
+    // bit-reproducible: the exactness contract, not just statistics
+    val (s2, acc2) = Ensemble.sampleQ(llq,
+      lo = Array(-0.2, -3.5, 0.2), hi = Array(0.2, 3.5, 2.0),
+      nWalkers = 100, nSteps = 100, burnFrac = 0.3, seed = 42L,
+      init = guess, ballFrac = 0.005)
+    assert(acc == acc2)
+    assert(samples.length == 7000 && samples.zip(s2).forall {
+      case (a, b) => a.sameElements(b) })
+  }
+
+  test("boxGuessQ matches boxGuess semantics on integer-quantized flux") {
+    val nb = 200; val period = 7.0
+    val t = Array.tabulate(nb)(b => (b + 0.5) * period / nb)
+    val box = Ensemble.boxModel(t, 0.5, period, 1.0, 0.02)
+    val y = box.clone(); y(30) -= 0.004
+    val g = Ensemble.boxGuess(t, y, period, 1.0)
+    val yq = y.map(v => graft.expr.VecExprs.roundHalfAway(v * 1e9))
+    val gq = Ensemble.boxGuessQ(t, yq, period, 1.0)
+    // same window argmin (integer vs float sums agree off the
+    // degenerate-tie case), same epoch; depth within the 1e-9 quantum
+    assert(gq(1) == g(1), s"epoch ${gq(1)} vs ${g(1)}")
+    assert(math.abs(gq(0) - g(0)) < 1e-7, s"depth ${gq(0)} vs ${g(0)}")
+    assert(gq(2) == g(2))
+  }
+
+  test("indexed draws are uniform-ish and decorrelated across channels") {
+    val n = 30000
+    val us = Array.tabulate(n)(i => (Ensemble.draw(42L, i) + 1).toDouble / 2147483649.0)
+    val mean = us.sum / n
+    assert(math.abs(mean - 0.5) < 0.01, s"mean $mean")
+    // adjacent-index correlation (the degenerate-LCG failure mode the
+    // xorshift mixing rounds exist to kill)
+    val c = (0 until n - 1).map(i => (us(i) - 0.5) * (us(i + 1) - 0.5)).sum / (n - 1)
+    assert(math.abs(c) < 0.005, s"lag-1 covariance $c")
+  }
+
   test("boxGuess centers the deepest circular window, not an edge bin") {
     val nb = 200; val period = 7.0
     val t = Array.tabulate(nb)(b => (b + 0.5) * period / nb)
