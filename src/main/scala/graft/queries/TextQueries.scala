@@ -845,8 +845,17 @@ object TextQueries {
       // the sum of labels: labels only ever decrease, so the sum is
       // strictly monotone until the fixpoint — one scalar aggregate per
       // round, no change-count join.
+      // Round cap scales with the corpus: ScaleSweepSpec's generated
+      // 5k-doc corpus (chained band buckets, near-path components)
+      // needed >12 rounds — the old fixed cap, tuned on the driver
+      // fixture, was a latent scale bug. Propagate+jump is O(log d)
+      // with a small constant; 8 + 2·log2(n) bounds any component the
+      // corpus can contain, and the sum-fixpoint check still exits
+      // early (driver fixture: ~5 rounds).
+      val nNodes = labels.count()
+      val maxIter = 8 + 2 * (64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, nNodes)))
       var prevSum: java.math.BigDecimal = null; var iter = 0; var converged = false
-      while (!converged && iter < 12) {
+      while (!converged && iter < maxIter) {
         // shuffle_hash everywhere in the round: every broadcast join
         // would spend a separate collect-to-driver job per round —
         // on a frame this small the job overhead IS the runtime
@@ -874,11 +883,10 @@ object TextQueries {
         labels = next; iter += 1
         converged = prevSum != null && sd.compareTo(prevSum) == 0; prevSum = sd
       }
-      // the cap is a runaway backstop, not an accepted outcome: pointer
-      // jumping converges in O(log diameter) rounds, so 12 covers any
-      // plausible component; hitting it without a fixpoint is a bug
+      // the cap is a runaway backstop, not an accepted outcome:
+      // hitting it without a fixpoint is a bug
       if (!converged) throw new IllegalStateException(
-        s"d15_components: label propagation did not converge in $iter rounds")
+        s"d15_components: label propagation did not converge in $iter rounds ($nNodes nodes)")
       val sz = labels.groupBy("label").agg(count(lit(1)).as("comp_size"))
       labels.join(sz, "label")
         .select(col("node").as("doc_id"), col("label").as("comp"), col("comp_size"))

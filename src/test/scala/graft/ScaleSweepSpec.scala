@@ -1,0 +1,242 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-6 scale evidence: the heavy dedup/ANN/BLS/join/stream set run
+  * on a 1× and a 10× corpus from the SAME seeded generator, asserting
+  * the claims PLANS.md/VERDICT previously made only as design
+  * arguments:
+  *
+  *  (a) d2's dual-strategy gate CUTS OVER: the driver fixture
+  *      (31-token vocab, 5 k docs) takes the dense bitmap arm, both
+  *      generated corpora take the sparse shared-bigram arm (1× by
+  *      bigram universe, 10× also by doc count), and the query returns
+  *      near-dup pairs on every corpus;
+  *  (b) runtime grows ~LINEARLY corpus→corpus for the
+  *      candidate-bounded queries (d2, d3, d4b, d15) — a quadratic
+  *      engine would show ~100× at 10× scale, the asserts bound the
+  *      ratio at a generous small multiple of the answer-volume ratio;
+  *  (c) j9's 16-way salt actually splits the hot key at 10× skew
+  *      (4.8 M rows on one key): max (skey, salt) cell ≈ cell mean,
+  *      and the salted result equals a broadcast (skew-immune)
+  *      reference.
+  *
+  * Corpus realism note: the 10× corpus scales the VOCABULARY with the
+  * doc count (like real text; Heaps' law) — the driver generator's
+  * fixed 31-token vocabulary makes every doc pair share every common
+  * bigram, so at 50 k docs NO candidate-generation scheme (dense or
+  * sparse) is subquadratic on it, and it stops modeling the web-corpus
+  * shape the 100 TB claims are about. Near-dup structure is preserved
+  * proportionally: every 10th doc is a ~86%-token copy of its
+  * predecessor.
+  *
+  * Numbers from this spec are recorded in BASELINE.md §scale.
+  */
+class ScaleSweepSpec extends SparkSpec {
+
+  import ScaleFixture._
+
+  private lazy val x1 = dir(spark, 1)
+  private lazy val x10 = dir(spark, 10)
+
+  private def timeQ(name: String, d: String): Double = {
+    val t0 = System.nanoTime()
+    SparkEntry.queries(name)(spark, d).count()
+    spark.catalog.clearCache()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def rowsQ(name: String, d: String): Long = {
+    val n = SparkEntry.queries(name)(spark, d).count()
+    spark.catalog.clearCache()
+    n
+  }
+
+  // d2's gate stats, recomputed independently of the query internals
+  private def d2Gate(d: String): (Long, Long, Boolean) = {
+    val bg = graft.core.Tables.documents(spark, d)
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(zip_with(
+          |  slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
+          |  slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
+          |  (x, y) -> concat(x, ' ', y)))""".stripMargin)).as("bg"))
+    val r = bg.agg(countDistinct(col("bg")).as("nu"),
+      countDistinct(col("doc_id")).as("nd")).collect()(0)
+    val (nu, nd) = (r.getLong(0), r.getLong(1))
+    (nu, nd, nu > 0 && nu <= 4096 && nd <= 20000)
+  }
+
+  test("(a) d2 gate cuts over: driver fixture dense, generated corpora sparse") {
+    val (nuD, ndD, denseD) = d2Gate("/root/testdata/sf0.1")
+    assert(denseD, s"driver sf0.1 should sit in the dense regime (nu=$nuD, nd=$ndD)")
+    val (nu1, nd1, dense1) = d2Gate(x1)
+    assert(!dense1 && nu1 > 4096,
+      s"1x corpus should cross the gate on bigram universe (nu=$nu1, nd=$nd1)")
+    val (nu10, nd10, dense10) = d2Gate(x10)
+    assert(!dense10 && nd10 > 20000,
+      s"10x corpus should cross the gate on doc count too (nu=$nu10, nd=$nd10)")
+    // and the sparse arm actually finds the injected near-dup pairs
+    val out1 = SparkEntry.queries("d2_ngram_jaccard")(spark, x1)
+    val n1 = out1.count()
+    assert(n1 > 300, s"1x: expected the ~500 injected near-dup pairs, got $n1")
+    spark.catalog.clearCache()
+  }
+
+  test("(b) dedup suite scales ~linearly corpus-to-corpus, not quadratically") {
+    // one warm pass over the shared paths so JIT lands outside the
+    // timed section (the Bench warmup rationale)
+    Seq("d1_exact_dedup", "d4_simhash").foreach(rowsQ(_, x1))
+    val sweep = Seq("d2_ngram_jaccard", "d3_minhash_lsh", "d4b_simhash_pairs",
+      "d15_components")
+    val report = sweep.map { q =>
+      val r1 = rowsQ(q, x1); val t1 = timeQ(q, x1)
+      val r10 = rowsQ(q, x10); val t10 = timeQ(q, x10)
+      val volRatio = math.max(10.0, r10.toDouble / math.max(1L, r1))
+      val timeRatio = t10 / t1
+      // linear-in-candidates bound: 3× the answer-volume ratio (noise,
+      // partition-count effects); a quadratic blowup is ~100× and fails
+      assert(timeRatio < 3.0 * volRatio,
+        s"$q: time ratio $timeRatio exceeds 3x volume ratio $volRatio " +
+        s"(t1=$t1 t10=$t10 rows1=$r1 rows10=$r10)")
+      f"$q%-22s rows $r1%7d -> $r10%8d  time $t1%6.2fs -> $t10%7.2fs  (x${t10 / t1}%4.1f)"
+    }
+    println("== ScaleSweep (b): 1x -> 10x ==")
+    report.foreach(println)
+  }
+
+  test("(b2) ANN / BLS / stream / join heavies complete at 10x inside linear bounds") {
+    val bounds = Map(
+      // t6 is pre-binned: the only full-data pass is the level-0
+      // binning aggregate, so well under 10x is the expectation
+      "t6_bls" -> 12.0,
+      "e5_pq_adc" -> 30.0,
+      "j9_salted_join" -> 30.0,
+      "st7_stream_join" -> 30.0)
+    val report = bounds.toSeq.sortBy(_._1).map { case (q, bound) =>
+      val t1 = timeQ(q, x1)
+      val t10 = timeQ(q, x10)
+      assert(t10 / t1 < bound, s"$q: t10/t1 = ${t10 / t1} exceeds $bound (t1=$t1 t10=$t10)")
+      f"$q%-22s time $t1%6.2fs -> $t10%7.2fs  (x${t10 / t1}%4.1f)"
+    }
+    println("== ScaleSweep (b2): 1x -> 10x ==")
+    report.foreach(println)
+  }
+
+  test("(c) j9's 16-way salt splits the hot key under 10x skew") {
+    val li = graft.core.Tables.lineitem(spark, x10)
+      .withColumn("skey",
+        when(col("l_suppkey") % 25 < 20, lit(0)).otherwise(col("l_suppkey") % 25))
+      .withColumn("salt", pmod(col("l_orderkey") * 31 + col("l_linenumber"), lit(16)))
+    val hot = li.filter(col("skey") === 0)
+      .groupBy("salt").agg(count(lit(1)).as("n"))
+      .collect().map(_.getLong(1))
+    assert(hot.length === 16, s"expected 16 salt cells, got ${hot.length}")
+    val mean = hot.sum.toDouble / hot.length
+    assert(mean > 250000, s"hot key should carry ~4.8M rows (cell mean $mean)")
+    assert(hot.max <= mean * 1.2,
+      s"salt must split evenly: max ${hot.max} vs mean $mean")
+    // salted result == broadcast (skew-immune) reference at 10x
+    val salted = SparkEntry.queries("j9_salted_join")(spark, x10).collect()
+    val ref = li.join(broadcast(graft.core.Tables.nation(spark, x10)),
+        col("skey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_items"),
+        (sum(graft.core.Tables.cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .cast("long") / 100.0).as("revenue"))
+      .orderBy("n_name").collect()
+    assert(salted.length === ref.length)
+    salted.zip(ref).foreach { case (a, b) => assert(a === b, s"$a vs $b") }
+  }
+}
+
+/** Seeded sf1-equivalent fixture generator (build-once per machine,
+  * manifest-guarded): documents/embeddings/events/lineitem/nation at
+  * mult × the sf0.1 row counts, with vocabulary scaled alongside the
+  * doc count (see ScaleSweepSpec header). events.ts is written as
+  * int64 NANOS to flow through Tables.events / the st* glob readers
+  * exactly like the driver fixture. */
+object ScaleFixture {
+  private val Version = "v1"
+
+  def dir(spark: SparkSession, mult: Int): String = {
+    val d = new java.io.File(sys.props("java.io.tmpdir"), s"graft_scale_x$mult")
+    val mf = new java.io.File(d, "_manifest")
+    val expect = s"$Version|$mult"
+    val ok = mf.exists() &&
+      new String(java.nio.file.Files.readAllBytes(mf.toPath), "UTF-8") == expect
+    if (!ok) {
+      org.apache.commons.io.FileUtils.deleteQuietly(d)
+      build(spark, d, mult)
+      java.nio.file.Files.write(mf.toPath, expect.getBytes("UTF-8"))
+    }
+    d.getAbsolutePath
+  }
+
+  private def build(spark: SparkSession, out: java.io.File, mult: Int): Unit = {
+    val nd = 5000L * mult; val vocab = 1000L * mult
+    val nv = 2000L * mult; val ne = 100000L * mult; val nl = 600000L * mult
+    def write(df: DataFrame, name: String, parts: Int): Unit =
+      df.coalesce(parts).write.mode("overwrite")
+        .parquet(new java.io.File(out, s"$name.parquet").getAbsolutePath)
+
+    // documents: Zipf-ish tokens from a corpus-scaled vocabulary;
+    // every 10th doc is a near-dup of its predecessor (same length,
+    // every 7th token replaced -> bigram Jaccard ~0.5-0.7)
+    val docs = spark.range(nd).toDF("doc_id").selectExpr(
+      "doc_id",
+      s"""concat_ws(' ', transform(
+         |  sequence(0, 39 + CAST(pmod(
+         |    (doc_id - CAST(doc_id % 10 = 9 AS INT)) * 2654435761, 40) AS INT)),
+         |  j -> CASE
+         |    WHEN doc_id % 10 = 9 AND j % 7 = 3
+         |    THEN concat('w', pmod(doc_id * 31 + j * 7, $vocab))
+         |    ELSE concat('w', CAST(floor($vocab *
+         |      (pmod(pmod((doc_id - CAST(doc_id % 10 = 9 AS INT)) * 131 + j, 65536)
+         |         * 1103515245 + 12345, 2147483648) / 2147483648.0) *
+         |      (pmod(pmod((doc_id - CAST(doc_id % 10 = 9 AS INT)) * 131 + j, 65536)
+         |         * 1103515245 + 12345, 2147483648) / 2147483648.0)) AS BIGINT))
+         |  END)) AS text""".stripMargin,
+      "element_at(array('en','de','fr','zh','es'), CAST(doc_id % 5 AS INT) + 1) AS lang",
+      "concat('src', doc_id % 20) AS source")
+      .withColumn("n_chars", length(col("text")).cast("int"))
+    write(docs, "documents", math.max(1, mult / 2))
+
+    // embeddings: 10 cluster centers + small deterministic noise,
+    // list<float> like the driver fixture
+    val emb = spark.range(nv).toDF("vec_id").selectExpr(
+      "vec_id",
+      """CAST(transform(sequence(0, 63), k ->
+        |  (pmod(CAST(vec_id % 10 AS INT) * 37 + k * 11, 19) / 9.5 - 1.0)
+        |  + (pmod(vec_id * 64 + k, 1000) / 2500.0 - 0.2)) AS ARRAY<FLOAT>)
+        | AS embedding""".stripMargin,
+      "CAST(vec_id % 10 AS INT) AS label")
+    write(emb, "embeddings", math.max(1, mult / 2))
+
+    // events: constant per-user rate, span grows with mult (the honest
+    // streaming scale shape: watermark state ~ rate x window, runtime
+    // ~ rows); ts int64 NANOS like the driver fixture
+    val spanUs = 2592000000000L * mult // 30 days x mult
+    val evs = spark.range(ne).toDF("event_id").selectExpr(
+      "event_id",
+      s"(1704067200000000 + event_id * (CAST($spanUs AS BIGINT) div $ne)) * 1000 AS ts",
+      "pmod(event_id * 2654435761, 1500) AS user_id",
+      "element_at(array('view','click','error','purchase','login')," +
+        " CAST(pmod(event_id * 7919, 5) AS INT) + 1) AS event_type",
+      "20.0 + pmod(event_id * 104729, 20000) / 100.0 AS value",
+      "concat('{\"k\": ', event_id % 100, '}') AS props")
+    write(evs, "events", math.max(2, mult))
+
+    // lineitem: the j9 skew columns only (skey derivation puts 80% of
+    // rows on one key by construction, exactly like the driver fixture)
+    val li = spark.range(nl).toDF("i").selectExpr(
+      "i div 4 AS l_orderkey",
+      "CAST(i % 4 + 1 AS INT) AS l_linenumber",
+      s"pmod(i * 48271, ${1000L * mult}) AS l_suppkey",
+      "900.0 + pmod(i * 104729, 9000000) / 100.0 AS l_extendedprice",
+      "pmod(i * 7, 11) / 100.0 AS l_discount")
+    write(li, "lineitem", math.max(2, mult))
+
+    write(spark.read.parquet("/root/testdata/sf0.1/nation.parquet"), "nation", 1)
+  }
+}
