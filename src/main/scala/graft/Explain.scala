@@ -32,7 +32,6 @@ object Explain {
       "e1_knn_cosine" -> "norms+dots as aggregations; rank window partitioned by query id",
       "o6_gap_report" -> "lag windows partitioned by 30-day bucket; only the #buckets-row boundary table sees a global window",
       "d9_embed_neardup" -> "self-join keyed on the sign-LSH bucket (bucket-local pairs, no global cross join)",
-      "st_session_window" -> "native SessionWindow aggregation partitioned by user_id",
       "d3_minhash_lsh" -> "bucket-grouped signature pairs (no self-join, no corpus broadcast); the O(pairs) stream comes from map-side explodes only",
       "t4b_detrend_clip" -> "window-only fixpoint: one exchange per round on user_id, no joins inside the iteration",
       "t8b_matched_multi" -> "per-(user,region) grid + interpolation; threshold is a per-(user,kern) window percentile, not a global aggregate",
@@ -64,7 +63,17 @@ object Explain {
       "d23_pagerank" -> "three static power-iteration rounds — per round one join+aggregate keyed by dst; edges localCheckpointed (constant plan), signatures released after edge build, no driver loop",
       "a8_bls_snr" -> "pre-binned multi-resolution spectrum (r5): ONE full-data level-0 binning aggregate, coarser levels rolled up from it, 60 trials broadcast-routed by level — no sample×trial explode; SNR windows run over the 30-row spectrum",
       "t3b_detrend_spline" -> "sim generation is pure codegen column math; ONE exchange on (part, region) feeds the group-local spline kernel (flatMapGroups); integerized normal equations inside the kernel",
-      "m2_media_features" -> "partition-local batched decode kernel (mapPartitions) directly over the payload build — no shuffle before the output sort")
+      "m2_media_features" -> "partition-local batched decode kernel (mapPartitions) directly over the payload build — no shuffle before the output sort",
+      // round-6 additions: the heavy/novel tail the r5 verdict flagged
+      "d10_corpus_pipeline" -> "one fused plan: quality gates are map-side filters, exact-dup keyed agg + minhash signature agg + langid broadcast join share 3 shuffles total",
+      "e3_ivf_ann" -> "k-means chain: centroid refinement is integer-sum aggregations (driver holds only 16 centroid rows); search probes nProbe=4 clusters via broadcast centroid routing — the corpus shuffles once on cid",
+      "d15_components" -> "plan shown is the FINAL round's: constant-size thanks to per-round localCheckpoint truncation (the loop would otherwise double the tree each round); per round = 3 tiny shuffle_hash joins keyed by node/dst, O(log diameter) rounds (cap 8+2·log2 n after the r6 scale finding)",
+      "t6b_bls_companions" -> "driver-loop operator: the returned frame is a LocalTableScan over accepted companions — the load-bearing plan is t6's pre-binned spectrum (audited above), executed once per round (≤4) on the masked-and-persisted survivor frame; the mask is a pure filter, no re-shuffle of the base",
+      "j8b_asof_nearest" -> "custom whole-operator path: AsOfJoinExec (LogicalPlan+Strategy+SparkPlan) — both sides exchange ONCE on user_id and sort within partitions; the nearest-match scan is a per-partition merge, no window, no cross join",
+      "t13_mcmc_fit" -> "driver-fit operator (reference division of labor): ONE exact-integer phase-bin aggregation feeds the collected 200-bin window; the walk itself is driver-side (and SQL-replayable since r6 — see the oracle); plan is the binning aggregate + LocalTableScan of the posterior",
+      "st_session_window" -> "native SessionWindow aggregation partitioned by user_id (batch form; the streaming forms are audited in the state-operator section below)",
+      "t3c_detrend_gp" -> "same exchange shape as t3b: ONE shuffle on (part, region) into the group-local Kalman+RTS kernel (flatMapGroups); the only transcendental is the quantized transition decay",
+      "t8_matched_filter" -> "per-user windowed correlation: exchanges keyed by user_id throughout (trigger percentile, island clustering, per-island peak share the partitioning)")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by graft.Explain)\n\n")
@@ -92,8 +101,67 @@ object Explain {
       sb.append(checks.map { case (k, v) => s"- $k: ${if (v) "present" else "absent"}" }
         .mkString("", "\n", "\n"))
     }
+    // ---- streaming: state-operator audit ------------------------------
+    // A batch explain of a memory-sink table says nothing about the
+    // stateful runtime, so the streaming queries are audited through
+    // the engine's own progress telemetry: a listener collects every
+    // micro-batch's stateOperators and the audit records state rows,
+    // updates, evictions, and watermark drops — the boundedness
+    // evidence that matters for an unbounded run.
+    val progresses = new scala.collection.mutable.HashMap[
+      String, List[org.apache.spark.sql.streaming.StreamingQueryProgress]]()
+    spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+        progresses.synchronized {
+          val n = Option(e.progress.name).getOrElse("?")
+          progresses(n) = e.progress :: progresses.getOrElse(n, Nil)
+        }
+      override def onQueryTerminated(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    })
+    val streamAudit = Seq(
+      "st2_stream_tumbling" -> "tumbling-window agg: state = open (window, event_type) rows. Single-file AvailableNow replay = one micro-batch, so eviction shows 0 here (windows finalize at termination); the watermark bound is exercised by the multi-batch queries below",
+      "st3_stream_session" -> "streaming session windows keyed by user_id; single-batch replay here — watermark merge/finalize behavior is exercised multi-batch in st5",
+      "st4_stream_append" -> "append mode, multi-batch: only watermark-closed windows emit, state drains to the open tail (evicted ≈ updated), and the late fixture rows are DROPPED by the watermark (numRowsDroppedByWatermark > 0 is the contract)",
+      "st5_stateful_session" -> "flatMapGroupsWithState custom sessionizer: state rows = open sessions, GroupStateTimeout evicts",
+      "st6_stream_dedup" -> "dropDuplicates on the business key: state = distinct keys seen (UNBOUNDED without a watermark horizon — st8 is the bounded form)",
+      "st7_stream_join" -> "stream-stream interval join: BOTH sides buffered in state, bounded by the 1 h watermark + 6 h join range",
+      "st8_stream_dedup_wm" -> "dropDuplicatesWithinWatermark: state is evicted at the horizon (numRowsRemoved > 0 is the contract) — the unbounded-safe dedup")
+    sb.append("\n\n# Streaming state-operator audit (micro-batch engine telemetry)\n")
+    streamAudit.foreach { case (name, expectation) =>
+      progresses.synchronized(progresses.clear())
+      SparkEntry.queries(name)(spark, sfDir).count()
+      // listener events are async; progress for the terminated query
+      // drains within a beat
+      Thread.sleep(1500)
+      val ps = progresses.synchronized(
+        progresses.getOrElse(s"${name.take(3)}_sink",
+          progresses.values.flatten.toList).reverse)
+      sb.append(s"\n## $name\n\nExpectation: $expectation\n\n")
+      if (ps.isEmpty) sb.append("- no progress captured\n")
+      else {
+        val batches = ps.size
+        val ops = ps.flatMap(_.stateOperators)
+        val byOp = ops.groupBy(_.operatorName)
+        sb.append(s"- micro-batches: $batches\n")
+        byOp.toSeq.sortBy(_._1).foreach { case (op, os) =>
+          val lastTotal = os.last.numRowsTotal
+          sb.append(f"- $op: state rows (final) $lastTotal%d, " +
+            f"updated ${os.map(_.numRowsUpdated).sum}%d, " +
+            f"evicted ${os.map(_.numRowsRemoved).sum}%d, " +
+            f"dropped-by-watermark ${os.map(_.numRowsDroppedByWatermark).sum}%d, " +
+            f"state memory ${os.last.memoryUsedBytes / 1024}%d KiB\n")
+        }
+        val wm = ps.last.eventTime
+        if (wm != null && wm.containsKey("watermark"))
+          sb.append(s"- final watermark: ${wm.get("watermark")}\n")
+      }
+    }
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
-    println(s"wrote PLANS.md (${audit.size} plans)")
+    println(s"wrote PLANS.md (${audit.size} batch + ${streamAudit.size} streaming plans)")
     spark.stop()
   }
 }
