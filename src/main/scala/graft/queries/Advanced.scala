@@ -404,15 +404,17 @@ object Advanced {
     }),
 
     // Multimodal feature extraction through the batched partition-local
-    // kernel (JVM mapInPandas shape) — with REAL decode: image-kind
-    // payloads are genuine PNGs decoded by javax.imageio, audio-kind
-    // payloads genuine WAVs decoded by javax.sound.sampled (both
-    // JDK-native codecs; video has none, so video rows are byte-level
-    // by declaration). Pixel/sample values are closed-form in
-    // (media_id, position), so the oracle recomputes the decoded
-    // per-residue sums in plain SQL — the encode→decode round-trip is
-    // what's being hash-checked. n_units = decoded pixels/samples (or
-    // raw bytes for video), not the compressed payload length.
+    // kernel (JVM mapInPandas shape) — with REAL decode on ALL THREE
+    // modalities: image-kind payloads are genuine PNGs decoded by
+    // javax.imageio, audio-kind genuine WAVs decoded by
+    // javax.sound.sampled, video-kind genuine uncompressed RIFF/AVI
+    // decoded by the hand-rolled parser (no JDK video codec exists;
+    // Codec.decodeAvi walks the chunk tree and undoes bottom-up DIB
+    // rows + stride padding). Pixel/sample/channel values are
+    // closed-form in (media_id, position), so the oracle recomputes
+    // the decoded per-residue sums in plain SQL — the encode→decode
+    // round-trip is what's being hash-checked. n_units = decoded
+    // pixels/samples/channel-bytes, not the container payload length.
     "m2_media_features" -> ((s, d) => {
       val media = graft.multimodal.Multimodal.fromDocuments(documents(s, d))
       graft.multimodal.Multimodal.extractSums(media, dim = 8)
@@ -682,14 +684,17 @@ object Advanced {
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // The oracle recomputes what the kernel DECODES from the real
-    // PNG/WAV payloads, from the same closed-form generation formulas
-    // (Multimodal.Codec): image pixel (x,y) = (id·31+x·7+y·13)%256
-    // over w×h = (id%13+4)×(id%11+4); audio sample i =
-    // (id·131+i·17)%65536−32768 over id%50+20 samples; video = raw
-    // UTF-8 bytes (pure-ASCII fixture ⇒ byte i = character code at
-    // i+1, invariant asserted in PipelineSpec). Every residue class
-    // 0..7 exists because min units (16 px / 20 samples / ≥8 chars,
-    // also asserted) ≥ 8.
+    // PNG/WAV/AVI payloads, from the same closed-form generation
+    // formulas (Multimodal.Codec): image pixel (x,y) =
+    // (id·31+x·7+y·13)%256 over w×h = (id%13+4)×(id%11+4); audio
+    // sample i = (id·131+i·17)%65536−32768 over id%50+20 samples;
+    // video channel byte (f,x,y,c) = (id·31+f·97+x·7+y·13+c·29)%256
+    // over (id%5+2) frames × (id%9+4)×(id%7+4) px × 3 BGR channels
+    // (the kernel's AVI parser must undo bottom-up DIB rows and
+    // 4-byte stride padding to recover exactly these — that
+    // round-trip is what the hash checks). Every residue class 0..7
+    // exists because min units (16 px / 20 samples / 96 channel
+    // bytes) ≥ 8.
     "m2_media_features" ->
       """WITH img AS (SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 11 + 4 AS h
         |  FROM documents WHERE doc_id % 3 = 0),
@@ -708,13 +713,20 @@ object Advanced {
         |    CAST(i % 8 AS INTEGER) AS j,
         |    CAST(sum((doc_id * 131 + i * 17) % 65536 - 32768) AS BIGINT) AS fsum
         |  FROM apx GROUP BY 1, 2, 3),
-        |vpos AS (SELECT doc_id, length(text) AS nu, text,
-        |    unnest(generate_series(1, length(text))) AS i
+        |vid AS (SELECT doc_id, doc_id % 9 + 4 AS w, doc_id % 7 + 4 AS h,
+        |    doc_id % 5 + 2 AS nf
         |  FROM documents WHERE doc_id % 3 = 2),
-        |vsum AS (SELECT doc_id, CAST(nu AS INTEGER) AS n_units,
-        |    CAST((i - 1) % 8 AS INTEGER) AS j,
-        |    CAST(sum(ascii(substr(text, i, 1))) AS BIGINT) AS fsum
-        |  FROM vpos GROUP BY 1, 2, 3),
+        |vf AS (SELECT doc_id, w, h, nf,
+        |    unnest(generate_series(0, nf - 1)) AS f FROM vid),
+        |vp AS (SELECT doc_id, w, h, nf, f,
+        |    unnest(generate_series(0, w * h - 1)) AS p FROM vf),
+        |vc AS (SELECT doc_id, w, h, nf, f, p,
+        |    unnest(generate_series(0, 2)) AS c FROM vp),
+        |vsum AS (SELECT doc_id, CAST(nf * w * h * 3 AS INTEGER) AS n_units,
+        |    CAST(((f * w * h + p) * 3 + c) % 8 AS INTEGER) AS j,
+        |    CAST(sum((doc_id * 31 + f * 97 + (p % w) * 7 + (p // w) * 13
+        |              + c * 29) % 256) AS BIGINT) AS fsum
+        |  FROM vc GROUP BY 1, 2, 3),
         |u AS (SELECT * FROM isum UNION ALL SELECT * FROM asum
         |      UNION ALL SELECT * FROM vsum)
         |SELECT doc_id AS media_id,

@@ -492,12 +492,18 @@ object TextQueries {
       val M = 8
       val withNorm = embeddings(s, d).select(col("vec_id"), col("embedding"))
         .withColumn("nrm", dot_i12(col("embedding"), col("embedding")))
+      // localCheckpoint: the exploded sub-vector stream feeds FOUR
+      // consumers (both assignment passes, the Lloyd sums join, the
+      // query LUT) — one materialization replaces four scan+explode+
+      // slice+dot re-parses of the corpus (the d2 bigram-stream
+      // lesson, applied to the ADC path)
       val subs = withNorm
         .select(col("vec_id"),
           explode(sequence(lit(0), lit(M - 1))).as("m"), col("embedding"))
         .withColumn("sub", expr("slice(embedding, m * 8 + 1, 8)"))
         .withColumn("nrm_s", dot_i12(col("sub"), col("sub")))
         .drop("embedding")
+        .localCheckpoint()
       val code0 = subs.filter(col("vec_id") < 16)
         .select(col("m"), col("vec_id").cast("int").as("c"),
           col("sub").as("cvec"), col("nrm_s").as("nrmc"))
@@ -519,6 +525,9 @@ object TextQueries {
       val sums = (0 until 8).map(j =>
         sum(round(element_at(col("sub"), j + 1).cast("double") * 1e6)
           .cast("long")).as(s"s$j"))
+      // (measured alternative: folding these sums into the assignment
+      // aggregation via first(sub) shuffles the float arrays instead of
+      // ids and comes out SLOWER — the two-pass shape below wins)
       val codeDf = subs.join(assign(code0), Seq("vec_id", "m"))
         .groupBy("m", "c")
         .agg(count(lit(1)).as("n"), sums: _*)

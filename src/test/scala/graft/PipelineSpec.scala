@@ -34,7 +34,7 @@ class PipelineSpec extends SparkSpec {
     assert(frames.count() > 0)
   }
 
-  test("codec round-trip: PNG and WAV decode back to the generation formula") {
+  test("codec round-trip: PNG, WAV, and AVI decode back to the generation formula") {
     for (id <- Seq(0L, 3L, 57L, 498L)) { // image-kind ids (id % 3 == 0 not required for the codec itself)
       val (n, sums) = Multimodal.decodeSums("image", Multimodal.Codec.png(id), 8)
       val w = Multimodal.Codec.imgW(id); val h = Multimodal.Codec.imgH(id)
@@ -51,19 +51,36 @@ class PipelineSpec extends SparkSpec {
       for (i <- 0 until n) want(i % 8) += Multimodal.Codec.sample(id, i).toLong
       assert(sums.toSeq === want.toSeq, s"wav id=$id")
     }
+    for (id <- Seq(2L, 5L, 59L, 497L)) {
+      val (n, sums) = Multimodal.decodeSums("video", Multimodal.Codec.avi(id), 8)
+      val w = Multimodal.Codec.vidW(id); val h = Multimodal.Codec.vidH(id)
+      val nf = Multimodal.Codec.vidFrames(id)
+      assert(n === nf * w * h * 3)
+      val want = new Array[Long](8)
+      var u = 0
+      for (f <- 0 until nf; y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+        want(u % 8) += Multimodal.Codec.vidByte(id, f, x, y, c).toLong
+        u += 1
+      }
+      assert(sums.toSeq === want.toSeq, s"avi id=$id")
+    }
   }
 
-  test("m2 fixture invariant: every document is >=8 chars and pure ASCII") {
-    // The video-kind oracle equates byte i with character code i+1 and
-    // assumes all 8 residue classes are populated; both hold only while
-    // the fixture text is non-empty ASCII of length >= 8. Pin it so a
-    // fixture change fails HERE, not as a confusing row-count mismatch
-    // in the m2 correctness gate.
-    import org.apache.spark.sql.functions._
-    val bad = graft.core.Tables.documents(spark, sf)
-      .filter(length(col("text")) < 8 ||
-        col("text") =!= regexp_replace(col("text"), "[^\\x00-\\x7F]", ""))
-      .count()
-    assert(bad === 0L)
+  test("AVI parser honors the FORMAT, not the writer: stride and bottom-up rows") {
+    // w=5 forces a non-trivial stride (15 -> 16 bytes/row): a parser
+    // that ignored DIB padding or row order would mis-place every
+    // pixel. id=10 -> vidW=5 (10%9+4=5... 10%9=1 -> 5), check.
+    val id = 10L
+    assert(Multimodal.Codec.vidW(id) === 5, "fixture id must force stride padding")
+    val (w, h, frames) = Multimodal.Codec.decodeAvi(Multimodal.Codec.avi(id))
+    assert(w === 5 && h === Multimodal.Codec.vidH(id))
+    assert(frames.length === Multimodal.Codec.vidFrames(id))
+    // top-left pixel of frame 0 is (x=0, y=0) — bottom-up storage means
+    // a naive top-down read would return y=h-1 here
+    assert((frames(0)(0) & 0xff) === Multimodal.Codec.vidByte(id, 0, 0, 0, 0))
+    // and a corrupted container fails loudly, not as byte-stats
+    intercept[IllegalArgumentException] {
+      Multimodal.Codec.decodeAvi("RIFFxxxxWAVE".getBytes("US-ASCII"))
+    }
   }
 }
