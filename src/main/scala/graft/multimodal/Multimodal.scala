@@ -8,16 +8,15 @@ import org.apache.spark.sql.types._
   * `binary` payloads with typed metadata, processed by batched
   * per-partition kernels.
   *
-  * The image and audio paths are REAL end to end: payloads are
-  * genuine PNG (javax.imageio) and WAV (javax.sound.sampled) files —
-  * both codecs ship with the JDK — and the feature kernel decodes
-  * them back to pixels/samples before summing. Because the generated
-  * pixel/sample values are closed-form in (media_id, position), a SQL
-  * oracle can recompute the decoded-feature sums without a decoder of
-  * its own, so the decode round-trip itself is oracle-checked. Video
-  * has no JDK codec; video-kind payloads remain raw bytes and their
-  * features are format-agnostic byte statistics (documented, not a
-  * hidden stub).
+  * All three paths are REAL end to end: payloads are genuine PNG
+  * (javax.imageio), WAV (javax.sound.sampled), and uncompressed
+  * RIFF/AVI files (no JDK video codec exists, so writer AND parser
+  * are hand-rolled from the public RIFF/BMP layout — [[Codec.avi]] /
+  * [[Codec.decodeAvi]]), and the feature kernel decodes them back to
+  * pixels/samples/channel bytes before summing. Because the generated
+  * values are closed-form in (media_id, position), a SQL oracle can
+  * recompute the decoded-feature sums without a decoder of its own,
+  * so each decode round-trip itself is oracle-checked.
   */
 object Multimodal {
 

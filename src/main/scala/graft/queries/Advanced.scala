@@ -12,9 +12,10 @@ import graft.core.Tables._
   * Plus the solver-kernel queries: spline detrend (t3b) and GP detrend
   * (t3c) — both oracle bit-exact since round 5 (integerized normal
   * equations / recursive-CTE Kalman replay) — multimodal decode (m2,
-  * oracle-checked JDK PNG/WAV round-trip), and the seeded MCMC fits
-  * (t13/t13b, the two remaining rows-only queries: RNG-driven by
-  * nature, pinned by EnsembleSpec goldens instead).
+  * oracle-checked PNG/WAV/AVI round-trip), and the MCMC fits
+  * (t13/t13b — oracle bit-exact since round 6: the cross-engine-exact
+  * sampler Ensemble.sampleQ replayed step-by-step in a DuckDB
+  * recursive CTE; every query in this file is now hash-checked).
   */
 object Advanced {
   type Q = (SparkSession, String) => DataFrame
@@ -197,14 +198,10 @@ object Advanced {
     // T13 — seeded MCMC fit at REFERENCE fidelity (proc_modl settings
     // main.py:12131–12133: 100 walkers × 100 steps, 30% burn) of a
     // 3-parameter box model (depth, epoch, duration) on a collected
-    // window, under the Matérn-3/2 GP likelihood (retr_llik_mile
-    // main.py:735–850 GP branch — the Kalman-innovation form shared
-    // with the T3 detrend kernel), so correlated baseline structure is
-    // marginalized instead of polluting the depth posterior. Driver
-    // runs the walker loop over the small collected window — the
-    // reference's own division of labor; Spark parallelizes ACROSS
-    // fits (t13b). Rows-only check (sampler not SQL-expressible);
-    // EnsembleSpec pins recovery + determinism.
+    // window. Driver runs the walker loop over the small collected
+    // window — the reference's own division of labor; Spark
+    // parallelizes ACROSS fits (t13b). EnsembleSpec pins recovery +
+    // determinism; the DuckDB oracle replays the walk bit-exactly.
     "t13_mcmc_fit" -> ((s, d) => {
       import s.implicits._
       val PDAY = 86400000000L; val P7 = 7L * PDAY
