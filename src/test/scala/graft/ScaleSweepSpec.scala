@@ -157,7 +157,9 @@ class ScaleSweepSpec extends SparkSpec {
   * int64 NANOS to flow through Tables.events / the st* glob readers
   * exactly like the driver fixture. */
 object ScaleFixture {
-  private val Version = "v1"
+  private val Version = "v2" // v2: uniform token draw (v1's u² skew made
+                             // ~5% of RANDOM doc pairs Jaccard-similar —
+                             // unrealistically dense near-dup structure)
 
   def dir(spark: SparkSession, mult: Int): String = {
     val d = new java.io.File(sys.props("java.io.tmpdir"), s"graft_scale_x$mult")
@@ -180,22 +182,26 @@ object ScaleFixture {
       df.coalesce(parts).write.mode("overwrite")
         .parquet(new java.io.File(out, s"$name.parquet").getAbsolutePath)
 
-    // documents: Zipf-ish tokens from a corpus-scaled vocabulary;
-    // every 10th doc is a near-dup of its predecessor (same length,
-    // every 7th token replaced -> bigram Jaccard ~0.5-0.7)
+    // documents: uniform tokens from a corpus-scaled vocabulary (docs
+    // share bigrams only by birthday collision, like real corpora —
+    // the near-dup signal comes from the INJECTED pairs, not from a
+    // skew artifact); every 10th doc is a near-dup of its predecessor
+    // (same length, every 7th token replaced -> bigram Jaccard ~0.5).
+    // The draw needs the xorshift mix: any pure-LCG chain is AFFINE in
+    // j, so consecutive tokens would differ by a constant mod vocab
+    // and every doc would walk the same bigram family.
+    val src = "(doc_id - CAST(doc_id % 10 = 9 AS INT))"
+    val h2 = s"pmod(pmod($src * 131 + j * 2654435761, 2147483648)" +
+      " * 1103515245 + 12345, 2147483648)"
+    val tok = s"pmod(($h2 ^ shiftright($h2, 15)) * 69069 + 1, $vocab)"
     val docs = spark.range(nd).toDF("doc_id").selectExpr(
       "doc_id",
       s"""concat_ws(' ', transform(
-         |  sequence(0, 39 + CAST(pmod(
-         |    (doc_id - CAST(doc_id % 10 = 9 AS INT)) * 2654435761, 40) AS INT)),
+         |  sequence(0, 39 + CAST(pmod($src * 2654435761, 40) AS INT)),
          |  j -> CASE
          |    WHEN doc_id % 10 = 9 AND j % 7 = 3
          |    THEN concat('w', pmod(doc_id * 31 + j * 7, $vocab))
-         |    ELSE concat('w', CAST(floor($vocab *
-         |      (pmod(pmod((doc_id - CAST(doc_id % 10 = 9 AS INT)) * 131 + j, 65536)
-         |         * 1103515245 + 12345, 2147483648) / 2147483648.0) *
-         |      (pmod(pmod((doc_id - CAST(doc_id % 10 = 9 AS INT)) * 131 + j, 65536)
-         |         * 1103515245 + 12345, 2147483648) / 2147483648.0)) AS BIGINT))
+         |    ELSE concat('w', $tok)
          |  END)) AS text""".stripMargin,
       "element_at(array('en','de','fr','zh','es'), CAST(doc_id % 5 AS INT) + 1) AS lang",
       "concat('src', doc_id % 20) AS source")
