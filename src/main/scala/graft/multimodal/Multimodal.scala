@@ -243,8 +243,8 @@ object Multimodal {
   }
 
   /** Format-agnostic byte features (float): payload bytes folded into
-    * a fixed-dim vector. Used for plumbing-shape tests and as the
-    * video-kind fallback — NOT a decoder. */
+    * a fixed-dim vector. Plumbing-shape path (schema/batching/UDF
+    * signature) — NOT a decoder; the decode path is [[decodeSums]]. */
   def byteFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     if (payload == null) return out
