@@ -129,7 +129,8 @@ object Explain {
       "st5_stateful_session" -> "flatMapGroupsWithState custom sessionizer: state rows = open sessions, GroupStateTimeout evicts",
       "st6_stream_dedup" -> "dropDuplicates on the business key: state = distinct keys seen (UNBOUNDED without a watermark horizon — st8 is the bounded form)",
       "st7_stream_join" -> "stream-stream interval join: BOTH sides buffered in state, bounded by the 1 h watermark + 6 h join range",
-      "st8_stream_dedup_wm" -> "dropDuplicatesWithinWatermark: state is evicted at the horizon (numRowsRemoved > 0 is the contract) — the unbounded-safe dedup")
+      "st8_stream_dedup_wm" -> "dropDuplicatesWithinWatermark: state is evicted at the horizon (numRowsRemoved > 0 is the contract) — the unbounded-safe dedup",
+      "st9_stream_static_join" -> "stream-static enrichment: the dim broadcasts per micro-batch with NO join state (only the downstream tumbling agg holds state rows) — the dim is swappable under a running query")
     sb.append("\n\n# Streaming state-operator audit (micro-batch engine telemetry)\n")
     streamAudit.foreach { case (name, expectation) =>
       progresses.synchronized(progresses.clear())

@@ -418,6 +418,40 @@ object TimeSeries {
     // click→purchase attribution within 6 h per user — the funnel
     // query. Both sides carry watermarks and the join condition
     // bounds purchase time to [click, click+6h], which is what lets
+    // §2.10 — STREAM-STATIC enrichment join, the remaining core
+    // Structured Streaming join shape (st7 covers stream-stream): the
+    // static dimension is re-read and BROADCAST per micro-batch — no
+    // state store involvement on the static side, so at 100 TB/day the
+    // dim can be swapped under a running query; the only stateful
+    // operator is the downstream tumbling-day aggregation. nation is
+    // the enrichment dim, keyed off user_id % 25.
+    "st9_stream_static_join" -> ((s, d) => {
+      val ss = streamSession(s)
+      val schema = ss.read.parquet(s"$d/events.parquet").schema
+      val dim = ss.read.parquet(s"$d/nation.parquet")
+        .select(col("n_nationkey"), col("n_name"))
+      val stream = ss.readStream.schema(schema)
+        .option("basePath", d)
+        .parquet(s"$d/events*.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withColumn("nk", col("user_id") % 25)
+        .join(broadcast(dim), col("nk") === col("n_nationkey"))
+        // No watermark — complete mode, finite replay only (see st2).
+        .groupBy(window(col("ts"), "1 day").as("w"), col("n_name"))
+        .agg(count(lit(1)).as("n"),
+          sum(graft.core.Tables.cents(col("value"))).as("sc"))
+      val q = stream.writeStream
+        .format("memory").queryName("st9_sink")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ss.table("st9_sink")
+        .select(unix_micros(col("w.start")).as("w_us"), col("n_name"),
+          col("n"), (col("sc").cast("long") / 100.0).as("sum_value"))
+        .orderBy("w_us", "n_name")
+    }),
+
     // the engine evict click state once the purchase-side watermark
     // passes click+6h — bounded state on an unbounded stream. The
     // oracle is the identical range join in plain SQL.
@@ -791,6 +825,16 @@ object TimeSeries {
           | AND a.event_type = 'click' AND b.event_type = 'purchase'
           | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
           |ORDER BY a.user_id, click_id, buy_id""".stripMargin,
+
+      // Spark's window(ts, '1 day') aligns to UTC epoch days; events
+      // user_id is non-negative so plain % mirrors the Spark key.
+      "st9_stream_static_join" ->
+        """SELECT (epoch_us(e.ts) // 86400000000) * 86400000000 AS w_us,
+          |  n.n_name AS n_name, count(*) AS n,
+          |  CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+          |    / 100.0 AS sum_value
+          |FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+          |GROUP BY 1, 2 ORDER BY w_us, n_name""".stripMargin,
 
       "st2_stream_tumbling" ->
         s"""WITH $baseSql
