@@ -72,6 +72,8 @@ object Explain {
       "j8b_asof_nearest" -> "custom whole-operator path: AsOfJoinExec (LogicalPlan+Strategy+SparkPlan) — both sides exchange ONCE on user_id and sort within partitions; the nearest-match scan is a per-partition merge, no window, no cross join",
       "t13_mcmc_fit" -> "driver-fit operator (reference division of labor): ONE exact-integer phase-bin aggregation feeds the collected 200-bin window; the walk itself is driver-side (and SQL-replayable since r6 — see the oracle); plan is the binning aggregate + LocalTableScan of the posterior",
       "st_session_window" -> "native SessionWindow aggregation partitioned by user_id (batch form; the streaming forms are audited in the state-operator section below)",
+      "d24_quality_lr" -> "linear-classifier inference: hashed bigram buckets join a BROADCAST 64-row weight frame; the corpus text never shuffles — one keyed rollup per doc, integer logits",
+      "s8_orc_roundtrip" -> "ORC scan with the status filter PUSHED (PushedFilters on the OrcScan) and columns pruned to the 3-column ReadSchema",
       "t3c_detrend_gp" -> "same exchange shape as t3b: ONE shuffle on (part, region) into the group-local Kalman+RTS kernel (flatMapGroups); the only transcendental is the quantized transition decay",
       "t8_matched_filter" -> "per-user windowed correlation: exchanges keyed by user_id throughout (trigger percentile, island clustering, per-island peak share the partitioning)")
 

@@ -173,6 +173,27 @@ object Extras {
         .orderBy("event_type")
     }),
 
+    // S8 — ORC source round-trip: the orders table re-materialized as
+    // ORC (Spark's built-in second columnar format — the "another
+    // source format" axis of the scan surface), then scanned with a
+    // pushed filter + pruned columns and aggregated. The fixture is a
+    // pure function of orders, so the oracle states the same SQL over
+    // the parquet original — any encode/decode or pushdown defect
+    // surfaces as a hash mismatch. Derived layout is manifest-gated
+    // like s6/s7 (Spark ignores the _graft_manifest underscore file).
+    "s8_orc_roundtrip" -> ((s, d) => {
+      val dir = derivedFixture("graft_orc", d, "graft-orc-v1") { tmp =>
+        orders(s, d).write.mode("overwrite").orc(tmp.toString)
+      }
+      s.read.orc(dir.toString)
+        .filter(col("o_orderstatus") === "F")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          (sum(Tables.cents(col("o_totalprice"))).cast("long") / 100.0)
+            .as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
+
     // P2 — one-pass table profiling (the ANALYZE TABLE step that feeds
     // a 100 TB optimizer): null counts, distinct counts, min/max for a
     // column set in ONE scan — a single aggregate (Spark plans the
@@ -404,6 +425,13 @@ object Extras {
         |    AS sum_value
         |FROM events WHERE event_type IN ('click', 'error')
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "s8_orc_roundtrip" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    / 100.0 AS sum_price
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "p2_profile" ->
       """WITH s AS (SELECT count(*) AS n,

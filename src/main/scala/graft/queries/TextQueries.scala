@@ -1143,6 +1143,41 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // D24 — linear quality-classifier INFERENCE (the fasttext/CCNet
+    // corpus-scoring pass): hashed bigram counts (hashing trick, 64
+    // buckets via the portable md5 hash) dotted against a BROADCAST
+    // integer weight vector. Map-only until the per-doc rollup — the
+    // corpus text never shuffles, which is the shape a 100 TB scoring
+    // pass must have (model inference = broadcast weights + one keyed
+    // aggregation). Integer weights/logits ⇒ no transcendental: the
+    // decision threshold compares the raw logit, so the oracle is
+    // exact without a sigmoid (monotone — same kept set).
+    "d24_quality_lr" -> ((s, d) => {
+      val bg = documents(s, d)
+        .select(col("doc_id"), explode(expr(
+          """zip_with(
+            |  slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
+            |  slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
+            |  (x, y) -> concat(x, ' ', y))""".stripMargin)).as("bg"))
+      // deterministic "trained" weights: bucket b -> ((b·2654435761)
+      // mod 2001) − 1000 ∈ [−1000, 1000]; stands in for a loaded model
+      val wDf = s.createDataFrame(
+        (0 until 64).map(b => (b.toLong, (b * 2654435761L) % 2001L - 1000L)))
+        .toDF("bucket", "w")
+      val scored = bg
+        .withColumn("bucket", expr(s"pmod(${TextOps.md5Hash32Fast("bg")}, 64)"))
+        .join(broadcast(wDf), "bucket")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_features"), sum(col("w")).as("logit"))
+      documents(s, d).select(col("doc_id"))
+        .join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_features"), lit(0L)).as("n_features"),
+          coalesce(col("logit"), lit(0L)).as("logit"),
+          (coalesce(col("logit"), lit(0L)) > 0).as("keep"))
+        .orderBy("doc_id")
+    }),
+
     // M1 — multimodal scaffold: opaque binary payload + typed metadata
     // (byte length, content-hash head); the decode stage lives in
     // graft.multimodal (REAL JDK PNG/WAV decode since r5 — see m2).
@@ -1235,6 +1270,28 @@ object TextQueries {
          |SELECT node AS doc_id, comp, comp_size
          |FROM fin JOIN sz USING (comp) ORDER BY doc_id""".stripMargin
     },
+
+    // d24: same positional-unnest bigram build as d2's oracle; the
+    // bucket hash is the portable md5 CASE tree; weights computed
+    // inline from the same integer formula as the broadcast frame.
+    // (bucket % then ×: left-assoc in both engines; max intermediate
+    // 63·2654435761 ≈ 1.7e11 — no overflow.)
+    "d24_quality_lr" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         |         unnest(generate_series(1, len(string_split(text, ' ')))) AS ord
+         |  FROM documents),
+         |bg AS (SELECT x.doc_id, x.tok || ' ' || y.tok AS bg
+         |       FROM toks x JOIN toks y
+         |         ON x.doc_id = y.doc_id AND y.ord = x.ord + 1),
+         |sc AS (SELECT doc_id, count(*) AS n_features,
+         |    CAST(sum(${TextOps.md5Hash32("bg")} % 64 * 2654435761 % 2001 - 1000)
+         |      AS BIGINT) AS logit
+         |  FROM bg GROUP BY 1)
+         |SELECT d.doc_id, coalesce(n_features, 0) AS n_features,
+         |  coalesce(logit, 0) AS logit, coalesce(logit, 0) > 0 AS keep
+         |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "d23_pagerank" -> {
       val h = TextOps.md5Hash32("tok")

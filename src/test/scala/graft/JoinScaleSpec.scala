@@ -111,4 +111,34 @@ class JoinScaleSpec extends SparkSpec {
     assert(keyNames.exists(_.startsWith("skey")),
       s"skey must be part of the join partitioning keys, got $keyNames")
   }
+
+  test("s8: ORC scan pushes the status filter and prunes to 3 columns") {
+    val plan = executed("s8_orc_roundtrip")
+    val scans = collectAll(plan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, s"expected a FileSourceScan over the ORC dir in\n$plan")
+    val scan = scans.head
+    assert(scan.relation.fileFormat.toString.toLowerCase.contains("orc"),
+      s"scan is not ORC: ${scan.relation.fileFormat}")
+    val pushed = scan.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("EqualTo(o_orderstatus,F)"),
+      s"status filter not pushed to the ORC reader: $pushed")
+    assert(scan.output.size === 3,
+      s"expected 3-column ReadSchema, got ${scan.output.map(_.name)}")
+  }
+
+  test("d24: weights broadcast; the bigram text never crosses a shuffle") {
+    val plan = executed("d24_quality_lr")
+    val bhjs = collectAll(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(bhjs.nonEmpty, s"expected the weight frame as a BroadcastHashJoin in\n$plan")
+    // the 100 TB contract: corpus text (the exploded bigram column) is
+    // consumed map-side; only (doc_id, partial sums) reach an Exchange
+    val leakers = collectAll(plan) { case e: ShuffleExchangeExec => e }
+      .filter(_.child.output.exists(a => a.name == "bg" || a.name == "text"))
+    assert(leakers.isEmpty,
+      s"bigram/text column crosses a shuffle:\n${leakers.mkString("\n")}")
+  }
 }
