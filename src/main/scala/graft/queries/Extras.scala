@@ -194,6 +194,31 @@ object Extras {
         .orderBy("o_orderpriority")
     }),
 
+    // §2.1 beyond — JSON-lines source round-trip, the fourth source
+    // format next to parquet (everywhere), CSV (s5) and ORC (s8):
+    // customer is serialized to JSON and read back with the ORIGINAL
+    // schema supplied explicitly — at 100 TB schema inference is a
+    // whole extra pass over the data and lets types drift per file,
+    // so an ingest contract always pins the schema. Doubles survive
+    // the text round-trip exactly (the writer emits the shortest
+    // round-trip decimal, the parser is exactly rounded), and the
+    // aggregate still runs over exact cents per the engine-wide
+    // discipline, so the oracle on the parquet original must match
+    // bit-for-bit.
+    "s9_json_scan" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val dir = derivedFixture("graft_json", d, "graft-json-v1") { tmp =>
+        cust.write.mode("overwrite").json(tmp.toString)
+      }
+      s.read.schema(cust.schema).json(dir.toString)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n"),
+          (sum(Tables.cents(col("c_acctbal"))).cast("long") / 100.0)
+            .as("sum_bal"))
+        .orderBy("c_nationkey")
+    }),
+
     // P2 — one-pass table profiling (the ANALYZE TABLE step that feeds
     // a 100 TB optimizer): null counts, distinct counts, min/max for a
     // column set in ONE scan — a single aggregate (Spark plans the
@@ -432,6 +457,13 @@ object Extras {
         |    / 100.0 AS sum_price
         |FROM orders WHERE o_orderstatus = 'F'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "s9_json_scan" ->
+      """SELECT c_nationkey, count(*) AS n,
+        |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |    / 100.0 AS sum_bal
+        |FROM customer WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     "p2_profile" ->
       """WITH s AS (SELECT count(*) AS n,

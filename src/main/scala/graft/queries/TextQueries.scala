@@ -1178,6 +1178,60 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // D25 — exact-substring span dedup (the ExactSubstr pass of
+    // Lee et al. 2022, "Deduplicating Training Data Makes Language
+    // Models Better"): every K=10-token window is content-hashed, a
+    // window is MARKED when its hash occurs in MORE THAN ONE document,
+    // and per doc the marked overlapping windows merge into maximal
+    // duplicated spans (gaps-and-islands interval merge) — the spans
+    // a curation pipeline cuts out of the training text. Differs from
+    // d22 (winnowing picks a per-doc fingerprint SAMPLE) and d19
+    // (overlap vs a small benchmark side): this finds corpus-internal
+    // repeats at full resolution. Scale: the gram groupBy is the ONE
+    // big shuffle and its key is a content hash — uniform by
+    // construction, no skew; the island merge is doc-local window
+    // work after a shuffle on doc_id. At 100 TB the gram string would
+    // not be materialized — a Karp-Rabin rolling hash yields the same
+    // key in O(1) per position (md5-of-text here keeps the oracle
+    // cross-engine exact); the paper's suffix array finds arbitrary-
+    // length repeats, fixed-K windowing is the shuffle-friendly
+    // equivalent for spans >= K.
+    "d25_substring_spans" -> ((s, d) => {
+      val K = 10
+      val grams = documents(s, d)
+        .withColumn("l", split(col("text"), " "))
+        .filter(size(col("l")) >= K)
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(1, size(l) - ${K - 1}), " +
+            s"i -> concat_ws(' ', slice(l, i, $K)))"))
+          .as(Seq("i0", "gram")))
+        .select(col("doc_id"), (col("i0") + 1).as("i"),
+          md5(col("gram")).as("g"))
+      // "appears in >1 distinct doc" == min/max doc over the gram
+      // partition differ: one shuffle on g, no join, grams scanned once
+      val wG = Window.partitionBy("g")
+      val marked = grams
+        .withColumn("mn", min(col("doc_id")).over(wG))
+        .withColumn("mx", max(col("doc_id")).over(wG))
+        .filter(col("mn") =!= col("mx"))
+        .select("doc_id", "i")
+      val wPrev = Window.partitionBy("doc_id").orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = Window.partitionBy("doc_id").orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      marked
+        .withColumn("pmax", max(col("i") + (K - 1)).over(wPrev))
+        .withColumn("brk",
+          when(col("pmax").isNull || col("i") > col("pmax"), 1).otherwise(0))
+        .withColumn("island", sum(col("brk")).over(wRun))
+        .groupBy("doc_id", "island")
+        .agg(min(col("i")).as("span_start"),
+          (max(col("i")) + (K - 1)).as("span_end"))
+        .select(col("doc_id"), col("span_start"), col("span_end"),
+          (col("span_end") - col("span_start") + 1).as("n_tokens"))
+        .orderBy("doc_id", "span_start")
+    }),
+
     // M1 — multimodal scaffold: opaque binary payload + typed metadata
     // (byte length, content-hash head); the decode stage lives in
     // graft.multimodal (REAL JDK PNG/WAV decode since r5 — see m2).
@@ -1191,6 +1245,35 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // Interval merge: pmax = running max span-end over STRICTLY
+    // preceding marked windows; a window starts a new island iff it
+    // begins past that (strict overlap merge — adjacent-but-disjoint
+    // spans stay separate, the crossing k-gram was NOT duplicated).
+    "d25_substring_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l
+        |              FROM documents WHERE len(string_split(text, ' ')) >= 10),
+        |pos AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 9)) AS i
+        |        FROM toks),
+        |grams AS (SELECT doc_id, i, md5(array_to_string(l[i:i+9], ' ')) AS g
+        |          FROM pos),
+        |dup AS (SELECT g FROM grams GROUP BY g
+        |        HAVING count(DISTINCT doc_id) > 1),
+        |marked AS (SELECT doc_id, i FROM grams JOIN dup USING (g)),
+        |mx AS (SELECT doc_id, i,
+        |    max(i + 9) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM marked),
+        |isl AS (SELECT doc_id, i,
+        |    sum(CASE WHEN pmax IS NULL OR i > pmax THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY i
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM mx)
+        |SELECT doc_id, CAST(min(i) AS INTEGER) AS span_start,
+        |  CAST(max(i) + 9 AS INTEGER) AS span_end,
+        |  CAST(max(i) + 9 - min(i) + 1 AS INTEGER) AS n_tokens
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
+
     "d11_tfidf" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
         |             FROM documents),

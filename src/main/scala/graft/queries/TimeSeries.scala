@@ -38,11 +38,17 @@ object TimeSeries {
     * streaming queries (st4/st5): batch files [E, E+10d), [E+10d,
     * E+20d), then the on-time tail PLUS late duplicates of the first
     * day — a full watermark behind, which the engine must DROP.
-    * Fixture content is a pure function of `d` (testdata is
-    * immutable), so an existing complete fixture is reused — the
-    * rebuild otherwise costs three passes over events per call. */
+    * `withLate = false` omits the day-one replays, giving three
+    * time-disjoint ascending batches — with maxFilesPerTrigger=1 the
+    * per-batch processing order then equals the global (t, id) order,
+    * which is what lets an order-sensitive stateful kernel (st10) be
+    * replayed exactly by a batch SQL oracle. Fixture content is a
+    * pure function of `d` (testdata is immutable), so an existing
+    * complete fixture is reused — the rebuild otherwise costs three
+    * passes over events per call. */
   private def arrivalFixture(s: SparkSession, d: String, prefix: String,
-      project: DataFrame => DataFrame): java.io.File = {
+      project: DataFrame => DataFrame,
+      withLate: Boolean = true): java.io.File = {
     val C1 = E + 10 * PDAY; val C2 = E + 20 * PDAY
     // the fixture tag encodes the projected schema and every cut
     // constant, not just the data dir: changing the projection or the
@@ -50,7 +56,7 @@ object TimeSeries {
     val schemaTag = project(events(s, d)).schema
       .map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")
     val root = new java.io.File(s"/tmp/${prefix}_" + Integer.toHexString(
-      (d + "|" + schemaTag + s"|$E|$C1|$C2").hashCode))
+      (d + "|" + schemaTag + s"|$E|$C1|$C2|$withLate").hashCode))
     val dataDir = new java.io.File(root, "data")
     val complete = Option(dataDir.listFiles())
       .exists(_.count(_.getName.endsWith(".parquet")) == 3)
@@ -59,11 +65,12 @@ object TimeSeries {
       dataDir.mkdirs()
       val src = project(events(s, d))
         .withColumn("t_us", unix_micros(col("ts")))
+      val tail = src.filter(col("t_us") >= C2)
       val batches = Seq(
         src.filter(col("t_us") < C1),
         src.filter(col("t_us") >= C1 && col("t_us") < C2),
-        src.filter(col("t_us") >= C2)
-          .unionByName(src.filter(col("t_us") < E + PDAY)))
+        if (withLate) tail.unionByName(src.filter(col("t_us") < E + PDAY))
+        else tail)
       batches.zipWithIndex.foreach { case (b, i) =>
         val stage = new java.io.File(root, s"w$i").toString
         b.drop("t_us").coalesce(1).write.mode("overwrite").parquet(stage)
@@ -452,6 +459,52 @@ object TimeSeries {
         .orderBy("w_us", "n_name")
     }),
 
+    // §2.10 — STATEFUL streaming FLARE TRIGGER (T9 as an incremental
+    // query, the last declared §2.10 bullet): per-user rolling robust
+    // z via flatMapGroupsWithState through the real micro-batch
+    // engine on the three-batch no-late arrival fixture. The state is
+    // the horizon-deep (4-day) value buffer per user — bounded by
+    // TIME, not stream length, so at 100 TB/day state is
+    // O(users × events-per-horizon) regardless of retention — and it
+    // carries across micro-batch boundaries (hits in batch 2 score
+    // against batch-1 values), which is exactly what the batch T9
+    // RANGE window cannot do incrementally. Horizon/threshold sized
+    // to the events fixture density (~2.2 events/user/day ⇒ ~9-deep
+    // buffers). Oracle: the buffer evolution under time-ordered
+    // disjoint batches equals the global (t_us, event_id) scan, so a
+    // range self-join replays it exactly — z = (v−med)/(max−min) is
+    // three IEEE ops, bit-identical across engines; the median is an
+    // ELEMENT of the buffer (upper median, index n/2), not an
+    // interpolation, so no float formula can diverge.
+    "st10_stream_flare" -> ((s, d) => {
+      val ss = streamSession(s)
+      import ss.implicits._
+      val dataDir = arrivalFixture(s, d, "graft_st10",
+        df => df.select(col("ts"), col("user_id"), col("event_id"),
+          col("value")),
+        withLate = false)
+      val schema = ss.read.parquet(dataDir.toString).schema
+      val stream = ss.readStream.schema(schema)
+        .option("basePath", dataDir.toString)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$dataDir/*.parquet")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("tUs"), col("value"))
+        .as[graft.streaming.StreamOps.Ev]
+      val hits = graft.streaming.StreamOps.flareTrigger(
+        stream, thr = 0.45, horizonUs = 4L * PDAY)
+      val q = hits.writeStream
+        .format("memory").queryName("st10_sink")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ss.table("st10_sink")
+        .select(col("user_id"), col("event_id"), col("tUs").as("t_us"),
+          col("z"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // the engine evict click state once the purchase-side watermark
     // passes click+6h — bounded state on an unbounded stream. The
     // oracle is the identical range join in plain SQL.
@@ -825,6 +878,32 @@ object TimeSeries {
           | AND a.event_type = 'click' AND b.event_type = 'purchase'
           | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
           |ORDER BY a.user_id, click_id, buy_id""".stripMargin,
+
+      // Replays the stateful kernel as a batch range self-join: the
+      // buffer at event a is every b of the same user with
+      // b.t ∈ [a.t − 4d, a.t] and (b.t, b.id) ≤ (a.t, a.id) —
+      // exact because the no-late fixture processes events in global
+      // (t, id) order and the kernel's per-event horizon filter is
+      // monotone (a dropped entry can never re-qualify). Upper median
+      // = sorted element at 0-based index n/2 ⇒ 1-based n//2 + 1.
+      "st10_stream_flare" ->
+        """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, value AS v
+          |           FROM events),
+          |pairs AS (
+          |  SELECT a.user_id AS u, a.event_id AS id, a.t AS t, a.v AS v,
+          |         b.v AS bv
+          |  FROM e a JOIN e b ON a.user_id = b.user_id
+          |   AND b.t >= a.t - 345600000000
+          |   AND (b.t < a.t OR (b.t = a.t AND b.event_id <= a.event_id))),
+          |st AS (
+          |  SELECT u, id, t, v, count(*) AS n, max(bv) AS mx, min(bv) AS mn,
+          |    (array_agg(bv ORDER BY bv))[count(*) // 2 + 1] AS med
+          |  FROM pairs GROUP BY 1, 2, 3, 4)
+          |SELECT u AS user_id, id AS event_id, t AS t_us,
+          |  (v - med) / (mx - mn) AS z
+          |FROM st
+          |WHERE n >= 5 AND mx > mn AND (v - med) / (mx - mn) > 0.45
+          |ORDER BY user_id, event_id""".stripMargin,
 
       // Spark's window(ts, '1 day') aligns to UTC epoch days; events
       // user_id is non-negative so plain % mirrors the Spark key.

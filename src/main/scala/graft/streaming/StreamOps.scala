@@ -52,13 +52,15 @@ object StreamOps {
   case class RollState(buf: List[(Long, Double)])
 
   /** Stateful streaming flare trigger (T9 as an incremental query):
-    * per user, keep a rolling 1-hour buffer; emit events whose robust
-    * z-score vs the buffer median/extent exceeds `thr`. State is
-    * bounded by the time horizon — the streaming analog of the ±1 h
-    * RANGE window. */
-  def flareTrigger(events: Dataset[Ev], thr: Double): Dataset[FlareHit] = {
+    * per user, keep a rolling `horizonUs`-deep buffer; emit events
+    * whose robust z-score vs the buffer median/extent exceeds `thr`.
+    * State is bounded by the time horizon — the streaming analog of
+    * the RANGE window — and carries across micro-batches, which the
+    * batch T9 window cannot do incrementally. */
+  def flareTrigger(events: Dataset[Ev], thr: Double,
+                   horizonUs: Long = 3600000000L): Dataset[FlareHit] = {
     import events.sparkSession.implicits._
-    val horizon = 3600000000L
+    val horizon = horizonUs
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(

@@ -120,6 +120,46 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.getOrElse("updated", 0L) + out.getOrElse("inserted", 0L) === nUpd)
   }
 
+  test("d25: spans are maximal merged >=K-token runs; boundaries match a brute-force replay") {
+    val K = 10
+    val out = SparkEntry.queries("d25_substring_spans")(spark, sf).collect()
+    assert(out.nonEmpty)
+    // every span covers at least one K-window and spans never overlap
+    assert(out.forall(_.getInt(3) >= K))
+    out.groupBy(_.getLong(0)).foreach { case (_, spans) =>
+      val sorted = spans.sortBy(_.getInt(1))
+      sorted.sliding(2).filter(_.length == 2).foreach { p =>
+        assert(p(1).getInt(1) > p(0).getInt(2),
+          s"overlapping spans for doc ${p(0).getLong(0)}")
+      }
+    }
+    // independent replay in plain Scala: exact K-gram cross-doc marks
+    // merged by interval overlap must reproduce the engine's spans
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    val gramDocs = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[Long]]
+    // sliding(K) on a shorter-than-K seq yields one short window —
+    // guard to mirror the query's size(l) >= K filter
+    docs.foreach { case (id, ts) => if (ts.length >= K)
+      ts.sliding(K).map(_.mkString(" ")).foreach(g =>
+        gramDocs.getOrElseUpdate(g, scala.collection.mutable.Set.empty) += id)
+    }
+    val expect = docs.toSeq.filter(_._2.length >= K).flatMap { case (id, ts) =>
+      val marks = ts.sliding(K).zipWithIndex.collect {
+        case (w, i) if gramDocs(w.mkString(" ")).size > 1 => i + 1 }.toSeq
+      val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      marks.foreach { i =>
+        if (spans.nonEmpty && i <= spans.last._2)
+          spans(spans.length - 1) = (spans.last._1, i + K - 1)
+        else spans += ((i, i + K - 1))
+      }
+      spans.map { case (a, b) => (id, a, b, b - a + 1) }
+    }.sortBy(t => (t._1, t._2))
+    val got = out.map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSeq
+    assert(got === expect)
+  }
+
   test("e6: representative precedes its duplicates and shares the cluster") {
     val out = SparkEntry.queries("e6_semdedup")(spark, sf).cache()
     try {

@@ -98,6 +98,21 @@ class StreamingSpec extends SparkSpec {
       "append mode must emit only closed windows")
   }
 
+  test("st10: flare hits score against prior-micro-batch state (cross-batch buffer)") {
+    val E = 1704067200000000L; val D = 86400000000L
+    val hits = SparkEntry.queries("st10_stream_flare")(spark, sf).collect()
+    assert(hits.nonEmpty)
+    // batch files split at E+10d and E+20d; a hit within one 4-day
+    // horizon after a boundary has most of its buffer populated by
+    // the PREVIOUS micro-batch, so nonzero counts here prove the
+    // flatMapGroupsWithState buffer survived the batch boundary (the
+    // DuckDB hash gate already proves the scores themselves).
+    def near(c: Long) = hits.count { r =>
+      val t = r.getLong(2); t > c && t < c + 4 * D }
+    assert(near(E + 10 * D) > 0, "no hit scored against batch-1 state")
+    assert(near(E + 20 * D) > 0, "no hit scored against batch-2 state")
+  }
+
   test("stateful flare trigger fires on an injected spike train") {
     import spark.implicits._
     val E = 1704067200000000L
