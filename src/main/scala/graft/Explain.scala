@@ -75,7 +75,9 @@ object Explain {
       "d24_quality_lr" -> "linear-classifier inference: hashed bigram buckets join a BROADCAST 64-row weight frame; the corpus text never shuffles — one keyed rollup per doc, integer logits",
       "s8_orc_roundtrip" -> "ORC scan with the status filter PUSHED (PushedFilters on the OrcScan) and columns pruned to the 3-column ReadSchema",
       "t3c_detrend_gp" -> "same exchange shape as t3b: ONE shuffle on (part, region) into the group-local Kalman+RTS kernel (flatMapGroups); the only transcendental is the quantized transition decay",
-      "t8_matched_filter" -> "per-user windowed correlation: exchanges keyed by user_id throughout (trigger percentile, island clustering, per-island peak share the partitioning)")
+      "t8_matched_filter" -> "per-user windowed correlation: exchanges keyed by user_id throughout (trigger percentile, island clustering, per-island peak share the partitioning)",
+      "s9_json_scan" -> "JSON scan with the ORIGINAL schema supplied (no inference pass); segment filter pushed to the JSON reader, aggregate over exact cents",
+      "d25_substring_spans" -> "ONE big shuffle on the content-hash gram key (uniform by construction — no skew); duplicate marking is a min/max window over that key, NO join; the island merge windows are doc-local")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by graft.Explain)\n\n")
@@ -132,7 +134,8 @@ object Explain {
       "st6_stream_dedup" -> "dropDuplicates on the business key: state = distinct keys seen (UNBOUNDED without a watermark horizon — st8 is the bounded form)",
       "st7_stream_join" -> "stream-stream interval join: BOTH sides buffered in state, bounded by the 1 h watermark + 6 h join range",
       "st8_stream_dedup_wm" -> "dropDuplicatesWithinWatermark: state is evicted at the horizon (numRowsRemoved > 0 is the contract) — the unbounded-safe dedup",
-      "st9_stream_static_join" -> "stream-static enrichment: the dim broadcasts per micro-batch with NO join state (only the downstream tumbling agg holds state rows) — the dim is swappable under a running query")
+      "st9_stream_static_join" -> "stream-static enrichment: the dim broadcasts per micro-batch with NO join state (only the downstream tumbling agg holds state rows) — the dim is swappable under a running query",
+      "st10_stream_flare" -> "flatMapGroupsWithState flare trigger: state = per-user horizon-deep buffers (bounded by TIME, not stream length), carried across 3 micro-batches — hits right after a batch boundary score against the previous batch's state")
     sb.append("\n\n# Streaming state-operator audit (micro-batch engine telemetry)\n")
     streamAudit.foreach { case (name, expectation) =>
       progresses.synchronized(progresses.clear())
@@ -141,7 +144,7 @@ object Explain {
       // drains within a beat
       Thread.sleep(1500)
       val ps = progresses.synchronized(
-        progresses.getOrElse(s"${name.take(3)}_sink",
+        progresses.getOrElse(s"${name.takeWhile(_ != '_')}_sink",
           progresses.values.flatten.toList).reverse)
       sb.append(s"\n## $name\n\nExpectation: $expectation\n\n")
       if (ps.isEmpty) sb.append("- no progress captured\n")
