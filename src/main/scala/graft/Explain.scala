@@ -77,7 +77,8 @@ object Explain {
       "t3c_detrend_gp" -> "same exchange shape as t3b: ONE shuffle on (part, region) into the group-local Kalman+RTS kernel (flatMapGroups); the only transcendental is the quantized transition decay",
       "t8_matched_filter" -> "per-user windowed correlation: exchanges keyed by user_id throughout (trigger percentile, island clustering, per-island peak share the partitioning)",
       "s9_json_scan" -> "JSON scan with the ORIGINAL schema supplied (no inference pass); segment filter pushed to the JSON reader, aggregate over exact cents",
-      "d25_substring_spans" -> "ONE big shuffle on the content-hash gram key (uniform by construction — no skew); duplicate marking is a min/max window over that key, NO join; the island merge windows are doc-local")
+      "d25_substring_spans" -> "ONE big shuffle on the content-hash gram key (uniform by construction — no skew); duplicate marking is a min/max window over that key, NO join; the island merge windows are doc-local",
+      "m3_frame_pool" -> "decode + frame-sample + 2x2 average-pool all inside ONE row-local mapPartitions kernel — no Exchange before the output sort; video bytes never shuffle")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by graft.Explain)\n\n")

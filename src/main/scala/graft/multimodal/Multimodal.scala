@@ -356,4 +356,65 @@ object Multimodal {
       .withColumn("frame_idx",
         explode(sequence(lit(0), col("meta.n_frames") - 1, lit(every))))
       .select("media_id", "frame_idx")
+
+  /** Frame-sample + resize: decode video payloads (real AVI parse),
+    * keep every `every`-th frame, and average-pool each kept frame
+    * into `pool`×`pool` blocks (ragged right/bottom edges pool fewer
+    * pixels) — the downsample step of a multimodal ingest pipeline.
+    * Per block: exact integer per-channel sums + pixel count, plus
+    * the gray mean as ONE double division of exact integers (so a
+    * SQL oracle recomputes it bit-identically). Partition-local
+    * batched kernel like [[extractSums]]; output is one row per
+    * (video, sampled frame, block). */
+  def pooledFrames(media: DataFrame, every: Int = 2, pool: Int = 2): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("bx", IntegerType),
+      StructField("by", IntegerType),
+      StructField("n_px", IntegerType),
+      StructField("sum_b", LongType),
+      StructField("sum_g", LongType),
+      StructField("sum_r", LongType),
+      StructField("mean_gray", DoubleType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    media.filter(col("kind") === "video").select("media_id", "payload")
+      .mapPartitions { it =>
+        it.grouped(64).flatMap { batch =>
+          batch.flatMap { r =>
+            val id = r.getLong(0)
+            val (w, h, frames) = Codec.decodeAvi(r.getAs[Array[Byte]](1))
+            val nbx = (w + pool - 1) / pool
+            val nby = (h + pool - 1) / pool
+            (0 until frames.length by every).flatMap { f =>
+              val fr = frames(f)
+              val sums = new Array[Long](nby * nbx * 3)
+              val cnt = new Array[Int](nby * nbx)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val b = (y / pool) * nbx + (x / pool)
+                  cnt(b) += 1
+                  var c = 0
+                  while (c < 3) {
+                    sums(b * 3 + c) += (fr((y * w + x) * 3 + c) & 0xff).toLong
+                    c += 1
+                  }
+                  x += 1
+                }
+                y += 1
+              }
+              for (by <- 0 until nby; bx <- 0 until nbx) yield {
+                val b = by * nbx + bx
+                Row(id, f, bx, by, cnt(b),
+                  sums(b * 3), sums(b * 3 + 1), sums(b * 3 + 2),
+                  (sums(b * 3) + sums(b * 3 + 1) + sums(b * 3 + 2)).toDouble
+                    / (3 * cnt(b)))
+              }
+            }
+          }
+        }
+      }(enc)
+  }
 }

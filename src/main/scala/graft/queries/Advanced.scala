@@ -418,6 +418,23 @@ object Advanced {
         .select(col("media_id"), col("kind"), col("n_units"),
           posexplode(col("features")).as(Seq("j", "fsum")))
         .orderBy("media_id", "j")
+    }),
+
+    // M3 — frame-sample + resize (the two video transforms after
+    // decode in a multimodal ingest pipeline): every 2nd frame of
+    // each REAL-decoded AVI is average-pooled into 2×2 blocks. The
+    // kernel is row-local (decode + pool never shuffle; the only
+    // exchange is the output sort), so at 100 TB the cost is one
+    // scan of the video bytes however many executors hold them.
+    // Per-block channel sums are exact integers and the gray mean is
+    // one double division, so the oracle recomputes the pooled
+    // output bit-for-bit from the closed-form pixel values — pooling
+    // block assignment, ragged-edge counts, and frame stride are all
+    // hash-checked against an independent SQL reconstruction.
+    "m3_frame_pool" -> ((s, d) => {
+      val media = graft.multimodal.Multimodal.fromDocuments(documents(s, d))
+      graft.multimodal.Multimodal.pooledFrames(media, every = 2, pool = 2)
+        .orderBy("media_id", "frame_idx", "by", "bx")
     })
   )
 
@@ -731,6 +748,35 @@ object Advanced {
         |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
         |  n_units, j, fsum
         |FROM u ORDER BY media_id, j""".stripMargin,
+
+    // Independent reconstruction of the sampled-and-pooled frames
+    // from the closed-form channel bytes (vidByte, Multimodal.scala):
+    // frames 0,2,4 via generate_series stride 2, block = (x//2, y//2)
+    // — ragged edges pool fewer pixels, which count(*) carries. The
+    // gray mean divides exact integer sums once, like the engine.
+    "m3_frame_pool" ->
+      """WITH vid AS (SELECT doc_id, doc_id % 9 + 4 AS w, doc_id % 7 + 4 AS h,
+        |    doc_id % 5 + 2 AS nf
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |vf AS (SELECT doc_id, w, h,
+        |    unnest(generate_series(0, nf - 1, 2)) AS f FROM vid),
+        |vp AS (SELECT doc_id, w, h, f,
+        |    unnest(generate_series(0, w * h - 1)) AS p FROM vf),
+        |px AS (SELECT doc_id, f, p % w AS x, p // w AS y FROM vp),
+        |b AS (SELECT doc_id, f, x // 2 AS bx, y // 2 AS by,
+        |    (doc_id * 31 + f * 97 + x * 7 + y * 13) % 256 AS vb,
+        |    (doc_id * 31 + f * 97 + x * 7 + y * 13 + 29) % 256 AS vg,
+        |    (doc_id * 31 + f * 97 + x * 7 + y * 13 + 58) % 256 AS vr
+        |  FROM px)
+        |SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+        |  CAST(bx AS INTEGER) AS bx, CAST(by AS INTEGER) AS by,
+        |  CAST(count(*) AS INTEGER) AS n_px,
+        |  CAST(sum(vb) AS BIGINT) AS sum_b,
+        |  CAST(sum(vg) AS BIGINT) AS sum_g,
+        |  CAST(sum(vr) AS BIGINT) AS sum_r,
+        |  CAST(sum(vb + vg + vr) AS DOUBLE) / (3 * count(*)) AS mean_gray
+        |FROM b GROUP BY 1, 2, 3, 4
+        |ORDER BY media_id, frame_idx, by, bx""".stripMargin,
 
     // t3b's full spline fit in SQL: quantized truncated-power basis →
     // integer normal equations (order-free sums) → 9 fixed-order

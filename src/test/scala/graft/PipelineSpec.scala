@@ -34,6 +34,34 @@ class PipelineSpec extends SparkSpec {
     assert(frames.count() > 0)
   }
 
+  test("pooledFrames generalizes beyond the declared query: stride 3, 3x3 pool, ragged edges") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val media = Multimodal.fromDocuments(docs)
+    val out = Multimodal.pooledFrames(media, every = 3, pool = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)) ->
+        (r.getInt(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getDouble(8))).toMap
+    assert(out.nonEmpty)
+    // independent replay from the generation formula for a few videos
+    val vids = docs.select("doc_id").collect().map(_.getLong(0))
+      .filter(_ % 3 == 2).take(5)
+    for (id <- vids) {
+      val w = Multimodal.Codec.vidW(id); val h = Multimodal.Codec.vidH(id)
+      val nf = Multimodal.Codec.vidFrames(id)
+      for (f <- 0 until nf by 3; by <- 0 until (h + 2) / 3; bx <- 0 until (w + 2) / 3) {
+        val xs = (bx * 3) until math.min(bx * 3 + 3, w)
+        val ys = (by * 3) until math.min(by * 3 + 3, h)
+        val sums = Array.tabulate(3)(c =>
+          (for (y <- ys; x <- xs) yield Multimodal.Codec.vidByte(id, f, x, y, c).toLong).sum)
+        val nPx = xs.size * ys.size
+        val got = out((id, f, bx, by))
+        assert(got === ((nPx, sums(0), sums(1), sums(2),
+          sums.sum.toDouble / (3 * nPx))), s"id=$id f=$f b=($bx,$by)")
+      }
+      // stride honored: no frame index that is not a multiple of 3
+      assert(!out.keys.exists(k => k._1 == id && k._2 % 3 != 0))
+    }
+  }
+
   test("codec round-trip: PNG, WAV, and AVI decode back to the generation formula") {
     for (id <- Seq(0L, 3L, 57L, 498L)) { // image-kind ids (id % 3 == 0 not required for the codec itself)
       val (n, sums) = Multimodal.decodeSums("image", Multimodal.Codec.png(id), 8)
