@@ -78,7 +78,9 @@ object Explain {
       "t8_matched_filter" -> "per-user windowed correlation: exchanges keyed by user_id throughout (trigger percentile, island clustering, per-island peak share the partitioning)",
       "s9_json_scan" -> "JSON scan with the ORIGINAL schema supplied (no inference pass); segment filter pushed to the JSON reader, aggregate over exact cents",
       "d25_substring_spans" -> "ONE big shuffle on the content-hash gram key (uniform by construction — no skew); duplicate marking is a min/max window over that key, NO join; the island merge windows are doc-local",
-      "m3_frame_pool" -> "decode + frame-sample + 2x2 average-pool all inside ONE row-local mapPartitions kernel — no Exchange before the output sort; video bytes never shuffle")
+      "m3_frame_pool" -> "decode + frame-sample + 2x2 average-pool all inside ONE row-local mapPartitions kernel — no Exchange before the output sort; video bytes never shuffle",
+      "t4_sigma_clip" -> "iterative clip as a per-user window fixpoint: every round is one Exchange on user_id (median + moment windows share it) — no joins, no global sort inside the loop",
+      "e4_ivf_fixed" -> "IVF search at fixed centroids: broadcast centroid routing assigns clusters map-side; the corpus shuffles ONCE on cid; probe-side top-k is a per-query window over nProbe clusters only")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by graft.Explain)\n\n")

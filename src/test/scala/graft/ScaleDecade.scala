@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One-off two-decade scale sweep (NOT part of `sbt test` — run it
+  * manually): times the heavy corpus queries on the 1×/10×/100×
+  * ScaleFixture corpora (5 k → 500 k docs, 100 k → 10 M events,
+  * 600 k → 60 M lineitem rows) under the driver bench config
+  * (local[32], 32 shuffle partitions — the SAME config at every size,
+  * so the ratios are internally consistent). ScaleSweepSpec asserts
+  * the 1×→10× decade on every `sbt test`; this runner extends the
+  * measurement one more decade where a spec would cost too much suite
+  * time. Numbers are recorded in BASELINE.md §scale.
+  *
+  * Run: `SPARK_DRIVER_MEM=24g sbt "Test/runMain graft.ScaleDecade"`
+  */
+object ScaleDecade {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val mults = args.headOption.map(_.split(",").map(_.toInt).toSeq)
+      .getOrElse(Seq(1, 10, 100))
+    val dirs = mults.map(m => m -> ScaleFixture.dir(spark, m)).toMap
+    val queries = Seq("d2_ngram_jaccard", "d3_minhash_lsh",
+      "d4b_simhash_pairs", "d15_components", "d25_substring_spans")
+    // JIT warmup outside the timed section (Bench rationale)
+    Seq("d1_exact_dedup", "d4_simhash").foreach(q =>
+      SparkEntry.queries(q)(spark, dirs(mults.head)).count())
+    for (q <- queries; m <- mults) {
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(q)(spark, dirs(m)).count()
+      printf("[decade] %-22s x%-3d rows %9d  %7.2f s%n",
+        q, m, n, (System.nanoTime() - t0) / 1e9)
+      spark.catalog.clearCache(); System.gc()
+    }
+    spark.stop()
+  }
+}
