@@ -80,7 +80,8 @@ object Explain {
       "d25_substring_spans" -> "ONE big shuffle on the content-hash gram key (uniform by construction — no skew); duplicate marking is a min/max window over that key, NO join; the island merge windows are doc-local",
       "m3_frame_pool" -> "decode + frame-sample + 2x2 average-pool all inside ONE row-local mapPartitions kernel — no Exchange before the output sort; video bytes never shuffle",
       "t4_sigma_clip" -> "iterative clip as a per-user window fixpoint: every round is one Exchange on user_id (median + moment windows share it) — no joins, no global sort inside the loop",
-      "e4_ivf_fixed" -> "IVF search at fixed centroids: broadcast centroid routing assigns clusters map-side; the corpus shuffles ONCE on cid; probe-side top-k is a per-query window over nProbe clusters only")
+      "e4_ivf_fixed" -> "IVF search at fixed centroids: broadcast centroid routing assigns clusters map-side; the corpus shuffles ONCE on cid; probe-side top-k is a per-query window over nProbe clusters only",
+      "d26_bpe_train" -> "driver-loop operator (t6b division): the corpus is touched ONCE by the word-frequency aggregation; the 3-round merge loop runs keyed aggregations over the vocabulary-sized word table and only the 1-row argmax lands on the driver — returned frame is the LocalTableScan of merges")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by graft.Explain)\n\n")

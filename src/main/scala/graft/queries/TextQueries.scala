@@ -1232,6 +1232,56 @@ object TextQueries {
         .orderBy("doc_id", "span_start")
     }),
 
+    // D26 — BPE tokenizer TRAINING (3 merge rounds): the vocabulary-
+    // learning step of an LLM data pipeline (Sennrich et al. 2016).
+    // Exactly like production BPE trainers (HF tokenizers, SentencePiece
+    // in BPE mode), the corpus is touched ONCE — a word-frequency
+    // aggregation (the single corpus-scale shuffle) — and the merge
+    // loop runs on the distinct-word table, which is vocabulary-sized
+    // (Heaps' law: ~millions of rows at 100 TB, distributing fine as
+    // keyed aggregations; only the 1-row argmax lands on the driver,
+    // the t6b/t13 division of labor). Greedy left-to-right merge
+    // application is an `aggregate` HOF fold whose accumulator IS the
+    // re-segmented symbol list — "aaa" under (a,a) correctly yields
+    // [aa, a] because the fold compares the MERGED last symbol, not
+    // the original. All counts are exact integers; ties break on
+    // (count DESC, pair ASC), so the DuckDB replay (recursive-CTE
+    // walk per word per round) must pick identical merges.
+    "d26_bpe_train" -> ((s, d) => {
+      val wf = documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .withColumn("syms",
+          expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+        .persist() // consumed by 3 pair-count + 3 tot jobs, released below
+      var seg: DataFrame = wf
+      val merges = (1 to 3).map { r =>
+        val pairs = seg.filter(size(col("syms")) > 1)
+          .select(col("freq"), explode(expr(
+            "transform(sequence(1, size(syms) - 1), i -> named_struct(" +
+              "'a', element_at(syms, i), 'b', element_at(syms, i + 1)))")).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("freq")).as("n"))
+        val best = pairs.orderBy(col("n").desc, col("a"), col("b")).limit(1)
+          .collect()(0)
+        val (a, b, n) = (best.getString(0), best.getString(1), best.getLong(2))
+        require((a + b).matches("[a-z]+"), s"unexpected symbol: '$a'+'$b'")
+        seg = seg.withColumn("syms", expr(
+          s"""aggregate(syms, cast(array() as array<string>), (acc, x) -> CASE
+             |  WHEN size(acc) = 0 THEN array(x)
+             |  WHEN element_at(acc, size(acc)) = '$a' AND x = '$b'
+             |  THEN concat(slice(acc, 1, size(acc) - 1), array('${a + b}'))
+             |  ELSE concat(acc, array(x)) END)""".stripMargin))
+        val tot = seg.agg(sum(col("freq") * size(col("syms"))).as("t"))
+          .collect()(0).getLong(0)
+        (r, a, b, n, tot)
+      }
+      wf.unpersist()
+      import s.implicits._
+      merges.toDF("round", "lhs", "rhs", "n_pair", "tot_pieces")
+        .orderBy("round")
+    }),
+
     // M1 — multimodal scaffold: opaque binary payload + typed metadata
     // (byte length, content-hash head); the decode stage lives in
     // graft.multimodal (REAL JDK PNG/WAV decode since r5 — see m2).
@@ -1245,6 +1295,55 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // Independent BPE replay: per round, pair counts + the engine's
+    // (count DESC, pair ASC) argmax, then a recursive walk re-segments
+    // every word left-to-right. The winning pair rides along as walk
+    // COLUMNS (ba/bsym via a cross join in the seed) — a correlated
+    // scalar subquery in the recursive term re-plans the argmax per
+    // row-step and is ~400× slower (measured 79.5 s vs 0.21 s).
+    "d26_bpe_train" -> {
+      def round(r: Int): String = {
+        val in = s"seg${r - 1}"
+        s"""p$r AS (SELECT s.syms[i] AS a, s.syms[i + 1] AS b, sum(s.freq) AS n
+           |  FROM (SELECT freq, syms,
+           |      unnest(generate_series(1, len(syms) - 1)) AS i
+           |    FROM $in WHERE len(syms) > 1) s
+           |  GROUP BY 1, 2),
+           |b$r AS (SELECT a, b, n FROM p$r ORDER BY n DESC, a, b LIMIT 1),
+           |walk$r AS (
+           |  SELECT w, freq, syms, 1 AS i, CAST([] AS VARCHAR[]) AS acc,
+           |    bb.a AS ba, bb.b AS bsym FROM $in CROSS JOIN b$r bb
+           |  UNION ALL
+           |  SELECT w, freq, syms, i + 1,
+           |    CASE WHEN len(acc) = 0 THEN [syms[i]]
+           |      WHEN acc[len(acc)] = ba AND syms[i] = bsym
+           |      THEN acc[1:len(acc) - 1] || [ba || bsym]
+           |      ELSE acc || [syms[i]] END, ba, bsym
+           |  FROM walk$r WHERE i <= len(syms)),
+           |seg$r AS (SELECT w, freq, acc AS syms FROM walk$r
+           |  WHERE i = len(syms) + 1),
+           |t$r AS (SELECT sum(freq * len(syms)) AS tot FROM seg$r)""".stripMargin
+      }
+      def row(r: Int): String =
+        s"""SELECT $r AS round, (SELECT a FROM b$r) AS lhs,
+           |  (SELECT b FROM b$r) AS rhs,
+           |  CAST((SELECT n FROM b$r) AS BIGINT) AS n_pair,
+           |  CAST((SELECT tot FROM t$r) AS BIGINT) AS tot_pieces""".stripMargin
+      s"""WITH RECURSIVE wf AS (
+         |  SELECT w, count(*) AS freq
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  GROUP BY w),
+         |seg0 AS (SELECT w, freq,
+         |    list_transform(generate_series(1, length(w)),
+         |      i -> substr(w, i, 1)) AS syms
+         |  FROM wf),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT * FROM (${row(1)} UNION ALL ${row(2)} UNION ALL ${row(3)}) AS u
+         |ORDER BY round""".stripMargin
+    },
+
     // Interval merge: pmax = running max span-end over STRICTLY
     // preceding marked windows; a window starts a new island iff it
     // begins past that (strict overlap merge — adjacent-but-disjoint

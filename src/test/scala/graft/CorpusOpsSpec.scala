@@ -160,6 +160,40 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("d26: merge choices and corpus piece counts match a plain-Scala BPE replay") {
+    val out = SparkEntry.queries("d26_bpe_train")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(out.length === 3)
+    // independent replay: word counts -> greedy merge loop in plain Scala
+    val wf = scala.collection.mutable.Map.empty[String, Long]
+    graft.core.Tables.documents(spark, sf).select("text").collect()
+      .foreach(_.getString(0).split(" ", -1).foreach(w =>
+        wf(w) = wf.getOrElse(w, 0L) + 1))
+    var seg: Map[String, Vector[String]] =
+      wf.keys.map(w => w -> w.map(_.toString).toVector).toMap
+    val expect = (1 to 3).map { r =>
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((w, syms) <- seg; i <- 0 until syms.length - 1) {
+        val k = (syms(i), syms(i + 1)); pc(k) = pc.getOrElse(k, 0L) + wf(w)
+      }
+      val ((a, b), n) = pc.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.head
+      seg = seg.map { case (w, syms) =>
+        val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+        syms.foreach { x =>
+          if (acc.nonEmpty && acc.last == a && x == b) acc(acc.length - 1) = a + b
+          else acc += x
+        }
+        w -> acc.toVector
+      }
+      val tot = seg.map { case (w, s) => wf(w) * s.length }.sum
+      (r, a, b, n, tot)
+    }
+    assert(out.toSeq === expect,
+      "engine merges must equal the independent greedy replay")
+    // each merge strictly shrinks the corpus piece count
+    assert(out.sliding(2).forall(p => p(1)._5 < p(0)._5))
+  }
+
   test("e6: representative precedes its duplicates and shares the cluster") {
     val out = SparkEntry.queries("e6_semdedup")(spark, sf).cache()
     try {
