@@ -95,12 +95,20 @@ class ScaleSweepSpec extends SparkSpec {
     val sweep = Seq("d2_ngram_jaccard", "d3_minhash_lsh", "d4b_simhash_pairs",
       "d15_components", "d25_substring_spans")
     val report = sweep.map { q =>
-      val r1 = rowsQ(q, x1); val t1 = timeQ(q, x1)
-      val r10 = rowsQ(q, x10); val t10 = timeQ(q, x10)
+      val r1 = rowsQ(q, x1); var t1 = timeQ(q, x1)
+      val r10 = rowsQ(q, x10); var t10 = timeQ(q, x10)
       val volRatio = math.max(10.0, r10.toDouble / math.max(1L, r1))
-      val timeRatio = t10 / t1
       // linear-in-candidates bound: 3× the answer-volume ratio (noise,
-      // partition-count effects); a quadratic blowup is ~100× and fails
+      // partition-count effects); a quadratic blowup is ~100× and fails.
+      // A single in-suite measurement can be GC-inflated ~20× (observed
+      // once: d3 49.9 s after 200 prior tests on the shared 8g heap vs
+      // 2.3 s isolated), so on breach re-measure and take per-size
+      // minima — a real quadratic blowup reproduces, a GC spike doesn't
+      if (t10 / t1 >= 3.0 * volRatio) {
+        System.gc()
+        t1 = math.min(t1, timeQ(q, x1)); t10 = math.min(t10, timeQ(q, x10))
+      }
+      val timeRatio = t10 / t1
       assert(timeRatio < 3.0 * volRatio,
         s"$q: time ratio $timeRatio exceeds 3x volume ratio $volRatio " +
         s"(t1=$t1 t10=$t10 rows1=$r1 rows10=$r10)")
@@ -122,8 +130,12 @@ class ScaleSweepSpec extends SparkSpec {
       // same size at 10×; only the event volume grows
       "st10_stream_flare" -> 30.0)
     val report = bounds.toSeq.sortBy(_._1).map { case (q, bound) =>
-      val t1 = timeQ(q, x1)
-      val t10 = timeQ(q, x10)
+      var t1 = timeQ(q, x1)
+      var t10 = timeQ(q, x10)
+      if (t10 / t1 >= bound) { // GC-spike re-measure, see test (b)
+        System.gc()
+        t1 = math.min(t1, timeQ(q, x1)); t10 = math.min(t10, timeQ(q, x10))
+      }
       assert(t10 / t1 < bound, s"$q: t10/t1 = ${t10 / t1} exceeds $bound (t1=$t1 t10=$t10)")
       f"$q%-22s time $t1%6.2fs -> $t10%7.2fs  (x${t10 / t1}%4.1f)"
     }
