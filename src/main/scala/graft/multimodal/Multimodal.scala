@@ -349,6 +349,59 @@ object Multimodal {
     }(enc)
   }
 
+  /** Windowed audio features over REAL-decoded WAV samples — the
+    * audio-side framing transform of a multimodal ingest pipeline
+    * (the step before any spectral featurization): fixed `win`-sample
+    * frames at `hop`-sample stride, ragged final frame kept (like
+    * m3's ragged pool edges). Per frame: sample count, energy
+    * (exact Σ s² as long), zero-crossing count (strict sign-bit
+    * change between adjacent samples — integer comparison, no
+    * epsilon), peak |s|, and mean power as ONE double division of
+    * exact integers so a SQL oracle reproduces it bit-for-bit.
+    * Row-local batched kernel: decode + framing never shuffle. */
+  def windowedAudio(media: DataFrame, win: Int = 16, hop: Int = 8): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("win_idx", IntegerType),
+      StructField("start_i", IntegerType),
+      StructField("n_s", IntegerType),
+      StructField("energy", LongType),
+      StructField("zc", IntegerType),
+      StructField("peak", IntegerType),
+      StructField("pow_mean", DoubleType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    media.filter(col("kind") === "audio").select("media_id", "payload")
+      .mapPartitions { it =>
+        it.grouped(64).flatMap { batch =>
+          batch.flatMap { r =>
+            val id = r.getLong(0)
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+            val bytes = ais.readAllBytes()
+            val n = bytes.length / 2
+            def s(i: Int): Int =
+              ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt
+            val nw = (n + hop - 1) / hop // frames start at 0, hop, ... < n
+            (0 until nw).map { w =>
+              val start = w * hop
+              val end = math.min(start + win, n)
+              var energy = 0L; var zc = 0; var peak = 0
+              var i = start
+              while (i < end) {
+                val v = s(i)
+                energy += v.toLong * v
+                if (i > start && ((s(i - 1) < 0) != (v < 0))) zc += 1
+                if (math.abs(v) > peak) peak = math.abs(v)
+                i += 1
+              }
+              Row(id, w, start, end - start, energy, zc, peak,
+                energy.toDouble / (end - start))
+            }
+          }
+        }
+      }(enc)
+  }
+
   /** Frame sampling for video-kind rows: explode n_frames into a
     * bounded sample of frame indices. */
   def sampleFrames(media: DataFrame, every: Int = 30): DataFrame =

@@ -435,6 +435,23 @@ object Advanced {
       val media = graft.multimodal.Multimodal.fromDocuments(documents(s, d))
       graft.multimodal.Multimodal.pooledFrames(media, every = 2, pool = 2)
         .orderBy("media_id", "frame_idx", "by", "bx")
+    }),
+
+    // M4 — audio framing features (the audio analog of m3): every
+    // REAL-decoded WAV is cut into 16-sample frames at 8-sample hop
+    // (50% overlap, the standard STFT framing), and per frame the
+    // kernel emits energy, zero-crossing count, and peak — the
+    // classic voice-activity / silence-trim signals computed before
+    // any spectral transform. All features are exact integers except
+    // mean power (one division of exact integers), so the oracle
+    // recomputes the decode→frame→feature chain bit-for-bit from the
+    // closed-form sample values. Row-local kernel: the only exchange
+    // is the output sort, so at 100 TB this is one scan of the audio
+    // bytes wherever they sit.
+    "m4_audio_win" -> ((s, d) => {
+      val media = graft.multimodal.Multimodal.fromDocuments(documents(s, d))
+      graft.multimodal.Multimodal.windowedAudio(media, win = 16, hop = 8)
+        .orderBy("media_id", "win_idx")
     })
   )
 
@@ -777,6 +794,41 @@ object Advanced {
         |  CAST(sum(vb + vg + vr) AS DOUBLE) / (3 * count(*)) AS mean_gray
         |FROM b GROUP BY 1, 2, 3, 4
         |ORDER BY media_id, frame_idx, by, bx""".stripMargin,
+
+    // Independent reconstruction of the framed audio features from
+    // the closed-form sample values (Codec.sample): frames start at
+    // 0, 8, 16, ... while < n = id%50+20, each spans 16 samples
+    // clipped to n (ragged last frame). Zero-crossing pairs the
+    // PREVIOUS sample via i-1 arithmetic (not a window function) so
+    // the pair stays inside the frame exactly like the kernel's
+    // i > start guard; sign test is (s < 0) — the same strict
+    // sign-bit comparison. energy sums s² as exact BIGINT; pow_mean
+    // is the same single division of exact integers.
+    "m4_audio_win" ->
+      """WITH aud AS (SELECT doc_id, doc_id % 50 + 20 AS n
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |w AS (SELECT doc_id, n,
+        |    unnest(generate_series(0, CAST((n + 7) // 8 AS INTEGER) - 1)) AS wi
+        |  FROM aud),
+        |ws AS (SELECT doc_id, wi, wi * 8 AS start_i,
+        |    least(wi * 8 + 16, n) AS end_i FROM w),
+        |si AS (SELECT doc_id, wi, start_i,
+        |    unnest(generate_series(start_i, end_i - 1)) AS i FROM ws),
+        |sv AS (SELECT doc_id, wi, start_i, i,
+        |    (doc_id * 131 + i * 17) % 65536 - 32768 AS s,
+        |    CASE WHEN i > start_i
+        |      THEN (doc_id * 131 + (i - 1) * 17) % 65536 - 32768 END AS sp
+        |  FROM si)
+        |SELECT doc_id AS media_id, CAST(wi AS INTEGER) AS win_idx,
+        |  CAST(start_i AS INTEGER) AS start_i,
+        |  CAST(count(*) AS INTEGER) AS n_s,
+        |  CAST(sum(CAST(s AS BIGINT) * s) AS BIGINT) AS energy,
+        |  CAST(sum(CASE WHEN sp IS NOT NULL AND ((sp < 0) <> (s < 0))
+        |    THEN 1 ELSE 0 END) AS INTEGER) AS zc,
+        |  CAST(max(abs(s)) AS INTEGER) AS peak,
+        |  CAST(sum(CAST(s AS BIGINT) * s) AS DOUBLE) / count(*) AS pow_mean
+        |FROM sv GROUP BY 1, 2, 3
+        |ORDER BY media_id, win_idx""".stripMargin,
 
     // t3b's full spline fit in SQL: quantized truncated-power basis →
     // integer normal equations (order-free sums) → 9 fixed-order
