@@ -1282,6 +1282,45 @@ object TextQueries {
         .orderBy("round")
     }),
 
+    // D27 — BPE tokenizer APPLY (the encode stage that pairs d26's
+    // trainer): a FIXED merge ranking — the shipped merges.txt of a
+    // production tokenizer — is applied to the corpus and every doc
+    // gets its BPE piece count, the number LLM data pipelines bill
+    // by. Sennrich apply semantics: merges in rank order, each
+    // applied greedily left-to-right over the whole word (the d26
+    // fold), so rank-2 'th'+'e' correctly consumes rank-1's merged
+    // 'th'. The corpus is touched by ONE shuffle (doc×word counts);
+    // the 6-deep merge fold runs once per DISTINCT word on the
+    // vocabulary-sized table and joins back — the word-level cache
+    // every real tokenizer uses (broadcast here; at 100 TB a
+    // millions-row vocab would shuffle-join on w instead). All
+    // outputs are exact integers; pieces-per-100-words uses integer
+    // div on both engines.
+    "d27_bpe_encode" -> ((s, d) => {
+      val merges = Seq(("t", "h"), ("th", "e"), ("e", "r"),
+        ("o", "r"), ("a", "t"), ("s", "t"))
+      val tf = documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("n_w"))
+      val segExpr = merges.zipWithIndex.foldLeft(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))") {
+        case (inner, ((a, b), r)) =>
+          s"""aggregate($inner, cast(array() as array<string>), (a$r, x$r) -> CASE
+             |  WHEN size(a$r) = 0 THEN array(x$r)
+             |  WHEN element_at(a$r, size(a$r)) = '$a' AND x$r = '$b'
+             |  THEN concat(slice(a$r, 1, size(a$r) - 1), array('${a + b}'))
+             |  ELSE concat(a$r, array(x$r)) END)""".stripMargin
+      }
+      val vocab = tf.select("w").distinct().withColumn("np", size(expr(segExpr)))
+      tf.join(broadcast(vocab), "w")
+        .groupBy("doc_id")
+        .agg(sum(col("n_w")).as("n_words"),
+          sum(col("n_w") * col("np")).as("n_pieces"))
+        .withColumn("per100", expr("(100 * n_pieces) div n_words"))
+        .orderBy("doc_id")
+    }),
+
     // M1 — multimodal scaffold: opaque binary payload + typed metadata
     // (byte length, content-hash head); the decode stage lives in
     // graft.multimodal (REAL JDK PNG/WAV decode since r5 — see m2).
@@ -1342,6 +1381,46 @@ object TextQueries {
          |${round(3)}
          |SELECT * FROM (${row(1)} UNION ALL ${row(2)} UNION ALL ${row(3)}) AS u
          |ORDER BY round""".stripMargin
+    },
+
+    // Independent replay of the fixed-rank merge application: per
+    // rank a recursive walk re-segments every DISTINCT word
+    // left-to-right against the constant pair (the d26 walk with the
+    // argmax replaced by the shipped ranking), then doc×word counts
+    // join the piece table back. Integer div (`//`) matches Spark's
+    // `div` on the nonnegative operands.
+    "d27_bpe_encode" -> {
+      val merges = Seq(("t", "h"), ("th", "e"), ("e", "r"),
+        ("o", "r"), ("a", "t"), ("s", "t"))
+      val walks = merges.zipWithIndex.map { case ((a, b), i) =>
+        val r = i + 1
+        s"""walk$r AS (
+           |  SELECT w, 1 AS i, syms, CAST([] AS VARCHAR[]) AS acc
+           |  FROM seg${r - 1}
+           |  UNION ALL
+           |  SELECT w, i + 1, syms,
+           |    CASE WHEN len(acc) = 0 THEN [syms[i]]
+           |      WHEN acc[len(acc)] = '$a' AND syms[i] = '$b'
+           |      THEN acc[1:len(acc) - 1] || ['${a + b}']
+           |      ELSE acc || [syms[i]] END
+           |  FROM walk$r WHERE i <= len(syms)),
+           |seg$r AS (SELECT w, acc AS syms FROM walk$r
+           |  WHERE i = len(syms) + 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |vocab AS (SELECT DISTINCT w FROM toks WHERE w <> ''),
+         |seg0 AS (SELECT w, list_transform(generate_series(1, length(w)),
+         |    i -> substr(w, i, 1)) AS syms FROM vocab),
+         |$walks,
+         |np AS (SELECT w, len(syms) AS np FROM seg${merges.size}),
+         |tf AS (SELECT doc_id, w, count(*) AS n_w FROM toks
+         |       WHERE w <> '' GROUP BY 1, 2)
+         |SELECT doc_id, CAST(sum(n_w) AS BIGINT) AS n_words,
+         |  CAST(sum(n_w * np) AS BIGINT) AS n_pieces,
+         |  CAST((100 * sum(n_w * np)) // sum(n_w) AS BIGINT) AS per100
+         |FROM tf JOIN np USING (w) GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin
     },
 
     // Interval merge: pmax = running max span-end over STRICTLY
