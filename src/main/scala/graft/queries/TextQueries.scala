@@ -722,6 +722,45 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // D28 — bigram-LM surprisal scoring: the CCNet-style perplexity
+    // quality filter (Wenzek et al. 2020 score against a KenLM
+    // n-gram model; the corpus-trained add-one bigram LM here is the
+    // same pipeline shape with the model itself learned in-plan).
+    // p(b|a) = (c(a,b)+1)/(c(a,·)+V); each doc's mean ln p over its
+    // adjacent pairs is the score curation thresholds on. Cost: the
+    // doc×bigram count is the one corpus-scale shuffle; the corpus
+    // bigram/left-context tables re-aggregate FROM it (map-side
+    // combine, vocab²-bounded output), and the score join keys on
+    // the bigram — AQE broadcasts the model tables while they fit
+    // and falls back to a shuffle join at web-corpus vocabularies.
+    // Per-pair logprobs integerized at 1e6 (the d14 technique), so
+    // the per-doc sum is order-free and the mean a ratio of exact
+    // integers.
+    "d28_bigram_lm" -> ((s, d) => {
+      val toks = documents(s, d).select(col("doc_id"),
+        explode(split(col("text"), " ")).as("tok")).filter(col("tok") =!= "")
+      val vt = toks.agg(countDistinct(col("tok")).as("v"))
+      val dbf = documents(s, d)
+        .select(col("doc_id"), explode(expr(
+          """zip_with(
+            |  slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
+            |  slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
+            |  (x, y) -> named_struct('a', x, 'b', y))""".stripMargin)).as("p"))
+        .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+        .groupBy("doc_id", "a", "b").agg(count(lit(1)).as("n_db"))
+      val cbf = dbf.groupBy("a", "b").agg(sum(col("n_db")).cast("long").as("c_ab"))
+      val cuf = dbf.groupBy("a").agg(sum(col("n_db")).cast("long").as("c_a"))
+      dbf.join(cbf, Seq("a", "b")).join(cuf, Seq("a")).crossJoin(broadcast(vt))
+        .withColumn("li", round(log((col("c_ab") + 1).cast("double") /
+          (col("c_a") + col("v"))) * 1e6).cast("long"))
+        .groupBy("doc_id")
+        .agg(sum(col("n_db")).cast("long").as("n_bg"),
+          sum(col("n_db") * col("li")).cast("long").as("lp_sum6"))
+        .withColumn("mean_lp", col("lp_sum6").cast("double") / col("n_bg") / 1e6)
+        .select("doc_id", "n_bg", "lp_sum6", "mean_lp")
+        .orderBy("doc_id")
+    }),
+
     // D16 — repetition signals (Gopher-rule family, Rae et al. 2021):
     // fraction of tokens in the most-common token, duplicate-bigram
     // fraction, and most-common-bigram fraction — the standard cheap
@@ -1610,6 +1649,31 @@ object TextQueries {
         |  FROM li GROUP BY 1)
         |SELECT doc_id, n_tok, lp_sum6,
         |  CAST(lp_sum6 AS DOUBLE) / n_tok / 1e6 AS mean_lp
+        |FROM ag ORDER BY doc_id""".stripMargin,
+
+    // Same smoothed-conditional arithmetic, independently derived:
+    // bigrams via generate_series indexing (not the engine's
+    // zip_with), the model tables re-aggregated from the doc-level
+    // counts, ln quantized at 1e6 exactly like the engine's round().
+    "d28_bigram_lm" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |toks AS (SELECT doc_id, unnest(tk) AS tok FROM t),
+        |v AS (SELECT count(DISTINCT tok) AS v FROM toks WHERE tok <> ''),
+        |bgi AS (SELECT doc_id, tk,
+        |        unnest(generate_series(1, len(tk) - 1)) AS i FROM t),
+        |bg0 AS (SELECT doc_id, tk[i] AS a, tk[i + 1] AS b FROM bgi),
+        |dbf AS (SELECT doc_id, a, b, count(*) AS n_db FROM bg0 GROUP BY 1, 2, 3),
+        |cbf AS (SELECT a, b, CAST(sum(n_db) AS BIGINT) AS c_ab
+        |        FROM dbf GROUP BY 1, 2),
+        |cuf AS (SELECT a, CAST(sum(n_db) AS BIGINT) AS c_a FROM dbf GROUP BY 1),
+        |li AS (SELECT doc_id, n_db,
+        |    CAST(round(ln(CAST(c_ab + 1 AS DOUBLE) / (c_a + v)) * 1e6)
+        |      AS BIGINT) AS li
+        |  FROM dbf JOIN cbf USING (a, b) JOIN cuf USING (a), v),
+        |ag AS (SELECT doc_id, CAST(sum(n_db) AS BIGINT) AS n_bg,
+        |    CAST(sum(n_db * li) AS BIGINT) AS lp_sum6 FROM li GROUP BY 1)
+        |SELECT doc_id, n_bg, lp_sum6,
+        |  CAST(lp_sum6 AS DOUBLE) / n_bg / 1e6 AS mean_lp
         |FROM ag ORDER BY doc_id""".stripMargin,
 
     "d16_repetition" ->
