@@ -378,6 +378,34 @@ object TextQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // E8 — FILTERED vector search (the filtered-ANN problem every
+    // vector store exposes: top-k restricted by a metadata
+    // predicate). This is the PRE-filter strategy: the label/id
+    // predicate applies at the SCAN (parquet pushes both — ~15% of
+    // rows survive), so distances are only ever computed on the
+    // admissible subset; post-filtering a top-k would instead
+    // under-fill k whenever the unfiltered neighborhood is mostly
+    // inadmissible. Same integerized-cosine contract as e1/e2; the
+    // 5-query set broadcasts, top-5 per query via the per-group
+    // rank window.
+    "e8_filtered_ann" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val cand = emb.filter(col("label").isin(1, 2) && col("vec_id") % 5 =!= 0)
+        .withColumn("nrm", dot_i12(col("embedding"), col("embedding")))
+      val q = emb.filter(col("vec_id") < 5)
+        .withColumn("qn", dot_i12(col("embedding"), col("embedding")))
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("qn"))
+      val sim = cand.crossJoin(broadcast(q))
+        .withColumn("dot", dot_i12(col("qe"), col("embedding")))
+        .withColumn("sim", (col("dot") / 1e12) /
+          nullif(sqrt(col("qn") / 1e12) * sqrt(col("nrm") / 1e12), lit(0.0)))
+      val w = Window.partitionBy("q_id").orderBy(desc("sim"), asc("vec_id"))
+      sim.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        .select(col("q_id"), col("rank"), col("vec_id"), col("label"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy("q_id", "rank")
+    }),
+
     // D9 — embedding-cosine near-dup: candidate pairs from the sign-LSH
     // bucket (shuffle key at scale), exact integerized cosine inside the
     // bucket, pairs above threshold. Same arithmetic contract as e1/e2.
@@ -1875,6 +1903,36 @@ object TextQueries {
         |  FROM sim)
         |SELECT q_id, rank, vec_id, round(sim, 6) AS sim
         |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    // Filtered brute force, independently: the predicate restricts
+    // the candidate side only (queries are arbitrary vectors), and
+    // the admissible top-5 is recomputed from scratch.
+    "e8_filtered_ann" ->
+      """WITH dims AS (
+        |  SELECT vec_id, label, pos, CAST(x AS DOUBLE) AS x FROM (
+        |    SELECT vec_id, label, unnest(embedding) AS x,
+        |      unnest(generate_series(0, len(embedding) - 1)) AS pos
+        |    FROM embeddings)),
+        |norms AS (SELECT vec_id,
+        |    sum(CAST(round(x * x * 1e12) AS BIGINT)) AS nrm
+        |  FROM dims GROUP BY 1),
+        |q AS (SELECT vec_id AS q_id, pos, x AS qx FROM dims WHERE vec_id < 5),
+        |cand AS (SELECT * FROM dims
+        |  WHERE label IN (1, 2) AND vec_id % 5 <> 0),
+        |dots AS (SELECT q_id, vec_id, label,
+        |    sum(CAST(round(qx * x * 1e12) AS BIGINT)) AS dot
+        |  FROM q JOIN cand USING (pos) GROUP BY 1, 2, 3),
+        |sim AS (SELECT q_id, dots.vec_id AS vec_id, label,
+        |    (dot / 1e12) / nullif(sqrt(qn.nrm / 1e12) * sqrt(cn.nrm / 1e12), 0.0) AS sim
+        |  FROM dots
+        |  JOIN norms qn ON qn.vec_id = dots.q_id
+        |  JOIN norms cn ON cn.vec_id = dots.vec_id),
+        |ranked AS (SELECT q_id, vec_id, label, sim,
+        |    row_number() OVER (PARTITION BY q_id
+        |                       ORDER BY sim DESC, vec_id ASC) AS rank
+        |  FROM sim)
+        |SELECT q_id, rank, vec_id, label, round(sim, 6) AS sim
+        |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
     "e2_lsh_ann" -> {
       val bucketSql = (1 to 8).map(j =>
