@@ -81,7 +81,11 @@ object Explain {
       "m3_frame_pool" -> "decode + frame-sample + 2x2 average-pool all inside ONE row-local mapPartitions kernel — no Exchange before the output sort; video bytes never shuffle",
       "t4_sigma_clip" -> "iterative clip as a per-user window fixpoint: every round is one Exchange on user_id (median + moment windows share it) — no joins, no global sort inside the loop",
       "e4_ivf_fixed" -> "IVF search at fixed centroids: broadcast centroid routing assigns clusters map-side; the corpus shuffles ONCE on cid; probe-side top-k is a per-query window over nProbe clusters only",
-      "d26_bpe_train" -> "driver-loop operator (t6b division): the corpus is touched ONCE by the word-frequency aggregation; the 3-round merge loop runs keyed aggregations over the vocabulary-sized word table and only the 1-row argmax lands on the driver — returned frame is the LocalTableScan of merges")
+      "d26_bpe_train" -> "driver-loop operator (t6b division): the corpus is touched ONCE by the word-frequency aggregation; the 3-round merge loop runs keyed aggregations over the vocabulary-sized word table and only the 1-row argmax lands on the driver — returned frame is the LocalTableScan of merges",
+      "d27_bpe_encode" -> "tokenizer APPLY: one corpus shuffle (doc×word counts); the 6-deep merge fold is column arithmetic on the DISTINCT-word table (re-aggregated from the same shuffle), joined back via broadcast — the corpus is never re-parsed and the fold never runs per occurrence",
+      "d28_bigram_lm" -> "one corpus-scale shuffle (doc×bigram counts); model tables re-aggregate FROM it with partial_ map-side combine; the score join keys on the bigram and AQE broadcasts the model tables while they fit",
+      "e8_filtered_ann" -> "pre-filter strategy: the label/id predicate must appear in PushedFilters on the embeddings scan (distances only on admissible rows); query set broadcasts; rank window partitioned by q_id",
+      "m4_audio_win" -> "decode + 16/8 framing + features in ONE row-local mapPartitions kernel — no Exchange before the output sort; audio bytes never shuffle")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by graft.Explain)\n\n")

