@@ -92,8 +92,12 @@ class ScaleSweepSpec extends SparkSpec {
     // coincidence spans exist (8 at both sizes) — the small answer is
     // the corpus's own, and the timing still exercises the full gram
     // shuffle, which is the query's scale cost.
+    // d27/d28 (r6): tokenizer apply + bigram LM — their model tables
+    // (distinct words / distinct bigrams) grow with the Heaps'-law
+    // vocabulary, so the 10× corpus exercises the join-side growth too
     val sweep = Seq("d2_ngram_jaccard", "d3_minhash_lsh", "d4b_simhash_pairs",
-      "d15_components", "d25_substring_spans")
+      "d15_components", "d25_substring_spans", "d27_bpe_encode",
+      "d28_bigram_lm")
     val report = sweep.map { q =>
       val r1 = rowsQ(q, x1); var t1 = timeQ(q, x1)
       val r10 = rowsQ(q, x10); var t10 = timeQ(q, x10)
