@@ -194,6 +194,37 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.sliding(2).forall(p => p(1)._5 < p(0)._5))
   }
 
+  test("d27: per-doc piece counts match a plain-Scala apply of the fixed ranking") {
+    val out = SparkEntry.queries("d27_bpe_encode")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val merges = Seq(("t", "h"), ("th", "e"), ("e", "r"),
+      ("o", "r"), ("a", "t"), ("s", "t"))
+    def encode(w: String): Int = {
+      var syms = w.map(_.toString).toVector
+      for ((a, b) <- merges) {
+        val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+        syms.foreach { x =>
+          if (acc.nonEmpty && acc.last == a && x == b) acc(acc.length - 1) = a + b
+          else acc += x
+        }
+        syms = acc.toVector
+      }
+      syms.length
+    }
+    val cache = scala.collection.mutable.Map.empty[String, Int]
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+    assert(out.size === docs.length)
+    docs.foreach { r =>
+      val ws = r.getString(1).split(" ", -1).filter(_.nonEmpty)
+      val np = ws.map(w => cache.getOrElseUpdate(w, encode(w)).toLong).sum
+      assert(out(r.getLong(0)) === ((ws.length.toLong, np, 100 * np / ws.length)),
+        s"doc ${r.getLong(0)}")
+    }
+    // the ranking actually fires: encoding strictly compresses somewhere
+    assert(out.values.exists { case (nw, np, _) => np < nw * 4 })
+  }
+
   test("e6: representative precedes its duplicates and shares the cluster") {
     val out = SparkEntry.queries("e6_semdedup")(spark, sf).cache()
     try {

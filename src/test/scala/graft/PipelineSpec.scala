@@ -62,6 +62,33 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("windowedAudio generalizes beyond the declared query: win 12, hop 5, ragged tail") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val media = Multimodal.fromDocuments(docs.filter("doc_id % 3 = 1"))
+    val out = Multimodal.windowedAudio(media, win = 12, hop = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getInt(2), r.getInt(3), r.getLong(4), r.getInt(5), r.getInt(6),
+          r.getDouble(7))).toMap
+    assert(out.nonEmpty)
+    val auds = docs.select("doc_id").collect().map(_.getLong(0))
+      .filter(_ % 3 == 1).take(5)
+    for (id <- auds) {
+      val n = Multimodal.Codec.nSamples(id)
+      val nw = (n + 4) / 5
+      // exactly the expected frame set, none past the end
+      assert(out.keys.count(_._1 == id) === nw)
+      for (w <- 0 until nw) {
+        val start = w * 5; val end = math.min(start + 12, n)
+        val ss = (start until end).map(Multimodal.Codec.sample(id, _).toInt)
+        val energy = ss.map(v => v.toLong * v).sum
+        val zc = ss.sliding(2).count(p => p.size == 2 && (p(0) < 0) != (p(1) < 0))
+        val peak = ss.map(math.abs).max
+        assert(out((id, w)) === ((start, end - start, energy, zc, peak,
+          energy.toDouble / (end - start))), s"id=$id w=$w")
+      }
+    }
+  }
+
   test("codec round-trip: PNG, WAV, and AVI decode back to the generation formula") {
     for (id <- Seq(0L, 3L, 57L, 498L)) { // image-kind ids (id % 3 == 0 not required for the codec itself)
       val (n, sums) = Multimodal.decodeSums("image", Multimodal.Codec.png(id), 8)
