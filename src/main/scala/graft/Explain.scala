@@ -85,7 +85,8 @@ object Explain {
       "d27_bpe_encode" -> "tokenizer APPLY: one corpus shuffle (doc×word counts); the 6-deep merge fold is column arithmetic on the DISTINCT-word table (re-aggregated from the same shuffle), joined back via broadcast — the corpus is never re-parsed and the fold never runs per occurrence",
       "d28_bigram_lm" -> "one corpus-scale shuffle (doc×bigram counts); model tables re-aggregate FROM it with partial_ map-side combine; the score join keys on the bigram and AQE broadcasts the model tables while they fit",
       "e8_filtered_ann" -> "pre-filter strategy: the label/id predicate must appear in PushedFilters on the embeddings scan (distances only on admissible rows); query set broadcasts; rank window partitioned by q_id",
-      "m4_audio_win" -> "decode + 16/8 framing + features in ONE row-local mapPartitions kernel — no Exchange before the output sort; audio bytes never shuffle")
+      "m4_audio_win" -> "decode + 16/8 framing + features in ONE row-local mapPartitions kernel — no Exchange before the output sort; audio bytes never shuffle",
+      "m5_image_pool" -> "decode + 2x2 average-pool in ONE row-local mapPartitions kernel with media-kind pruning before payload generation — no Exchange before the output sort")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by graft.Explain)\n\n")

@@ -349,6 +349,55 @@ object Multimodal {
     }(enc)
   }
 
+  /** Average-pool REAL-decoded PNG images into `pool`×`pool` blocks
+    * (ragged right/bottom edges pool fewer pixels) — the image-resize
+    * step of a multimodal ingest pipeline, the image analog of
+    * [[pooledFrames]]. Per block: exact integer gray sum + pixel
+    * count, plus the mean as ONE double division so a SQL oracle
+    * recomputes it bit-for-bit from the closed-form pixel values.
+    * Row-local batched kernel: decode + pool never shuffle. */
+  def pooledImages(media: DataFrame, pool: Int = 2): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("bx", IntegerType),
+      StructField("by", IntegerType),
+      StructField("n_px", IntegerType),
+      StructField("sum_gray", LongType),
+      StructField("mean_gray", DoubleType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    media.filter(col("kind") === "image").select("media_id", "payload")
+      .mapPartitions { it =>
+        it.grouped(64).flatMap { batch =>
+          batch.flatMap { r =>
+            val id = r.getLong(0)
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+            val ras = img.getRaster
+            val w = img.getWidth; val h = img.getHeight
+            val nbx = (w + pool - 1) / pool
+            val nby = (h + pool - 1) / pool
+            val sums = new Array[Long](nby * nbx)
+            val cnt = new Array[Int](nby * nbx)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val b = (y / pool) * nbx + (x / pool)
+                sums(b) += ras.getSample(x, y, 0).toLong
+                cnt(b) += 1
+                x += 1
+              }
+              y += 1
+            }
+            for (by <- 0 until nby; bx <- 0 until nbx) yield {
+              val b = by * nbx + bx
+              Row(id, bx, by, cnt(b), sums(b), sums(b).toDouble / cnt(b))
+            }
+          }
+        }
+      }(enc)
+  }
+
   /** Windowed audio features over REAL-decoded WAV samples — the
     * audio-side framing transform of a multimodal ingest pipeline
     * (the step before any spectral featurization): fixed `win`-sample

@@ -441,6 +441,20 @@ object Advanced {
         .orderBy("media_id", "frame_idx", "by", "bx")
     }),
 
+    // M5 — image resize (average-pool to 2×2 blocks) over REAL PNG
+    // decode: the thumbnail/downsample step of a multimodal ingest
+    // pipeline, completing the per-modality transform set (m3
+    // frame-samples+pools video, m4 frames audio, m5 pools images).
+    // Exact integer gray sums + one-division means; oracle recomputes
+    // from the closed-form pixel formula. Row-local kernel with
+    // media-kind pruning (image = doc_id % 3 == 0).
+    "m5_image_pool" -> ((s, d) => {
+      val media = graft.multimodal.Multimodal.fromDocuments(
+        documents(s, d).filter(col("doc_id") % 3 === 0))
+      graft.multimodal.Multimodal.pooledImages(media, pool = 2)
+        .orderBy("media_id", "by", "bx")
+    }),
+
     // M4 — audio framing features (the audio analog of m3): every
     // REAL-decoded WAV is cut into 16-sample frames at 8-sample hop
     // (50% overlap, the standard STFT framing), and per frame the
@@ -800,6 +814,26 @@ object Advanced {
         |  CAST(sum(vb + vg + vr) AS DOUBLE) / (3 * count(*)) AS mean_gray
         |FROM b GROUP BY 1, 2, 3, 4
         |ORDER BY media_id, frame_idx, by, bx""".stripMargin,
+
+    // Independent reconstruction of the pooled image blocks from the
+    // closed-form pixel values (Codec.gray): block = (x//2, y//2),
+    // ragged edges carry count(*); the mean is the same single
+    // division of exact integers as the kernel's.
+    "m5_image_pool" ->
+      """WITH img AS (SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 11 + 4 AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |px AS (SELECT doc_id, w, unnest(generate_series(0, w * h - 1)) AS p
+        |  FROM img),
+        |b AS (SELECT doc_id, (p % w) // 2 AS bx, (p // w) // 2 AS by,
+        |    (doc_id * 31 + (p % w) * 7 + (p // w) * 13) % 256 AS v
+        |  FROM px)
+        |SELECT doc_id AS media_id, CAST(bx AS INTEGER) AS bx,
+        |  CAST(by AS INTEGER) AS by,
+        |  CAST(count(*) AS INTEGER) AS n_px,
+        |  CAST(sum(v) AS BIGINT) AS sum_gray,
+        |  CAST(sum(v) AS DOUBLE) / count(*) AS mean_gray
+        |FROM b GROUP BY 1, 2, 3
+        |ORDER BY media_id, by, bx""".stripMargin,
 
     // Independent reconstruction of the framed audio features from
     // the closed-form sample values (Codec.sample): frames start at

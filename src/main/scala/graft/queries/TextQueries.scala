@@ -776,6 +776,16 @@ object TextQueries {
             |  (x, y) -> named_struct('a', x, 'b', y))""".stripMargin)).as("p"))
         .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
         .groupBy("doc_id", "a", "b").agg(count(lit(1)).as("n_db"))
+      // dbf feeds three consumers (score-join left side + both model
+      // re-aggregations). The static plan shows the corpus re-parsed
+      // per consumer, but a localCheckpoint here is NOT a win — A/B
+      // at the 100x ScaleFixture showed no separation outside session
+      // noise (with: 112–392 s across sessions; without: 37.7 s clean
+      // / 113–163 s under heap pressure): the checkpoint's
+      // materialized ~30 M rows squeeze the model-join's execution
+      // memory by as much as the saved parse gains. Checkpoint-free
+      // stands — unlike d2, whose five consumers measurably paid for
+      // four extra parses.
       val cbf = dbf.groupBy("a", "b").agg(sum(col("n_db")).cast("long").as("c_ab"))
       val cuf = dbf.groupBy("a").agg(sum(col("n_db")).cast("long").as("c_a"))
       dbf.join(cbf, Seq("a", "b")).join(cuf, Seq("a")).crossJoin(broadcast(vt))

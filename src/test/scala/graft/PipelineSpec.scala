@@ -62,6 +62,28 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("pooledImages generalizes beyond the declared query: 3x3 pool, ragged edges") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val media = Multimodal.fromDocuments(docs.filter("doc_id % 3 = 0"))
+    val out = Multimodal.pooledImages(media, pool = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)) ->
+        (r.getInt(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(out.nonEmpty)
+    val imgs = docs.select("doc_id").collect().map(_.getLong(0))
+      .filter(_ % 3 == 0).take(5)
+    for (id <- imgs) {
+      val w = Multimodal.Codec.imgW(id); val h = Multimodal.Codec.imgH(id)
+      for (by <- 0 until (h + 2) / 3; bx <- 0 until (w + 2) / 3) {
+        val xs = (bx * 3) until math.min(bx * 3 + 3, w)
+        val ys = (by * 3) until math.min(by * 3 + 3, h)
+        val sum = (for (y <- ys; x <- xs) yield Multimodal.Codec.gray(id, x, y).toLong).sum
+        val nPx = xs.size * ys.size
+        assert(out((id, bx, by)) === ((nPx, sum, sum.toDouble / nPx)),
+          s"id=$id b=($bx,$by)")
+      }
+    }
+  }
+
   test("windowedAudio generalizes beyond the declared query: win 12, hop 5, ragged tail") {
     val docs = graft.core.Tables.documents(spark, sf)
     val media = Multimodal.fromDocuments(docs.filter("doc_id % 3 = 1"))

@@ -29,7 +29,8 @@ object ScaleDecade {
       .getOrElse(Seq(1, 10, 100))
     val dirs = mults.map(m => m -> ScaleFixture.dir(spark, m)).toMap
     val queries = Seq("d2_ngram_jaccard", "d3_minhash_lsh",
-      "d4b_simhash_pairs", "d15_components", "d25_substring_spans")
+      "d4b_simhash_pairs", "d15_components", "d25_substring_spans",
+      "d27_bpe_encode", "d28_bigram_lm")
     // JIT warmup outside the timed section (Bench rationale)
     Seq("d1_exact_dedup", "d4_simhash").foreach(q =>
       SparkEntry.queries(q)(spark, dirs(mults.head)).count())
