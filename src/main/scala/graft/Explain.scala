@@ -86,7 +86,9 @@ object Explain {
       "d28_bigram_lm" -> "one corpus-scale shuffle (doc×bigram counts); model tables re-aggregate FROM it with partial_ map-side combine; the score join keys on the bigram and AQE broadcasts the model tables while they fit",
       "e8_filtered_ann" -> "pre-filter strategy: the label/id predicate must appear in PushedFilters on the embeddings scan (distances only on admissible rows); query set broadcasts; rank window partitioned by q_id",
       "m4_audio_win" -> "decode + 16/8 framing + features in ONE row-local mapPartitions kernel — no Exchange before the output sort; audio bytes never shuffle",
-      "m5_image_pool" -> "decode + 2x2 average-pool in ONE row-local mapPartitions kernel with media-kind pruning before payload generation — no Exchange before the output sort")
+      "m5_image_pool" -> "decode + 2x2 average-pool in ONE row-local mapPartitions kernel with media-kind pruning before payload generation — no Exchange before the output sort",
+      "g1_rollup" -> "ROLLUP as ONE Expand + keyed aggregation: the joined fact stream is scanned once for all three grouping levels (no per-level re-aggregation or union); dims broadcast",
+      "g2_pivot" -> "PIVOT with PINNED values: no value-discovery pass, no Expand — one scan into a two-level aggregation ((bucket,type) pre-count, then PivotFirst on bucket), both levels with map-side partial_ combine, so exchanges carry at most partitions x |buckets x types| rows")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by graft.Explain)\n\n")

@@ -45,6 +45,46 @@ object Relational {
         .orderBy("r_name", "n_name")
     }),
 
+    // G1 — ROLLUP grouping sets: the subtotal/grand-total OLAP report
+    // over the j1 join chain, one pass. Spark plans ROLLUP as a single
+    // Expand + keyed aggregation — the fact side is scanned ONCE for
+    // all three grouping levels (per-(region,nation), per-region,
+    // grand total), not once per level; `lvl` is the grouping_id bit
+    // vector (0 = detail, 1 = region subtotal, 3 = grand total), the
+    // same encoding DuckDB's GROUPING() emits. Money stays in exact
+    // cents until the final display division.
+    "g1_rollup" -> ((s, d) => {
+      val c = customer(s, d); val n = nation(s, d); val r = region(s, d)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          (sum(cents(col("c_acctbal"))).cast("long") / 100.0).as("sum_acctbal"),
+          grouping_id().cast("long").as("lvl"))
+        .orderBy(col("lvl"), col("r_name"), col("n_name"))
+    }),
+
+    // G2 — PIVOT (long→wide): per-user-bucket event counts spread
+    // across explicit event-type columns. With the pivot values
+    // PINNED (the five known types) there is no second pass to
+    // discover columns: ONE scan feeds a two-level aggregation —
+    // (bucket, event_type) pre-count, then PivotFirst keyed on
+    // bucket — and BOTH levels combine map-side (partial_), so each
+    // exchange carries at most partitions × |buckets×types| rows
+    // regardless of event volume. The oracle is the same report as
+    // hand-written conditional aggregation.
+    "g2_pivot" -> ((s, d) => {
+      events(s, d)
+        .withColumn("bucket", pmod(col("user_id"), lit(10)).cast("long"))
+        .groupBy("bucket")
+        .pivot("event_type", Seq("view", "click", "error", "purchase", "login"))
+        .agg(count(lit(1)))
+        // pivot leaves empty cells NULL (it aggregates each value's
+        // filtered subset); a count report wants 0 like the SQL form
+        .na.fill(0L, Seq("view", "click", "error", "purchase", "login"))
+        .orderBy("bucket")
+    }),
+
     // J3/U2 — anti join: orders with no lineitem (ref main.py:9271–9288).
     "j3_anti_join" -> ((s, d) => {
       orders(s, d).join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"), "left_anti")
@@ -425,6 +465,28 @@ object Relational {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    // GROUPING(r_name, n_name) emits the same bit vector as Spark's
+    // grouping_id(); r_name/n_name are never NULL in the data, so the
+    // rollup NULLs are unambiguous.
+    "g1_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+        |  CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT)/100.0
+        |    AS sum_acctbal,
+        |  CAST(GROUPING(r_name, n_name) AS BIGINT) AS lvl
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY lvl, r_name, n_name""".stripMargin,
+
+    "g2_pivot" ->
+      """SELECT user_id % 10 AS bucket,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  count(CASE WHEN event_type = 'login' THEN 1 END) AS login
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "j3_anti_join" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
