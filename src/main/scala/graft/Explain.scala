@@ -88,7 +88,9 @@ object Explain {
       "m4_audio_win" -> "decode + 16/8 framing + features in ONE row-local mapPartitions kernel — no Exchange before the output sort; audio bytes never shuffle",
       "m5_image_pool" -> "decode + 2x2 average-pool in ONE row-local mapPartitions kernel with media-kind pruning before payload generation — no Exchange before the output sort",
       "g1_rollup" -> "ROLLUP as ONE Expand + keyed aggregation: the joined fact stream is scanned once for all three grouping levels (no per-level re-aggregation or union); dims broadcast",
-      "g2_pivot" -> "PIVOT with PINNED values: no value-discovery pass, no Expand — one scan into a two-level aggregation ((bucket,type) pre-count, then PivotFirst on bucket), both levels with map-side partial_ combine, so exchanges carry at most partitions x |buckets x types| rows")
+      "g2_pivot" -> "PIVOT with PINNED values: no value-discovery pass, no Expand — one scan into a two-level aggregation ((bucket,type) pre-count, then PivotFirst on bucket), both levels with map-side partial_ combine, so exchanges carry at most partitions x |buckets x types| rows",
+      "d29_cms_heavy" -> "CountMin sketch: the 4x64 grid builds in ONE keyed aggregation whose map-side combine bounds every partition's contribution at 256 cells regardless of stream length; probes join the sketch as a BROADCAST (256 rows); the exact top-20 exists only to ground the estimates",
+      "e9_power_iter" -> "driver-loop operator (e3/d26 division): each of 3 rounds is ONE scalar aggregation — 64 map-side-combined integer sums, no shuffle key, one partial row per partition; returned frame is the LocalTableScan of the 64-row state; plan shown is the round aggregate via ann.PowerIter")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by graft.Explain)\n\n")

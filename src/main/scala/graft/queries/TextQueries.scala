@@ -406,6 +406,27 @@ object TextQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // E9 — power-iteration principal-component kernel: the
+    // PCA/whitening stage ahead of semantic dedup and clustering
+    // (SemDeDup-style pipelines run it before e6). Three MATRIX-FREE
+    // rounds v <- sum_r x*(x'v), each ONE scalar aggregation over the
+    // corpus (64 map-side-combined integer sums, no shuffle key) with
+    // the driver holding only the 64-long state vector — plan shape,
+    // arithmetic contract, and 100 TB headroom notes in ann.PowerIter.
+    // On this deliberately isotropic fixture (no eigengap) 3 rounds is
+    // an exact PARTIAL iterate — the oracle replays the identical
+    // recurrence, so the cross-engine contract holds at any round
+    // count; convergence-to-the-dominant-direction is the
+    // planted-spike property test in SketchPcaSpec, where a spectral
+    // gap exists by construction.
+    "e9_power_iter" -> ((s, d) => {
+      val (w, vq) = graft.ann.PowerIter.iterate(
+        embeddings(s, d).select("embedding"), "embedding", dims = 64, rounds = 3)
+      import s.implicits._
+      w.indices.map(j => (j.toLong, w(j), vq(j)))
+        .toDF("pos", "w_raw", "loading_q6").orderBy("pos")
+    }),
+
     // D9 — embedding-cosine near-dup: candidate pairs from the sign-LSH
     // bucket (shuffle key at scale), exact integerized cosine inside the
     // bucket, pairs above threshold. Same arithmetic contract as e1/e2.
@@ -1398,6 +1419,43 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // D29 — CountMin-sketch heavy hitters (Cormode–Muthukrishnan): the
+    // bounded-memory frequency-estimation structure for token streams.
+    // The sketch is a DEPTH×WIDTH (4×64) integer grid — each token
+    // occurrence increments one cell per row via an independent affine
+    // hash (the minhash family) of the md5 token hash — built by ONE
+    // aggregation whose map-side combine reduces every partition to
+    // ≤256 cells before the shuffle, regardless of stream length:
+    // the mergeability that makes CMS the shard-fanin/streaming
+    // frequency structure at 100 TB (the exact groupBy here exists
+    // only to ground the estimates; a real deployment keeps ONLY the
+    // 256-cell grid). Estimates (min over the 4 rows) are reported
+    // against the true counts of the exact top-20: CMS guarantees
+    // est ≥ true, and the 64-wide grid vs the fixture's ~60-word
+    // vocabulary forces real collisions, so the min-of-rows logic is
+    // exercised rather than vacuously est = true.
+    "d29_cms_heavy" -> ((s, d) => {
+      val depth = 4; val width = 64
+      val toks = documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .withColumn("h", expr(H))
+      def rowBuckets = explode(array((0 until depth).map(i =>
+        struct(lit(i.toLong).as("rw"),
+          (expr(TextOps.minhashExpr("h", i)) % width).as("bucket"))): _*)).as("c")
+      val cells = toks.select(rowBuckets)
+        .groupBy(col("c.rw").as("rw"), col("c.bucket").as("bucket"))
+        .agg(count(lit(1)).as("cell"))
+      val top = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok")).limit(20)
+        .withColumn("h", expr(TextOps.md5Hash32("tok")))
+      top.select(col("tok"), col("cnt"), rowBuckets)
+        .select(col("tok"), col("cnt"), col("c.rw").as("rw"), col("c.bucket").as("bucket"))
+        .join(broadcast(cells), Seq("rw", "bucket"))
+        .groupBy("tok", "cnt").agg(min(col("cell")).as("est"))
+        .orderBy(col("cnt").desc, col("tok"))
+    }),
+
     // M1 — multimodal scaffold: opaque binary payload + typed metadata
     // (byte length, content-hash head); the decode stage lives in
     // graft.multimodal (REAL JDK PNG/WAV decode since r5 — see m2).
@@ -1630,6 +1688,34 @@ object TextQueries {
          |  coalesce(logit, 0) AS logit, coalesce(logit, 0) > 0 AS keep
          |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    // Same 4×64 grid, same md5-based affine hash family
+    // (((2i+3)·h + i²+1) mod P31 mod 64 — minhashExpr's constants
+    // written generically over the row index), same min-of-rows
+    // estimate. CMS soundness (est ≥ cnt) is implied by the match.
+    "d29_cms_heavy" ->
+      s"""WITH toks AS (
+         |  SELECT tok FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+         |  WHERE tok <> ''),
+         |th AS (SELECT tok, ${TextOps.md5Hash32("tok")} AS h FROM toks),
+         |rws AS (SELECT unnest(generate_series(0, 3)) AS rw),
+         |cells AS (
+         |  SELECT rw, (((2*rw+3)*h + rw*rw + 1) % 2147483647) % 64 AS bucket,
+         |    count(*) AS cell
+         |  FROM th, rws GROUP BY 1, 2),
+         |top AS (
+         |  SELECT tok, count(*) AS cnt FROM toks GROUP BY 1
+         |  ORDER BY cnt DESC, tok LIMIT 20),
+         |probes AS (
+         |  SELECT tok, cnt, rw,
+         |    (((2*rw+3)*h + rw*rw + 1) % 2147483647) % 64 AS bucket
+         |  FROM (SELECT tok, cnt, ${TextOps.md5Hash32("tok")} AS h FROM top), rws)
+         |SELECT tok, cnt, min(cell) AS est
+         |FROM probes JOIN cells ON probes.rw = cells.rw
+         |  AND probes.bucket = cells.bucket
+         |GROUP BY tok, cnt
+         |ORDER BY cnt DESC, tok""".stripMargin,
 
     "d23_pagerank" -> {
       val h = TextOps.md5Hash32("tok")
@@ -1943,6 +2029,38 @@ object TextQueries {
         |  FROM sim)
         |SELECT q_id, rank, vec_id, label, round(sim, 6) AS sim
         |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    // Independent replay of the three power-iteration rounds: the
+    // same quantized projections (round(x·vq) per row), integer
+    // column sums, and max|w| renormalization, unrolled as CTEs.
+    // Every float op is DOUBLE in both engines (dims casts x; w/m is
+    // BIGINT/BIGINT → DOUBLE division in both).
+    "e9_power_iter" ->
+      """WITH dims AS (
+        |  SELECT vec_id, pos, CAST(x AS DOUBLE) AS x FROM (
+        |    SELECT vec_id, unnest(embedding) AS x,
+        |      unnest(generate_series(0, len(embedding) - 1)) AS pos
+        |    FROM embeddings)),
+        |d1 AS (SELECT vec_id, sum(CAST(round(x * 1000000) AS BIGINT)) AS dd
+        |       FROM dims GROUP BY 1),
+        |w1 AS (SELECT pos, sum(CAST(round(x * dd) AS BIGINT)) AS w
+        |       FROM dims JOIN d1 USING (vec_id) GROUP BY 1),
+        |v1 AS (SELECT pos, CAST(round(w / (SELECT max(abs(w)) FROM w1)
+        |         * 1000000) AS BIGINT) AS vq FROM w1),
+        |d2 AS (SELECT vec_id, sum(CAST(round(x * vq) AS BIGINT)) AS dd
+        |       FROM dims JOIN v1 USING (pos) GROUP BY 1),
+        |w2 AS (SELECT pos, sum(CAST(round(x * dd) AS BIGINT)) AS w
+        |       FROM dims JOIN d2 USING (vec_id) GROUP BY 1),
+        |v2 AS (SELECT pos, CAST(round(w / (SELECT max(abs(w)) FROM w2)
+        |         * 1000000) AS BIGINT) AS vq FROM w2),
+        |d3 AS (SELECT vec_id, sum(CAST(round(x * vq) AS BIGINT)) AS dd
+        |       FROM dims JOIN v2 USING (pos) GROUP BY 1),
+        |w3 AS (SELECT pos, sum(CAST(round(x * dd) AS BIGINT)) AS w
+        |       FROM dims JOIN d3 USING (vec_id) GROUP BY 1)
+        |SELECT pos, w AS w_raw,
+        |  CAST(round(w / (SELECT max(abs(w)) FROM w3) * 1000000) AS BIGINT)
+        |    AS loading_q6
+        |FROM w3 ORDER BY pos""".stripMargin,
 
     "e2_lsh_ann" -> {
       val bucketSql = (1 to 8).map(j =>
