@@ -20,10 +20,14 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects.
-    * Read nanos as long (legacy conf) and truncate to micros — the same
-    * ns→us truncation duckdb applies when it surfaces the column as
-    * TIMESTAMP, so both engines see identical instants. */
+  /** `events.ts` arrives in fixture-generation-dependent layouts:
+    * TIMESTAMP(NANOS) (pre-r6 fixtures; Spark 4 rejects it as a
+    * timestamp, so read nanos as long and truncate to micros — the
+    * same ns→us truncation duckdb applies) or TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) (r6 fixtures; surfaces as TIMESTAMP_NTZ).
+    * Both normalize to session-TZ TIMESTAMP — sessions here run UTC,
+    * so the NTZ→LTZ cast is identity on the stored micros and both
+    * engines see identical instants either way. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     // Session-level conf mutation at plan-build time: benign in the
     // single-tenant drivers here (Verify/Bench also set it at session
@@ -31,14 +35,31 @@ object Tables {
     // concurrently — a multi-tenant caller should set it once at
     // session construction instead.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(load(spark, dir, "events"))
+  }
+
+  /** Normalize a raw events frame's `ts` to session-TZ TIMESTAMP
+    * whichever physical layout the fixture generation produced (see
+    * [[events]]). Works on batch and streaming frames alike. */
+  def normalizeTs(raw: DataFrame): DataFrame = raw.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType =>
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case org.apache.spark.sql.types.TimestampNTZType =>
+      raw.withColumn("ts", col("ts").cast("timestamp"))
+    case _ => raw // already session-TZ TIMESTAMP
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Read a fixture table, normalizing any TIMESTAMP_NTZ column (r6
+    * fixtures write isAdjustedToUTC=false micros) to session-TZ
+    * TIMESTAMP — sessions run UTC, so the cast is identity on the
+    * stored micros and matches what duckdb reads from the same file. */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    raw.schema.fields.filter(_.dataType == org.apache.spark.sql.types.TimestampNTZType)
+      .foldLeft(raw)((df, f) => df.withColumn(f.name, col(f.name).cast("timestamp")))
+  }
 
   /** Exact integer money: round(x*100) as cents. The double product is
     * identical across engines (IEEE), so the rounded integer is too. */

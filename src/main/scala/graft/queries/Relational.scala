@@ -85,6 +85,27 @@ object Relational {
         .orderBy("bucket")
     }),
 
+    // G3 — CUBE grouping sets: all four aggregation levels of
+    // (event_type × day-bucket) — detail, per-type, per-day, grand
+    // total — in ONE pass. Like g1's ROLLUP, Spark plans CUBE as a
+    // single Expand (4 replicas tagged by grouping_id) feeding one
+    // keyed aggregation with map-side combine: the fact stream is
+    // scanned once, and each exchange carries at most
+    // partitions × |types×days×4| partial rows — the report-matrix
+    // shape at 100 TB. `lvl` is the grouping_id bit vector, identical
+    // to DuckDB's GROUPING() encoding.
+    "g3_cube" -> ((s, d) => {
+      events(s, d)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .cube(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("value"))).as("sc"),
+          grouping_id().cast("long").as("lvl"))
+        .select(col("event_type"), unix_micros(col("day")).as("day_us"),
+          col("n"), (col("sc").cast("long") / 100.0).as("sum_value"), col("lvl"))
+        .orderBy(col("lvl"), col("event_type"), col("day_us"))
+    }),
+
     // J3/U2 — anti join: orders with no lineitem (ref main.py:9271–9288).
     "j3_anti_join" -> ((s, d) => {
       orders(s, d).join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"), "left_anti")
@@ -161,6 +182,46 @@ object Relational {
           min(col("l_partkey")).as("pk_min"), max(col("l_partkey")).as("pk_max"),
           min(col("l_suppkey")).as("sk_min"), max(col("l_suppkey")).as("sk_max"))
         .orderBy("file_id")
+    }),
+
+    // P3 — EXACT quantiles without a global sort: two-round histogram
+    // narrowing. Round 1 bins the integerized measure into 256 equal
+    // ranges (ONE map-side-combined aggregation → ≤256 rows); the
+    // cumulative walk over those 256 rows locates, for each target
+    // rank (p25/p50/p75, nearest-rank), the bin holding it and the
+    // offset inside that bin. Round 2 re-scans with a BROADCAST
+    // semi-filter to the ≤3 target bins, so the only sort the plan
+    // ever runs is over ~n/256 surviving rows per target. At 100 TB
+    // this is the exact-percentile shape: two scans + a tiny sort,
+    // vs a cluster-wide orderBy; the 256-row cumulative window is
+    // single-partition by construction, not by accident. All
+    // arithmetic is exact int64 (value floor-scaled at 1e6; ranks and
+    // bin edges integer div), so the oracle replays it bit-for-bit.
+    "p3_exact_quantiles" -> ((s, d) => {
+      val ev = events(s, d).select(col("event_id"),
+        expr("CAST(floor(value * 1000000) AS BIGINT)").as("v6"))
+      val st = ev.agg(min(col("v6")).as("vmin"), max(col("v6")).as("vmax"),
+        count(lit(1)).as("n"))
+      val binned = ev.crossJoin(broadcast(st))
+        .withColumn("bin", expr("(v6 - vmin) * 256 div (vmax - vmin + 1)"))
+      val counts = binned.groupBy("bin").agg(count(lit(1)).as("c"))
+      val wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+      val cum = counts.withColumn("cum", sum(col("c")).over(wcum))
+        .withColumn("prev", col("cum") - col("c"))
+      val targets = st.select(explode(array(
+          struct(lit(25L).as("q"), expr("(n + 3) div 4").as("r")),
+          struct(lit(50L).as("q"), expr("(n + 1) div 2").as("r")),
+          struct(lit(75L).as("q"), expr("(3 * n + 3) div 4").as("r")))).as("t"))
+        .select(col("t.q").as("q"), col("t.r").as("r"))
+      val tb = targets.join(cum, col("prev") < col("r") && col("cum") >= col("r"))
+        .select(col("q"), col("r"), col("bin"), (col("r") - col("prev")).as("off"))
+      val wq = Window.partitionBy("q").orderBy(col("v6"), col("event_id"))
+      binned.join(broadcast(tb), Seq("bin"))
+        .withColumn("rn", row_number().over(wq))
+        .filter(col("rn") === col("off"))
+        .select(col("q"), col("r").as("rank_global"), col("bin"),
+          col("v6").as("v_q6"), (col("v6") / 1e6).as("value"))
+        .orderBy("q")
     }),
 
     // U1/U3 — union all + distinct (ref main.py:10621, 9502).
@@ -478,6 +539,50 @@ object Relational {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY lvl, r_name, n_name""".stripMargin,
+
+    // CUBE replay: same Expand-level encoding — GROUPING(a,b) in
+    // DuckDB emits the identical bit vector as Spark's grouping_id().
+    "g3_cube" ->
+      """SELECT event_type, epoch_us(date_trunc('day', ts)) AS day_us,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)/100.0
+        |    AS sum_value,
+        |  CAST(GROUPING(event_type, date_trunc('day', ts)) AS BIGINT) AS lvl
+        |FROM events
+        |GROUP BY CUBE (event_type, date_trunc('day', ts))
+        |ORDER BY lvl, event_type, day_us""".stripMargin,
+
+    // Exact-quantile replay: identical integerization, bin edges,
+    // nearest-rank targets, and in-bin offset selection, as CTEs.
+    "p3_exact_quantiles" ->
+      """WITH ev AS (
+        |  SELECT event_id, CAST(floor(value * 1000000) AS BIGINT) AS v6
+        |  FROM events),
+        |st AS (SELECT min(v6) AS vmin, max(v6) AS vmax, count(*) AS n FROM ev),
+        |binned AS (
+        |  SELECT event_id, v6,
+        |    (v6 - vmin) * 256 // (vmax - vmin + 1) AS bin
+        |  FROM ev, st),
+        |counts AS (SELECT bin, count(*) AS c FROM binned GROUP BY 1),
+        |cum AS (
+        |  SELECT bin, c,
+        |    sum(c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) - c AS prev
+        |  FROM counts),
+        |targets AS (
+        |  SELECT CAST(25 AS BIGINT) AS q, (n + 3) // 4 AS r FROM st
+        |  UNION ALL SELECT 50, (n + 1) // 2 FROM st
+        |  UNION ALL SELECT 75, (3 * n + 3) // 4 FROM st),
+        |tb AS (
+        |  SELECT t.q, t.r, c.bin, t.r - c.prev AS off
+        |  FROM targets t JOIN cum c ON c.prev < t.r AND c.cum >= t.r),
+        |cand AS (
+        |  SELECT tb.q, tb.r, tb.off, b.bin, b.v6, b.event_id,
+        |    row_number() OVER (PARTITION BY tb.q ORDER BY b.v6, b.event_id)
+        |      AS rn
+        |  FROM binned b JOIN tb ON b.bin = tb.bin)
+        |SELECT q, r AS rank_global, bin, v6 AS v_q6, v6 / 1e6 AS value
+        |FROM cand WHERE rn = off ORDER BY q""".stripMargin,
 
     "g2_pivot" ->
       """SELECT user_id % 10 AS bucket,

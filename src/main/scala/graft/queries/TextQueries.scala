@@ -1456,6 +1456,58 @@ object TextQueries {
         .orderBy(col("cnt").desc, col("tok"))
     }),
 
+    // D30 — HyperLogLog cardinality sketch (Flajolet et al. 2007,
+    // p = 6 → 64 registers): the mergeable distinct-count structure —
+    // the CMS (d29) counterpart for COUNT DISTINCT. The register table
+    // builds in ONE keyed aggregation whose map-side combine bounds
+    // every partition's contribution at |groups|×64 cells regardless of
+    // stream length, and registers merge by MAX — the shard-fanin /
+    // streaming-state property that makes HLL the 100 TB cardinality
+    // structure (Spark's own approx_count_distinct is this sketch; we
+    // build it from first principles so the estimate is cross-engine
+    // bit-exact). Two item streams exercise BOTH estimator branches:
+    // per-source distinct unigrams sit in the small-range
+    // linear-counting regime (V zero registers → round(m·ln(m/V)),
+    // constants precomputed in TextOps so no libm crosses engines),
+    // per-source distinct bigrams in the raw-estimate regime
+    // (floor(α·m²·2^27 / Z), one exact int64 floor-division). The
+    // exact distinct count rides along to ground the estimates, as in
+    // d29 — a real deployment keeps only the 64 registers.
+    "d30_hll_cardinality" -> ((s, d) => {
+      val toks = documents(s, d)
+        .select(col("doc_id"), col("source"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .filter(col("tok") =!= "")
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val uni = toks.select(lit("tok").as("kind"), col("source"), col("tok").as("item"))
+      val big = toks.withColumn("nxt", lead(col("tok"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(lit("bigram").as("kind"), col("source"),
+          concat(col("tok"), lit("_"), col("nxt")).as("item"))
+      val items = uni.unionAll(big)
+      val hashed = items.withColumn("h", expr(TextOps.md5Hash32Fast("item")))
+        .withColumn("reg", col("h") % 64)
+        .withColumn("rho", expr(TextOps.hllRho(TextOps.hllW("h"))))
+      val regs = hashed.groupBy("kind", "source", "reg").agg(max(col("rho")).as("m"))
+      // empty registers count as rank 0 in Z and in the zero-register
+      // tally V — materialize the full |groups|×64 grid (groups is a
+      // handful of rows; the explode is driver-free)
+      val grid = items.select("kind", "source").distinct()
+        .select(col("kind"), col("source"), explode(sequence(lit(0L), lit(63L))).as("reg"))
+      val full = grid.join(regs, Seq("kind", "source", "reg"), "left")
+        .withColumn("m", coalesce(col("m"), lit(0L)))
+      val est = full.groupBy("kind", "source").agg(
+          sum(expr(TextOps.pow2("27 - m"))).as("z"),
+          sum(when(col("m") === 0, 1L).otherwise(0L)).as("n_zero"))
+        .withColumn("raw", expr(TextOps.hllRaw("z")))
+        .withColumn("est_hll", expr(
+          s"CASE WHEN raw <= 160 AND n_zero > 0 THEN ${TextOps.hllLinearCount("n_zero")} ELSE raw END"))
+      val exact = items.groupBy("kind", "source").agg(countDistinct(col("item")).as("exact"))
+      est.join(exact, Seq("kind", "source"))
+        .select("kind", "source", "n_zero", "z", "est_hll", "exact")
+        .orderBy("kind", "source")
+    }),
+
     // M1 — multimodal scaffold: opaque binary payload + typed metadata
     // (byte length, content-hash head); the decode stage lives in
     // graft.multimodal (REAL JDK PNG/WAV decode since r5 — see m2).
@@ -1716,6 +1768,56 @@ object TextQueries {
          |  AND probes.bucket = cells.bucket
          |GROUP BY tok, cnt
          |ORDER BY cnt DESC, tok""".stripMargin,
+
+    // Independent HLL replay: same register/rank split of the md5 hash
+    // (low 6 bits → register, ρ = CASE ladder over the upper 26), same
+    // max-merge, same two-branch estimator with identical precomputed
+    // linear-counting constants (TextOps bakes one string for both
+    // engines). The only division is hllRaw's exact int64 floor.
+    "d30_hll_cardinality" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, tok, pos FROM (
+         |    SELECT doc_id, source,
+         |      unnest(string_split(text, ' ')) AS tok,
+         |      unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+         |    FROM documents)
+         |  WHERE tok <> ''),
+         |uni AS (SELECT 'tok' AS kind, source, tok AS item FROM toks),
+         |big AS (
+         |  SELECT 'bigram' AS kind, source, tok || '_' || nxt AS item FROM (
+         |    SELECT source, tok,
+         |      lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+         |    FROM toks)
+         |  WHERE nxt IS NOT NULL),
+         |items AS (SELECT * FROM uni UNION ALL SELECT * FROM big),
+         |hashed AS (
+         |  SELECT kind, source, (h % 64) AS reg,
+         |    ${TextOps.hllRho(TextOps.hllW("h"))} AS rho
+         |  FROM (SELECT kind, source, ${TextOps.md5Hash32("item")} AS h FROM items)),
+         |regs AS (SELECT kind, source, reg, max(rho) AS m
+         |  FROM hashed GROUP BY 1, 2, 3),
+         |grid AS (
+         |  SELECT kind, source, unnest(generate_series(0, 63)) AS reg
+         |  FROM (SELECT DISTINCT kind, source FROM items)),
+         |fullgrid AS (
+         |  SELECT g.kind, g.source, coalesce(r.m, 0) AS m
+         |  FROM grid g LEFT JOIN regs r
+         |    ON r.kind = g.kind AND r.source = g.source AND r.reg = g.reg),
+         |est AS (
+         |  SELECT kind, source,
+         |    CAST(sum(${TextOps.pow2("27 - m")}) AS BIGINT) AS z,
+         |    CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+         |  FROM fullgrid GROUP BY 1, 2),
+         |est2 AS (
+         |  SELECT kind, source, n_zero, z,
+         |    CASE WHEN raw <= 160 AND n_zero > 0
+         |      THEN ${TextOps.hllLinearCount("n_zero")} ELSE raw END AS est_hll
+         |  FROM (SELECT *, ${TextOps.hllRaw("z")} AS raw FROM est)),
+         |exact AS (SELECT kind, source, count(DISTINCT item) AS exact
+         |  FROM items GROUP BY 1, 2)
+         |SELECT e.kind, e.source, e.n_zero, e.z, e.est_hll, x.exact
+         |FROM est2 e JOIN exact x ON x.kind = e.kind AND x.source = e.source
+         |ORDER BY e.kind, e.source""".stripMargin,
 
     "d23_pagerank" -> {
       val h = TextOps.md5Hash32("tok")
@@ -2057,7 +2159,7 @@ object TextQueries {
         |       FROM dims JOIN v2 USING (pos) GROUP BY 1),
         |w3 AS (SELECT pos, sum(CAST(round(x * dd) AS BIGINT)) AS w
         |       FROM dims JOIN d3 USING (vec_id) GROUP BY 1)
-        |SELECT pos, w AS w_raw,
+        |SELECT pos, CAST(w AS BIGINT) AS w_raw,
         |  CAST(round(w / (SELECT max(abs(w)) FROM w3) * 1000000) AS BIGINT)
         |    AS loading_q6
         |FROM w3 ORDER BY pos""".stripMargin,

@@ -229,7 +229,7 @@ object TimeSeries {
       val stream = ss.readStream.schema(schema)
         .option("basePath", d)
         .parquet(s"$d/events*.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(graft.core.Tables.normalizeTs)
         // No watermark: complete mode never evicts state, so declaring
         // one would be inert and misleading. This query is the
         // finite-replay form (AvailableNow over a bounded fixture);
@@ -261,7 +261,7 @@ object TimeSeries {
       val stream = ss.readStream.schema(schema)
         .option("basePath", d)
         .parquet(s"$d/events*.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(graft.core.Tables.normalizeTs)
         // No watermark — complete mode, finite replay only (see st2).
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
         .agg(count(lit(1)).as("n"))
@@ -440,7 +440,7 @@ object TimeSeries {
       val stream = ss.readStream.schema(schema)
         .option("basePath", d)
         .parquet(s"$d/events*.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(graft.core.Tables.normalizeTs)
         .withColumn("nk", col("user_id") % 25)
         .join(broadcast(dim), col("nk") === col("n_nationkey"))
         // No watermark — complete mode, finite replay only (see st2).
@@ -514,7 +514,7 @@ object TimeSeries {
       def src = ss.readStream.schema(schema)
         .option("basePath", d)
         .parquet(s"$d/events*.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(graft.core.Tables.normalizeTs)
       val clicks = src.filter(col("event_type") === "click")
         .select(col("user_id"), col("event_id").as("click_id"),
           col("ts").as("c_ts"))

@@ -101,14 +101,12 @@ object StreamOps {
   def runOnce(spark: SparkSession, dir: String, name: String,
               build: DataFrame => DataFrame, outputMode: String = "append"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = graft.core.Tables.events(spark, dir).schema
-    val raw = spark.readStream
-      .schema(org.apache.spark.sql.types.StructType(
-        schema.map(f => if (f.name == "ts")
-          org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType)
-        else f)))
-      .parquet(stagedDir(dir))
-    val events = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // The file's own schema (nanosAsLong already set): ts arrives as
+    // LongType (ns fixtures) or TimestampNTZType (us fixtures);
+    // normalizeTs maps either to session-TZ TIMESTAMP.
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream.schema(schema).parquet(stagedDir(dir))
+    val events = graft.core.Tables.normalizeTs(raw)
     val q = build(events).writeStream
       .format("memory").queryName(name).outputMode(outputMode).start()
     q.processAllAvailable()

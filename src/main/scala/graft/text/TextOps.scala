@@ -35,4 +35,45 @@ object TextOps {
     * h_k = (a_k·h + b_k) mod 2147483647. */
   def minhashExpr(h: String, k: Int): String =
     s"((${2 * k + 3} * $h + ${k * k + 1}) % 2147483647)"
+
+  // ---- HyperLogLog fragments (d30): p = 6 → m = 64 registers over the
+  // 32-bit md5 hash. All pure-integer (the one float op, the final
+  // estimate division, divides exact int64s < 2^53 — IEEE-exact in both
+  // engines). The low 6 hash bits pick the register; the remaining 26
+  // bits feed the leading-zero rank.
+
+  /** Floor integer division as engine-neutral SQL: num and den exact
+    * BIGINTs < 2^53, num ≥ 0, den > 0 — (num − num%den)/den is an exact
+    * double, so the CAST is exact. */
+  def idiv(num: String, den: String): String =
+    s"CAST((($num) - (($num) % ($den))) / ($den) AS BIGINT)"
+
+  /** The 26 value bits above the register index: h div 64. */
+  def hllW(h: String): String = idiv(h, "64")
+
+  /** HLL rank ρ(w) = leading zeros of the 26-bit w, plus 1 (∈ [1,27]);
+    * a CASE ladder keeps it integer-exact in both engines. */
+  def hllRho(w: String): String =
+    "(CASE " +
+      (0 until 26).map(i => s"WHEN ($w) >= ${1L << (25 - i)} THEN ${i + 1}").mkString(" ") +
+      " ELSE 27 END)"
+
+  /** 2^e for e ∈ [0,27] as a CASE ladder (no engine-specific shift op). */
+  def pow2(e: String): String =
+    "(CASE " + (0 to 27).map(k => s"WHEN ($e) = $k THEN ${1L << k}").mkString(" ") + " ELSE 0 END)"
+
+  /** Flajolet small-range (linear-counting) table: round(m·ln(m/V)) for
+    * V ∈ [1,64] zero registers, precomputed HERE so both engines read
+    * identical integer constants — no cross-engine libm exposure. */
+  def hllLinearCount(v: String): String =
+    "(CASE " +
+      (1 to 64).map(vv => s"WHEN ($v) = $vv THEN ${Math.round(64.0 * Math.log(64.0 / vv))}").mkString(" ") +
+      " ELSE 0 END)"
+
+  /** Raw HLL estimate floor(α_64·m²·2^27 / Z) where Z = Σ 2^(27−M_j):
+    * α_64 = 0.709 exactly as the rational 709/1000, so the numerator is
+    * the exact integer 2904064·2^27 and the whole estimate is one
+    * integer floor-division. */
+  def hllRaw(z: String): String =
+    idiv((2904064L * 134217728L).toString, s"1000 * ($z)")
 }
