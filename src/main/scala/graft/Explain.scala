@@ -93,7 +93,9 @@ object Explain {
       "e9_power_iter" -> "driver-loop operator (e3/d26 division): each of 3 rounds is ONE scalar aggregation — 64 map-side-combined integer sums, no shuffle key, one partial row per partition; returned frame is the LocalTableScan of the 64-row state; plan shown is the round aggregate via ann.PowerIter",
       "d30_hll_cardinality" -> "HyperLogLog: register table in ONE keyed aggregation — map-side combine bounds every partition at |groups|x64 cells regardless of stream length; grid completion and the exact-count ground join touch only |groups|-row frames; registers merge by MAX (the shard-fanin property)",
       "g3_cube" -> "CUBE as ONE Expand (4 grouping_id replicas) feeding one keyed aggregation with map-side combine — the fact stream is scanned once for all four report levels, exchanges carry only |types x days x 4| partial rows",
-      "p3_exact_quantiles" -> "exact quantiles with NO global sort: 256-bin counts (map-side combined), a 256-row cumulative window (single-partition BY CONSTRUCTION — bin count, not data volume), then a re-scan filtered by the <=3-row broadcast target-bin table so the only sort ranks ~n/256 candidate rows per target")
+      "p3_exact_quantiles" -> "exact quantiles with NO global sort: 256-bin counts (map-side combined), a 256-row cumulative window (single-partition BY CONSTRUCTION — bin count, not data volume), then a re-scan filtered by the <=3-row broadcast target-bin table so the only sort ranks ~n/256 candidate rows per target",
+      "u6_scd2" -> "SCD2 in ONE Exchange: change-detect (lag), version (row_number) and range-assemble (lead) all share the business-key hash partitioning and its sort — no self-join against history",
+      "d31_knn_triangles" -> "mutual-kNN triangle count: candidates from the d9 sign-LSH bucket join (never all-pairs); top-3 cap bounds degree structurally, so wedge join + closure semi-join move O(nodes*9) rows at any corpus size; dir edge list localCheckpointed once for its six self-join arms")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by graft.Explain)\n\n")

@@ -224,6 +224,31 @@ object Relational {
         .orderBy("q")
     }),
 
+    // U6 — SCD Type-2 dimension build (the u5 MERGE's historical
+    // counterpart): collapse each key's event stream into versioned
+    // rows with [valid_from, valid_to) ranges and a current flag.
+    // Change detection (lag ≠), version numbering (row_number), and
+    // range assembly (lead) all ride ONE hash partitioning on the
+    // business key — Spark plans a single Exchange and the three
+    // window functions share its sort, which is the whole trick to
+    // SCD2 at 100 TB: one shuffle, no self-join against history.
+    // Values compare in exact cents; times in exact micros.
+    "u6_scd2" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("t_us"), col("event_id"))
+      val ev = events(s, d).select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("t_us"), cents(col("value")).as("vc"))
+      val changes = ev.withColumn("prev_vc", lag(col("vc"), 1).over(w))
+        .filter(col("prev_vc").isNull || col("prev_vc") =!= col("vc"))
+      changes
+        .withColumn("ver", row_number().over(w).cast("long"))
+        .withColumn("valid_to_us", lead(col("t_us"), 1).over(w))
+        .select(col("user_id"), col("ver"), col("vc"),
+          (col("vc") / 100.0).as("value"),
+          col("t_us").as("valid_from_us"), col("valid_to_us"),
+          when(col("valid_to_us").isNull, 1L).otherwise(0L).as("is_current"))
+        .orderBy("user_id", "ver")
+    }),
+
     // U1/U3 — union all + distinct (ref main.py:10621, 9502).
     "u1_union_distinct" -> ((s, d) => {
       val e = events(s, d)
@@ -720,6 +745,32 @@ object Relational {
         |SELECT src, count(*) AS n, min(k) AS min_key, max(k) AS max_key,
         |  CAST(sum(pc) AS BIGINT) / 100.0 AS total
         |FROM merged GROUP BY src ORDER BY src""".stripMargin,
+
+    // SCD2 replay: identical change-detection (lag ≠ in exact cents),
+    // version numbering, and lead()-assembled validity ranges.
+    "u6_scd2" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t_us,
+        |    CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events),
+        |ch AS (
+        |  SELECT user_id, event_id, t_us, vc FROM (
+        |    SELECT *, lag(vc) OVER
+        |      (PARTITION BY user_id ORDER BY t_us, event_id) AS prev_vc
+        |    FROM ev)
+        |  WHERE prev_vc IS NULL OR prev_vc <> vc),
+        |v AS (
+        |  SELECT user_id, vc, t_us,
+        |    CAST(row_number() OVER
+        |      (PARTITION BY user_id ORDER BY t_us, event_id) AS BIGINT) AS ver,
+        |    lead(t_us) OVER
+        |      (PARTITION BY user_id ORDER BY t_us, event_id) AS valid_to_us
+        |  FROM ch)
+        |SELECT user_id, ver, vc, vc / 100.0 AS value,
+        |  t_us AS valid_from_us, valid_to_us,
+        |  CASE WHEN valid_to_us IS NULL
+        |    THEN CAST(1 AS BIGINT) ELSE 0 END AS is_current
+        |FROM v ORDER BY user_id, ver""".stripMargin,
 
     "o8_zorder_layout" -> {
       def zSql(x: String, y: String): String =

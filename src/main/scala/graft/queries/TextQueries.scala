@@ -1508,6 +1508,62 @@ object TextQueries {
         .orderBy("kind", "source")
     }),
 
+    // D31 — triangle counting / clustering coefficient on the MUTUAL
+    // top-3-NN semantic graph: the third graph operator (d15 connected
+    // components, d23 PageRank, d31 triangles). The graph itself is the
+    // standard semantic-dedup structure signal — a vector's local
+    // clustering coefficient separates "member of a tight duplicate
+    // cluster" (cc → 1) from "hub between unrelated neighborhoods"
+    // (cc → 0). Scale shape: candidates come from the d9 sign-LSH
+    // bucket join (never all-pairs), the kNN cap bounds out-degree at
+    // 3 and mutuality bounds undirected degree likewise, so the wedge
+    // join is O(nodes · 3²) AT ANY CORPUS SIZE — unlike triangle
+    // counting on a similarity-threshold graph, whose near-clique
+    // blowup is quadratic in cluster size. All joins key on vector
+    // ids; sims are the d9 integerized-dot arithmetic (cross-engine
+    // bit-identical), ranked with explicit NULLS LAST on both sides.
+    "d31_knn_triangles" -> ((s, d) => {
+      val nv = embeddings(s, d).agg(count(lit(1)).as("n_vec"))
+      val wb = embeddings(s, d).crossJoin(broadcast(nv))
+        .withColumn("nbits", least(lit(16), greatest(lit(8),
+          ceil(log2(col("n_vec").cast("double") / 4.0)).cast("int"))))
+        .withColumn("bucket", sign_bucket(col("embedding"), col("nbits")))
+        .withColumn("nrm", dot_i12(col("embedding"), col("embedding")))
+        .select("vec_id", "bucket", "embedding", "nrm")
+      val cand = wb.as("a").join(wb.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+        .withColumn("dot", dot_i12(col("a.embedding"), col("b.embedding")))
+        .withColumn("sim", (col("dot") / 1e12) /
+          nullif(sqrt(col("a.nrm") / 1e12) * sqrt(col("b.nrm") / 1e12), lit(0.0)))
+        .select(col("a.vec_id").as("u"), col("b.vec_id").as("v"), col("sim"))
+      val wr = Window.partitionBy("u").orderBy(desc_nulls_last("sim"), asc("v"))
+      // localCheckpoint (the d3 lifecycle): dir is ≤3 rows per vector
+      // and feeds SIX self-join arms below — without the cut, each arm
+      // would re-run the bucket join.
+      val dir = cand.withColumn("rn", row_number().over(wr)).filter(col("rn") <= 3)
+        .select("u", "v").localCheckpoint()
+      val mutual = dir.as("e1").join(dir.as("e2"),
+          col("e1.u") === col("e2.v") && col("e1.v") === col("e2.u") &&
+            col("e1.u") < col("e1.v"))
+        .select(col("e1.u").as("u"), col("e1.v").as("v"))
+      val deg = mutual.select(col("u").as("vec_id"))
+        .unionAll(mutual.select(col("v").as("vec_id")))
+        .groupBy("vec_id").agg(count(lit(1)).as("deg"))
+      val tri = mutual.as("m1").join(mutual.as("m2"),
+          col("m1.u") === col("m2.u") && col("m1.v") < col("m2.v"))
+        .select(col("m1.v").as("y"), col("m2.v").as("z"), col("m1.u").as("x"))
+        .join(mutual.as("m3"),
+          col("y") === col("m3.u") && col("z") === col("m3.v"), "left_semi")
+      val ntri = tri.select(explode(array(col("x"), col("y"), col("z"))).as("vec_id"))
+        .groupBy("vec_id").agg(count(lit(1)).as("n_tri"))
+      deg.join(ntri, Seq("vec_id"), "left")
+        .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
+        .withColumn("cc_q6", when(col("deg") >= 2,
+          expr("n_tri * 1000000 div ((deg * (deg - 1)) div 2)")).otherwise(lit(0L)))
+        .select("vec_id", "deg", "n_tri", "cc_q6")
+        .orderBy("vec_id")
+    }),
+
     // M1 — multimodal scaffold: opaque binary payload + typed metadata
     // (byte length, content-hash head); the decode stage lives in
     // graft.multimodal (REAL JDK PNG/WAV decode since r5 — see m2).
@@ -2228,6 +2284,72 @@ object TextQueries {
          |  JOIN norms nb ON nb.vec_id = b_id)
          |SELECT a_id, b_id, round(sim, 6) AS sim FROM sim
          |WHERE sim > 0.4 ORDER BY a_id, b_id""".stripMargin
+    },
+
+    // Independent triangle replay on the same candidate machinery as
+    // the d9 oracle (adaptive sign-LSH bucket, integerized dots):
+    // mirror the a<b dot pairs into both directions, rank top-3 with
+    // the identical (sim DESC NULLS LAST, v) key, keep mutual edges,
+    // then wedge-join + EXISTS for closure.
+    "d31_knn_triangles" -> {
+      s"""WITH nv AS (SELECT LEAST(16, GREATEST(8,
+         |    CAST(ceil(log2(count(*) / 4.0)) AS INT))) AS nbits FROM embeddings),
+         |b AS (SELECT vec_id, embedding,
+         |    CAST(list_sum([CASE WHEN embedding[j] > 0.0
+         |        THEN CAST(2**(j-1) AS BIGINT) ELSE CAST(0 AS BIGINT) END
+         |      FOR j IN range(1, nbits + 1)]) AS BIGINT) AS bucket
+         |  FROM embeddings, nv),
+         |dims AS (
+         |  SELECT vec_id, bucket, pos, CAST(x AS DOUBLE) AS x FROM (
+         |    SELECT vec_id, bucket, unnest(embedding) AS x,
+         |      unnest(generate_series(0, len(embedding) - 1)) AS pos
+         |    FROM b)),
+         |norms AS (SELECT vec_id,
+         |    sum(CAST(round(x * x * 1e12) AS BIGINT)) AS nrm
+         |  FROM dims GROUP BY 1),
+         |dots AS (SELECT da.vec_id AS a_id, db.vec_id AS b_id,
+         |    sum(CAST(round(da.x * db.x * 1e12) AS BIGINT)) AS dot
+         |  FROM dims da JOIN dims db
+         |    ON da.bucket = db.bucket AND da.pos = db.pos
+         |    AND da.vec_id < db.vec_id
+         |  GROUP BY 1, 2),
+         |sims AS (SELECT a_id, b_id,
+         |    (dot / 1e12) / nullif(sqrt(na.nrm / 1e12) * sqrt(nb.nrm / 1e12), 0.0) AS sim
+         |  FROM dots
+         |  JOIN norms na ON na.vec_id = a_id
+         |  JOIN norms nb ON nb.vec_id = b_id),
+         |dir AS (
+         |  SELECT u, v FROM (
+         |    SELECT u, v,
+         |      row_number() OVER (PARTITION BY u
+         |        ORDER BY sim DESC NULLS LAST, v) AS rn
+         |    FROM (SELECT a_id AS u, b_id AS v, sim FROM sims
+         |          UNION ALL SELECT b_id, a_id, sim FROM sims))
+         |  WHERE rn <= 3),
+         |mutual AS (
+         |  SELECT e1.u AS u, e1.v AS v FROM dir e1
+         |  JOIN dir e2 ON e1.u = e2.v AND e1.v = e2.u
+         |  WHERE e1.u < e1.v),
+         |deg AS (SELECT vec_id, count(*) AS deg FROM (
+         |    SELECT u AS vec_id FROM mutual
+         |    UNION ALL SELECT v FROM mutual) GROUP BY 1),
+         |tri AS (
+         |  SELECT m1.u AS x, m1.v AS y, m2.v AS z
+         |  FROM mutual m1 JOIN mutual m2
+         |    ON m1.u = m2.u AND m1.v < m2.v
+         |  WHERE EXISTS (SELECT 1 FROM mutual m3
+         |                WHERE m3.u = m1.v AND m3.v = m2.v)),
+         |ntri AS (SELECT vec_id, count(*) AS n_tri FROM (
+         |    SELECT x AS vec_id FROM tri
+         |    UNION ALL SELECT y FROM tri
+         |    UNION ALL SELECT z FROM tri) GROUP BY 1)
+         |SELECT d.vec_id, d.deg,
+         |  CAST(coalesce(n.n_tri, 0) AS BIGINT) AS n_tri,
+         |  CAST(CASE WHEN d.deg >= 2
+         |    THEN (coalesce(n.n_tri, 0) * 1000000) // ((d.deg * (d.deg - 1)) // 2)
+         |    ELSE 0 END AS BIGINT) AS cc_q6
+         |FROM deg d LEFT JOIN ntri n USING (vec_id)
+         |ORDER BY d.vec_id""".stripMargin
     },
 
     "d10_corpus_pipeline" ->
