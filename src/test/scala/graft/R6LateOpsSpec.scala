@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Properties of the late-round-6 operators (d30 HLL, p3 exact
+  * quantiles, g3 CUBE, u6 SCD2, d31 mutual-kNN triangles) that the
+  * DuckDB oracle replay can't state on its own — the oracle proves
+  * both engines compute the same thing; these prove the thing
+  * computed has the semantics the operator claims.
+  */
+class R6LateOpsSpec extends SparkSpec {
+
+  test("d30: HLL estimates land within sketch error of exact, both branches exercised") {
+    val rows = SparkEntry.queries("d30_hll_cardinality")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nZero, est, exact) =
+        (r.getLong(2), r.getLong(4), r.getLong(5))
+      assert(est > 0, s"estimate must be positive: $r")
+      // m=64 HLL: ~13% stddev in the raw regime, linear counting much
+      // tighter; 50% is a safe deterministic bound for this fixture.
+      val relErr = math.abs(est - exact).toDouble / exact
+      assert(relErr <= 0.5, s"${r.getString(0)}/${r.getString(1)}: est=$est exact=$exact relErr=$relErr")
+      assert(nZero >= 0 && nZero <= 64)
+    }
+    // both estimator branches must actually run: unigram groups sit in
+    // the small-range (linear-counting) regime — zero registers exist —
+    // while bigram groups reach the raw-formula regime on at least one
+    // group (no zero registers OR raw estimate above the 2.5m cutoff).
+    val uni = rows.filter(_.getString(0) == "tok")
+    val big = rows.filter(_.getString(0) == "bigram")
+    assert(uni.nonEmpty && big.nonEmpty)
+    assert(uni.forall(_.getLong(2) > 0), "unigram groups should have zero registers (LC branch)")
+    assert(big.exists(r => r.getLong(2) == 0 || r.getLong(4) > 160),
+      "at least one bigram group should exercise the raw-estimate branch")
+  }
+
+  test("p3: histogram-narrowed quantiles equal the brute-force nearest-rank values") {
+    val got = SparkEntry.queries("p3_exact_quantiles")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val v6 = graft.core.Tables.events(spark, sf)
+      .select(expr("CAST(floor(value * 1000000) AS BIGINT)").as("v6"))
+      .orderBy("v6").collect().map(_.getLong(0))
+    val n = v6.length
+    def nearestRank(num: Int, den: Int): Long = v6((num * n + den - 1) / den - 1)
+    assert(got(25L) == nearestRank(1, 4), "p25")
+    assert(got(50L) == nearestRank(1, 2), "p50")
+    assert(got(75L) == nearestRank(3, 4), "p75")
+  }
+
+  test("g3: CUBE levels are mutually consistent (details sum to subtotals sum to grand total)") {
+    val rows = SparkEntry.queries("g3_cube")(spark, sf).collect()
+    def nAt(lvl: Long) = rows.filter(_.getLong(4) == lvl).map(_.getLong(2)).sum
+    val grand = rows.filter(_.getLong(4) == 3L)
+    assert(grand.length == 1, "exactly one grand-total row")
+    assert(nAt(0) == grand.head.getLong(2), "detail cells sum to grand total")
+    assert(nAt(1) == grand.head.getLong(2), "per-type subtotals sum to grand total")
+    assert(nAt(2) == grand.head.getLong(2), "per-day subtotals sum to grand total")
+  }
+
+  test("u6: SCD2 versions tile each key's timeline with one current row and no no-op versions") {
+    val rows = SparkEntry.queries("u6_scd2")(spark, sf).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (user, vs) =>
+      val sorted = vs.sortBy(_.getLong(1))
+      assert(sorted.head.getLong(1) == 1L, s"user $user versions start at 1")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getLong(1) == a.getLong(1) + 1, s"user $user versions contiguous")
+          assert(!a.isNullAt(5) && a.getLong(5) == b.getLong(4),
+            s"user $user valid_to(v${a.getLong(1)}) == valid_from(v${b.getLong(1)})")
+          assert(a.getLong(2) != b.getLong(2),
+            s"user $user consecutive versions must differ (change detection)")
+        case _ => ()
+      }
+      assert(vs.count(_.getLong(6) == 1L) == 1, s"user $user has exactly one current row")
+      assert(sorted.last.isNullAt(5), s"user $user current row is open-ended")
+    }
+  }
+
+  test("d31: structural invariants of the mutual-kNN triangle count") {
+    val out = SparkEntry.queries("d31_knn_triangles")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000000, s"cc in [0,1]: $r")
+      assert(r.getLong(1) >= 1 && r.getLong(1) <= 3,
+        s"mutual degree bounded by the kNN cap: $r")
+      assert(r.getLong(2) <= r.getLong(1) * (r.getLong(1) - 1) / 2,
+        s"n_tri bounded by the node's wedge count: $r")
+    }
+    // handshake identity: each triangle contributes to exactly three
+    // nodes (cross-engine equality with the independent DuckDB wedge
+    // join is carried by the oracle; this pins the aggregation shape)
+    val triSum = out.map(_.getLong(2)).sum
+    assert(triSum % 3 == 0, "sum of per-node counts must be 3T")
+    assert(out.exists(_.getLong(2) > 0), "fixture dup clusters should close triangles")
+  }
+}

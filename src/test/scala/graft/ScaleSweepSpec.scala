@@ -132,7 +132,14 @@ class ScaleSweepSpec extends SparkSpec {
       "st7_stream_join" -> 30.0,
       // constant per-user rate ⇒ horizon-deep state buffers stay the
       // same size at 10×; only the event volume grows
-      "st10_stream_flare" -> 30.0)
+      "st10_stream_flare" -> 30.0,
+      // r6 late ops: HLL is one map-side-combined aggregation (cells
+      // bounded per partition); triangles ride the degree-≤3 mutual
+      // graph so wedge volume grows with NODES, not cluster size²;
+      // p3's two-round narrowing keeps the only sort at ~n/256 rows
+      "d30_hll_cardinality" -> 30.0,
+      "d31_knn_triangles" -> 30.0,
+      "p3_exact_quantiles" -> 30.0)
     val report = bounds.toSeq.sortBy(_._1).map { case (q, bound) =>
       var t1 = timeQ(q, x1)
       var t10 = timeQ(q, x10)
