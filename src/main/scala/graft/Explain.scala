@@ -153,7 +153,8 @@ object Explain {
       "st7_stream_join" -> "stream-stream interval join: BOTH sides buffered in state, bounded by the 1 h watermark + 6 h join range",
       "st8_stream_dedup_wm" -> "dropDuplicatesWithinWatermark: state is evicted at the horizon (numRowsRemoved > 0 is the contract) — the unbounded-safe dedup",
       "st9_stream_static_join" -> "stream-static enrichment: the dim broadcasts per micro-batch with NO join state (only the downstream tumbling agg holds state rows) — the dim is swappable under a running query",
-      "st10_stream_flare" -> "flatMapGroupsWithState flare trigger: state = per-user horizon-deep buffers (bounded by TIME, not stream length), carried across 3 micro-batches — hits right after a batch boundary score against the previous batch's state")
+      "st10_stream_flare" -> "flatMapGroupsWithState flare trigger: state = per-user horizon-deep buffers (bounded by TIME, not stream length), carried across 3 micro-batches — hits right after a batch boundary score against the previous batch's state",
+      "st11_stream_hll" -> "streaming HLL: state = |event_types|x64 register rows MAX regardless of stream length (max-merged per micro-batch) — the bounded-state distinct-count; estimate post-processing runs batch on the drained sink")
     sb.append("\n\n# Streaming state-operator audit (micro-batch engine telemetry)\n")
     streamAudit.foreach { case (name, expectation) =>
       progresses.synchronized(progresses.clear())

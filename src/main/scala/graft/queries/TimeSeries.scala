@@ -505,6 +505,61 @@ object TimeSeries {
         .orderBy("user_id", "event_id")
     }),
 
+    // §2.10 + d30 — STREAMING cardinality sketch: the HyperLogLog
+    // register table maintained as a streaming stateful aggregation —
+    // the deployment mode the d30 scaladoc promises. State is
+    // |event_types|×64 register rows MAX regardless of stream length
+    // (each micro-batch max-merges its partial registers into the
+    // store), which is the textbook bounded-state distinct-count on an
+    // unbounded stream; Spark's own approx_count_distinct streaming
+    // path keeps the identical structure. Complete mode, finite
+    // replay (the st2 contract): after AvailableNow drains, the final
+    // register state EQUALS the batch sketch, so the estimate
+    // post-processing on the memory sink reuses d30's exact-integer
+    // estimator and the oracle replays it over the full table.
+    "st11_stream_hll" -> ((s, d) => {
+      val ss = streamSession(s)
+      val schema = ss.read.parquet(s"$d/events.parquet").schema
+      import graft.text.TextOps
+      val stream = ss.readStream.schema(schema)
+        .option("basePath", d)
+        .parquet(s"$d/events*.parquet")
+        .withColumn("h", expr(TextOps.md5Hash32Fast("CAST(user_id AS STRING)")))
+        .withColumn("reg", col("h") % 64)
+        .withColumn("rho", expr(TextOps.hllRho(TextOps.hllW("h"))))
+        .groupBy(col("event_type"), col("reg"))
+        .agg(max(col("rho")).as("m"))
+      val q = stream.writeStream
+        .format("memory").queryName("st11_sink")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // estimate from the drained register state (batch post-process,
+      // identical estimator to d30: grid-complete, Z, zero count, two
+      // branches with shared precomputed constants)
+      val regs = ss.table("st11_sink")
+      // fresh attribute ids (et/rg) — grid derives from the same memory
+      // table as regs, and a Seq-key self-join would see conflicting
+      // attributes
+      val grid = regs.select(col("event_type").as("et")).distinct()
+        .select(col("et"), explode(sequence(lit(0L), lit(63L))).as("rg"))
+      val est = grid.join(regs,
+          col("et") === col("event_type") && col("rg") === col("reg"), "left")
+        .select(col("et").as("event_type"), coalesce(col("m"), lit(0L)).as("m"))
+        .groupBy("event_type").agg(
+          sum(expr(TextOps.pow2("27 - m"))).as("z"),
+          sum(when(col("m") === 0, 1L).otherwise(0L)).as("n_zero"))
+        .withColumn("raw", expr(TextOps.hllRaw("z")))
+        .withColumn("est_hll", expr(
+          s"CASE WHEN raw <= 160 AND n_zero > 0 THEN ${TextOps.hllLinearCount("n_zero")} ELSE raw END"))
+      val exact = graft.core.Tables.events(ss, d)
+        .groupBy("event_type").agg(countDistinct(col("user_id")).as("exact"))
+      est.join(exact, Seq("event_type"))
+        .select("event_type", "n_zero", "z", "est_hll", "exact")
+        .orderBy("event_type")
+    }),
+
     // the engine evict click state once the purchase-side watermark
     // passes click+6h — bounded state on an unbounded stream. The
     // oracle is the identical range join in plain SQL.
@@ -863,6 +918,45 @@ object TimeSeries {
       "st6_stream_dedup" ->
         """SELECT DISTINCT user_id, event_type FROM events
           |ORDER BY user_id, event_type""".stripMargin,
+
+      // Streaming HLL replay: AvailableNow drains the whole fixture, so
+      // the final register state equals the batch sketch — replay d30's
+      // estimator over the full events table (same register split, ρ
+      // ladder, max-merge, grid completion, and two-branch estimate
+      // with identical baked constants).
+      "st11_stream_hll" -> {
+        import graft.text.TextOps
+        s"""WITH hashed AS (
+           |  SELECT event_type, (h % 64) AS reg,
+           |    ${TextOps.hllRho(TextOps.hllW("h"))} AS rho
+           |  FROM (SELECT event_type,
+           |      ${TextOps.md5Hash32("CAST(user_id AS VARCHAR)")} AS h
+           |    FROM events)),
+           |regs AS (SELECT event_type, reg, max(rho) AS m
+           |  FROM hashed GROUP BY 1, 2),
+           |grid AS (
+           |  SELECT event_type, unnest(generate_series(0, 63)) AS reg
+           |  FROM (SELECT DISTINCT event_type FROM events)),
+           |fullgrid AS (
+           |  SELECT g.event_type, coalesce(r.m, 0) AS m
+           |  FROM grid g LEFT JOIN regs r
+           |    ON r.event_type = g.event_type AND r.reg = g.reg),
+           |est AS (
+           |  SELECT event_type,
+           |    CAST(sum(${TextOps.pow2("27 - m")}) AS BIGINT) AS z,
+           |    CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+           |  FROM fullgrid GROUP BY 1),
+           |est2 AS (
+           |  SELECT event_type, n_zero, z,
+           |    CASE WHEN raw <= 160 AND n_zero > 0
+           |      THEN ${TextOps.hllLinearCount("n_zero")} ELSE raw END AS est_hll
+           |  FROM (SELECT *, ${TextOps.hllRaw("z")} AS raw FROM est)),
+           |exact AS (SELECT event_type, count(DISTINCT user_id) AS exact
+           |  FROM events GROUP BY 1)
+           |SELECT e.event_type, e.n_zero, e.z, e.est_hll, x.exact
+           |FROM est2 e JOIN exact x ON x.event_type = e.event_type
+           |ORDER BY e.event_type""".stripMargin
+      },
 
       "st8_stream_dedup_wm" ->
         """SELECT DISTINCT user_id, event_id FROM events
