@@ -224,6 +224,21 @@ object Relational {
         .orderBy("q")
     }),
 
+    // J10 — fuzzy similarity join at edit distance ≤1 via FastSS
+    // deletion neighborhoods (the entity-resolution / typo-matching
+    // join): distinct names expand to their single-deletion variants,
+    // candidates come from an EQUI-join on the variant string, and a
+    // position predicate makes the match exact with NO Levenshtein
+    // UDF — see text.FuzzyJoin for the algebra and the 100 TB shape
+    // (neighborhood table join, vocabulary-sized input, codegen string
+    // slicing only). On this fixture the sequential customer names
+    // yield one-digit-substitution pairs; the indel arm and the
+    // "ab"/"ba" false-positive rejection are pinned by R6LateOpsSpec.
+    "j10_fuzzy_ed1" -> ((s, d) => {
+      graft.text.FuzzyJoin.ed1Pairs(customer(s, d), "c_name")
+        .orderBy("a_name", "b_name")
+    }),
+
     // U6 — SCD Type-2 dimension build (the u5 MERGE's historical
     // counterpart): collapse each key's event stream into versioned
     // rows with [valid_from, valid_to) ranges and a current flag.
@@ -745,6 +760,28 @@ object Relational {
         |SELECT src, count(*) AS n, min(k) AS min_key, max(k) AS max_key,
         |  CAST(sum(pc) AS BIGINT) / 100.0 AS total
         |FROM merged GROUP BY src ORDER BY src""".stripMargin,
+
+    // FastSS replay: identical deletion-neighborhood expansion and
+    // position predicate — candidate generation and verification are
+    // the same algebra, so no Levenshtein appears on either side.
+    "j10_fuzzy_ed1" ->
+      """WITH names AS (SELECT DISTINCT c_name AS tok FROM customer),
+        |vars AS (
+        |  SELECT tok, i AS pos,
+        |    CASE WHEN i = 0 THEN tok
+        |         ELSE substr(tok, 1, i - 1) || substr(tok, i + 1) END AS v
+        |  FROM (SELECT tok, unnest(generate_series(0, length(tok))) AS i
+        |        FROM names)),
+        |pairs AS (
+        |  SELECT DISTINCT a.tok AS a_name, b.tok AS b_name,
+        |    CASE WHEN length(a.tok) = length(b.tok)
+        |      THEN 'sub' ELSE 'indel' END AS kind
+        |  FROM vars a JOIN vars b ON a.v = b.v AND a.tok < b.tok
+        |  WHERE (length(a.tok) = length(b.tok) AND a.pos = b.pos AND a.pos > 0)
+        |     OR (length(a.tok) = length(b.tok) + 1 AND a.pos > 0 AND b.pos = 0)
+        |     OR (length(b.tok) = length(a.tok) + 1 AND b.pos > 0 AND a.pos = 0))
+        |SELECT a_name, b_name, kind FROM pairs
+        |ORDER BY a_name, b_name""".stripMargin,
 
     // SCD2 replay: identical change-detection (lag ≠ in exact cents),
     // version numbering, and lead()-assembled validity ranges.

@@ -77,6 +77,27 @@ class R6LateOpsSpec extends SparkSpec {
     }
   }
 
+  test("j10: FastSS join is exactly ed<=1 — indel arm works, ab/ba false positive rejected") {
+    import spark.implicits._
+    val names = Seq("cat", "cut", "cats", "at", "ab", "ba", "dog", "dogg", "doge")
+      .toDF("name")
+    val got = graft.text.FuzzyJoin.ed1Pairs(names, "name")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val want = Set(
+      ("ab", "at", "sub"),       // substitution, shared prefix
+      ("cat", "cut", "sub"),     // substitution mid-string
+      ("cat", "cats", "indel"),  // insertion at the end
+      ("at", "cat", "indel"),    // insertion at the front
+      ("dog", "dogg", "indel"),
+      ("dog", "doge", "indel"),
+      ("doge", "dogg", "sub"))
+    assert(got == want, s"got $got\nwant $want")
+    // the classic FastSS false positive: "ab" and "ba" share deletion
+    // variants "a" and "b" (at different positions) but are at edit
+    // distance 2 — the position predicate must reject them
+    assert(!got.exists(p => Set(p._1, p._2) == Set("ab", "ba")))
+  }
+
   test("d31: structural invariants of the mutual-kNN triangle count") {
     val out = SparkEntry.queries("d31_knn_triangles")(spark, sf).collect()
     assert(out.nonEmpty)
