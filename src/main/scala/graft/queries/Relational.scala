@@ -364,6 +364,45 @@ object Relational {
         .orderBy("k")
     }),
 
+    // §2.8 — ARRAY function surface: size/distinct/slice/contains/
+    // intersect/sort plus a higher-order aggregate — all row-local
+    // codegen (no shuffle but the output sort); each has a DuckDB
+    // list-function twin so the whole collection semantics cross-check.
+    "sc_arrays" -> ((s, d) => {
+      documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_tok", size(col("toks")).cast("long"))
+        .withColumn("n_uniq", size(array_distinct(col("toks"))).cast("long"))
+        .withColumn("head3", concat_ws("|", slice(col("toks"), 1, 3)))
+        .withColumn("has_spark", when(array_contains(col("toks"), "spark"), 1L).otherwise(0L))
+        .withColumn("n_kw", size(array_intersect(array_distinct(col("toks")),
+          array(lit("spark"), lit("join"), lit("table"), lit("data")))).cast("long"))
+        .withColumn("tot_len", expr(
+          "CAST(aggregate(toks, 0, (acc, x) -> acc + length(x)) AS BIGINT)"))
+        .withColumn("first_sorted", element_at(array_sort(col("toks")), 1))
+        .select("doc_id", "n_tok", "n_uniq", "head3", "has_spark",
+          "n_kw", "tot_len", "first_sorted")
+        .orderBy("doc_id")
+    }),
+
+    // §2.8 — REGEX function surface: extract / replace / match /
+    // extract_all-count with dialect-safe patterns (character classes
+    // and anchors that mean the same in Java regex and DuckDB's RE2).
+    "sc_regex" -> ((s, d) => {
+      part(s, d)
+        .withColumn("first_word", regexp_extract(col("p_name"), "^([a-z]+)", 1))
+        .withColumn("brand_num",
+          regexp_extract(col("p_brand"), "([0-9]+)$", 1).cast("long"))
+        .withColumn("no_vowels", regexp_replace(col("p_name"), "[aeiou]", "_"))
+        .withColumn("is_color", when(col("p_name").rlike("^(red|blue|green)"), 1L)
+          .otherwise(0L))
+        .withColumn("n_vowels", // Spark's default group idx is 1 → needs a capture group
+          size(expr("regexp_extract_all(p_name, '([aeiou])', 1)")).cast("long"))
+        .select("p_partkey", "first_word", "brand_num", "no_vowels",
+          "is_color", "n_vowels")
+        .orderBy("p_partkey")
+    }),
+
     // §2.8 date/time parts.
     "sc_datetime" -> ((s, d) => {
       orders(s, d)
@@ -760,6 +799,34 @@ object Relational {
         |SELECT src, count(*) AS n, min(k) AS min_key, max(k) AS max_key,
         |  CAST(sum(pc) AS BIGINT) / 100.0 AS total
         |FROM merged GROUP BY src ORDER BY src""".stripMargin,
+
+    "sc_arrays" ->
+      """SELECT doc_id,
+        |  CAST(len(l) AS BIGINT) AS n_tok,
+        |  CAST(len(list_distinct(l)) AS BIGINT) AS n_uniq,
+        |  array_to_string(l[1:3], '|') AS head3,
+        |  CASE WHEN list_contains(l, 'spark')
+        |    THEN CAST(1 AS BIGINT) ELSE 0 END AS has_spark,
+        |  CAST(len(list_intersect(list_distinct(l),
+        |    ['spark', 'join', 'table', 'data'])) AS BIGINT) AS n_kw,
+        |  CAST(list_sum(list_transform(l, x -> length(x))) AS BIGINT)
+        |    AS tot_len,
+        |  list_sort(l)[1] AS first_sorted
+        |FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    // 'g' flag: DuckDB regexp_replace is first-match-only by default
+    // where Spark replaces all occurrences.
+    "sc_regex" ->
+      """SELECT p_partkey,
+        |  regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+        |  CAST(regexp_extract(p_brand, '([0-9]+)$', 1) AS BIGINT) AS brand_num,
+        |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS no_vowels,
+        |  CASE WHEN regexp_matches(p_name, '^(red|blue|green)')
+        |    THEN CAST(1 AS BIGINT) ELSE 0 END AS is_color,
+        |  CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS BIGINT)
+        |    AS n_vowels
+        |FROM part ORDER BY p_partkey""".stripMargin,
 
     // FastSS replay: identical deletion-neighborhood expansion and
     // position predicate — candidate generation and verification are

@@ -1515,23 +1515,37 @@ object TextQueries {
     // clustering coefficient separates "member of a tight duplicate
     // cluster" (cc → 1) from "hub between unrelated neighborhoods"
     // (cc → 0). Scale shape: candidates come from the d9 sign-LSH
-    // bucket join (never all-pairs), the kNN cap bounds out-degree at
-    // 3 and mutuality bounds undirected degree likewise, so the wedge
-    // join is O(nodes · 3²) AT ANY CORPUS SIZE — unlike triangle
-    // counting on a similarity-threshold graph, whose near-clique
-    // blowup is quadratic in cluster size. All joins key on vector
-    // ids; sims are the d9 integerized-dot arithmetic (cross-engine
-    // bit-identical), ranked with explicit NULLS LAST on both sides.
+    // bucket join (never all-pairs) — BUT sign-LSH alone collapses on
+    // heavily CLUSTERED corpora (a 10-center fixture yields only
+    // 20–40 distinct sign patterns at ANY corpus size, so bucket
+    // population grows with n and the pair join goes quadratic:
+    // measured 1.5e9 candidate pairs / 367 s at a 200 k-vector 100×
+    // corpus). The fix is the IVF move: salt each bucket into
+    // content-hashed sub-cells of ≤~128 vectors, so candidate volume
+    // is ≤ n·128 — linear — at any scale and any clusteredness, at
+    // the cost of kNN approximation WITHIN a dense cluster (where all
+    // members are near-neighbors anyway; the cc signal is preserved).
+    // The kNN cap bounds out-degree at 3 and mutuality bounds
+    // undirected degree likewise, so the wedge join is O(nodes · 3²).
+    // All arithmetic (sub-cell salt included) is the exact-integer
+    // d9 contract, ranked with explicit NULLS LAST on both sides.
     "d31_knn_triangles" -> ((s, d) => {
       val nv = embeddings(s, d).agg(count(lit(1)).as("n_vec"))
-      val wb = embeddings(s, d).crossJoin(broadcast(nv))
+      val wb0 = embeddings(s, d).crossJoin(broadcast(nv))
         .withColumn("nbits", least(lit(16), greatest(lit(8),
           ceil(log2(col("n_vec").cast("double") / 4.0)).cast("int"))))
         .withColumn("bucket", sign_bucket(col("embedding"), col("nbits")))
         .withColumn("nrm", dot_i12(col("embedding"), col("embedding")))
         .select("vec_id", "bucket", "embedding", "nrm")
+      // bucket-population salt: ≤|distinct buckets| rows, broadcast
+      val bc = wb0.groupBy("bucket").agg(count(lit(1)).as("bc"))
+      val wb = wb0.join(broadcast(bc), "bucket")
+        .withColumn("nsub", expr("(bc + 127) div 128"))
+        .withColumn("sub",
+          expr(TextOps.md5Hash32Fast("CAST(vec_id AS STRING)")) % col("nsub"))
       val cand = wb.as("a").join(wb.as("b"),
-          col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+          col("a.bucket") === col("b.bucket") && col("a.sub") === col("b.sub") &&
+            col("a.vec_id") =!= col("b.vec_id"))
         .withColumn("dot", dot_i12(col("a.embedding"), col("b.embedding")))
         .withColumn("sim", (col("dot") / 1e12) /
           nullif(sqrt(col("a.nrm") / 1e12) * sqrt(col("b.nrm") / 1e12), lit(0.0)))
@@ -2287,21 +2301,27 @@ object TextQueries {
     },
 
     // Independent triangle replay on the same candidate machinery as
-    // the d9 oracle (adaptive sign-LSH bucket, integerized dots):
-    // mirror the a<b dot pairs into both directions, rank top-3 with
-    // the identical (sim DESC NULLS LAST, v) key, keep mutual edges,
-    // then wedge-join + EXISTS for closure.
+    // the d9 oracle (adaptive sign-LSH bucket, integerized dots) plus
+    // the engine's bucket-population sub-cell salt: mirror the a<b
+    // dot pairs into both directions, rank top-3 with the identical
+    // (sim DESC NULLS LAST, v) key, keep mutual edges, then
+    // wedge-join + EXISTS for closure.
     "d31_knn_triangles" -> {
       s"""WITH nv AS (SELECT LEAST(16, GREATEST(8,
          |    CAST(ceil(log2(count(*) / 4.0)) AS INT))) AS nbits FROM embeddings),
-         |b AS (SELECT vec_id, embedding,
+         |b0 AS (SELECT vec_id, embedding,
          |    CAST(list_sum([CASE WHEN embedding[j] > 0.0
          |        THEN CAST(2**(j-1) AS BIGINT) ELSE CAST(0 AS BIGINT) END
          |      FOR j IN range(1, nbits + 1)]) AS BIGINT) AS bucket
          |  FROM embeddings, nv),
+         |bc AS (SELECT bucket, count(*) AS c FROM b0 GROUP BY 1),
+         |b AS (SELECT vec_id, embedding, b0.bucket,
+         |    (${TextOps.md5Hash32("CAST(vec_id AS VARCHAR)")})
+         |      % ((c + 127) // 128) AS sub
+         |  FROM b0 JOIN bc ON bc.bucket = b0.bucket),
          |dims AS (
-         |  SELECT vec_id, bucket, pos, CAST(x AS DOUBLE) AS x FROM (
-         |    SELECT vec_id, bucket, unnest(embedding) AS x,
+         |  SELECT vec_id, bucket, sub, pos, CAST(x AS DOUBLE) AS x FROM (
+         |    SELECT vec_id, bucket, sub, unnest(embedding) AS x,
          |      unnest(generate_series(0, len(embedding) - 1)) AS pos
          |    FROM b)),
          |norms AS (SELECT vec_id,
@@ -2310,7 +2330,7 @@ object TextQueries {
          |dots AS (SELECT da.vec_id AS a_id, db.vec_id AS b_id,
          |    sum(CAST(round(da.x * db.x * 1e12) AS BIGINT)) AS dot
          |  FROM dims da JOIN dims db
-         |    ON da.bucket = db.bucket AND da.pos = db.pos
+         |    ON da.bucket = db.bucket AND da.sub = db.sub AND da.pos = db.pos
          |    AND da.vec_id < db.vec_id
          |  GROUP BY 1, 2),
          |sims AS (SELECT a_id, b_id,

@@ -28,9 +28,16 @@ object ScaleDecade {
     val mults = args.headOption.map(_.split(",").map(_.toInt).toSeq)
       .getOrElse(Seq(1, 10, 100))
     val dirs = mults.map(m => m -> ScaleFixture.dir(spark, m)).toMap
-    val queries = Seq("d2_ngram_jaccard", "d3_minhash_lsh",
+    val all = Seq("d2_ngram_jaccard", "d3_minhash_lsh",
       "d4b_simhash_pairs", "d15_components", "d25_substring_spans",
-      "d27_bpe_encode", "d28_bigram_lm")
+      "d27_bpe_encode", "d28_bigram_lm",
+      // r6 late ops: sketch (bounded cells), bounded-degree graph,
+      // histogram-narrowed quantiles — their scale claims get the
+      // second measured decade here too
+      "d30_hll_cardinality", "d31_knn_triangles", "p3_exact_quantiles")
+    // optional 2nd arg: comma-separated subset (re-measure selectively)
+    val queries = args.lift(1).map(_.split(",").toSeq.filter(all.contains))
+      .getOrElse(all)
     // JIT warmup outside the timed section (Bench rationale)
     Seq("d1_exact_dedup", "d4_simhash").foreach(q =>
       SparkEntry.queries(q)(spark, dirs(mults.head)).count())
