@@ -95,6 +95,7 @@ object Explain {
       "g3_cube" -> "CUBE as ONE Expand (4 grouping_id replicas) feeding one keyed aggregation with map-side combine — the fact stream is scanned once for all four report levels, exchanges carry only |types x days x 4| partial rows",
       "p3_exact_quantiles" -> "exact quantiles with NO global sort: 256-bin counts (map-side combined), a 256-row cumulative window (single-partition BY CONSTRUCTION — bin count, not data volume), then a re-scan filtered by the <=3-row broadcast target-bin table so the only sort ranks ~n/256 candidate rows per target",
       "j10_fuzzy_ed1" -> "FastSS ed<=1 join: deletion-neighborhood expansion is a row-local explode on the DISTINCT-name table; candidates come from ONE equi-join keyed on the variant string (no cross join, no Levenshtein UDF — pure codegen string slicing); the position predicate verifies exactness inside the join",
+      "p4_grouped_quantiles" -> "GROUP BY exact percentiles, no per-group sort and no quantile UDAF: per-group 256-bin counts (map-side combined), cumulative walk partitioned BY GROUP (never single-partition), |groups×3|-row broadcast target table, final rank over ~n_g/256 candidates per (group, quantile)",
       "u6_scd2" -> "SCD2 in ONE Exchange: change-detect (lag), version (row_number) and range-assemble (lead) all share the business-key hash partitioning and its sort — no self-join against history",
       "d31_knn_triangles" -> "mutual-kNN triangle count: candidates from the sign-LSH bucket join SALTED into <=128-vector sub-cells keyed by bucket population (sign-LSH alone goes quadratic on clustered corpora — measured 367 s -> 4 s at a 200k-vector 100x corpus); top-3 cap bounds degree structurally, so wedge join + closure semi-join move O(nodes*9) rows; dir edge list localCheckpointed once for its six self-join arms")
 

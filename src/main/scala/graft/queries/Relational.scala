@@ -264,6 +264,44 @@ object Relational {
         .orderBy("user_id", "ver")
     }),
 
+    // P4 — per-GROUP exact quantiles by the same two-round histogram
+    // narrowing as p3, all groups in ONE plan: per-group stats and
+    // target-bin tables stay ≤|groups|-row broadcasts, the cumulative
+    // walk partitions BY GROUP (so unlike p3's deliberate 256-row
+    // single partition, nothing here is ever single-partition), and
+    // the final sort ranks ~n_g/256 candidate rows per (group,
+    // quantile). This is GROUP BY percentile_exact at 100 TB without
+    // per-group sorts or a quantile UDAF.
+    "p4_grouped_quantiles" -> ((s, d) => {
+      val ev = events(s, d).select(col("event_type").as("g"), col("event_id"),
+        expr("CAST(floor(value * 1000000) AS BIGINT)").as("v6"))
+      val st = ev.groupBy("g").agg(min(col("v6")).as("vmin"),
+        max(col("v6")).as("vmax"), count(lit(1)).as("n"))
+      val binned = ev.join(broadcast(st), "g")
+        .withColumn("bin", expr("(v6 - vmin) * 256 div (vmax - vmin + 1)"))
+      val counts = binned.groupBy("g", "bin").agg(count(lit(1)).as("c"))
+      val wcum = Window.partitionBy("g").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cum = counts.withColumn("cum", sum(col("c")).over(wcum))
+        .withColumn("prev", col("cum") - col("c"))
+      val targets = st.select(col("g"), explode(array(
+          struct(lit(25L).as("q"), expr("(n + 3) div 4").as("r")),
+          struct(lit(50L).as("q"), expr("(n + 1) div 2").as("r")),
+          struct(lit(75L).as("q"), expr("(3 * n + 3) div 4").as("r")))).as("t"))
+        .select(col("g"), col("t.q").as("q"), col("t.r").as("r"))
+      val tb = targets.join(cum, Seq("g"))
+        .filter(col("prev") < col("r") && col("cum") >= col("r"))
+        .select(col("g"), col("q"), col("r"), col("bin"),
+          (col("r") - col("prev")).as("off"))
+      val wq = Window.partitionBy("g", "q").orderBy(col("v6"), col("event_id"))
+      binned.join(broadcast(tb), Seq("g", "bin"))
+        .withColumn("rn", row_number().over(wq))
+        .filter(col("rn") === col("off"))
+        .select(col("g"), col("q"), col("r").as("rank_in_group"),
+          col("v6").as("v_q6"), (col("v6") / 1e6).as("value"))
+        .orderBy("g", "q")
+    }),
+
     // U1/U3 — union all + distinct (ref main.py:10621, 9502).
     "u1_union_distinct" -> ((s, d) => {
       val e = events(s, d)
@@ -662,6 +700,43 @@ object Relational {
         |  FROM binned b JOIN tb ON b.bin = tb.bin)
         |SELECT q, r AS rank_global, bin, v6 AS v_q6, v6 / 1e6 AS value
         |FROM cand WHERE rn = off ORDER BY q""".stripMargin,
+
+    // Grouped-quantile replay: identical per-group binning, cumulative
+    // walk, nearest-rank targets, and in-bin offset selection.
+    "p4_grouped_quantiles" ->
+      """WITH ev AS (
+        |  SELECT event_type AS g, event_id,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS v6
+        |  FROM events),
+        |st AS (SELECT g, min(v6) AS vmin, max(v6) AS vmax, count(*) AS n
+        |       FROM ev GROUP BY 1),
+        |binned AS (
+        |  SELECT ev.g, event_id, v6,
+        |    (v6 - vmin) * 256 // (vmax - vmin + 1) AS bin
+        |  FROM ev JOIN st ON st.g = ev.g),
+        |counts AS (SELECT g, bin, count(*) AS c FROM binned GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT g, bin, c,
+        |    sum(c) OVER (PARTITION BY g ORDER BY bin
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(c) OVER (PARTITION BY g ORDER BY bin
+        |      ROWS UNBOUNDED PRECEDING) - c AS prev
+        |  FROM counts),
+        |targets AS (
+        |  SELECT g, CAST(25 AS BIGINT) AS q, (n + 3) // 4 AS r FROM st
+        |  UNION ALL SELECT g, 50, (n + 1) // 2 FROM st
+        |  UNION ALL SELECT g, 75, (3 * n + 3) // 4 FROM st),
+        |tb AS (
+        |  SELECT t.g, t.q, t.r, c.bin, t.r - c.prev AS off
+        |  FROM targets t JOIN cum c
+        |    ON c.g = t.g AND c.prev < t.r AND c.cum >= t.r),
+        |cand AS (
+        |  SELECT tb.g, tb.q, tb.r, tb.off, b.v6, b.event_id,
+        |    row_number() OVER (PARTITION BY tb.g, tb.q
+        |      ORDER BY b.v6, b.event_id) AS rn
+        |  FROM binned b JOIN tb ON b.g = tb.g AND b.bin = tb.bin)
+        |SELECT g, q, r AS rank_in_group, v6 AS v_q6, v6 / 1e6 AS value
+        |FROM cand WHERE rn = off ORDER BY g, q""".stripMargin,
 
     "g2_pivot" ->
       """SELECT user_id % 10 AS bucket,

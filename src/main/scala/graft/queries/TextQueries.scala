@@ -435,7 +435,14 @@ object TextQueries {
     // ~(N/2^nbits)² bounded instead of growing quadratically past a
     // fixed 256 buckets. N enters the plan as a broadcast 1-row cross
     // join (no eager driver job), and the identical formula lives in
-    // the DuckDB oracle.
+    // the DuckDB oracle. Regime caveat (measured via d31): on a
+    // heavily CLUSTERED corpus the distinct sign-pattern count stops
+    // growing with nbits, so bucket population — and the candidate
+    // pair volume — grows with N. For a PAIR-LISTING query that
+    // regime's true answer is itself quadratic in cluster size, so
+    // there is no subquadratic exact form; the scalable treatments
+    // are d31's ≤128-vector sub-cell salting (approximate kNN graph)
+    // or e6's representative-based SemDeDup.
     "d9_embed_neardup" -> ((s, d) => {
       val nv = embeddings(s, d).agg(count(lit(1)).as("n_vec"))
       val withNorm = embeddings(s, d)
@@ -1070,7 +1077,9 @@ object TextQueries {
     // comparing pairs WITHIN clusters only — the property that makes
     // embedding dedup feasible at 100 TB: the pairwise stage is local
     // to the cid shuffle key and cluster sizes stay bounded as k
-    // scales with the corpus. A vector is a duplicate if a
+    // scales with the corpus (if a data cluster still outgrows its
+    // cell, d31's population-salted sub-cells apply verbatim on the
+    // cid key). A vector is a duplicate if a
     // same-cluster neighbor with smaller vec_id has cosine ≥ 0.45;
     // the representative kept is the smallest such neighbor. All
     // similarities are exact integers through the DotI12 kernel.

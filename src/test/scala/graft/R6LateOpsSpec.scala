@@ -48,6 +48,22 @@ class R6LateOpsSpec extends SparkSpec {
     assert(got(75L) == nearestRank(3, 4), "p75")
   }
 
+  test("p4: grouped narrowing equals brute-force nearest-rank per group") {
+    val got = SparkEntry.queries("p4_grouped_quantiles")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val byG = graft.core.Tables.events(spark, sf)
+      .select(col("event_type"), expr("CAST(floor(value * 1000000) AS BIGINT)").as("v6"))
+      .collect().groupBy(_.getString(0)).map { case (g, rs) =>
+        g -> rs.map(_.getLong(1)).sorted }
+    byG.foreach { case (g, v6) =>
+      val n = v6.length
+      def nr(num: Int, den: Int): Long = v6((num * n + den - 1) / den - 1)
+      assert(got((g, 25L)) == nr(1, 4), s"$g p25")
+      assert(got((g, 50L)) == nr(1, 2), s"$g p50")
+      assert(got((g, 75L)) == nr(3, 4), s"$g p75")
+    }
+  }
+
   test("g3: CUBE levels are mutually consistent (details sum to subtotals sum to grand total)") {
     val rows = SparkEntry.queries("g3_cube")(spark, sf).collect()
     def nAt(lvl: Long) = rows.filter(_.getLong(4) == lvl).map(_.getLong(2)).sum
