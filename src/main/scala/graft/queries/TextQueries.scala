@@ -1587,6 +1587,54 @@ object TextQueries {
         .orderBy("vec_id")
     }),
 
+    // D32 — INCREMENTAL dedup (the production ingest shape): a delta
+    // batch deduped against the historical store WITHOUT reprocessing
+    // the store. Keys are the d4 simhash (near-dup identity — the
+    // fixture has no byte-exact dups, and at 100 TB the store keys are
+    // a pre-materialized narrow table anyway). The Bloom filter over
+    // store keys (b2's BloomFilterAggregate-as-scalar-subquery) routes
+    // delta rows: bloom-NEGATIVE rows are definitively new and never
+    // touch the store join — at scale that's most of the batch, so the
+    // expensive exact join shuffles only the bloom-positive sliver,
+    // and false positives are resolved exactly by that join (the
+    // oracle is therefore bloom-free and exact). Within-delta dups are
+    // settled by a first-occurrence window on the same key.
+    "d32_incremental_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.graftshim.{toCol, toExpr}
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, ScalarSubquery}
+      val toks = distinctToks(s, d).withColumn("h", expr(H))
+      val votes = (0 until 16).map(j =>
+        sum(expr(s"2 * ((h div ${1L << j}) % 2) - 1")).as(s"s$j"))
+      // keys computed once (at 100 TB they'd be materialized at
+      // ingest); localCheckpoint = the d3 lifecycle, no cache leak
+      val keyed = toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+        .withColumn("k", (0 until 16).map(j =>
+          when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _))
+        .select("doc_id", "k").localCheckpoint()
+      val skeys = keyed.filter(col("doc_id") % 5 =!= 4)
+        .groupBy("k").agg(min(col("doc_id")).as("store_id"))
+      val delta = keyed.filter(col("doc_id") % 5 === 4)
+      val bloomDf = skeys.select(toCol(new BloomFilterAggregate(
+        toExpr(xxhash64(col("k"))), 65536L).toAggregateExpression()).as("bf"))
+      def probe = toCol(BloomFilterMightContain(
+        ScalarSubquery(bloomDf.queryExecution.analyzed),
+        toExpr(xxhash64(col("k")))))
+      val pos = delta.filter(probe).join(skeys, Seq("k"), "left")
+      val neg = delta.filter(not(probe))
+        .withColumn("store_id", lit(null).cast("long"))
+      pos.select("doc_id", "k", "store_id")
+        .unionAll(neg.select("doc_id", "k", "store_id"))
+        .withColumn("first_delta", min(col("doc_id")).over(Window.partitionBy("k")))
+        .withColumn("status",
+          when(col("store_id").isNotNull, "dup_of_store")
+            .when(col("first_delta") < col("doc_id"), "dup_in_delta")
+            .otherwise("new"))
+        .select(col("doc_id"), col("status"),
+          coalesce(col("store_id"), col("first_delta")).as("keep_id"))
+        .orderBy("doc_id")
+    }),
+
     // M1 — multimodal scaffold: opaque binary payload + typed metadata
     // (byte length, content-hash head); the decode stage lives in
     // graft.multimodal (REAL JDK PNG/WAV decode since r5 — see m2).
@@ -2083,6 +2131,37 @@ object TextQueries {
          |SELECT doc_id,
          |  CAST(sum(CASE WHEN sj > 0 THEN pw ELSE 0 END) AS BIGINT) AS simhash
          |FROM bits GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // Incremental-dedup replay: the same d4 simhash key, then plain
+    // exact store/delta logic — the engine's Bloom stage is routing
+    // only (false positives resolved by the exact join), so the
+    // oracle needs no sketch.
+    "d32_incremental_dedup" ->
+      s"""WITH toks AS (
+         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |th AS (SELECT doc_id, ${TextOps.md5Hash32("tok")} AS h FROM toks),
+         |bits AS (SELECT doc_id, j, min(pw) AS pw, sum(c) AS sj FROM (
+         |    SELECT doc_id, j, CAST(pow(2.0, j) AS BIGINT) AS pw,
+         |      2 * ((h // CAST(pow(2.0, j) AS BIGINT)) % 2) - 1 AS c
+         |    FROM th, (SELECT unnest(generate_series(0, 15)) AS j))
+         |  GROUP BY 1, 2),
+         |sim AS (SELECT doc_id,
+         |    CAST(sum(CASE WHEN sj > 0 THEN pw ELSE 0 END) AS BIGINT) AS k
+         |  FROM bits GROUP BY 1),
+         |skeys AS (SELECT k, min(doc_id) AS store_id FROM sim
+         |  WHERE doc_id % 5 <> 4 GROUP BY 1),
+         |delta AS (SELECT doc_id, k FROM sim WHERE doc_id % 5 = 4),
+         |j AS (SELECT d.doc_id, d.k, s.store_id
+         |  FROM delta d LEFT JOIN skeys s ON s.k = d.k),
+         |f AS (SELECT *, min(doc_id) OVER (PARTITION BY k) AS first_delta
+         |  FROM j)
+         |SELECT doc_id,
+         |  CASE WHEN store_id IS NOT NULL THEN 'dup_of_store'
+         |       WHEN first_delta < doc_id THEN 'dup_in_delta'
+         |       ELSE 'new' END AS status,
+         |  coalesce(store_id, first_delta) AS keep_id
+         |FROM f ORDER BY doc_id""".stripMargin,
 
     "d4b_simhash_pairs" -> {
       s"""WITH toks AS (
