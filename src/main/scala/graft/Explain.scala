@@ -93,6 +93,7 @@ object Explain {
       "e9_power_iter" -> "driver-loop operator (e3/d26 division): each of 3 rounds is ONE scalar aggregation — 64 map-side-combined integer sums, no shuffle key, one partial row per partition; returned frame is the LocalTableScan of the 64-row state; plan shown is the round aggregate via ann.PowerIter",
       "d30_hll_cardinality" -> "HyperLogLog: register table in ONE keyed aggregation — map-side combine bounds every partition at |groups|x64 cells regardless of stream length; grid completion and the exact-count ground join touch only |groups|-row frames; registers merge by MAX (the shard-fanin property)",
       "d32_incremental_dedup" -> "ingest-shape dedup: delta keys probe a BloomFilterAggregate scalar subquery over store keys — bloom-NEGATIVE rows (most of a real batch) never reach the store join; only the positive sliver shuffles, false positives resolved exactly by the left join; within-delta firsts via one window on the key",
+      "e10_sq8_ann" -> "SQ8 ANN: per-dim min/max (64-row broadcast) -> 8-bit codes; ADC pool and exact rerank are keyed aggregations with the 320-row query set broadcast; at 100 TB the quantized table (8x smaller) is materialized at ingest and ADC scans it, not the floats",
       "g3_cube" -> "CUBE as ONE Expand (4 grouping_id replicas) feeding one keyed aggregation with map-side combine — the fact stream is scanned once for all four report levels, exchanges carry only |types x days x 4| partial rows",
       "p3_exact_quantiles" -> "exact quantiles with NO global sort: 256-bin counts (map-side combined), a 256-row cumulative window (single-partition BY CONSTRUCTION — bin count, not data volume), then a re-scan filtered by the <=3-row broadcast target-bin table so the only sort ranks ~n/256 candidate rows per target",
       "j10_fuzzy_ed1" -> "FastSS ed<=1 join: deletion-neighborhood expansion is a row-local explode on the DISTINCT-name table; candidates come from ONE equi-join keyed on the variant string (no cross join, no Levenshtein UDF — pure codegen string slicing); the position predicate verifies exactness inside the join",

@@ -427,6 +427,50 @@ object TextQueries {
         .toDF("pos", "w_raw", "loading_q6").orderBy("pos")
     }),
 
+    // E10 — scalar-quantization (SQ8) ANN: the FAISS SQ index family,
+    // completing the ANN ladder (e1 brute, e2 LSH, e3/e4 IVF, e5 PQ,
+    // e6 SemDeDup, e7 RP, e8 filtered, e9 PCA). Each dimension
+    // quantizes to 8 bits against per-dim corpus min/max — at 100 TB
+    // the quantized table is materialized at ingest at 8× compression
+    // and ADC scans IT, not the floats; here both stages live in one
+    // plan. Asymmetric distance (exact query vs quantized corpus,
+    // midpoint reconstruction) ranks a 20-deep candidate pool, then
+    // exact L2 reranks to top-5 (the e5 rerank discipline). Every step
+    // is exact int64 (values at 1e6, per-dim step = range div 255 + 1
+    // so codes stay in [0,255]) — the oracle replays it bit-for-bit;
+    // recall vs exact L2 is pinned in PqRecallSpec's sibling test.
+    "e10_sq8_ann" -> ((s, d) => {
+      val dims = embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        // CAST to DOUBLE before the multiply (the d9 convention):
+        // float×int promotion differs between engines
+        .withColumn("x6", expr("CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)"))
+        .select("vec_id", "pos", "x6")
+      val stats = dims.groupBy("pos").agg(min(col("x6")).as("mn"), max(col("x6")).as("mx"))
+        .withColumn("step", expr("(mx - mn) div 255 + 1"))
+      val quant = dims.join(broadcast(stats), "pos")
+        .withColumn("q", expr("(x6 - mn) div step"))
+        .withColumn("recon", expr("mn + q * step + step div 2"))
+        .select("vec_id", "pos", "recon")
+      val qs = dims.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("pos"), col("x6").as("y6"))
+      val approx = quant.join(broadcast(qs), "pos")
+        .filter(col("vec_id") =!= col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(sum(expr("(recon - y6) * (recon - y6)")).as("ad2"))
+      val w20 = Window.partitionBy("q_id").orderBy(col("ad2"), col("vec_id"))
+      val pool = approx.withColumn("rn", row_number().over(w20)).filter(col("rn") <= 20)
+        .select("q_id", "vec_id")
+      val exact = pool.join(dims, "vec_id").join(broadcast(qs), Seq("q_id", "pos"))
+        .groupBy("q_id", "vec_id")
+        .agg(sum(expr("(x6 - y6) * (x6 - y6)")).as("d2"))
+      val w5 = Window.partitionBy("q_id").orderBy(col("d2"), col("vec_id"))
+      exact.withColumn("rank", row_number().over(w5).cast("long")).filter(col("rank") <= 5)
+        .select(col("q_id"), col("rank"), col("vec_id"), col("d2"),
+          round(sqrt(col("d2") / 1e12), 6).as("dist"))
+        .orderBy("q_id", "rank")
+    }),
+
     // D9 — embedding-cosine near-dup: candidate pairs from the sign-LSH
     // bucket (shuffle key at scale), exact integerized cosine inside the
     // bucket, pairs above threshold. Same arithmetic contract as e1/e2.
@@ -2131,6 +2175,47 @@ object TextQueries {
          |SELECT doc_id,
          |  CAST(sum(CASE WHEN sj > 0 THEN pw ELSE 0 END) AS BIGINT) AS simhash
          |FROM bits GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // SQ8 replay: identical integerization, per-dim step/code/midpoint
+    // reconstruction, 20-deep ADC pool, exact-L2 rerank.
+    "e10_sq8_ann" ->
+      """WITH dims AS (
+        |  SELECT vec_id, pos,
+        |    CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS x6 FROM (
+        |    SELECT vec_id, unnest(embedding) AS x,
+        |      unnest(generate_series(0, len(embedding) - 1)) AS pos
+        |    FROM embeddings)),
+        |stats AS (
+        |  SELECT pos, mn, mx, (mx - mn) // 255 + 1 AS step FROM (
+        |    SELECT pos, min(x6) AS mn, max(x6) AS mx FROM dims GROUP BY 1)),
+        |quant AS (
+        |  SELECT vec_id, d.pos,
+        |    mn + ((x6 - mn) // step) * step + step // 2 AS recon
+        |  FROM dims d JOIN stats s ON s.pos = d.pos),
+        |qs AS (SELECT vec_id AS q_id, pos, x6 AS y6 FROM dims WHERE vec_id < 5),
+        |approx AS (
+        |  SELECT q_id, vec_id,
+        |    CAST(sum((recon - y6) * (recon - y6)) AS BIGINT) AS ad2
+        |  FROM quant q JOIN qs ON qs.pos = q.pos
+        |  WHERE vec_id <> q_id GROUP BY 1, 2),
+        |pool AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q_id, vec_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY ad2, vec_id) AS rn
+        |    FROM approx)
+        |  WHERE rn <= 20),
+        |exact AS (
+        |  SELECT p.q_id, p.vec_id,
+        |    CAST(sum((x6 - y6) * (x6 - y6)) AS BIGINT) AS d2
+        |  FROM pool p
+        |  JOIN dims d ON d.vec_id = p.vec_id
+        |  JOIN qs ON qs.q_id = p.q_id AND qs.pos = d.pos
+        |  GROUP BY 1, 2)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, d2,
+        |  round(sqrt(d2 / 1e12), 6) AS dist
+        |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+        |        ORDER BY d2, vec_id) AS rank FROM exact)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
     // Incremental-dedup replay: the same d4 simhash key, then plain
     // exact store/delta logic — the engine's Bloom stage is routing

@@ -114,6 +114,24 @@ class R6LateOpsSpec extends SparkSpec {
     assert(!got.exists(p => Set(p._1, p._2) == Set("ab", "ba")))
   }
 
+  test("e10: SQ8 ADC + rerank recalls >= 0.8 of the exact-L2 top-5") {
+    val got = SparkEntry.queries("e10_sq8_ann")(spark, sf)
+      .collect().groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.map(_.getLong(2)).toSet }
+    // brute-force exact L2 on the same integerization, driver-side
+    val vecs = graft.core.Tables.embeddings(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.round(x.toDouble * 1e6)).toArray).toMap
+    got.foreach { case (q, ids) =>
+      val qv = vecs(q)
+      val exact = vecs.toSeq.filter(_._1 != q).map { case (id, v) =>
+        id -> v.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum
+      }.sortBy { case (id, d2) => (d2, id) }.take(5).map(_._1).toSet
+      val recall = ids.intersect(exact).size / 5.0
+      assert(recall >= 0.8, s"q=$q recall=$recall got=$ids exact=$exact")
+    }
+  }
+
   test("d31: structural invariants of the mutual-kNN triangle count") {
     val out = SparkEntry.queries("d31_knn_triangles")(spark, sf).collect()
     assert(out.nonEmpty)

@@ -139,7 +139,13 @@ class ScaleSweepSpec extends SparkSpec {
       // p3's two-round narrowing keeps the only sort at ~n/256 rows
       "d30_hll_cardinality" -> 30.0,
       "d31_knn_triangles" -> 30.0,
-      "p3_exact_quantiles" -> 30.0)
+      "p3_exact_quantiles" -> 30.0,
+      // p4: grouped narrowing — same two-scan shape as p3 per group;
+      // d32: delta-only shuffle after the bloom route; st11: sketch
+      // state bounded at types×64 regardless of stream length
+      "p4_grouped_quantiles" -> 30.0,
+      "d32_incremental_dedup" -> 30.0,
+      "st11_stream_hll" -> 30.0)
     val report = bounds.toSeq.sortBy(_._1).map { case (q, bound) =>
       var t1 = timeQ(q, x1)
       var t10 = timeQ(q, x10)
