@@ -99,7 +99,9 @@ object Explain {
       "j10_fuzzy_ed1" -> "FastSS ed<=1 join: deletion-neighborhood expansion is a row-local explode on the DISTINCT-name table; candidates come from ONE equi-join keyed on the variant string (no cross join, no Levenshtein UDF — pure codegen string slicing); the position predicate verifies exactness inside the join",
       "p4_grouped_quantiles" -> "GROUP BY exact percentiles, no per-group sort and no quantile UDAF: per-group 256-bin counts (map-side combined), cumulative walk partitioned BY GROUP (never single-partition), |groups×3|-row broadcast target table, final rank over ~n_g/256 candidates per (group, quantile)",
       "u6_scd2" -> "SCD2 in ONE Exchange: change-detect (lag), version (row_number) and range-assemble (lead) all share the business-key hash partitioning and its sort — no self-join against history",
-      "d31_knn_triangles" -> "mutual-kNN triangle count: candidates from the sign-LSH bucket join SALTED into <=128-vector sub-cells keyed by bucket population (sign-LSH alone goes quadratic on clustered corpora — measured 367 s -> 4 s at a 200k-vector 100x corpus); top-3 cap bounds degree structurally, so wedge join + closure semi-join move O(nodes*9) rows; dir edge list localCheckpointed once for its six self-join arms")
+      "d31_knn_triangles" -> "mutual-kNN triangle count: candidates from the sign-LSH bucket join SALTED into <=128-vector sub-cells keyed by bucket population (sign-LSH alone goes quadratic on clustered corpora — measured 367 s -> 4 s at a 200k-vector 100x corpus); top-3 cap bounds degree structurally, so wedge join + closure semi-join move O(nodes*9) rows; dir edge list localCheckpointed once for its six self-join arms",
+      "g4_unpivot" -> "UNPIVOT (g2's inverse) as a MAP-ONLY Expand: 3x row replication with no shuffle and no join — each task melts its own input split; the only Exchange is the presentation sort's range partitioning",
+      "w7_rank_surface" -> "rank/dense_rank/ntile/percent_rank/cume_dist over the DAILY ROLLUP, not the fact stream: the window input is bounded by types x days (calendar-bounded), so the per-type ORDER BY window sorts dozens of rows at any corpus size; the fact stream passes only through the map-side-combined daily aggregation")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by graft.Explain)\n\n")
@@ -158,7 +160,8 @@ object Explain {
       "st8_stream_dedup_wm" -> "dropDuplicatesWithinWatermark: state is evicted at the horizon (numRowsRemoved > 0 is the contract) — the unbounded-safe dedup",
       "st9_stream_static_join" -> "stream-static enrichment: the dim broadcasts per micro-batch with NO join state (only the downstream tumbling agg holds state rows) — the dim is swappable under a running query",
       "st10_stream_flare" -> "flatMapGroupsWithState flare trigger: state = per-user horizon-deep buffers (bounded by TIME, not stream length), carried across 3 micro-batches — hits right after a batch boundary score against the previous batch's state",
-      "st11_stream_hll" -> "streaming HLL: state = |event_types|x64 register rows MAX regardless of stream length (max-merged per micro-batch) — the bounded-state distinct-count; estimate post-processing runs batch on the drained sink")
+      "st11_stream_hll" -> "streaming HLL: state = |event_types|x64 register rows MAX regardless of stream length (max-merged per micro-batch) — the bounded-state distinct-count; estimate post-processing runs batch on the drained sink",
+      "st12_stream_cms" -> "streaming CountMin: state = depth x width = 256 cell rows MAX regardless of stream length (counts SUM-merge per micro-batch) — st11's counterpart for per-item frequency; the heavy-hitter min-probe runs batch on the drained grid")
     sb.append("\n\n# Streaming state-operator audit (micro-batch engine telemetry)\n")
     streamAudit.foreach { case (name, expectation) =>
       progresses.synchronized(progresses.clear())

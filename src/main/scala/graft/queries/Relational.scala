@@ -106,6 +106,28 @@ object Relational {
         .orderBy(col("lvl"), col("event_type"), col("day_us"))
     }),
 
+    // G4 — UNPIVOT (wide→long): the inverse of g2, melting the three
+    // lineitem measure columns into (measure, value) rows. Spark plans
+    // unpivot as a single Expand — a MAP-ONLY 3× row replication with
+    // no shuffle and no join, so at 100 TB it streams: each task
+    // rewrites its own input split and the output partitioning is the
+    // scan's. The measure name comes out of the Expand literal, not a
+    // lookup table. Restricted to returnflag R so the long table stays
+    // the size of one fact column set.
+    "g4_unpivot" -> ((s, d) => {
+      lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("double").as("l_quantity"),
+          col("l_extendedprice").cast("double").as("l_extendedprice"),
+          col("l_discount").cast("double").as("l_discount"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "measure", "value")
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+    }),
+
     // J3/U2 — anti join: orders with no lineitem (ref main.py:9271–9288).
     "j3_anti_join" -> ((s, d) => {
       orders(s, d).join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"), "left_anti")
@@ -328,6 +350,33 @@ object Relational {
         .filter(col("rn") === 1)
         .select("event_type", "event_id", "value")
         .orderBy("event_type")
+    }),
+
+    // W7 — distribution-rank window surface: rank / dense_rank /
+    // ntile(4) / percent_rank / cume_dist over per-(type, day) daily
+    // revenue. The ranked table is an AGGREGATE (types × days rows —
+    // bounded by the calendar, not by event volume), so the per-type
+    // ORDER BY window sorts a few dozen rows per partition at any
+    // corpus size; the raw fact stream only ever passes through the
+    // map-side-combined daily rollup. Ordering key (cents, day) is
+    // unique within a type, so every rank — including the two
+    // ratio-valued ones, each a single IEEE division both engines
+    // compute identically — is deterministic.
+    "w7_rank_surface" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(sum(cents(col("value"))).as("sc"))
+      val w = Window.partitionBy("event_type").orderBy(desc("sc"), asc("day"))
+      daily
+        .withColumn("rnk", rank().over(w).cast("long"))
+        .withColumn("drnk", dense_rank().over(w).cast("long"))
+        .withColumn("q4", ntile(4).over(w).cast("long"))
+        .withColumn("prank", percent_rank().over(w))
+        .withColumn("cdist", cume_dist().over(w))
+        .select(col("event_type"), unix_micros(col("day")).as("day_us"),
+          (col("sc").cast("long") / 100.0).as("revenue"),
+          col("rnk"), col("drnk"), col("q4"), col("prank"), col("cdist"))
+        .orderBy("event_type", "day_us")
     }),
 
     // O6 — sorted gap report: top-20 largest inter-event gaps (main.py:6205).
@@ -746,6 +795,41 @@ object Relational {
         |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
         |  count(CASE WHEN event_type = 'login' THEN 1 END) AS login
         |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // UNPIVOT replay as explicit UNION ALL (the ANSI-portable melt):
+    // same measure labels, same R-filter, same double cast.
+    "g4_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+        |  CAST(l_quantity AS DOUBLE) AS value
+        |FROM lineitem WHERE l_returnflag = 'R'
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+        |  CAST(l_extendedprice AS DOUBLE)
+        |FROM lineitem WHERE l_returnflag = 'R'
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount',
+        |  CAST(l_discount AS DOUBLE)
+        |FROM lineitem WHERE l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
+
+    // Identical daily rollup and window frame; (sc DESC, day) is a
+    // unique ordering within a type so all five ranks are
+    // deterministic; percent_rank/cume_dist are single IEEE divisions.
+    "w7_rank_surface" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    sum(CAST(round(value*100) AS BIGINT)) AS sc
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, epoch_us(day) AS day_us,
+        |  CAST(sc AS BIGINT)/100.0 AS revenue,
+        |  CAST(rank() OVER w AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS q4,
+        |  percent_rank() OVER w AS prank,
+        |  cume_dist() OVER w AS cdist
+        |FROM daily
+        |WINDOW w AS (PARTITION BY event_type ORDER BY sc DESC, day ASC)
+        |ORDER BY event_type, day_us""".stripMargin,
 
     "j3_anti_join" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders

@@ -560,6 +560,53 @@ object TimeSeries {
         .orderBy("event_type")
     }),
 
+    // §2.10 + d29 — STREAMING frequency sketch: the CountMin cell grid
+    // maintained as a streaming stateful aggregation — st11's HLL
+    // counterpart for COUNT (the pair every streaming-analytics store
+    // keeps: HLL for "how many distinct", CMS for "how often each").
+    // State is depth×width = 256 cell rows MAX at any stream length:
+    // each micro-batch's partial counts SUM-merge into the store
+    // (count over grouped keys is Spark's incremental agg), which is
+    // the mergeability CMS exists for. Complete mode, finite replay
+    // (the st2 contract): after AvailableNow drains, the cell grid
+    // EQUALS the batch sketch, so the heavy-hitter probe on the
+    // drained sink reuses d29's estimator — top-20 exact counts ride
+    // along to ground the estimates (est ≥ true by construction).
+    "st12_stream_cms" -> ((s, d) => {
+      val ss = streamSession(s)
+      import graft.text.TextOps
+      val depth = 4; val width = 64
+      val hhash = TextOps.md5Hash32Fast("CAST(user_id AS STRING)")
+      def rowBuckets = explode(array((0 until depth).map(i =>
+        struct(lit(i.toLong).as("rw"),
+          (expr(TextOps.minhashExpr("h", i)) % width).as("bucket"))): _*)).as("c")
+      val schema = ss.read.parquet(s"$d/events.parquet").schema
+      val stream = ss.readStream.schema(schema)
+        .option("basePath", d)
+        .parquet(s"$d/events*.parquet")
+        .withColumn("h", expr(hhash))
+        .select(rowBuckets)
+        .groupBy(col("c.rw").as("rw"), col("c.bucket").as("bucket"))
+        .agg(count(lit(1)).as("cell"))
+      val q = stream.writeStream
+        .format("memory").queryName("st12_sink")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val cells = ss.table("st12_sink")
+      val top = graft.core.Tables.events(ss, d)
+        .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("user_id")).limit(20)
+        .withColumn("h", expr(hhash))
+      top.select(col("user_id"), col("cnt"), rowBuckets)
+        .select(col("user_id"), col("cnt"),
+          col("c.rw").as("rw"), col("c.bucket").as("bucket"))
+        .join(broadcast(cells), Seq("rw", "bucket"))
+        .groupBy("user_id", "cnt").agg(min(col("cell")).as("est"))
+        .orderBy(col("cnt").desc, col("user_id"))
+    }),
+
     // the engine evict click state once the purchase-side watermark
     // passes click+6h — bounded state on an unbounded stream. The
     // oracle is the identical range join in plain SQL.
@@ -956,6 +1003,35 @@ object TimeSeries {
            |SELECT e.event_type, e.n_zero, e.z, e.est_hll, x.exact
            |FROM est2 e JOIN exact x ON x.event_type = e.event_type
            |ORDER BY e.event_type""".stripMargin
+      },
+
+      // CMS replay over the full table (drained streaming state equals
+      // the batch sketch): same md5 hash, same (2k+3, k²+1) row-hash
+      // family, same 4×64 grid and min-probe as d29.
+      "st12_stream_cms" -> {
+        import graft.text.TextOps
+        s"""WITH th AS (
+           |  SELECT user_id, ${TextOps.md5Hash32("CAST(user_id AS VARCHAR)")} AS h
+           |  FROM events),
+           |rws AS (SELECT unnest(generate_series(0, 3)) AS rw),
+           |cells AS (
+           |  SELECT rw, (((2*rw+3)*h + rw*rw + 1) % 2147483647) % 64 AS bucket,
+           |    count(*) AS cell
+           |  FROM th, rws GROUP BY 1, 2),
+           |top AS (
+           |  SELECT user_id, count(*) AS cnt FROM events GROUP BY 1
+           |  ORDER BY cnt DESC, user_id LIMIT 20),
+           |probes AS (
+           |  SELECT user_id, cnt, rw,
+           |    (((2*rw+3)*h + rw*rw + 1) % 2147483647) % 64 AS bucket
+           |  FROM (SELECT user_id, cnt,
+           |      ${TextOps.md5Hash32("CAST(user_id AS VARCHAR)")} AS h FROM top),
+           |    rws)
+           |SELECT probes.user_id, cnt, min(cell) AS est
+           |FROM probes JOIN cells ON probes.rw = cells.rw
+           |  AND probes.bucket = cells.bucket
+           |GROUP BY probes.user_id, cnt
+           |ORDER BY cnt DESC, probes.user_id""".stripMargin
       },
 
       "st8_stream_dedup_wm" ->

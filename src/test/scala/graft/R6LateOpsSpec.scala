@@ -149,4 +149,53 @@ class R6LateOpsSpec extends SparkSpec {
     assert(triSum % 3 == 0, "sum of per-node counts must be 3T")
     assert(out.exists(_.getLong(2) > 0), "fixture dup clusters should close triangles")
   }
+
+  test("g4: unpivot is a map-only Expand — 3x rows, no shuffle, no join") {
+    val df = SparkEntry.queries("g4_unpivot")(spark, sf)
+    val nWide = graft.core.Tables.lineitem(spark, sf)
+      .filter(col("l_returnflag") === "R").count()
+    assert(df.count() == 3 * nWide, "every wide row melts to exactly 3 long rows")
+    // the melt itself must not shuffle or join: the plan is scan →
+    // filter → Expand, and the only Exchange is the presentation
+    // orderBy's range partitioning
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"unpivot should plan as Expand:\n$plan")
+    assert(!plan.contains("Join"), s"melt must not join:\n$plan")
+    val exchanges =
+      "Exchange (\\w+)".r.findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(exchanges.forall(_.startsWith("rangepartitioning")),
+      s"only the final sort may shuffle: $exchanges\n$plan")
+  }
+
+  test("w7: rank surface invariants on the bounded daily rollup") {
+    val rows = SparkEntry.queries("w7_rank_surface")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_.getString(0))
+    byType.foreach { case (t, rs) =>
+      val n = rs.length
+      // unique ordering key → rank is a permutation of 1..n
+      assert(rs.map(_.getLong(3)).sorted.toSeq == (1L to n).toSeq, s"$t rank")
+      assert(rs.map(_.getLong(5)).forall(q => q >= 1 && q <= 4), s"$t ntile range")
+      // ntile(4) bucket sizes differ by at most one
+      val sz = rs.groupBy(_.getLong(5)).values.map(_.size)
+      assert(sz.max - sz.min <= 1, s"$t ntile balance")
+      assert(rs.map(_.getDouble(6)).forall(p => p >= 0.0 && p <= 1.0), s"$t prank")
+      assert(rs.map(_.getDouble(7)).max == 1.0, s"$t cume_dist tops at 1")
+    }
+  }
+
+  test("st12: streaming CMS never under-counts and nails the heavy head") {
+    val rows = SparkEntry.queries("st12_stream_cms")(spark, sf).collect()
+    assert(rows.length > 0 && rows.length <= 20)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"CMS estimate must dominate the true count: $r")
+    }
+    // the drained streaming grid equals the batch sketch, so the
+    // top user's estimate error is bounded by collision mass; with
+    // 4 independent rows the min-probe should stay within 2x here
+    val top = rows.head
+    assert(top.getLong(2) <= 2 * top.getLong(1),
+      s"min-probe estimate blew past collision-mass expectations: $top")
+  }
 }
