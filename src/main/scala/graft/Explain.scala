@@ -101,7 +101,10 @@ object Explain {
       "u6_scd2" -> "SCD2 in ONE Exchange: change-detect (lag), version (row_number) and range-assemble (lead) all share the business-key hash partitioning and its sort — no self-join against history",
       "d31_knn_triangles" -> "mutual-kNN triangle count: candidates from the sign-LSH bucket join SALTED into <=128-vector sub-cells keyed by bucket population (sign-LSH alone goes quadratic on clustered corpora — measured 367 s -> 4 s at a 200k-vector 100x corpus); top-3 cap bounds degree structurally, so wedge join + closure semi-join move O(nodes*9) rows; dir edge list localCheckpointed once for its six self-join arms",
       "g4_unpivot" -> "UNPIVOT (g2's inverse) as a MAP-ONLY Expand: 3x row replication with no shuffle and no join — each task melts its own input split; the only Exchange is the presentation sort's range partitioning",
-      "w7_rank_surface" -> "rank/dense_rank/ntile/percent_rank/cume_dist over the DAILY ROLLUP, not the fact stream: the window input is bounded by types x days (calendar-bounded), so the per-type ORDER BY window sorts dozens of rows at any corpus size; the fact stream passes only through the map-side-combined daily aggregation")
+      "w7_rank_surface" -> "rank/dense_rank/ntile/percent_rank/cume_dist over the DAILY ROLLUP, not the fact stream: the window input is bounded by types x days (calendar-bounded), so the per-type ORDER BY window sorts dozens of rows at any corpus size; the fact stream passes only through the map-side-combined daily aggregation",
+      "e11_mmr_select" -> "MMR diversified selection, driver-loop division (t6b/d26): per greedy round the corpus-scale work is one broadcast join against the <=4-row selected set + a TakeOrderedAndProject argmax (per-partition 1-row heaps, no global sort); relevance frame persisted once and released after the loop; plan shown is the returned LocalTableScan — the load-bearing round plan is the rel-join-argmax audited via the spec",
+      "d33_temp_mixture" -> "temperature mixture sampling: rates DERIVED IN-PLAN (|sources|-row stats broadcast + one-row totals crossJoin, corrected-isqrt weights), then applied as a MAP-SIDE hash-gate filter — two fact passes, both map-side-combined aggregations, no window, the corpus never shuffles",
+      "s10_binary_scan" -> "binaryFile media ingest: one row per PNG file (non-splittable; parallelism = file count packed by maxPartitionBytes), id recovered from the path, batched partition-local decode kernel — no Exchange before the output sort")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by graft.Explain)\n\n")

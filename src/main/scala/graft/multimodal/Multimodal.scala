@@ -356,6 +356,37 @@ object Multimodal {
     * count, plus the mean as ONE double division so a SQL oracle
     * recomputes it bit-for-bit from the closed-form pixel values.
     * Row-local batched kernel: decode + pool never shuffle. */
+  /** Whole-image decode stats for FILE-ingested PNGs (the s10
+    * binaryFile path): (media_id, w, h, sum_gray) per image, decoded
+    * with the same batched partition-local kernel as [[pooledImages]].
+    * Input needs (media_id, payload) columns. */
+  def imageStats(files: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("w", IntegerType),
+      StructField("h", IntegerType),
+      StructField("sum_gray", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    files.select("media_id", "payload").mapPartitions { it =>
+      it.grouped(64).flatMap { batch =>
+        batch.map { r =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          val ras = img.getRaster
+          val w = img.getWidth; val h = img.getHeight
+          var s = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { s += ras.getSample(x, y, 0).toLong; x += 1 }
+            y += 1
+          }
+          Row(r.getLong(0), w, h, s)
+        }
+      }
+    }(enc)
+  }
+
   def pooledImages(media: DataFrame, pool: Int = 2): DataFrame = {
     val schema = StructType(Seq(
       StructField("media_id", LongType),

@@ -181,6 +181,39 @@ object Extras {
     // the parquet original — any encode/decode or pushdown defect
     // surfaces as a hash mismatch. Derived layout is manifest-gated
     // like s6/s7 (Spark ignores the _graft_manifest underscore file).
+    // S10b — BINARY-FILE source: multimodal ingest that starts from
+    // REAL FILES on disk, not parquet-embedded payloads — the shape
+    // of every image/audio corpus before its first ingest pass. The
+    // fixture writes one genuine PNG per image-kind doc (Codec.png,
+    // closed-form pixels); the query reads them back through Spark's
+    // `binaryFile` source (one row per file, non-splittable —
+    // parallelism comes from file count packed by maxPartitionBytes,
+    // exactly how a 100 TB media crawl fans out), recovers the id
+    // from the path, and decodes through the m2/m5 batched kernel.
+    // The oracle recomputes the decoded stats closed-form from the
+    // documents table, so file write → binaryFile scan → PNG decode
+    // is verified end to end. The only Exchange is the output sort.
+    "s10_binary_scan" -> ((s, d) => {
+      val dir = derivedFixture("graft_pngfiles", d, "graft-png-v1") { tmp =>
+        tmp.mkdirs()
+        documents(s, d).filter(col("doc_id") % 3 === 0)
+          .select("doc_id").collect().map(_.getLong(0)).foreach { id =>
+            java.nio.file.Files.write(
+              new java.io.File(tmp, f"img_$id%06d.png").toPath,
+              graft.multimodal.Multimodal.Codec.png(id))
+          }
+      }
+      val files = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png").load(dir.toString)
+        .withColumn("media_id",
+          regexp_extract(col("path"), "img_(\\d+)\\.png$", 1).cast("long"))
+        .select(col("media_id"), col("content").as("payload"))
+      graft.multimodal.Multimodal.imageStats(files)
+        .withColumn("mean_gray",
+          col("sum_gray").cast("double") / (col("w") * col("h")))
+        .orderBy("media_id")
+    }),
+
     "s8_orc_roundtrip" -> ((s, d) => {
       val dir = derivedFixture("graft_orc", d, "graft-orc-v1") { tmp =>
         orders(s, d).write.mode("overwrite").orc(tmp.toString)
@@ -434,6 +467,24 @@ object Extras {
          |  columns={'t_us': 'BIGINT', 'flux': 'DOUBLE'})
          |WHERE flux < 1000000.0
          |ORDER BY t_us""".stripMargin,
+
+    // Closed-form replay of the file round-trip (the m5 technique):
+    // pixel (x,y) of image doc_id is (doc_id*31 + x*7 + y*13) % 256,
+    // so decoded sums are recomputable without a PNG decoder; any
+    // write/scan/decode defect surfaces as a hash mismatch.
+    "s10_binary_scan" ->
+      """WITH img AS (SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 11 + 4 AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |px AS (SELECT doc_id, w, h,
+        |    unnest(generate_series(0, w * h - 1)) AS p FROM img),
+        |sums AS (SELECT doc_id, w, h,
+        |    CAST(sum((doc_id * 31 + (p % w) * 7 + (p // w) * 13) % 256)
+        |      AS BIGINT) AS sum_gray
+        |  FROM px GROUP BY 1, 2, 3)
+        |SELECT doc_id AS media_id, CAST(w AS INTEGER) AS w,
+        |  CAST(h AS INTEGER) AS h, sum_gray,
+        |  CAST(sum_gray AS DOUBLE) / (w * h) AS mean_gray
+        |FROM sums ORDER BY media_id""".stripMargin,
 
     // NULL on even keys reconstructs what mergeSchema surfaces for the
     // v1 files that lack the column.

@@ -471,6 +471,57 @@ object TextQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // E11 — MMR diversified selection (Carbonell & Goldstein 1998):
+    // greedy top-5 where round r picks argmax of
+    // λ·rel(x) − (1−λ)·max_{s∈selected} sim(s, x), λ = 0.7 — THE
+    // redundancy-aware selection step of retrieval and data-curation
+    // pipelines (pick relevant-but-mutually-diverse examples). Scale
+    // shape is the t6b/d26 driver-loop division: the corpus-scale
+    // work per round is ONE broadcast join against the ≤4-row
+    // selected set plus a TakeOrderedAndProject argmax (per-partition
+    // 1-row heaps — no global sort, no corpus collect); only the
+    // single winner row lands on the driver each round, and the
+    // relevance frame is computed once, persisted, and released.
+    // Everything compares as exact int64 (λ as the rational 7/10 ×
+    // 10: score = 7·rel − 3·pen over dot_i12 products), so the
+    // 5-round greedy walk is bit-replayable in SQL — the oracle
+    // reconstructs it with per-round argmax CTEs.
+    "e11_mmr_select" -> ((s, d) => {
+      val base = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val qv = base.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      val rel = base.filter(col("vec_id") > 0)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"), col("embedding"),
+          dot_i12(col("qe"), col("embedding")).as("rel"))
+        .persist() // consumed once per greedy round; released after the loop
+      val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      (1 to 5).foreach { _ =>
+        val chosen = picks.map(_._1)
+        val remaining =
+          if (chosen.isEmpty) rel else rel.filter(!col("vec_id").isInCollection(chosen))
+        val scored =
+          if (chosen.isEmpty)
+            remaining.select(col("vec_id"), col("rel"), lit(0L).as("pen"))
+          else {
+            val sel = base.filter(col("vec_id").isInCollection(chosen))
+              .select(col("embedding").as("se"))
+            remaining.crossJoin(broadcast(sel))
+              .withColumn("dp", dot_i12(col("se"), col("embedding")))
+              .groupBy("vec_id", "rel").agg(max(col("dp")).as("pen"))
+          }
+        val win = scored
+          .withColumn("score", lit(7L) * col("rel") - lit(3L) * col("pen"))
+          .orderBy(desc("score"), asc("vec_id")).limit(1)
+          .select("vec_id", "rel", "pen", "score").collect().head
+        picks += ((win.getLong(0), win.getLong(1), win.getLong(2), win.getLong(3)))
+      }
+      rel.unpersist()
+      import s.implicits._
+      picks.toSeq.zipWithIndex
+        .map { case ((id, r, p, sc), i) => (i + 1L, id, r, p, sc) }
+        .toDF("round", "vec_id", "rel", "pen", "score")
+    }),
+
     // D9 — embedding-cosine near-dup: candidate pairs from the sign-LSH
     // bucket (shuffle key at scale), exact integerized cosine inside the
     // bucket, pairs above threshold. Same arithmetic contract as e1/e2.
@@ -1643,6 +1694,45 @@ object TextQueries {
     // and false positives are resolved exactly by that join (the
     // oracle is therefore bloom-free and exact). Within-delta dups are
     // settled by a first-occurrence window on the same key.
+    // D33 — temperature-reweighted source mixture (the data-mix
+    // rebalancing step of corpus assembly, cf. the Pile / CCNet
+    // mixture weights): sampling rates are DERIVED IN-PLAN from
+    // corpus statistics at temperature α = 0.5 — weight w_s =
+    // isqrt(cnt_s) ∝ share^α, so rare sources are upweighted
+    // relative to their share — then applied as a pure hash gate.
+    // d20 is the fixed-rate form (rates arrive as a config table);
+    // d33 closes the loop where the rates come from the data itself.
+    // Scale shape: two fact-stream passes, both map-side-combined
+    // aggregations (stats, then gated counts); the rate table is a
+    // |sources|-row broadcast; the gate is a map-side filter — no
+    // window, no shuffle of the corpus. isqrt is floor(sqrt(double))
+    // with a ±1 integer correction, so every derived rate is exact
+    // int64 in both engines (IEEE sqrt is correctly rounded; the
+    // correction absorbs the one boundary case).
+    "d33_temp_mixture" -> ((s, d) => {
+      val stats = documents(s, d).groupBy("source").agg(count(lit(1)).as("cnt"))
+        .withColumn("s0", expr("CAST(floor(sqrt(CAST(cnt AS DOUBLE))) AS BIGINT)"))
+        .withColumn("w", expr(
+          "CASE WHEN (s0+1)*(s0+1) <= cnt THEN s0+1 " +
+          "WHEN s0*s0 > cnt THEN s0-1 ELSE s0 END"))
+        .select("source", "cnt", "w")
+      val tot = stats.agg(sum(col("cnt")).as("tot"), sum(col("w")).as("sw"))
+      // budget = 20% of the corpus, split ∝ w_s; gate threshold in
+      // 2^20ths so the per-row filter is one integer compare
+      val rates = stats.crossJoin(broadcast(tot))
+        .withColumn("n_target", expr("((tot div 5) * w) div sw"))
+        .withColumn("thr", expr("(n_target * 1048576) div cnt"))
+        .select("source", "cnt", "w", "n_target", "thr")
+      val kept = documents(s, d).join(broadcast(rates), "source")
+        .withColumn("h",
+          expr(TextOps.md5Hash32Fast("CAST(doc_id AS STRING)")) % 1048576L)
+        .filter(col("h") < col("thr"))
+        .groupBy("source").agg(count(lit(1)).as("n_kept"))
+      rates.join(kept, Seq("source"), "left")
+        .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+        .orderBy("source")
+    }),
+
     "d32_incremental_dedup" -> ((s, d) => {
       import org.apache.spark.sql.graftshim.{toCol, toExpr}
       import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
@@ -2178,6 +2268,75 @@ object TextQueries {
 
     // SQ8 replay: identical integerization, per-dim step/code/midpoint
     // reconstruction, 20-deep ADC pool, exact-L2 rerank.
+    // Independent replay of the greedy walk: per-round argmax CTEs.
+    // dk = exact int64 dots of every candidate against round-k's
+    // winner; round r's penalty is greatest() over d1..d(r-1). Same
+    // 7/3 rational λ, same (score DESC, vec_id) tiebreak — every
+    // comparison is integer, so the 5 picks match bit-for-bit.
+    "e11_mmr_select" ->
+      """WITH dims AS (
+        |  SELECT vec_id, pos, CAST(x AS DOUBLE) AS x FROM (
+        |    SELECT vec_id, unnest(embedding) AS x,
+        |      unnest(generate_series(0, len(embedding) - 1)) AS pos
+        |    FROM embeddings)),
+        |q AS (SELECT pos, x AS qx FROM dims WHERE vec_id = 0),
+        |rel AS (SELECT d.vec_id,
+        |    CAST(sum(CAST(round(qx * x * 1e12) AS BIGINT)) AS BIGINT) AS rel
+        |  FROM dims d JOIN q USING (pos) WHERE d.vec_id > 0 GROUP BY 1),
+        |s1 AS (SELECT vec_id, rel, CAST(0 AS BIGINT) AS pen, 7 * rel AS score
+        |  FROM rel ORDER BY 7 * rel DESC, vec_id LIMIT 1),
+        |d1 AS (SELECT c.vec_id, CAST(sum(CAST(round(s.x * c.x * 1e12) AS BIGINT)) AS BIGINT) AS dot
+        |  FROM dims c JOIN dims s ON s.pos = c.pos
+        |    AND s.vec_id = (SELECT vec_id FROM s1)
+        |  WHERE c.vec_id > 0 GROUP BY 1),
+        |s2 AS (SELECT r.vec_id, r.rel, d1.dot AS pen,
+        |    7 * r.rel - 3 * d1.dot AS score
+        |  FROM rel r JOIN d1 ON d1.vec_id = r.vec_id
+        |  WHERE r.vec_id NOT IN (SELECT vec_id FROM s1)
+        |  ORDER BY score DESC, r.vec_id LIMIT 1),
+        |d2 AS (SELECT c.vec_id, CAST(sum(CAST(round(s.x * c.x * 1e12) AS BIGINT)) AS BIGINT) AS dot
+        |  FROM dims c JOIN dims s ON s.pos = c.pos
+        |    AND s.vec_id = (SELECT vec_id FROM s2)
+        |  WHERE c.vec_id > 0 GROUP BY 1),
+        |s3 AS (SELECT r.vec_id, r.rel, greatest(d1.dot, d2.dot) AS pen,
+        |    7 * r.rel - 3 * greatest(d1.dot, d2.dot) AS score
+        |  FROM rel r JOIN d1 ON d1.vec_id = r.vec_id
+        |    JOIN d2 ON d2.vec_id = r.vec_id
+        |  WHERE r.vec_id NOT IN (SELECT vec_id FROM s1
+        |    UNION ALL SELECT vec_id FROM s2)
+        |  ORDER BY score DESC, r.vec_id LIMIT 1),
+        |d3 AS (SELECT c.vec_id, CAST(sum(CAST(round(s.x * c.x * 1e12) AS BIGINT)) AS BIGINT) AS dot
+        |  FROM dims c JOIN dims s ON s.pos = c.pos
+        |    AND s.vec_id = (SELECT vec_id FROM s3)
+        |  WHERE c.vec_id > 0 GROUP BY 1),
+        |s4 AS (SELECT r.vec_id, r.rel, greatest(d1.dot, d2.dot, d3.dot) AS pen,
+        |    7 * r.rel - 3 * greatest(d1.dot, d2.dot, d3.dot) AS score
+        |  FROM rel r JOIN d1 ON d1.vec_id = r.vec_id
+        |    JOIN d2 ON d2.vec_id = r.vec_id JOIN d3 ON d3.vec_id = r.vec_id
+        |  WHERE r.vec_id NOT IN (SELECT vec_id FROM s1
+        |    UNION ALL SELECT vec_id FROM s2 UNION ALL SELECT vec_id FROM s3)
+        |  ORDER BY score DESC, r.vec_id LIMIT 1),
+        |d4 AS (SELECT c.vec_id, CAST(sum(CAST(round(s.x * c.x * 1e12) AS BIGINT)) AS BIGINT) AS dot
+        |  FROM dims c JOIN dims s ON s.pos = c.pos
+        |    AND s.vec_id = (SELECT vec_id FROM s4)
+        |  WHERE c.vec_id > 0 GROUP BY 1),
+        |s5 AS (SELECT r.vec_id, r.rel,
+        |    greatest(d1.dot, d2.dot, d3.dot, d4.dot) AS pen,
+        |    7 * r.rel - 3 * greatest(d1.dot, d2.dot, d3.dot, d4.dot) AS score
+        |  FROM rel r JOIN d1 ON d1.vec_id = r.vec_id
+        |    JOIN d2 ON d2.vec_id = r.vec_id JOIN d3 ON d3.vec_id = r.vec_id
+        |    JOIN d4 ON d4.vec_id = r.vec_id
+        |  WHERE r.vec_id NOT IN (SELECT vec_id FROM s1
+        |    UNION ALL SELECT vec_id FROM s2 UNION ALL SELECT vec_id FROM s3
+        |    UNION ALL SELECT vec_id FROM s4)
+        |  ORDER BY score DESC, r.vec_id LIMIT 1)
+        |SELECT CAST(1 AS BIGINT) AS round, * FROM s1
+        |UNION ALL SELECT 2, * FROM s2
+        |UNION ALL SELECT 3, * FROM s3
+        |UNION ALL SELECT 4, * FROM s4
+        |UNION ALL SELECT 5, * FROM s5
+        |ORDER BY round""".stripMargin,
+
     "e10_sq8_ann" ->
       """WITH dims AS (
         |  SELECT vec_id, pos,
@@ -2216,6 +2375,35 @@ object TextQueries {
         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
         |        ORDER BY d2, vec_id) AS rank FROM exact)
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    // Mixture replay: identical corrected-isqrt weights, integer
+    // divisions (// = Spark's div for these positive operands), md5
+    // gate, and LEFT JOIN zero-fill. sum() wrapped in CAST — DuckDB
+    // sums BIGINT into HUGEINT, which the driver's typed hash rejects.
+    "d33_temp_mixture" ->
+      s"""WITH stats AS (
+         |  SELECT source, count(*) AS cnt FROM documents GROUP BY 1),
+         |w AS (SELECT source, cnt,
+         |    CASE WHEN (s0+1)*(s0+1) <= cnt THEN s0+1
+         |         WHEN s0*s0 > cnt THEN s0-1 ELSE s0 END AS w
+         |  FROM (SELECT source, cnt,
+         |      CAST(floor(sqrt(CAST(cnt AS DOUBLE))) AS BIGINT) AS s0
+         |    FROM stats)),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot,
+         |    CAST(sum(w) AS BIGINT) AS sw FROM w),
+         |rates AS (SELECT source, cnt, w,
+         |    ((tot // 5) * w) // sw AS n_target,
+         |    ((((tot // 5) * w) // sw) * 1048576) // cnt AS thr
+         |  FROM w, tot),
+         |kept AS (SELECT d.source, count(*) AS n_kept
+         |  FROM documents d JOIN rates r ON r.source = d.source
+         |  WHERE (${TextOps.md5Hash32("CAST(doc_id AS VARCHAR)")} % 1048576)
+         |    < r.thr
+         |  GROUP BY 1)
+         |SELECT r.source, r.cnt, r.w, r.n_target, r.thr,
+         |  coalesce(k.n_kept, 0) AS n_kept
+         |FROM rates r LEFT JOIN kept k ON k.source = r.source
+         |ORDER BY r.source""".stripMargin,
 
     // Incremental-dedup replay: the same d4 simhash key, then plain
     // exact store/delta logic — the engine's Bloom stage is routing

@@ -150,6 +150,79 @@ class R6LateOpsSpec extends SparkSpec {
     assert(out.exists(_.getLong(2) > 0), "fixture dup clusters should close triangles")
   }
 
+  test("e11: engine MMR walk equals an in-memory greedy reference") {
+    val vecs = graft.core.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot12(a: Array[Float], b: Array[Float]): Long =
+      a.zip(b).map { case (x, y) =>
+        graft.expr.VecExprs.roundHalfAway(x.toDouble * y.toDouble * 1e12)
+      }.sum
+    val q = vecs(0L)
+    val rel = vecs.filter(_._1 > 0).map { case (id, v) => id -> dot12(q, v) }
+    // greedy reference: argmax(7*rel - 3*maxSelDot), ties by vec_id
+    var sel = List.empty[Long]
+    val expect = (1 to 5).map { _ =>
+      val cand = rel.filter { case (id, _) => !sel.contains(id) }
+      val best = cand.map { case (id, r) =>
+        val pen = if (sel.isEmpty) 0L
+                  else sel.map(sid => dot12(vecs(sid), vecs(id))).max
+        (id, 7L * r - 3L * pen)
+      }.minBy { case (id, sc) => (-sc, id) }
+      sel = sel :+ best._1
+      best
+    }
+    val got = SparkEntry.queries("e11_mmr_select")(spark, sf)
+      .orderBy("round").collect().map(r => (r.getLong(1), r.getLong(4)))
+    assert(got.toSeq == expect.toSeq, s"got=${got.toSeq} expect=${expect.toSeq}")
+    // the diversity penalty must actually bite: the greedy picks differ
+    // from the unconstrained relevance top-5 on this clustered fixture
+    val top5 = rel.toSeq.sortBy { case (id, r) => (-r, id) }.take(5).map(_._1).toSet
+    assert(got.map(_._1).toSet != top5,
+      "MMR should trade some relevance for diversity on a clustered corpus")
+  }
+
+  test("d33: derived mixture rates respect the budget and upweight rare sources") {
+    val rows = SparkEntry.queries("d33_temp_mixture")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val tot = rows.map(_.getLong(1)).sum
+    val budget = tot / 5
+    rows.foreach { r =>
+      val (cnt, w, target, kept) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5))
+      assert(w * w <= cnt && (w + 1) * (w + 1) > cnt, s"isqrt exact: $r")
+      assert(target >= 0 && target <= cnt, s"target within source: $r")
+      assert(kept >= 0 && kept <= cnt, s"kept within source: $r")
+    }
+    val targetSum = rows.map(_.getLong(3)).sum
+    assert(targetSum <= budget && targetSum >= budget - rows.length,
+      s"floor-split budget: $targetSum vs $budget")
+    // temperature α=0.5 must bite: the smallest source gets a strictly
+    // higher sampling rate (thr) than the largest
+    val byCnt = rows.sortBy(_.getLong(1))
+    if (byCnt.head.getLong(1) * 2 <= byCnt.last.getLong(1))
+      assert(byCnt.head.getLong(4) > byCnt.last.getLong(4),
+        "rare source should be upweighted relative to its share")
+  }
+
+  test("s10: binaryFile ingest decodes every image file, map-locally") {
+    val df = SparkEntry.queries("s10_binary_scan")(spark, sf)
+    val rows = df.collect()
+    val nImg = graft.core.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 3 === 0).count()
+    assert(rows.length == nImg, "one decoded row per written PNG file")
+    rows.take(20).foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == (id % 13 + 4).toInt && r.getInt(2) == (id % 11 + 4).toInt,
+        s"decoded dims must match the closed form: $r")
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("binaryFile"), s"must scan through the binaryFile source:\n$plan")
+    val exchanges = "Exchange (\\w+)".r.findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(exchanges.forall(_.startsWith("rangepartitioning")),
+      s"decode must stay map-local; only the output sort may shuffle: $exchanges")
+  }
+
   test("g4: unpivot is a map-only Expand — 3x rows, no shuffle, no join") {
     val df = SparkEntry.queries("g4_unpivot")(spark, sf)
     val nWide = graft.core.Tables.lineitem(spark, sf)
