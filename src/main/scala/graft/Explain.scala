@@ -104,7 +104,9 @@ object Explain {
       "w7_rank_surface" -> "rank/dense_rank/ntile/percent_rank/cume_dist over the DAILY ROLLUP, not the fact stream: the window input is bounded by types x days (calendar-bounded), so the per-type ORDER BY window sorts dozens of rows at any corpus size; the fact stream passes only through the map-side-combined daily aggregation",
       "e11_mmr_select" -> "MMR diversified selection, driver-loop division (t6b/d26): per greedy round the corpus-scale work is one broadcast join against the <=4-row selected set + a TakeOrderedAndProject argmax (per-partition 1-row heaps, no global sort); relevance frame persisted once and released after the loop; plan shown is the returned LocalTableScan — the load-bearing round plan is the rel-join-argmax audited via the spec",
       "d33_temp_mixture" -> "temperature mixture sampling: rates DERIVED IN-PLAN (|sources|-row stats broadcast + one-row totals crossJoin, corrected-isqrt weights), then applied as a MAP-SIDE hash-gate filter — two fact passes, both map-side-combined aggregations, no window, the corpus never shuffles",
-      "s10_binary_scan" -> "binaryFile media ingest: one row per PNG file (non-splittable; parallelism = file count packed by maxPartitionBytes), id recovered from the path, batched partition-local decode kernel — no Exchange before the output sort")
+      "s10_binary_scan" -> "binaryFile media ingest: one row per PNG file (non-splittable; parallelism = file count packed by maxPartitionBytes), id recovered from the path, batched partition-local decode kernel — no Exchange before the output sort",
+      "d34_phrase_search" -> "positional phrase query: the isin term filter sits ABOVE the token explode (non-phrase tokens never materialize); adjacency is ONE equi-join whose key folds the pos+1 arithmetic — hash-joinable, no nested-loop theta join",
+      "d35_pmi_collocations" -> "PMI collocations: one corpus-scale shuffle (per-doc lead window); unigram/bigram/total counts re-aggregate with map-side combine; vocabulary-sized joins left to AQE broadcast; exact-integer ratio, top-20 via TakeOrderedAndProject")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by graft.Explain)\n\n")

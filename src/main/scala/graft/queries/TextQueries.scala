@@ -1694,6 +1694,62 @@ object TextQueries {
     // and false positives are resolved exactly by that join (the
     // oracle is therefore bloom-free and exact). Within-delta dups are
     // settled by a first-occurrence window on the same key.
+    // D34 — positional phrase search ("hash join" as an exact
+    // two-term phrase): the inverted-index-with-positions query every
+    // search stack runs. Postings (doc_id, pos) are built for JUST
+    // the phrase terms — the isin filter sits above the token explode
+    // so non-phrase tokens never materialize rows — and adjacency is
+    // ONE equi-join on (doc_id, pos+1): Catalyst folds the pos
+    // arithmetic into the join key, so this is a hash join keyed by
+    // (doc, position), not a theta join. At 100 TB the postings are
+    // the pre-materialized index and this plan starts at the filter.
+    "d34_phrase_search" -> ((s, d) => {
+      val toks = documents(s, d)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .filter(col("tok").isin("hash", "join"))
+      val a = toks.filter(col("tok") === "hash")
+        .select(col("doc_id"), col("pos").as("pa"))
+      val b = toks.filter(col("tok") === "join")
+        .select(col("doc_id").as("db"), col("pos").as("pb"))
+      a.join(b, col("doc_id") === col("db") && col("pb") === col("pa") + 1)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hits"), min(col("pa")).as("first_pos"))
+        .orderBy("doc_id")
+    }),
+
+    // D35 — PMI collocation mining (Church & Hanks 1990): rank
+    // adjacent bigrams by pointwise mutual information — the standard
+    // multi-word-expression detector of corpus curation. PMI's log is
+    // monotone, so ranking needs only the RATIO c12·N / (c1·c2),
+    // kept as an exact integer ratio_ppm (floor at 1e6 parts) — no
+    // libm crosses the engines. One corpus-scale shuffle (the per-doc
+    // lead window); the three count tables re-aggregate from it with
+    // map-side combine, unigram counts join back on the vocabulary-
+    // sized frames, and the top-20 is TakeOrderedAndProject. The
+    // c12 ≥ 20 support floor is the classic PMI rare-pair guard. (At
+    // extreme N, c12·N·1e6 would need the div-before-multiply order;
+    // int64 holds to ~10^12 tokens here.)
+    "d35_pmi_collocations" -> ((s, d) => {
+      val toks = documents(s, d)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .filter(col("tok") =!= "")
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val big = toks.withColumn("nxt", lead(col("tok"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+      val uni = toks.groupBy("tok").agg(count(lit(1)).as("c1"))
+      val ntok = toks.agg(count(lit(1)).as("n_tok"))
+      big.groupBy("tok", "nxt").agg(count(lit(1)).as("c12"))
+        .filter(col("c12") >= 20)
+        .join(uni, "tok")
+        .join(uni.select(col("tok").as("nxt"), col("c1").as("c2")), "nxt")
+        .crossJoin(broadcast(ntok))
+        .withColumn("ratio_ppm", expr("(c12 * n_tok * 1000000) div (c1 * c2)"))
+        .select("tok", "nxt", "c12", "c1", "c2", "ratio_ppm")
+        .orderBy(desc("ratio_ppm"), asc("tok"), asc("nxt")).limit(20)
+    }),
+
     // D33 — temperature-reweighted source mixture (the data-mix
     // rebalancing step of corpus assembly, cf. the Pile / CCNet
     // mixture weights): sampling rates are DERIVED IN-PLAN from
@@ -2375,6 +2431,47 @@ object TextQueries {
         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
         |        ORDER BY d2, vec_id) AS rank FROM exact)
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    // Phrase replay: same per-term postings, same (doc, pos+1)
+    // adjacency join.
+    "d34_phrase_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, pos, tok FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |      unnest(generate_series(0,
+        |        len(string_split(text, ' ')) - 1)) AS pos
+        |    FROM documents)),
+        |a AS (SELECT doc_id, pos FROM toks WHERE tok = 'hash'),
+        |b AS (SELECT doc_id, pos FROM toks WHERE tok = 'join')
+        |SELECT a.doc_id, count(*) AS n_hits,
+        |  CAST(min(a.pos) AS INTEGER) AS first_pos
+        |FROM a JOIN b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
+
+    // PMI replay: identical lead() bigrams, count tables, support
+    // floor, and exact integer ratio (count(*) is BIGINT in both —
+    // no HUGEINT wrap needed).
+    "d35_pmi_collocations" ->
+      """WITH toks AS (
+        |  SELECT doc_id, pos, tok FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |      unnest(generate_series(0,
+        |        len(string_split(text, ' ')) - 1)) AS pos
+        |    FROM documents)
+        |  WHERE tok <> ''),
+        |w AS (SELECT doc_id, pos, tok,
+        |    lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+        |  FROM toks),
+        |bc AS (SELECT tok, nxt, count(*) AS c12 FROM w
+        |  WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |uni AS (SELECT tok, count(*) AS c1 FROM toks GROUP BY 1),
+        |n AS (SELECT count(*) AS n_tok FROM toks)
+        |SELECT b.tok, b.nxt, b.c12, u1.c1, u2.c1 AS c2,
+        |  (b.c12 * n_tok * 1000000) // (u1.c1 * u2.c1) AS ratio_ppm
+        |FROM bc b JOIN uni u1 ON u1.tok = b.tok
+        |  JOIN uni u2 ON u2.tok = b.nxt, n
+        |WHERE b.c12 >= 20
+        |ORDER BY ratio_ppm DESC, b.tok, b.nxt LIMIT 20""".stripMargin,
 
     // Mixture replay: identical corrected-isqrt weights, integer
     // divisions (// = Spark's div for these positive operands), md5

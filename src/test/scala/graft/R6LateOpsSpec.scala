@@ -223,6 +223,47 @@ class R6LateOpsSpec extends SparkSpec {
       s"decode must stay map-local; only the output sort may shuffle: $exchanges")
   }
 
+  test("d34: phrase hits equal a string-scan reference and join stays equi-keyed") {
+    val df = SparkEntry.queries("d34_phrase_search")(spark, sf)
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect().flatMap { r =>
+        val toks = r.getString(1).split(" ")
+        val n = toks.indices.count(i =>
+          i + 1 < toks.length && toks(i) == "hash" && toks(i + 1) == "join")
+        if (n > 0) Some(r.getLong(0) -> n.toLong) else None
+      }.toMap
+    assert(got == expect, s"got=${got.size} docs expect=${expect.size}")
+    // the pos+1 adjacency must fold into the join KEY (hash-joinable),
+    // not degrade to a nested-loop theta join
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"adjacency must be an equi-join:\n$plan")
+  }
+
+  test("d35: PMI ratios are exact and the support floor holds") {
+    val rows = SparkEntry.queries("d35_pmi_collocations")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    // recompute the top pair's counts by brute force
+    val toks = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
+    val nTok = toks.map(_._2.length.toLong).sum
+    val top = rows.head
+    val (t, nx) = (top.getString(0), top.getString(1))
+    val c12 = toks.map { case (_, ts) =>
+      ts.indices.count(i => i + 1 < ts.length && ts(i) == t && ts(i + 1) == nx).toLong
+    }.sum
+    val c1 = toks.map(_._2.count(_ == t).toLong).sum
+    val c2 = toks.map(_._2.count(_ == nx).toLong).sum
+    assert(top.getLong(2) == c12 && top.getLong(3) == c1 && top.getLong(4) == c2,
+      s"top pair counts: $top vs ($c12, $c1, $c2)")
+    assert(top.getLong(5) == c12 * nTok * 1000000L / (c1 * c2), "exact ratio")
+    rows.foreach(r => assert(r.getLong(2) >= 20, s"support floor: $r"))
+    val ratios = rows.map(_.getLong(5))
+    assert(ratios.zip(ratios.tail).forall { case (a, b) => a >= b }, "descending")
+  }
+
   test("g4: unpivot is a map-only Expand — 3x rows, no shuffle, no join") {
     val df = SparkEntry.queries("g4_unpivot")(spark, sf)
     val nWide = graft.core.Tables.lineitem(spark, sf)
