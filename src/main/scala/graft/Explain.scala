@@ -106,7 +106,9 @@ object Explain {
       "d33_temp_mixture" -> "temperature mixture sampling: rates DERIVED IN-PLAN (|sources|-row stats broadcast + one-row totals crossJoin, corrected-isqrt weights), then applied as a MAP-SIDE hash-gate filter — two fact passes, both map-side-combined aggregations, no window, the corpus never shuffles",
       "s10_binary_scan" -> "binaryFile media ingest: one row per PNG file (non-splittable; parallelism = file count packed by maxPartitionBytes), id recovered from the path, batched partition-local decode kernel — no Exchange before the output sort",
       "d34_phrase_search" -> "positional phrase query: the isin term filter sits ABOVE the token explode (non-phrase tokens never materialize); adjacency is ONE equi-join whose key folds the pos+1 arithmetic — hash-joinable, no nested-loop theta join",
-      "d35_pmi_collocations" -> "PMI collocations: one corpus-scale shuffle (per-doc lead window); unigram/bigram/total counts re-aggregate with map-side combine; vocabulary-sized joins left to AQE broadcast; exact-integer ratio, top-20 via TakeOrderedAndProject")
+      "d35_pmi_collocations" -> "PMI collocations: one corpus-scale shuffle (per-doc lead window); unigram/bigram/total counts re-aggregate with map-side combine; vocabulary-sized joins left to AQE broadcast; exact-integer ratio, top-20 via TakeOrderedAndProject",
+      "a15_funnel" -> "ordered-stage funnel: three per-user min-aggregations + two left joins ALL keyed on user_id (one hash partitioning serves the chain); per-stage filters sit below the shuffles; final rollup is a single-row aggregate",
+      "s11_text_scan" -> "text-lines corpus ingest: line-splittable scan (parallelism survives few-but-huge files, unlike binary), in-plan field re-typing, map-only until the per-lang rollup")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by graft.Explain)\n\n")

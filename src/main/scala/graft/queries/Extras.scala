@@ -181,6 +181,32 @@ object Extras {
     // the parquet original — any encode/decode or pushdown defect
     // surfaces as a hash mismatch. Derived layout is manifest-gated
     // like s6/s7 (Spark ignores the _graft_manifest underscore file).
+    // S11b — TEXT-LINES source: the rawest and most common corpus
+    // interchange format (one record per line) read through Spark's
+    // `text` source and parsed in-plan — the ingest shape of every
+    // web-crawl text dump before its first structuring pass. The
+    // fixture serializes documents as id\tlang\ttext lines; the
+    // query reads them back line-splittable (unlike s10's binary
+    // files, text splits WITHIN files at newlines, so parallelism
+    // survives few-but-huge files), re-types the fields, and proves
+    // the round-trip with an exact per-lang aggregate the oracle
+    // states over the parquet original. Map-only until the rollup.
+    "s11_text_scan" -> ((s, d) => {
+      val dir = derivedFixture("graft_textlines", d, "graft-text-v1") { tmp =>
+        documents(s, d).select(concat_ws("\t",
+            col("doc_id"), col("lang"), col("text")).as("value"))
+          .write.mode("overwrite").text(tmp.toString)
+      }
+      s.read.text(dir.toString)
+        .select(split(col("value"), "\t").as("f"))
+        .select(col("f").getItem(0).cast("long").as("doc_id"),
+          col("f").getItem(1).as("lang"), col("f").getItem(2).as("text"))
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("n_chars"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy("lang")
+    }),
+
     // S10b — BINARY-FILE source: multimodal ingest that starts from
     // REAL FILES on disk, not parquet-embedded payloads — the shape
     // of every image/audio corpus before its first ingest pass. The
@@ -467,6 +493,15 @@ object Extras {
          |  columns={'t_us': 'BIGINT', 'flux': 'DOUBLE'})
          |WHERE flux < 1000000.0
          |ORDER BY t_us""".stripMargin,
+
+    // The oracle states the same aggregate over the parquet original
+    // (the s8/s9 twin technique): any serialize/split/re-type defect
+    // in the text round-trip surfaces as a hash mismatch.
+    "s11_text_scan" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
 
     // Closed-form replay of the file round-trip (the m5 technique):
     // pixel (x,y) of image doc_id is (doc_id*31 + x*7 + y*13) % 256,

@@ -106,6 +106,38 @@ object Relational {
         .orderBy(col("lvl"), col("event_type"), col("day_us"))
     }),
 
+    // A15 — ordered-stage funnel (view → click-after-view →
+    // purchase-after-click): THE product-analytics query — each stage
+    // is the user's earliest qualifying event strictly after the
+    // previous stage's time, so stage order is enforced, not just
+    // co-occurrence. Scale shape: three per-user min-aggregations and
+    // two left joins, ALL keyed on user_id — one hash partitioning
+    // serves the whole chain (AQE reuses it), the fact stream is
+    // filtered per stage before any shuffle, and the final rollup is
+    // a single-row aggregate. Conversion and lag stay exact int64
+    // (ppm floor division, micros differences).
+    "a15_funnel" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t_us"))
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("t_us")).as("t1"))
+      val s2 = ev.filter(col("event_type") === "click").join(s1, "user_id")
+        .filter(col("t_us") > col("t1"))
+        .groupBy("user_id").agg(min(col("t_us")).as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase").join(s2, "user_id")
+        .filter(col("t_us") > col("t2"))
+        .groupBy("user_id").agg(min(col("t_us")).as("t3"))
+      s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+        .agg(count(lit(1)).as("n_view"),
+          count(col("t2")).as("n_click_after"),
+          count(col("t3")).as("n_purchase_after"),
+          coalesce(sum(when(col("t3").isNotNull, col("t3") - col("t1"))),
+            lit(0L)).as("total_lag_us"))
+        .withColumn("conv_ppm", expr("(n_purchase_after * 1000000) div n_view"))
+        .select("n_view", "n_click_after", "n_purchase_after",
+          "conv_ppm", "total_lag_us")
+    }),
+
     // G4 — UNPIVOT (wide→long): the inverse of g2, melting the three
     // lineitem measure columns into (measure, value) rows. Spark plans
     // unpivot as a single Expand — a MAP-ONLY 3× row replication with
@@ -795,6 +827,27 @@ object Relational {
         |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
         |  count(CASE WHEN event_type = 'login' THEN 1 END) AS login
         |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // Funnel replay: identical stage CTEs (strictly-after semantics),
+    // LEFT JOIN survivorship counts, exact ppm floor division; the
+    // lag sum is CAST — DuckDB sums BIGINT into HUGEINT.
+    "a15_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS t_us
+        |  FROM events),
+        |s1 AS (SELECT user_id, min(t_us) AS t1 FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(t_us) AS t2 FROM ev e
+        |  JOIN s1 ON s1.user_id = e.user_id
+        |  WHERE event_type = 'click' AND t_us > t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(t_us) AS t3 FROM ev e
+        |  JOIN s2 ON s2.user_id = e.user_id
+        |  WHERE event_type = 'purchase' AND t_us > t2 GROUP BY 1)
+        |SELECT count(*) AS n_view, count(t2) AS n_click_after,
+        |  count(t3) AS n_purchase_after,
+        |  (count(t3) * 1000000) // count(*) AS conv_ppm,
+        |  CAST(coalesce(sum(t3 - t1), 0) AS BIGINT) AS total_lag_us
+        |FROM s1 LEFT JOIN s2 USING (user_id)
+        |  LEFT JOIN s3 USING (user_id)""".stripMargin,
 
     // UNPIVOT replay as explicit UNION ALL (the ANSI-portable melt):
     // same measure labels, same R-filter, same double cast.

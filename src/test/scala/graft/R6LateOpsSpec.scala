@@ -264,6 +264,46 @@ class R6LateOpsSpec extends SparkSpec {
     assert(ratios.zip(ratios.tail).forall { case (a, b) => a >= b }, "descending")
   }
 
+  test("a15: funnel equals a brute-force replay and stages only shrink") {
+    val r = SparkEntry.queries("a15_funnel")(spark, sf).collect().head
+    val ev = graft.core.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t_us"))
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    val byUser = ev.groupBy(_._1)
+    var (nV, nC, nP, lag) = (0L, 0L, 0L, 0L)
+    byUser.foreach { case (_, es) =>
+      val t1 = es.filter(_._2 == "view").map(_._3).minOption
+      t1.foreach { v =>
+        nV += 1
+        val t2 = es.filter(e => e._2 == "click" && e._3 > v).map(_._3).minOption
+        t2.foreach { c =>
+          nC += 1
+          val t3 = es.filter(e => e._2 == "purchase" && e._3 > c).map(_._3).minOption
+          t3.foreach { p => nP += 1; lag += p - v }
+        }
+      }
+    }
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)) == ((nV, nC, nP, lag)),
+      s"funnel mismatch: $r vs ($nV, $nC, $nP, $lag)")
+    assert(r.getLong(0) >= r.getLong(1) && r.getLong(1) >= r.getLong(2),
+      "ordered stages can only shrink")
+    assert(r.getLong(3) == r.getLong(2) * 1000000L / r.getLong(0), "exact ppm")
+  }
+
+  test("s11: text-lines round-trip equals the parquet original") {
+    val df = SparkEntry.queries("s11_text_scan")(spark, sf)
+    val got = df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val expect = graft.core.Tables.documents(spark, sf)
+      .groupBy("lang").agg(count(lit(1)).as("n"),
+        sum(length(col("text"))).as("c"), sum(col("doc_id")).as("i"))
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expect, s"text round-trip drifted: $got vs $expect")
+    assert(df.queryExecution.executedPlan.toString.contains("Scan text"),
+      "must read through the text source")
+  }
+
   test("g4: unpivot is a map-only Expand — 3x rows, no shuffle, no join") {
     val df = SparkEntry.queries("g4_unpivot")(spark, sf)
     val nWide = graft.core.Tables.lineitem(spark, sf)
