@@ -108,7 +108,8 @@ object Explain {
       "d34_phrase_search" -> "positional phrase query: the isin term filter sits ABOVE the token explode (non-phrase tokens never materialize); adjacency is ONE equi-join whose key folds the pos+1 arithmetic — hash-joinable, no nested-loop theta join",
       "d35_pmi_collocations" -> "PMI collocations: one corpus-scale shuffle (per-doc lead window); unigram/bigram/total counts re-aggregate with map-side combine; vocabulary-sized joins left to AQE broadcast; exact-integer ratio, top-20 via TakeOrderedAndProject",
       "a15_funnel" -> "ordered-stage funnel: three per-user min-aggregations + two left joins ALL keyed on user_id (one hash partitioning serves the chain); per-stage filters sit below the shuffles; final rollup is a single-row aggregate",
-      "s11_text_scan" -> "text-lines corpus ingest: line-splittable scan (parallelism survives few-but-huge files, unlike binary), in-plan field re-typing, map-only until the per-lang rollup")
+      "s11_text_scan" -> "text-lines corpus ingest: line-splittable scan (parallelism survives few-but-huge files, unlike binary), in-plan field re-typing, map-only until the per-lang rollup",
+      "s13_dsv2_source" -> "custom DataSource V2 (GridSource): chunk predicate pushes into the connector and prunes WHOLE partitions at planning time (8 of 64 scheduled; 0 on contradiction — spec-asserted), projection prunes per-column generation; Catalyst sees a real table, one InputPartition per chunk, no driver materialization")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by graft.Explain)\n\n")

@@ -181,6 +181,25 @@ object Extras {
     // the parquet original — any encode/decode or pushdown defect
     // surfaces as a hash mismatch. Derived layout is manifest-gated
     // like s6/s7 (Spark ignores the _graft_manifest underscore file).
+    // S13 — CUSTOM DataSource V2 (sources.GridSource): the synthetic
+    // light-curve grid generator exposed through the connector API —
+    // a real table to Catalyst, so the chunk predicate pushes into
+    // the source and prunes WHOLE partitions at planning time (the
+    // 8 surviving chunks are the only ones ever scheduled; asserted
+    // in spec via partition count) and the projection prunes
+    // generation per column. The top rung of the §2.11 extension
+    // ladder. Closed-form values let the oracle replay the table from
+    // generate_series with the standard exact-integer aggregates.
+    "s13_dsv2_source" -> ((s, d) => {
+      s.read.format("graft.sources.GridSource")
+        .option("chunks", "64").option("rows_per_chunk", "4096").load()
+        .filter(col("chunk") >= 48 && col("chunk") < 56)
+        .groupBy("chunk").agg(count(lit(1)).as("n"),
+          min(col("t_us")).as("t_min"), max(col("t_us")).as("t_max"),
+          sum(expr("CAST(round(flux * 1000000) AS BIGINT)")).as("flux6_sum"))
+        .orderBy("chunk")
+    }),
+
     // S11b — TEXT-LINES source: the rawest and most common corpus
     // interchange format (one record per line) read through Spark's
     // `text` source and parsed in-plan — the ingest shape of every
@@ -493,6 +512,19 @@ object Extras {
          |  columns={'t_us': 'BIGINT', 'flux': 'DOUBLE'})
          |WHERE flux < 1000000.0
          |ORDER BY t_us""".stripMargin,
+
+    // Generator replay from first principles (no fixture table): same
+    // global-index LCG at 1e6, same cadence; the engine's flux makes
+    // the div-then-round round trip (exact for |v6| < 2^52 — one
+    // correctly-rounded division both engines perform identically).
+    "s13_dsv2_source" ->
+      """WITH g AS (SELECT unnest(generate_series(48*4096, 56*4096 - 1)) AS gi),
+        |v AS (SELECT gi // 4096 AS chunk,
+        |    1704067200000000 + gi * 120000000 AS t_us,
+        |    (gi * 2654435761) % 2048 - 1024 AS f6 FROM g)
+        |SELECT chunk, count(*) AS n, min(t_us) AS t_min, max(t_us) AS t_max,
+        |  CAST(sum(f6) AS BIGINT) AS flux6_sum
+        |FROM v GROUP BY 1 ORDER BY chunk""".stripMargin,
 
     // The oracle states the same aggregate over the parquet original
     // (the s8/s9 twin technique): any serialize/split/re-type defect

@@ -304,6 +304,27 @@ class R6LateOpsSpec extends SparkSpec {
       "must read through the text source")
   }
 
+  test("s13: DSv2 chunk pushdown prunes partitions; projection prunes columns") {
+    def grid = spark.read.format("graft.sources.GridSource")
+      .option("chunks", "64").option("rows_per_chunk", "64").load()
+    // unfiltered: one input partition per chunk
+    assert(grid.select("chunk").rdd.getNumPartitions == 64)
+    // pushed range: only the surviving chunks are ever planned
+    val pruned = grid.filter(col("chunk") >= 48 && col("chunk") < 56)
+    assert(pruned.select("chunk").rdd.getNumPartitions == 8,
+      "chunk predicate must prune partitions at the source")
+    assert(pruned.count() == 8 * 64)
+    // contradiction prunes everything — zero partitions, no job tasks
+    assert(grid.filter(col("chunk") === 70L).rdd.getNumPartitions == 0)
+    // column pruning reaches the scan's read schema
+    val plan = grid.select("t_us").queryExecution.executedPlan.toString
+    assert(plan.contains("cols t_us"), s"scan description should show pruning:\n$plan")
+    // generated values honor the closed form
+    val r = grid.filter(col("chunk") === 1L).orderBy("t_us").limit(1).collect().head
+    assert(r.getLong(1) == graft.sources.GridSource.T0 + 64L * graft.sources.GridSource.DT)
+    assert(math.round(r.getDouble(2) * 1e6) == graft.sources.GridSource.flux6(64L))
+  }
+
   test("g4: unpivot is a map-only Expand — 3x rows, no shuffle, no join") {
     val df = SparkEntry.queries("g4_unpivot")(spark, sf)
     val nWide = graft.core.Tables.lineitem(spark, sf)
