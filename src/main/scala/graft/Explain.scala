@@ -109,7 +109,8 @@ object Explain {
       "d35_pmi_collocations" -> "PMI collocations: one corpus-scale shuffle (per-doc lead window); unigram/bigram/total counts re-aggregate with map-side combine; vocabulary-sized joins left to AQE broadcast; exact-integer ratio, top-20 via TakeOrderedAndProject",
       "a15_funnel" -> "ordered-stage funnel: three per-user min-aggregations + two left joins ALL keyed on user_id (one hash partitioning serves the chain); per-stage filters sit below the shuffles; final rollup is a single-row aggregate",
       "s11_text_scan" -> "text-lines corpus ingest: line-splittable scan (parallelism survives few-but-huge files, unlike binary), in-plan field re-typing, map-only until the per-lang rollup",
-      "s13_dsv2_source" -> "custom DataSource V2 (GridSource): chunk predicate pushes into the connector and prunes WHOLE partitions at planning time (8 of 64 scheduled; 0 on contradiction — spec-asserted), projection prunes per-column generation; Catalyst sees a real table, one InputPartition per chunk, no driver materialization")
+      "s13_dsv2_source" -> "custom DataSource V2 (GridSource): chunk predicate pushes into the connector and prunes WHOLE partitions at planning time (8 of 64 scheduled; 0 on contradiction — spec-asserted), projection prunes per-column generation; Catalyst sees a real table, one InputPartition per chunk, no driver materialization",
+      "j11_zone_crossmatch" -> "zones-algorithm spatial crossmatch (the J2 100 TB path): candidates from ONE equi-join on the zone key (catalog exploded x3 adjacent zones) — hash-partitionable like any equi-join; exact d2 <= r2 and per-probe rank run zone-locally; oracle is the BRUTE-FORCE all-pairs NN, so adjacency completeness is verified, not assumed")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by graft.Explain)\n\n")

@@ -342,6 +342,40 @@ object Extras {
         .orderBy("c_custkey")
     }),
 
+    // J2 at scale — ZONES-algorithm crossmatch (Gray & Szalay et al.,
+    // MSR-TR-2004-32; the SURVEY J2 row's promised 100 TB path):
+    // instead of j2's broadcast theta-join, both sides get a zone key
+    // (floor(y / zoneH) with zoneH = match radius), the catalog is
+    // exploded into its 3 adjacent zones, and candidates come from ONE
+    // equi-join on the zone — a hash-partitionable shuffle key, so the
+    // spatial join scales like any equi-join while the exact d² ≤ r²
+    // predicate and per-probe rank run inside the zone-local stream.
+    // Coordinates are closed-form LCG grid positions (exact int64
+    // through d²), so the oracle replays the whole match in SQL.
+    "j11_zone_crossmatch" -> ((s, d) => {
+      val R = 100000L // match radius = zone height, on the 1e6 grid
+      val cat = supplier(s, d).select(col("s_suppkey").as("cat_id"))
+        .withColumn("cx", (col("cat_id") * 2654435761L) % 1000000L)
+        .withColumn("cy", (col("cat_id") * 40503L) % 1000000L)
+        .withColumn("zone", expr(s"cy div $R"))
+      val catZ = cat.withColumn("z",
+        explode(array(col("zone") - 1, col("zone"), col("zone") + 1)))
+        .select("cat_id", "cx", "cy", "z")
+      val probes = customer(s, d).select(col("c_custkey").as("p_id"))
+        .withColumn("px", (col("p_id") * 2654435761L) % 1000000L)
+        .withColumn("py", (col("p_id") * 40503L) % 1000000L)
+        .withColumn("z", expr(s"py div $R"))
+      val w = Window.partitionBy("p_id").orderBy(asc("d2"), asc("cat_id"))
+      probes.join(catZ, "z")
+        .withColumn("d2",
+          (col("px") - col("cx")) * (col("px") - col("cx")) +
+          (col("py") - col("cy")) * (col("py") - col("cy")))
+        .filter(col("d2") <= R * R)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("p_id", "cat_id", "d2")
+        .orderBy("p_id")
+    }),
+
     // J5/A14 — population-context join + closed-form error propagation
     // (ref main.py:2684–3395, 2760–2788): per-row derived feature with
     // propagated uncertainty, target row unioned with the catalog.
@@ -612,6 +646,30 @@ object Extras {
         |  FROM probes, cat WHERE abs(ca - sa) < 100000)
         |SELECT c_custkey, s_suppkey, dist FROM ranked WHERE rn = 1
         |ORDER BY c_custkey""".stripMargin,
+
+    // Zones replay: the oracle skips the zone machinery entirely and
+    // states the EXACT NN over all pairs — zone-1-adjacency
+    // completeness (radius ≤ zone height ⇒ every true match is in an
+    // adjacent zone) is thereby verified, not assumed.
+    "j11_zone_crossmatch" ->
+      """WITH cat AS (SELECT s_suppkey AS cat_id,
+        |    (s_suppkey * 2654435761) % 1000000 AS cx,
+        |    (s_suppkey * 40503) % 1000000 AS cy
+        |  FROM supplier),
+        |probes AS (SELECT c_custkey AS p_id,
+        |    (c_custkey * 2654435761) % 1000000 AS px,
+        |    (c_custkey * 40503) % 1000000 AS py
+        |  FROM customer),
+        |ranked AS (SELECT p_id, cat_id,
+        |    (px - cx) * (px - cx) + (py - cy) * (py - cy) AS d2,
+        |    row_number() OVER (PARTITION BY p_id
+        |      ORDER BY (px - cx) * (px - cx) + (py - cy) * (py - cy) ASC,
+        |        cat_id ASC) AS rn
+        |  FROM probes, cat
+        |  WHERE (px - cx) * (px - cx) + (py - cy) * (py - cy)
+        |    <= 10000000000)
+        |SELECT p_id, cat_id, d2 FROM ranked WHERE rn = 1
+        |ORDER BY p_id""".stripMargin,
 
     "j5_population" ->
       """WITH cat AS (SELECT p_partkey AS id, p_retailprice AS x,

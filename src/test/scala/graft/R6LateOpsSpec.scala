@@ -325,6 +325,32 @@ class R6LateOpsSpec extends SparkSpec {
     assert(math.round(r.getDouble(2) * 1e6) == graft.sources.GridSource.flux6(64L))
   }
 
+  test("j11: zone-pruned crossmatch equals brute-force NN via an equi-join only") {
+    val df = SparkEntry.queries("j11_zone_crossmatch")(spark, sf)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def xy(k: Long) = ((k * 2654435761L) % 1000000L, (k * 40503L) % 1000000L)
+    val cat = graft.core.Tables.supplier(spark, sf)
+      .select("s_suppkey").collect().map(_.getLong(0))
+    val probes = graft.core.Tables.customer(spark, sf)
+      .select("c_custkey").collect().map(_.getLong(0))
+    val R2 = 100000L * 100000L
+    val expect = probes.flatMap { p =>
+      val (px, py) = xy(p)
+      val cands = cat.map { c =>
+        val (cx, cy) = xy(c)
+        (c, (px - cx) * (px - cx) + (py - cy) * (py - cy))
+      }.filter(_._2 <= R2)
+      if (cands.isEmpty) None
+      else { val b = cands.minBy { case (c, d2) => (d2, c) }; Some((p, b._1, b._2)) }
+    }.toSet
+    assert(got == expect,
+      s"zone pruning must lose no true match: ${got.size} vs ${expect.size}")
+    // candidates must come from the zone EQUI-join, not a cross/theta join
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"zones key must make this an equi-join:\n$plan")
+  }
+
   test("g4: unpivot is a map-only Expand — 3x rows, no shuffle, no join") {
     val df = SparkEntry.queries("g4_unpivot")(spark, sf)
     val nWide = graft.core.Tables.lineitem(spark, sf)
