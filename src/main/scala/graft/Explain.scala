@@ -110,7 +110,10 @@ object Explain {
       "a15_funnel" -> "ordered-stage funnel: three per-user min-aggregations + two left joins ALL keyed on user_id (one hash partitioning serves the chain); per-stage filters sit below the shuffles; final rollup is a single-row aggregate",
       "s11_text_scan" -> "text-lines corpus ingest: line-splittable scan (parallelism survives few-but-huge files, unlike binary), in-plan field re-typing, map-only until the per-lang rollup",
       "s13_dsv2_source" -> "custom DataSource V2 (GridSource): chunk predicate pushes into the connector and prunes WHOLE partitions at planning time (8 of 64 scheduled; 0 on contradiction — spec-asserted), projection prunes per-column generation; Catalyst sees a real table, one InputPartition per chunk, no driver materialization",
-      "j11_zone_crossmatch" -> "zones-algorithm spatial crossmatch (the J2 100 TB path): candidates from ONE equi-join on the zone key (catalog exploded x3 adjacent zones) — hash-partitionable like any equi-join; exact d2 <= r2 and per-probe rank run zone-locally; oracle is the BRUTE-FORCE all-pairs NN, so adjacency completeness is verified, not assumed")
+      "j11_zone_crossmatch" -> "zones-algorithm spatial crossmatch (the J2 100 TB path): candidates from ONE equi-join on the zone key (catalog exploded x3 adjacent zones) — hash-partitionable like any equi-join; exact d2 <= r2 and per-probe rank run zone-locally; oracle is the BRUTE-FORCE all-pairs NN, so adjacency completeness is verified, not assumed",
+      "t16_acf" -> "ACF period detector: the REBIN is the one corpus-scale aggregation (after it the series is span/delta bins regardless of input rows); the lag correlation is an EQUI-join on (event_type, bin+lag) — hash-partitionable, linear in bins x K, no theta join; per-series stats and the lag-0 power are broadcast frames; peak detection partitions by event_type over <=48 rows",
+      "o9_global_index" -> "distributed global row numbering: data rank window partitioned by the fixed 30-day bucket (ONE corpus-scale Exchange); the only unpartitioned window runs over the <=#buckets-row offsets frame, broadcast-joined back — no Exchange SinglePartition of the data, unlike the naive row_number the oracle runs",
+      "d36_dsir" -> "DSIR importance selection: the corpus is scanned ONCE — the doc x hash-bucket count frame localCheckpoints (d2/d3 lifecycle) and feeds both consumers; ONE bucket aggregation yields both LMs (1024 rows, totals derived from it, broadcast back); top-100 selection is TakeOrderedAndProject (per-partition heaps, driver sees 100 rows)")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by graft.Explain)\n\n")
@@ -170,7 +173,8 @@ object Explain {
       "st9_stream_static_join" -> "stream-static enrichment: the dim broadcasts per micro-batch with NO join state (only the downstream tumbling agg holds state rows) — the dim is swappable under a running query",
       "st10_stream_flare" -> "flatMapGroupsWithState flare trigger: state = per-user horizon-deep buffers (bounded by TIME, not stream length), carried across 3 micro-batches — hits right after a batch boundary score against the previous batch's state",
       "st11_stream_hll" -> "streaming HLL: state = |event_types|x64 register rows MAX regardless of stream length (max-merged per micro-batch) — the bounded-state distinct-count; estimate post-processing runs batch on the drained sink",
-      "st12_stream_cms" -> "streaming CountMin: state = depth x width = 256 cell rows MAX regardless of stream length (counts SUM-merge per micro-batch) — st11's counterpart for per-item frequency; the heavy-hitter min-probe runs batch on the drained grid")
+      "st12_stream_cms" -> "streaming CountMin: state = depth x width = 256 cell rows MAX regardless of stream length (counts SUM-merge per micro-batch) — st11's counterpart for per-item frequency; the heavy-hitter min-probe runs batch on the drained grid",
+      "st13_stream_quantile" -> "streaming quantile histogram: state = |event_types| x 256 fixed-range bin rows MAX regardless of stream length (counts SUM-merge per micro-batch; tails clamp to the edge bins) — the third sketch beside st11/st12; the cumulative-walk readout runs batch on the drained grid and is grounded within one bin of the exact order statistic")
     sb.append("\n\n# Streaming state-operator audit (micro-batch engine telemetry)\n")
     streamAudit.foreach { case (name, expectation) =>
       progresses.synchronized(progresses.clear())

@@ -441,6 +441,35 @@ object Relational {
         .limit(20)
     }),
 
+    // O9 — global stable row numbering WITHOUT a global sort: the
+    // scale replacement for row_number() OVER (ORDER BY …), whose
+    // single-partition window is the classic 100 TB killer (the very
+    // WindowExec warning Spark prints for it). Rows are bucketed by a
+    // fixed time range (30-day buckets, the o6 technique — no
+    // sampling pass, and the bucket key doubles as a partition-pruning
+    // key on a date-partitioned layout), ranked WITHIN their bucket by
+    // a partitioned window, then shifted by the exclusive prefix sum
+    // of bucket counts — a bucket-level window over ≤#buckets rows,
+    // broadcast-joined back. ONE corpus-scale shuffle (by bucket); the
+    // only ordered single-partition step sees bucket-count rows. idx
+    // is bit-identical to the naive global row_number the oracle runs.
+    "o9_global_index" -> ((s, d) => {
+      val bucketUs = 86400L * 1000000L * 30
+      val ev = events(s, d)
+        .withColumn("t_us", unix_micros(col("ts")))
+        .withColumn("bkt", floor(col("t_us") / bucketUs))
+      val wIn = Window.partitionBy("bkt").orderBy("t_us", "event_id")
+      val wB = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+      val offs = ev.groupBy("bkt").agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(sum(col("cnt")).over(wB), lit(0L)))
+        .select("bkt", "off")
+      ev.withColumn("rn", row_number().over(wIn))
+        .join(broadcast(offs), "bkt")
+        .withColumn("idx", col("off") + col("rn"))
+        .select("event_id", "t_us", "idx")
+        .orderBy("idx")
+    }),
+
     // A12 — conditional aggregation (ref main.py:118–173 ingress/egress means).
     "a12_conditional_agg" -> ((s, d) => {
       lineitem(s, d).groupBy("l_returnflag").agg(
@@ -939,6 +968,13 @@ object Relational {
         |  FROM events)
         |WHERE gap_us IS NOT NULL
         |ORDER BY gap_us DESC, event_id ASC LIMIT 20""".stripMargin,
+
+    // The naive single-window global numbering the engine query
+    // deliberately avoids — same total order (t_us, event_id).
+    "o9_global_index" ->
+      """SELECT event_id, epoch_us(ts) AS t_us,
+        |  row_number() OVER (ORDER BY epoch_us(ts), event_id) AS idx
+        |FROM events ORDER BY idx""".stripMargin,
 
     "a12_conditional_agg" ->
       """SELECT l_returnflag, n_hi_disc, rev_hi_disc, sum_qty, n,

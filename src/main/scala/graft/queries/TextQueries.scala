@@ -1750,6 +1750,59 @@ object TextQueries {
         .orderBy(desc("ratio_ppm"), asc("tok"), asc("nxt")).limit(20)
     }),
 
+    // D36 — data selection via importance resampling (DSIR, Xie et
+    // al. 2023, arXiv:2302.03169): score every raw document by how
+    // target-like it is under hashed-unigram bag-of-words LMs —
+    // weight(doc) = Σ_b n_b(doc) · ln(p_target(b)/p_raw(b)) over 1024
+    // hash buckets, add-one smoothed — and keep the top-100. The
+    // target domain here is the corpus's English slice (the same
+    // role the Wikipedia/books target plays in the paper); the raw
+    // LM is the whole corpus. Scale shape: ONE corpus-scale shuffle
+    // (doc×bucket counts, ≤1024 distinct buckets per doc); both LMs
+    // re-aggregate FROM it map-side-combined into 1024-row tables
+    // that broadcast back; the selection is TakeOrderedAndProject
+    // (per-partition heaps — no global sort, driver sees 100 rows).
+    // Cross-engine exactness: bucket = md5-hash mod 1024, the log
+    // ratio's operand is ONE IEEE division of two exact int64
+    // products (<2^53), ln of identical doubles rounds identically,
+    // quantized at 1e6 (the d28 technique) so per-doc sums are
+    // order-free exact integers.
+    "d36_dsir" -> ((s, d) => {
+      // the doc×bucket count frame feeds both the LM build and the
+      // score join; ONE eager localCheckpoint job at construction (the
+      // d2/d3 lifecycle, no cache leak) pays the md5-explode — the
+      // dominant cost — once instead of once per consumer. Both LMs
+      // come from a SINGLE bucket aggregation and the corpus totals
+      // from the 1024-row LM table, so the corpus is scanned exactly
+      // once end to end.
+      val dbf = documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .withColumn("b", expr(TextOps.md5Hash32Fast("tok")) % 1024L)
+        .groupBy("doc_id", "lang", "b")
+        .agg(count(lit(1)).as("n_db"))
+        .localCheckpoint()
+      val lm = dbf.groupBy("b").agg(
+        sum(col("n_db")).cast("long").as("cr"),
+        sum(when(col("lang") === "en", col("n_db")).otherwise(lit(0L)))
+          .cast("long").as("ct"))
+      val ns = lm.agg(sum(col("cr")).cast("long").as("nr"),
+        sum(col("ct")).cast("long").as("nt"))
+      val li = lm.crossJoin(broadcast(ns))
+        .withColumn("li", expr(
+          "CAST(round(ln(CAST((ct + 1) * (nr + 1024) AS DOUBLE) / " +
+            "((cr + 1) * (nt + 1024))) * 1e6) AS BIGINT)"))
+        .select("b", "li")
+      dbf.join(broadcast(li), "b")
+        .groupBy("doc_id", "lang")
+        .agg(sum(col("n_db")).cast("long").as("n_tok"),
+          sum(col("n_db") * col("li")).cast("long").as("w6"))
+        .withColumn("mean_lr", col("w6").cast("double") / col("n_tok") / 1e6)
+        .select("doc_id", "lang", "n_tok", "w6", "mean_lr")
+        .orderBy(desc("w6"), asc("doc_id")).limit(100)
+    }),
+
     // D33 — temperature-reweighted source mixture (the data-mix
     // rebalancing step of corpus assembly, cf. the Pile / CCNet
     // mixture weights): sampling rates are DERIVED IN-PLAN from
@@ -2472,6 +2525,35 @@ object TextQueries {
         |  JOIN uni u2 ON u2.tok = b.nxt, n
         |WHERE b.c12 >= 20
         |ORDER BY ratio_ppm DESC, b.tok, b.nxt LIMIT 20""".stripMargin,
+
+    // Same hashed-unigram importance arithmetic, independently
+    // derived: positional md5 bucket hash (the CASE-tree form), both
+    // LMs re-aggregated from the doc×bucket counts, the log ratio's
+    // single division over the same exact integer products.
+    "d36_dsir" ->
+      s"""WITH toks AS (SELECT doc_id, lang,
+        |    (${TextOps.md5Hash32("tok")}) % 1024 AS b
+        |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents) WHERE tok <> ''),
+        |dbf AS (SELECT doc_id, lang, b, count(*) AS n_db
+        |  FROM toks GROUP BY 1, 2, 3),
+        |cr AS (SELECT b, CAST(sum(n_db) AS BIGINT) AS cr FROM dbf GROUP BY 1),
+        |ct AS (SELECT b, CAST(sum(n_db) AS BIGINT) AS ct
+        |  FROM dbf WHERE lang = 'en' GROUP BY 1),
+        |ns AS (SELECT CAST(sum(n_db) AS BIGINT) AS nr,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN n_db ELSE 0 END) AS BIGINT) AS nt
+        |  FROM dbf),
+        |li AS (SELECT cr.b,
+        |    CAST(round(ln(CAST((coalesce(ct.ct, 0) + 1) * (ns.nr + 1024) AS DOUBLE)
+        |      / ((cr.cr + 1) * (ns.nt + 1024))) * 1e6) AS BIGINT) AS li
+        |  FROM cr LEFT JOIN ct ON ct.b = cr.b, ns),
+        |ag AS (SELECT doc_id, lang,
+        |    CAST(sum(n_db) AS BIGINT) AS n_tok,
+        |    CAST(sum(n_db * li) AS BIGINT) AS w6
+        |  FROM dbf JOIN li USING (b) GROUP BY 1, 2)
+        |SELECT doc_id, lang, n_tok, w6,
+        |  CAST(w6 AS DOUBLE) / n_tok / 1e6 AS mean_lr
+        |FROM ag ORDER BY w6 DESC, doc_id LIMIT 100""".stripMargin,
 
     // Mixture replay: identical corrected-isqrt weights, integer
     // divisions (// = Spark's div for these positive operands), md5

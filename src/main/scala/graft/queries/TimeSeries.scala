@@ -607,6 +607,63 @@ object TimeSeries {
         .orderBy(col("cnt").desc, col("user_id"))
     }),
 
+    // ST13 — streaming quantile sketch: a fixed-range 256-bin
+    // histogram as a stateful streaming aggregation — the third
+    // sketch beside st11 (HLL / cardinality) and st12 (CMS /
+    // frequency). The Prometheus-histogram design: bins are FIXED at
+    // declaration ([0, 640.00) in 2.50 steps, tails clamped to the
+    // edge bins), so state is ≤ types×256 rows at ANY stream length,
+    // count-merged per micro-batch with no per-value state. The
+    // estimator — cumulative walk + upper-bin-edge readout at
+    // p50/p90/p99 — post-processes the drained grid (windows over
+    // ≤256 rows per series) and is grounded against the exact order
+    // statistic from the batch table; the histogram estimate is
+    // within one 2.50 bin of exact by construction. All targets are
+    // exact integer arithmetic (ceil via (n·q+99) div 100).
+    "st13_stream_quantile" -> ((s, d) => {
+      val ss = streamSession(s)
+      val schema = ss.read.parquet(s"$d/events.parquet").schema
+      val stream = ss.readStream.schema(schema)
+        .option("basePath", d)
+        .parquet(s"$d/events*.parquet")
+        .withColumn("vc", expr("CAST(round(value * 100) AS BIGINT)"))
+        .withColumn("bin", least(greatest(expr("vc div 250"), lit(0L)), lit(255L)))
+        .groupBy(col("event_type"), col("bin"))
+        .agg(count(lit(1)).as("cnt"))
+      val q = stream.writeStream
+        .format("memory").queryName("st13_sink")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val hist = ss.table("st13_sink")
+      val qs1 = broadcast(ss.createDataFrame(Seq(Tuple1(50), Tuple1(90),
+        Tuple1(99))).toDF("q"))
+      val qs2 = broadcast(ss.createDataFrame(Seq(Tuple1(50), Tuple1(90),
+        Tuple1(99))).toDF("q"))
+      val wC = Window.partitionBy("event_type").orderBy("bin")
+      val est = hist
+        .withColumn("cum", sum(col("cnt")).over(wC))
+        .withColumn("n", sum(col("cnt")).over(Window.partitionBy("event_type")))
+        .crossJoin(qs1)
+        .filter(col("cum") >= expr("(n * q + 99) div 100"))
+        .groupBy("event_type", "q")
+        .agg(min(col("bin")).as("qbin"))
+        .withColumn("est", (col("qbin") + 1) * lit(250L) / lit(100.0))
+      val ev = graft.core.Tables.events(ss, d)
+        .withColumn("vc", expr("CAST(round(value * 100) AS BIGINT)"))
+      val exact = ev
+        .withColumn("r", row_number().over(
+          Window.partitionBy("event_type").orderBy("vc", "event_id")))
+        .withColumn("n2", count(lit(1)).over(Window.partitionBy("event_type")))
+        .crossJoin(qs2)
+        .filter(col("r") === expr("(n2 * q + 99) div 100"))
+        .select(col("event_type"), col("q"), (col("vc") / lit(100.0)).as("exact"))
+      est.join(exact, Seq("event_type", "q"))
+        .select("event_type", "q", "qbin", "est", "exact")
+        .orderBy("event_type", "q")
+    }),
+
     // the engine evict click state once the purchase-side watermark
     // passes click+6h — bounded state on an unbounded stream. The
     // oracle is the identical range join in plain SQL.
@@ -902,6 +959,59 @@ object TimeSeries {
         .orderBy("i")
     }),
 
+    // T16 — ACF period detector (the McQuillan et al. 2013 rotation-
+    // period method; complements T5's Lomb–Scargle and T6's BLS with
+    // the third standard periodogram family, cf. the reference's
+    // period-search stage around main.py:5203). Rebin to a uniform
+    // 1-hour grid per series, center, then correlate the grid against
+    // itself at integer-hour lags 1..48; local maxima of the ACF mark
+    // period candidates (the 24 h signal in the fixture peaks at
+    // lag 24). Scale shape: the REBIN is the one corpus-scale
+    // aggregation — after it the series is span/Δ bins regardless of
+    // input rows, so the lag correlation is an EQUI-join on
+    // (event_type, bin+lag) keys, linear in bins×K with no theta join
+    // and no global window (peak detection partitions by series over
+    // K rows). All sums are exact int64: bin means are floor-divided
+    // cents (explicit positive-mod floor formula, identical in both
+    // engines), centering subtracts the floor-divided per-series mean,
+    // and acf is a ratio of two exact integer sums.
+    "t16_acf" -> ((s, d) => {
+      val K = 48
+      val bins = base(s, d)
+        .withColumn("bin", expr(s"(t_us - $E) div 3600000000"))
+        .groupBy("event_type", "bin")
+        .agg(count(lit(1)).as("n"), sum(col("vc")).cast("long").as("sv"))
+        .withColumn("mb", expr("(sv - ((sv % n + n) % n)) div n"))
+      val tot = bins.groupBy("event_type").agg(
+        sum(col("mb")).cast("long").as("smb"),
+        count(lit(1)).cast("long").as("nb"))
+      val cb = bins.join(broadcast(tot), "event_type")
+        .withColumn("c", col("mb") - expr("(smb - ((smb % nb + nb) % nb)) div nb"))
+        .select(col("event_type"), col("bin"), col("c"))
+      val lags = s.range(1, K + 1).toDF("lag")
+      val rhs = cb.select(col("event_type"), col("bin").as("bin2"),
+        col("c").as("c2"))
+      val num = cb.crossJoin(broadcast(lags))
+        .withColumn("bin2", col("bin") + col("lag"))
+        .join(rhs, Seq("event_type", "bin2"))
+        .groupBy("event_type", "lag")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("c") * col("c2")).cast("long").as("num"))
+      val den = cb.groupBy("event_type")
+        .agg(sum(col("c") * col("c")).cast("long").as("den"))
+      val w = Window.partitionBy("event_type").orderBy("lag")
+      num.join(broadcast(den), "event_type")
+        .withColumn("acf", col("num").cast("double") / col("den"))
+        .withColumn("ap", lag(col("acf"), 1).over(w))
+        .withColumn("an", lead(col("acf"), 1).over(w))
+        .withColumn("is_peak",
+          when(col("ap").isNotNull && col("an").isNotNull &&
+            col("acf") > col("ap") && col("acf") > col("an"), lit(true))
+            .otherwise(lit(false)))
+        .select("event_type", "lag", "n_pairs", "num", "acf", "is_peak")
+        .orderBy("event_type", "lag")
+    }),
+
     // T7/A11 — periodic-outlier period candidate (srch_outlperi
     // main.py:5203–5279): top-5 outliers → sorted pairwise Δt →
     // successive fractional change.
@@ -1033,6 +1143,35 @@ object TimeSeries {
            |GROUP BY probes.user_id, cnt
            |ORDER BY cnt DESC, probes.user_id""".stripMargin
       },
+
+      // Replays the drained histogram grid and both readouts in plain
+      // SQL: the same clamped fixed bins, ceil targets as exact
+      // integer arithmetic, and the exact order statistic from the
+      // batch table for grounding.
+      "st13_stream_quantile" ->
+        """WITH ev AS (SELECT event_type, event_id,
+          |    CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+          |hist AS (SELECT event_type,
+          |    least(greatest(vc // 250, 0), 255) AS bin, count(*) AS cnt
+          |  FROM ev GROUP BY 1, 2),
+          |cum AS (SELECT event_type, bin, cnt,
+          |    sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+          |    sum(cnt) OVER (PARTITION BY event_type) AS n
+          |  FROM hist),
+          |qs AS (SELECT unnest([50, 90, 99]) AS q),
+          |est AS (SELECT event_type, q, min(bin) AS qbin
+          |  FROM cum, qs WHERE cum >= (n * q + 99) // 100 GROUP BY 1, 2),
+          |ranked AS (SELECT event_type, vc,
+          |    row_number() OVER (PARTITION BY event_type
+          |      ORDER BY vc, event_id) AS r,
+          |    count(*) OVER (PARTITION BY event_type) AS n2
+          |  FROM ev),
+          |ex AS (SELECT event_type, q, vc / 100.0 AS exact
+          |  FROM ranked, qs WHERE r = (n2 * q + 99) // 100)
+          |SELECT e.event_type, e.q, e.qbin,
+          |  (e.qbin + 1) * 250 / 100.0 AS est, x.exact
+          |FROM est e JOIN ex x USING (event_type, q)
+          |ORDER BY event_type, q""".stripMargin,
 
       "st8_stream_dedup_wm" ->
         """SELECT DISTINCT user_id, event_id FROM events
@@ -1384,6 +1523,44 @@ object TimeSeries {
            |    + 0.02 * exp(-CAST(pd AS DOUBLE) / 7200000000.0), 6) AS flux,
            |  round(5.0 * sin(2.0 * pi() * CAST(g_us - $E AS DOUBLE) / $P7), 6) AS rv
            |FROM ph ORDER BY i""".stripMargin,
+
+      // Same rebin→center→lag-join arithmetic, independently spelled:
+      // floor divisions via the explicit positive-mod formula (// on
+      // the already-divisible numerator), lags from generate_series,
+      // peak test on the same exact-integer acf ratio.
+      "t16_acf" ->
+        s"""WITH $baseSql,
+           |bins AS (SELECT event_type, (t_us - $E) // 3600000000 AS bin,
+           |    count(*) AS n, CAST(sum(vc) AS BIGINT) AS sv
+           |  FROM base GROUP BY 1, 2),
+           |mb AS (SELECT event_type, bin,
+           |    (sv - ((sv % n + n) % n)) // n AS mb FROM bins),
+           |tot AS (SELECT event_type, CAST(sum(mb) AS BIGINT) AS smb,
+           |    CAST(count(*) AS BIGINT) AS nb FROM mb GROUP BY 1),
+           |cb AS (SELECT m.event_type, m.bin,
+           |    m.mb - (t.smb - ((t.smb % t.nb + t.nb) % t.nb)) // t.nb AS c
+           |  FROM mb m JOIN tot t USING (event_type)),
+           |lags AS (SELECT unnest(generate_series(1, 48)) AS lag),
+           |num AS (SELECT a.event_type, l.lag,
+           |    CAST(count(*) AS BIGINT) AS n_pairs,
+           |    CAST(sum(a.c * b.c) AS BIGINT) AS num
+           |  FROM cb a CROSS JOIN lags l
+           |  JOIN cb b ON b.event_type = a.event_type
+           |    AND b.bin = a.bin + l.lag
+           |  GROUP BY 1, 2),
+           |den AS (SELECT event_type, CAST(sum(c * c) AS BIGINT) AS den
+           |  FROM cb GROUP BY 1),
+           |acf AS (SELECT n.event_type, n.lag, n.n_pairs, n.num,
+           |    CAST(n.num AS DOUBLE) / d.den AS acf
+           |  FROM num n JOIN den d USING (event_type)),
+           |pk AS (SELECT *,
+           |    lag(acf) OVER (PARTITION BY event_type ORDER BY lag) AS ap,
+           |    lead(acf) OVER (PARTITION BY event_type ORDER BY lag) AS an
+           |  FROM acf)
+           |SELECT event_type, lag, n_pairs, num, acf,
+           |  coalesce(ap IS NOT NULL AND an IS NOT NULL
+           |    AND acf > ap AND acf > an, FALSE) AS is_peak
+           |FROM pk ORDER BY event_type, lag""".stripMargin,
 
       "t7_outlperi" ->
         s"""WITH $baseSql,
