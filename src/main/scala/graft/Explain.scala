@@ -113,7 +113,11 @@ object Explain {
       "j11_zone_crossmatch" -> "zones-algorithm spatial crossmatch (the J2 100 TB path): candidates from ONE equi-join on the zone key (catalog exploded x3 adjacent zones) — hash-partitionable like any equi-join; exact d2 <= r2 and per-probe rank run zone-locally; oracle is the BRUTE-FORCE all-pairs NN, so adjacency completeness is verified, not assumed",
       "t16_acf" -> "ACF period detector: the REBIN is the one corpus-scale aggregation (after it the series is span/delta bins regardless of input rows); the lag correlation is an EQUI-join on (event_type, bin+lag) — hash-partitionable, linear in bins x K, no theta join; per-series stats and the lag-0 power are broadcast frames; peak detection partitions by event_type over <=48 rows",
       "o9_global_index" -> "distributed global row numbering: data rank window partitioned by the fixed 30-day bucket (ONE corpus-scale Exchange); the only unpartitioned window runs over the <=#buckets-row offsets frame, broadcast-joined back — no Exchange SinglePartition of the data, unlike the naive row_number the oracle runs",
-      "d36_dsir" -> "DSIR importance selection: the corpus is scanned ONCE — the doc x hash-bucket count frame localCheckpoints (d2/d3 lifecycle) and feeds both consumers; ONE bucket aggregation yields both LMs (1024 rows, totals derived from it, broadcast back); top-100 selection is TakeOrderedAndProject (per-partition heaps, driver sees 100 rows)")
+      "d36_dsir" -> "DSIR importance selection: the corpus is scanned ONCE — the doc x hash-bucket count frame localCheckpoints (d2/d3 lifecycle) and feeds both consumers; ONE bucket aggregation yields both LMs (1024 rows, totals derived from it, broadcast back); top-100 selection is TakeOrderedAndProject (per-partition heaps, driver sees 100 rows)",
+      "t17_xcorr" -> "CCF lead/lag between two series: t16's rebin/center shape — one corpus-scale phase-bin aggregation, signed-lag equi-join on bin+lag, broadcast power sums; the argmax window runs over <=97 grid-bounded rows",
+      "g5_grouping_sets" -> "arbitrary GROUPING SETS ((type,day),(day),()): ONE Expand pass (3x replication) + a single keyed aggregation — no union of separate GROUP BYs; completes g1 ROLLUP / g2 PIVOT / g3 CUBE / g4 UNPIVOT",
+      "t18_harmonic" -> "closed-form sinusoid fit: one corpus-scale phase-bin aggregation, a 24-row broadcast basis join, per-series rollup of NINE exact int64 normal-equation sums, Cramer determinants as order-free integer column math — no solver iteration, no collect of the data",
+      "e12_recall_eval" -> "in-plan index-quality eval: the e1 (brute-force baseline) and e2 (bucket-keyed LSH) arms feed a |queries*k|-row left join + keyed rollup; recall_ppm is an exact integer ratio; both rank windows partition by q_id")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by graft.Explain)\n\n")

@@ -106,6 +106,28 @@ object Relational {
         .orderBy(col("lvl"), col("event_type"), col("day_us"))
     }),
 
+    // G5 — arbitrary GROUPING SETS, completing the reshaping family
+    // (g1 ROLLUP / g2 PIVOT / g3 CUBE / g4 UNPIVOT): the set list
+    // ((type, day), (day), ()) is deliberately NOT a rollup or cube
+    // prefix — per-(type,day) detail, per-day totals, and the grand
+    // total, with no per-type level. Same engine shape as g3: ONE
+    // Expand pass replicates each row once per set (3×), then a
+    // single keyed aggregation — no multi-pass union of separate
+    // GROUP BYs; grouping_id matches DuckDB's GROUPING() bit-vector.
+    "g5_grouping_sets" -> ((s, d) => {
+      events(s, d)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .groupingSets(
+          Seq(Seq(col("event_type"), col("day")), Seq(col("day")), Seq()),
+          col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("value"))).as("sc"),
+          grouping_id().cast("long").as("lvl"))
+        .select(col("event_type"), unix_micros(col("day")).as("day_us"),
+          col("n"), (col("sc").cast("long") / 100.0).as("sum_value"), col("lvl"))
+        .orderBy(col("lvl"), col("event_type"), col("day_us"))
+    }),
+
     // A15 — ordered-stage funnel (view → click-after-view →
     // purchase-after-click): THE product-analytics query — each stage
     // is the user's earliest qualifying event strictly after the
@@ -777,6 +799,17 @@ object Relational {
         |  CAST(GROUPING(event_type, date_trunc('day', ts)) AS BIGINT) AS lvl
         |FROM events
         |GROUP BY CUBE (event_type, date_trunc('day', ts))
+        |ORDER BY lvl, event_type, day_us""".stripMargin,
+
+    "g5_grouping_sets" ->
+      """SELECT event_type, epoch_us(date_trunc('day', ts)) AS day_us,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)/100.0
+        |    AS sum_value,
+        |  CAST(GROUPING(event_type, date_trunc('day', ts)) AS BIGINT) AS lvl
+        |FROM events
+        |GROUP BY GROUPING SETS ((event_type, date_trunc('day', ts)),
+        |  (date_trunc('day', ts)), ())
         |ORDER BY lvl, event_type, day_us""".stripMargin,
 
     // Exact-quantile replay: identical integerization, bin edges,

@@ -378,6 +378,54 @@ object TextQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // E12 — index-quality evaluation IN-PLAN: recall@5 of the sign-LSH
+    // ANN (e2) against exact brute-force kNN (e1), per query — the
+    // measurement loop every vector-index deployment runs before
+    // trusting an approximate index (the test suite's recall specs
+    // promoted to a first-class declared surface). Scale shape: both
+    // arms are the audited e1/e2 plans (broadcast query set; the
+    // exact arm is the deliberate brute-force baseline, the LSH arm
+    // bucket-keyed); the evaluation itself is a |queries·k|-row left
+    // join + keyed rollup — negligible at any corpus size. recall_ppm
+    // is an exact integer ratio.
+    "e12_recall_eval" -> ((s, d) => {
+      val withNorm = embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("nrm", dot_i12(col("embedding"), col("embedding")))
+      val q = withNorm.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"))
+      val w = Window.partitionBy("q_id").orderBy(desc("sim"), asc("vec_id"))
+      val exact = withNorm.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("dot", dot_i12(col("qe"), col("embedding")))
+        .withColumn("sim", (col("dot") / 1e12) /
+          nullif(sqrt(col("qn") / 1e12) * sqrt(col("nrm") / 1e12), lit(0.0)))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        .select(col("q_id"), col("vec_id"))
+      val bucketExpr = (1 to 8).map(j =>
+        when(element_at(col("embedding"), j) > 0.0f, math.pow(2, j - 1).toLong)
+          .otherwise(0L)).reduce(_ + _)
+      val withB = withNorm.withColumn("bucket", bucketExpr)
+      val qb = withB.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("bucket").as("q_bucket"),
+          col("embedding").as("qe"), col("nrm").as("qn"))
+      val ann = withB
+        .join(broadcast(qb), col("q_bucket") === col("bucket"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("dot", dot_i12(col("qe"), col("embedding")))
+        .withColumn("sim", (col("dot") / 1e12) /
+          nullif(sqrt(col("qn") / 1e12) * sqrt(col("nrm") / 1e12), lit(0.0)))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+      exact.join(ann, Seq("q_id", "vec_id"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).cast("long").as("n_exact"),
+          sum(coalesce(col("hit"), lit(0L))).cast("long").as("hits"))
+        .withColumn("recall_ppm", expr("(hits * 1000000) div n_exact"))
+        .orderBy("q_id")
+    }),
+
     // E8 — FILTERED vector search (the filtered-ANN problem every
     // vector store exposes: top-k restricted by a metadata
     // predicate). This is the PRE-filter strategy: the label/id
@@ -2804,6 +2852,60 @@ object TextQueries {
          |  FROM sim)
          |SELECT q_id, bucket, rank, vec_id, round(sim, 6) AS sim
          |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+    },
+
+    // Both arms rebuilt from the e1/e2 oracle forms, intersected and
+    // rolled up — same integerized cosine, same tie-break ranking.
+    "e12_recall_eval" -> {
+      val bucketSql = (1 to 8).map(j =>
+        s"(CASE WHEN embedding[$j] > 0.0 THEN ${math.pow(2, j - 1).toLong} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+         |dims AS (
+         |  SELECT vec_id, bucket, pos, CAST(x AS DOUBLE) AS x FROM (
+         |    SELECT vec_id, bucket, unnest(embedding) AS x,
+         |      unnest(generate_series(0, len(embedding) - 1)) AS pos
+         |    FROM b)),
+         |norms AS (SELECT vec_id,
+         |    sum(CAST(round(x * x * 1e12) AS BIGINT)) AS nrm
+         |  FROM dims GROUP BY 1),
+         |q AS (SELECT vec_id AS q_id, bucket AS q_bucket, pos, x AS qx
+         |      FROM dims WHERE vec_id < 5),
+         |edots AS (SELECT q_id, vec_id,
+         |    sum(CAST(round(qx * x * 1e12) AS BIGINT)) AS dot
+         |  FROM q JOIN dims ON q.pos = dims.pos
+         |  WHERE vec_id <> q_id GROUP BY 1, 2),
+         |esim AS (SELECT q_id, edots.vec_id AS vec_id,
+         |    (dot / 1e12) / nullif(sqrt(qn.nrm / 1e12) * sqrt(cn.nrm / 1e12), 0.0) AS sim
+         |  FROM edots
+         |  JOIN norms qn ON qn.vec_id = edots.q_id
+         |  JOIN norms cn ON cn.vec_id = edots.vec_id),
+         |exact AS (SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |      row_number() OVER (PARTITION BY q_id
+         |                         ORDER BY sim DESC, vec_id ASC) AS rank
+         |    FROM esim) WHERE rank <= 5),
+         |adots AS (SELECT q_id, vec_id,
+         |    sum(CAST(round(qx * x * 1e12) AS BIGINT)) AS dot
+         |  FROM q JOIN dims ON q_bucket = bucket AND q.pos = dims.pos
+         |  WHERE vec_id <> q_id GROUP BY 1, 2),
+         |asim AS (SELECT q_id, adots.vec_id AS vec_id,
+         |    (dot / 1e12) / nullif(sqrt(qn.nrm / 1e12) * sqrt(cn.nrm / 1e12), 0.0) AS sim
+         |  FROM adots
+         |  JOIN norms qn ON qn.vec_id = adots.q_id
+         |  JOIN norms cn ON cn.vec_id = adots.vec_id),
+         |ann AS (SELECT q_id, vec_id, 1 AS hit FROM (
+         |    SELECT q_id, vec_id,
+         |      row_number() OVER (PARTITION BY q_id
+         |                         ORDER BY sim DESC, vec_id ASC) AS rank
+         |    FROM asim) WHERE rank <= 5)
+         |SELECT e.q_id, CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(sum(coalesce(a.hit, 0)) AS BIGINT) AS hits,
+         |  (CAST(sum(coalesce(a.hit, 0)) AS BIGINT) * 1000000)
+         |    // CAST(count(*) AS BIGINT) AS recall_ppm
+         |FROM exact e LEFT JOIN ann a
+         |  ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+         |GROUP BY 1 ORDER BY e.q_id""".stripMargin
     },
 
     "d9_embed_neardup" -> {

@@ -29,6 +29,18 @@ object TimeSeries {
       unix_micros(col("ts")).as("t_us"),
       Tables.cents(col("value")).as("vc"))
 
+  /** t18's quantized trig basis at the 24 phase-bin centers:
+    * (k, round(cos·100), round(sin·100)). Computed ONCE here and
+    * injected as literals into BOTH the Spark plan and the DuckDB
+    * oracle (the d30 shared-constants technique), so no libm call
+    * ever crosses engines; 1e2 quantization keeps every 3×3 Cramer
+    * determinant term within exact int64. */
+  private[graft] val harmBasis: Seq[(Int, Long, Long)] =
+    (0 until 24).map { k =>
+      val th = 2.0 * math.Pi * (k + 0.5) / 24.0
+      (k, math.round(math.cos(th) * 100), math.round(math.sin(th) * 100))
+    }
+
   private val baseSql =
     """base AS (SELECT event_id, user_id, event_type, value,
       |  epoch_us(ts) AS t_us, CAST(round(value*100) AS BIGINT) AS vc
@@ -1012,6 +1024,106 @@ object TimeSeries {
         .orderBy("event_type", "lag")
     }),
 
+    // T17 — cross-correlation lead/lag estimation between two series
+    // (the CCF companion of t16's ACF; in the reference's domain this
+    // is multi-band lag measurement, cf. the per-energy light curves
+    // around main.py:3928): rebin both series to the shared 1-h grid,
+    // center each, correlate a against b at signed lags −48..48, and
+    // flag the argmax lag — a positive best lag means a leads b.
+    // Same scale shape as t16: rebin is the one corpus-scale agg;
+    // the lag correlation is an equi-join on bin+lag; the normalizer
+    // sqrt(Σca²·Σcb²) is IEEE-correctly-rounded over exact integer
+    // sums, so ccf is bit-reproducible; argmax is a window over ≤97
+    // rows (grid-bounded).
+    "t17_xcorr" -> ((s, d) => {
+      val K = 48
+      val bins = base(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .withColumn("bin", expr(s"(t_us - $E) div 3600000000"))
+        .groupBy("event_type", "bin")
+        .agg(count(lit(1)).as("n"), sum(col("vc")).cast("long").as("sv"))
+        .withColumn("mb", expr("(sv - ((sv % n + n) % n)) div n"))
+      val tot = bins.groupBy("event_type").agg(
+        sum(col("mb")).cast("long").as("smb"),
+        count(lit(1)).cast("long").as("nb"))
+      val cb = bins.join(broadcast(tot), "event_type")
+        .withColumn("c", col("mb") - expr("(smb - ((smb % nb + nb) % nb)) div nb"))
+        .select(col("event_type"), col("bin"), col("c"))
+      val a = cb.filter(col("event_type") === "click")
+        .select(col("bin"), col("c").as("ca"))
+      val b = cb.filter(col("event_type") === "purchase")
+        .select(col("bin").as("bin2"), col("c").as("cb"))
+      val lags = s.range(-K, K + 1).toDF("lag")
+      val num = a.crossJoin(broadcast(lags))
+        .withColumn("bin2", col("bin") + col("lag"))
+        .join(b, "bin2")
+        .groupBy("lag")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("ca") * col("cb")).cast("long").as("num"))
+      val pw = cb.groupBy("event_type")
+        .agg(sum(col("c") * col("c")).cast("long").as("pp"))
+      num
+        .crossJoin(broadcast(pw.filter(col("event_type") === "click")
+          .select(col("pp").as("pa"))))
+        .crossJoin(broadcast(pw.filter(col("event_type") === "purchase")
+          .select(col("pp").as("pb"))))
+        .withColumn("ccf", col("num").cast("double") /
+          sqrt(col("pa").cast("double") * col("pb")))
+        .withColumn("is_best",
+          col("ccf") === max(col("ccf")).over(Window.partitionBy(lit(1))))
+        .select("lag", "n_pairs", "num", "ccf", "is_best")
+        .orderBy("lag")
+    }),
+
+    // T18 — closed-form harmonic (sinusoid) fit at the fold period:
+    // the amplitude/phase estimation step of rotational-modulation
+    // analysis (the reference fits sinusoid components in its model
+    // stage, cf. main.py:3928 region). Phase-fold to 24 bins (t2),
+    // take integer bin means (t16's floor-div), and solve the 3×3
+    // normal equations for mean + A·cos + B·sin by CRAMER'S RULE over
+    // exact int64 sums — the t3b integerized-solver technique with
+    // the trig basis quantized at 1e2 from [[harmBasis]] literals
+    // shared verbatim with the oracle. Scale shape: one corpus-scale
+    // phase-bin aggregation, a 24-row broadcast basis join, and a
+    // per-series rollup; the determinants are order-free integer
+    // arithmetic, so the fit is bit-reproducible at any parallelism.
+    "t18_harmonic" -> ((s, d) => {
+      import s.implicits._
+      val basis = broadcast(harmBasis.toDF("k", "c2", "s2"))
+      val binned = base(s, d)
+        .withColumn("ph", TsOps.phaseUs(col("t_us"), lit(E), lit(PDAY)))
+        .withColumn("k", expr(s"((ph * 24) div $PDAY)").cast("int"))
+        .groupBy("event_type", "k")
+        .agg(count(lit(1)).as("n"), sum(col("vc")).cast("long").as("sv"))
+        .withColumn("mb", expr("(sv - ((sv % n + n) % n)) div n"))
+      binned.join(basis, "k").groupBy("event_type").agg(
+          count(lit(1)).cast("long").as("nb"),
+          sum(col("c2")).cast("long").as("sc"),
+          sum(col("s2")).cast("long").as("ss"),
+          sum(col("c2") * col("c2")).cast("long").as("scc"),
+          sum(col("s2") * col("s2")).cast("long").as("sss"),
+          sum(col("c2") * col("s2")).cast("long").as("scs"),
+          sum(col("mb")).cast("long").as("sy"),
+          sum(col("c2") * col("mb")).cast("long").as("scy"),
+          sum(col("s2") * col("mb")).cast("long").as("ssy"))
+        .withColumn("det", expr(
+          "nb*(scc*sss - scs*scs) - sc*(sc*sss - scs*ss) + ss*(sc*scs - scc*ss)"))
+        .withColumn("dm", expr(
+          "sy*(scc*sss - scs*scs) - sc*(scy*sss - scs*ssy) + ss*(scy*scs - scc*ssy)"))
+        .withColumn("da", expr(
+          "nb*(scy*sss - scs*ssy) - sy*(sc*sss - scs*ss) + ss*(sc*ssy - scy*ss)"))
+        .withColumn("db", expr(
+          "nb*(scc*ssy - scy*scs) - sc*(sc*ssy - scy*ss) + sy*(sc*scs - scc*ss)"))
+        .withColumn("mean_val", col("dm").cast("double") / col("det") / 100.0)
+        .withColumn("a2", col("da").cast("double") / col("det"))
+        .withColumn("b2", col("db").cast("double") / col("det"))
+        .withColumn("amp_val",
+          sqrt(col("a2") * col("a2") + col("b2") * col("b2")))
+        .select("event_type", "nb", "det", "dm", "da", "db",
+          "mean_val", "amp_val")
+        .orderBy("event_type")
+    }),
+
     // T7/A11 — periodic-outlier period candidate (srch_outlperi
     // main.py:5203–5279): top-5 outliers → sorted pairwise Δt →
     // successive fractional change.
@@ -1561,6 +1673,86 @@ object TimeSeries {
            |  coalesce(ap IS NOT NULL AND an IS NOT NULL
            |    AND acf > ap AND acf > an, FALSE) AS is_peak
            |FROM pk ORDER BY event_type, lag""".stripMargin,
+
+      // CCF between the click and purchase series: the t16 rebin/
+      // center arithmetic restricted to the two series, signed lags,
+      // IEEE sqrt normalizer over the same exact integer power sums.
+      "t17_xcorr" ->
+        s"""WITH $baseSql,
+           |bins AS (SELECT event_type, (t_us - $E) // 3600000000 AS bin,
+           |    count(*) AS n, CAST(sum(vc) AS BIGINT) AS sv
+           |  FROM base WHERE event_type IN ('click', 'purchase')
+           |  GROUP BY 1, 2),
+           |mb AS (SELECT event_type, bin,
+           |    (sv - ((sv % n + n) % n)) // n AS mb FROM bins),
+           |tot AS (SELECT event_type, CAST(sum(mb) AS BIGINT) AS smb,
+           |    CAST(count(*) AS BIGINT) AS nb FROM mb GROUP BY 1),
+           |cb AS (SELECT m.event_type, m.bin,
+           |    m.mb - (t.smb - ((t.smb % t.nb + t.nb) % t.nb)) // t.nb AS c
+           |  FROM mb m JOIN tot t USING (event_type)),
+           |a AS (SELECT bin, c AS ca FROM cb WHERE event_type = 'click'),
+           |b AS (SELECT bin, c AS cb FROM cb WHERE event_type = 'purchase'),
+           |lags AS (SELECT unnest(generate_series(-48, 48)) AS lag),
+           |num AS (SELECT l.lag, CAST(count(*) AS BIGINT) AS n_pairs,
+           |    CAST(sum(a.ca * b.cb) AS BIGINT) AS num
+           |  FROM a CROSS JOIN lags l
+           |  JOIN b ON b.bin = a.bin + l.lag GROUP BY 1),
+           |pw AS (SELECT
+           |    CAST(sum(CASE WHEN event_type = 'click' THEN c * c
+           |      ELSE 0 END) AS BIGINT) AS pa,
+           |    CAST(sum(CASE WHEN event_type = 'purchase' THEN c * c
+           |      ELSE 0 END) AS BIGINT) AS pb
+           |  FROM cb),
+           |ccf AS (SELECT lag, n_pairs, num,
+           |    CAST(num AS DOUBLE) / sqrt(CAST(pa AS DOUBLE) * pb) AS ccf
+           |  FROM num, pw)
+           |SELECT lag, n_pairs, num, ccf,
+           |  ccf = max(ccf) OVER () AS is_best
+           |FROM ccf ORDER BY lag""".stripMargin,
+
+      // Same integerized Cramer solve; the trig basis arrives as the
+      // SAME literals the engine uses (harmBasis), so the whole fit
+      // is integer arithmetic plus three final divisions and a sqrt.
+      "t18_harmonic" -> {
+        val basisVals = harmBasis
+          .map { case (k, c, s2) => s"($k, $c, $s2)" }.mkString(", ")
+        s"""WITH $baseSql,
+           |f AS (SELECT event_type, vc,
+           |    ((t_us - $E) % $PDAY + $PDAY) % $PDAY AS ph FROM base),
+           |binned AS (SELECT event_type, (ph * 24) // $PDAY AS k,
+           |    count(*) AS n, CAST(sum(vc) AS BIGINT) AS sv
+           |  FROM f GROUP BY 1, 2),
+           |mbt AS (SELECT event_type, k,
+           |    (sv - ((sv % n + n) % n)) // n AS mb FROM binned),
+           |basis AS (SELECT * FROM (VALUES $basisVals) AS t(k, c2, s2)),
+           |sums AS (SELECT event_type,
+           |    CAST(count(*) AS BIGINT) AS nb,
+           |    CAST(sum(c2) AS BIGINT) AS sc,
+           |    CAST(sum(s2) AS BIGINT) AS ss,
+           |    CAST(sum(c2 * c2) AS BIGINT) AS scc,
+           |    CAST(sum(s2 * s2) AS BIGINT) AS sss,
+           |    CAST(sum(c2 * s2) AS BIGINT) AS scs,
+           |    CAST(sum(mb) AS BIGINT) AS sy,
+           |    CAST(sum(c2 * mb) AS BIGINT) AS scy,
+           |    CAST(sum(s2 * mb) AS BIGINT) AS ssy
+           |  FROM mbt JOIN basis USING (k) GROUP BY 1),
+           |cr AS (SELECT event_type, nb,
+           |    nb*(scc*sss - scs*scs) - sc*(sc*sss - scs*ss)
+           |      + ss*(sc*scs - scc*ss) AS det,
+           |    sy*(scc*sss - scs*scs) - sc*(scy*sss - scs*ssy)
+           |      + ss*(scy*scs - scc*ssy) AS dm,
+           |    nb*(scy*sss - scs*ssy) - sy*(sc*sss - scs*ss)
+           |      + ss*(sc*ssy - scy*ss) AS da,
+           |    nb*(scc*ssy - scy*scs) - sc*(sc*ssy - scy*ss)
+           |      + sy*(sc*scs - scc*ss) AS db
+           |  FROM sums)
+           |SELECT event_type, nb, det, dm, da, db,
+           |  CAST(dm AS DOUBLE) / det / 100.0 AS mean_val,
+           |  sqrt((CAST(da AS DOUBLE) / det) * (CAST(da AS DOUBLE) / det)
+           |    + (CAST(db AS DOUBLE) / det) * (CAST(db AS DOUBLE) / det))
+           |    AS amp_val
+           |FROM cr ORDER BY event_type""".stripMargin
+      },
 
       "t7_outlperi" ->
         s"""WITH $baseSql,

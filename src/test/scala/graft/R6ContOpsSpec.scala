@@ -94,6 +94,100 @@ class R6ContOpsSpec extends SparkSpec {
     }, "output must descend in w6")
   }
 
+  test("t17: CCF has exactly one best lag, bounded values, brute-force pair support") {
+    val rows = SparkEntry.queries("t17_xcorr")(spark, sf).collect()
+    assert(rows.length >= 90, s"expected ~97 signed lags, got ${rows.length}")
+    assert(rows.count(_.getBoolean(4)) >= 1, "argmax flag must mark at least one row")
+    val best = rows.filter(_.getBoolean(4)).map(_.getDouble(3)).distinct
+    assert(best.length == 1 && best(0) == rows.map(_.getDouble(3)).max,
+      "is_best rows must all carry the global max ccf")
+    rows.foreach(r => assert(math.abs(r.getDouble(3)) <= 1.05, s"ccf bound: $r"))
+    // pair support replay from the two series' occupied-bin sets
+    val E = 1704067200000000L
+    val sets = graft.core.Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"),
+        expr(s"(unix_micros(ts) - ${E}L) div 3600000000").as("bin"))
+      .distinct().collect().groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.map(_.getLong(1)).toSet }
+    val (a, b) = (sets("click"), sets("purchase"))
+    rows.foreach { r =>
+      val k = r.getLong(0)
+      assert(r.getLong(1) == a.count(x => b.contains(x + k)),
+        s"lag=$k pair support mismatch")
+    }
+  }
+
+  test("g5: grouping-set levels partition the fact stream consistently") {
+    val rows = SparkEntry.queries("g5_grouping_sets")(spark, sf).collect()
+    val total = graft.core.Tables.events(spark, sf).count()
+    // lvl bit-vector: 0 = (type, day) detail, 2 = per-day (type
+    // grouped out), 3 = grand total; no per-type level in this set list
+    assert(rows.map(_.getLong(4)).toSet == Set(0L, 2L, 3L))
+    val byLvl = rows.groupBy(_.getLong(4))
+    assert(byLvl(3L).length == 1 && byLvl(3L).head.getLong(2) == total)
+    assert(byLvl(2L).map(_.getLong(2)).sum == total)
+    assert(byLvl(0L).map(_.getLong(2)).sum == total)
+    assert(byLvl(2L).forall(_.isNullAt(0)), "per-day rows must null the type")
+    assert(byLvl(0L).forall(r => !r.isNullAt(0) && !r.isNullAt(1)))
+  }
+
+  test("t18: integer Cramer solve equals an independent BigInt replay") {
+    val rows = SparkEntry.queries("t18_harmonic")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // rebuild the normal equations per series from raw events with
+    // BigInt arithmetic (no int64 range assumptions) and the same
+    // shared basis; determinants must agree exactly
+    val E = 1704067200000000L; val PDAY = 86400000000L
+    val basis = graft.queries.TimeSeries.harmBasis
+      .map { case (k, c, s2) => k.toLong -> (BigInt(c), BigInt(s2)) }.toMap
+    val binned = graft.core.Tables.events(spark, sf)
+      .select(col("event_type"),
+        expr(s"(((unix_micros(ts) - ${E}L) % $PDAY + $PDAY) % $PDAY * 24) div $PDAY")
+          .as("k"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      .collect().groupBy(r => (r.getString(0), r.getLong(1)))
+    val mbs = binned.map { case ((et, k), rs) =>
+      val n = rs.length; val sv = rs.map(_.getLong(2)).sum
+      val mb = (sv - ((sv % n + n) % n)) / n
+      (et, k, BigInt(mb))
+    }.groupBy(_._1)
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val bins = mbs(et).toSeq
+      val z = BigInt(0)
+      val (nb, sc, ss, scc, sss, scs, sy, scy, ssy) =
+        bins.foldLeft((z, z, z, z, z, z, z, z, z)) {
+          case ((a1, a2, a3, a4, a5, a6, a7, a8, a9), (_, k, mb)) =>
+            val (c, s2) = basis(k)
+            (a1 + 1, a2 + c, a3 + s2, a4 + c * c, a5 + s2 * s2,
+              a6 + c * s2, a7 + mb, a8 + c * mb, a9 + s2 * mb)
+        }
+      val det = nb * (scc * sss - scs * scs) - sc * (sc * sss - scs * ss) +
+        ss * (sc * scs - scc * ss)
+      val da = nb * (scy * sss - scs * ssy) - sy * (sc * sss - scs * ss) +
+        ss * (sc * ssy - scy * ss)
+      assert(BigInt(r.getLong(2)) == det, s"$et det")
+      assert(BigInt(r.getLong(4)) == da, s"$et da")
+      assert(r.getLong(2) != 0L, s"$et singular system")
+    }
+  }
+
+  test("e12: recall rollup equals the intersection of the declared e1/e2 outputs") {
+    val got = SparkEntry.queries("e12_recall_eval")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = SparkEntry.queries("e1_knn_cosine")(spark, sf).collect()
+      .filter(_.getInt(1) <= 5).map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ann = SparkEntry.queries("e2_lsh_ann")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSet
+    got.foreach { case (q, (nExact, hits)) =>
+      val e5 = exact.filter(_._1 == q)
+      assert(nExact == e5.size, s"q=$q n_exact")
+      assert(hits == e5.count(ann.contains), s"q=$q hits")
+      assert(hits >= 0 && hits <= nExact)
+    }
+  }
+
   test("st13: histogram readout brackets the exact order statistic within one bin") {
     val rows = SparkEntry.queries("st13_stream_quantile")(spark, sf).collect()
     assert(rows.length >= 3, "at least one series with three quantiles")
