@@ -117,7 +117,10 @@ object Explain {
       "t17_xcorr" -> "CCF lead/lag between two series: t16's rebin/center shape — one corpus-scale phase-bin aggregation, signed-lag equi-join on bin+lag, broadcast power sums; the argmax window runs over <=97 grid-bounded rows",
       "g5_grouping_sets" -> "arbitrary GROUPING SETS ((type,day),(day),()): ONE Expand pass (3x replication) + a single keyed aggregation — no union of separate GROUP BYs; completes g1 ROLLUP / g2 PIVOT / g3 CUBE / g4 UNPIVOT",
       "t18_harmonic" -> "closed-form sinusoid fit: one corpus-scale phase-bin aggregation, a 24-row broadcast basis join, per-series rollup of NINE exact int64 normal-equation sums, Cramer determinants as order-free integer column math — no solver iteration, no collect of the data",
-      "e12_recall_eval" -> "in-plan index-quality eval: the e1 (brute-force baseline) and e2 (bucket-keyed LSH) arms feed a |queries*k|-row left join + keyed rollup; recall_ppm is an exact integer ratio; both rank windows partition by q_id")
+      "e12_recall_eval" -> "in-plan index-quality eval: the e1 (brute-force baseline) and e2 (bucket-keyed LSH) arms feed a |queries*k|-row left join + keyed rollup; recall_ppm is an exact integer ratio; both rank windows partition by q_id",
+      "m6_image_phash" -> "perceptual-hash image near-dup: per-pixel stream from the REAL PNG decode (partition-local kernel), aHash as declarative SQL (cross-multiplied cell bits, no division), pairs from d4's pigeonhole band EQUI-join with the popcount gate on the candidate stream — never all pairs",
+      "w8_ewma" -> "truncated exponential smoothing: ONE partitioned window carrying 20 codegen lag() terms with exact power-of-two weights — no recurrence, no self-join; partial leading windows normalize by present weight mass",
+      "p5_skew_profile" -> "join-key skew diagnostic: two map-side-combined aggregations (rows -> key counts -> <=41 histogram rows); the only window runs over the histogram itself; log2 bucket is an integer CASE ladder")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by graft.Explain)\n\n")

@@ -455,6 +455,64 @@ object Advanced {
         .orderBy("media_id", "by", "bx")
     }),
 
+    // M6 — perceptual-hash image near-dup: the multimodal member of
+    // the dedup family (d1..d9 are text/embedding; this is the image
+    // arm every multimodal curation pipeline runs, aHash/dHash style).
+    // Pixels come from the REAL PNG decode (pooledImages at pool=1 =
+    // the per-pixel stream), so the hash is computed on decoder
+    // output, not on trusted metadata; the aHash is then PURE
+    // DECLARATIVE SQL: a fixed 4×4 cell grid ((x·4) div w — works down
+    // to the fixture's 4-px images), cell-vs-image mean as an exact
+    // integer CROSS-MULTIPLY (cs·npx > tot·cn — no division anywhere),
+    // 16-bit hash assembled with the shared pow2 ladder. Pairs at
+    // Hamming ≤ 2 use d4's exact pigeonhole: 3 bands (6/5/5 bits) —
+    // ≤2 flipped bits leave ≥1 band intact — so candidates come from
+    // an EQUI-join on (band, value) and the popcount gate runs on the
+    // candidate stream, never all pairs. At production scale the hash
+    // widens to 8×8/64-bit and d4b's banding applies verbatim; the
+    // 4×4 grid here is forced by the 4-px fixture images.
+    "m6_image_phash" -> ((s, d) => {
+      import graft.text.TextOps
+      val media = graft.multimodal.Multimodal.fromDocuments(
+        documents(s, d).filter(col("doc_id") % 3 === 0))
+      val px = graft.multimodal.Multimodal.pooledImages(media, pool = 1)
+        .select(col("media_id"), col("bx").as("x"), col("by").as("y"),
+          col("sum_gray").as("g"))
+      val dims = px.groupBy("media_id").agg(
+        (max(col("x")) + 1).as("w"), (max(col("y")) + 1).as("h"),
+        sum(col("g")).cast("long").as("tot"),
+        count(lit(1)).cast("long").as("npx"))
+      val cells = px.join(dims, "media_id")
+        .withColumn("cx", expr("(x * 4) div w"))
+        .withColumn("cy", expr("(y * 4) div h"))
+        .groupBy("media_id", "cx", "cy")
+        .agg(sum(col("g")).cast("long").as("cs"),
+          count(lit(1)).cast("long").as("cn"),
+          max(col("tot")).as("tot"), max(col("npx")).as("npx"))
+      val hashes = cells
+        .withColumn("bit",
+          (col("cs") * col("npx") > col("tot") * col("cn")).cast("long"))
+        .groupBy("media_id")
+        .agg(sum(col("bit") * expr(TextOps.pow2("cy * 4 + cx")))
+          .cast("long").as("ahash"))
+      val bands = hashes.select(col("media_id"), col("ahash"),
+        explode(array(
+          struct(lit(0).as("bi"), expr("ahash % 64").as("bv")),
+          struct(lit(1).as("bi"), expr("(ahash div 64) % 32").as("bv")),
+          struct(lit(2).as("bi"), expr("ahash div 2048").as("bv")))).as("b"))
+        .select(col("media_id"), col("ahash"), col("b.bi").as("bi"),
+          col("b.bv").as("bv"))
+      val lhs = bands.select(col("bi"), col("bv"),
+        col("media_id").as("a_id"), col("ahash").as("ha"))
+      val rhs = bands.select(col("bi"), col("bv"),
+        col("media_id").as("b_id"), col("ahash").as("hb"))
+      lhs.join(rhs, Seq("bi", "bv")).filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id", "ha", "hb").distinct()
+        .withColumn("hamm", expr("bit_count(ha ^ hb)"))
+        .filter(col("hamm") <= 2)
+        .orderBy("a_id", "b_id")
+    }),
+
     // M4 — audio framing features (the audio analog of m3): every
     // REAL-decoded WAV is cut into 16-sample frames at 8-sample hop
     // (50% overlap, the standard STFT framing), and per frame the
@@ -834,6 +892,44 @@ object Advanced {
         |  CAST(sum(v) AS DOUBLE) / count(*) AS mean_gray
         |FROM b GROUP BY 1, 2, 3
         |ORDER BY media_id, by, bx""".stripMargin,
+
+    // Full closed-form replay: pixel values from the generation
+    // formula (the decode round-trip itself is proven by m2/m5), the
+    // same cross-multiplied cell bits, the shared pow2 ladder, the
+    // same 6/5/5 band split and popcount gate.
+    "m6_image_phash" -> {
+      import graft.text.TextOps
+      s"""WITH img AS (SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 11 + 4 AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |px AS (SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS p
+        |  FROM img),
+        |b AS (SELECT doc_id, ((p % w) * 4) // w AS cx, ((p // w) * 4) // h AS cy,
+        |    (doc_id * 31 + (p % w) * 7 + (p // w) * 13) % 256 AS v
+        |  FROM px),
+        |tots AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS tot,
+        |    CAST(count(*) AS BIGINT) AS npx FROM b GROUP BY 1),
+        |cells AS (SELECT doc_id, cx, cy, CAST(sum(v) AS BIGINT) AS cs,
+        |    CAST(count(*) AS BIGINT) AS cn FROM b GROUP BY 1, 2, 3),
+        |hashes AS (SELECT c.doc_id AS media_id,
+        |    CAST(sum((CASE WHEN cs * npx > tot * cn THEN 1 ELSE 0 END)
+        |      * ${TextOps.pow2("cy * 4 + cx")}) AS BIGINT) AS ahash
+        |  FROM cells c JOIN tots t USING (doc_id) GROUP BY 1),
+        |bands AS (
+        |  SELECT media_id, ahash, 0 AS bi, ahash % 64 AS bv FROM hashes
+        |  UNION ALL
+        |  SELECT media_id, ahash, 1, (ahash // 64) % 32 FROM hashes
+        |  UNION ALL
+        |  SELECT media_id, ahash, 2, ahash // 2048 FROM hashes),
+        |pairs AS (SELECT DISTINCT a.media_id AS a_id, b.media_id AS b_id,
+        |    a.ahash AS ha, b.ahash AS hb
+        |  FROM bands a JOIN bands b
+        |    ON a.bi = b.bi AND a.bv = b.bv AND a.media_id < b.media_id)
+        |SELECT a_id, b_id, ha, hb,
+        |  CAST(bit_count(CAST(xor(ha, hb) AS BIGINT)) AS INTEGER) AS hamm
+        |FROM pairs
+        |WHERE bit_count(CAST(xor(ha, hb) AS BIGINT)) <= 2
+        |ORDER BY a_id, b_id""".stripMargin
+    },
 
     // Independent reconstruction of the framed audio features from
     // the closed-form sample values (Codec.sample): frames start at

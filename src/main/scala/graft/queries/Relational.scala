@@ -14,6 +14,14 @@ import graft.core.Tables._
 object Relational {
   type Q = (SparkSession, String) => DataFrame
 
+  /** p5's log2 bucket ladder (floor(log2(e)) for e ≥ 1, engine-neutral
+    * CASE — the hllRho technique): shared verbatim between the Spark
+    * plan and the duckdb oracle so no float log crosses engines. */
+  private def log2Ladder(e: String): String =
+    "(CASE " +
+      (40 to 0 by -1).map(k => s"WHEN ($e) >= ${1L << k} THEN $k").mkString(" ") +
+      " ELSE -1 END)"
+
   val queries: Map[String, Q] = Map(
     // F1/F5 — quality/finite/sanity row filters (ref main.py:7448, 5601).
     "f1_quality_filter" -> ((s, d) => {
@@ -490,6 +498,28 @@ object Relational {
         .withColumn("idx", col("off") + col("rn"))
         .select("event_id", "t_us", "idx")
         .orderBy("idx")
+    }),
+
+    // P5 — join-key skew profile: the diagnostic a planner (or an
+    // engineer) runs BEFORE choosing between a plain hash join, j9's
+    // salting, or b1's bucketing — a log2-bucketed count-of-counts
+    // histogram of the key frequencies (how many keys occur 1×, 2–3×,
+    // 4–7×, …, plus each bucket's share of the fact rows). Scale
+    // shape: two map-side-combined aggregations (rows→key counts,
+    // key counts→≤41 histogram rows); the only window runs over the
+    // histogram itself. The log2 bucket is the shared integer CASE
+    // ladder — no float log; share_ppm is an exact integer ratio.
+    "p5_skew_profile" -> ((s, d) => {
+      events(s, d)
+        .groupBy("user_id").agg(count(lit(1)).cast("long").as("cnt"))
+        .withColumn("bucket", expr(log2Ladder("cnt")))
+        .groupBy("bucket")
+        .agg(count(lit(1)).cast("long").as("n_keys"),
+          min(col("cnt")).as("min_cnt"), max(col("cnt")).as("max_cnt"),
+          sum(col("cnt")).cast("long").as("rows_covered"))
+        .withColumn("share_ppm",
+          expr("(rows_covered * 1000000) div (sum(rows_covered) OVER ())"))
+        .orderBy("bucket")
     }),
 
     // A12 — conditional aggregation (ref main.py:118–173 ingress/egress means).
@@ -1008,6 +1038,19 @@ object Relational {
       """SELECT event_id, epoch_us(ts) AS t_us,
         |  row_number() OVER (ORDER BY epoch_us(ts), event_id) AS idx
         |FROM events ORDER BY idx""".stripMargin,
+
+    "p5_skew_profile" ->
+      s"""WITH cnts AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1),
+        |h AS (SELECT ${log2Ladder("cnt")} AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_keys,
+        |    min(cnt) AS min_cnt, max(cnt) AS max_cnt,
+        |    CAST(sum(cnt) AS BIGINT) AS rows_covered
+        |  FROM cnts GROUP BY 1)
+        |SELECT bucket, n_keys, min_cnt, max_cnt, rows_covered,
+        |  (rows_covered * 1000000)
+        |    // CAST(sum(rows_covered) OVER () AS BIGINT) AS share_ppm
+        |FROM h ORDER BY bucket""".stripMargin,
 
     "a12_conditional_agg" ->
       """SELECT l_returnflag, n_hi_disc, rev_hi_disc, sum_qty, n,

@@ -1124,6 +1124,34 @@ object TimeSeries {
         .orderBy("event_type")
     }),
 
+    // W8 — exponentially-weighted moving average, bounded horizon:
+    // the exponential-decay member of the rolling family (t3/a4/t9
+    // are uniform-window). True EWMA is an infinite recurrence; the
+    // scale-honest batch form truncates at H=20 lags with exact
+    // power-of-two weights 2^(19−k) — beyond 20 halvings the dropped
+    // tail is below 1e-6 of the weight mass — so the whole smoother
+    // is ONE partitioned window with 20 codegen'd lag() terms and
+    // exact integer num/den sums (a streaming deployment would
+    // instead carry one state row per key; st5's kernel shape).
+    // Partial leading windows normalize by the weights actually
+    // present, not by a padded denominator.
+    "w8_ewma" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+      val num = (0 until 20).map(k =>
+        coalesce(lag(col("vc"), k).over(w), lit(0L)) * lit(1L << (19 - k)))
+        .reduce(_ + _)
+      val den = (0 until 20).map(k =>
+        when(lag(col("vc"), k).over(w).isNotNull, lit(1L << (19 - k)))
+          .otherwise(lit(0L)))
+        .reduce(_ + _)
+      base(s, d)
+        .withColumn("num", num.cast("long"))
+        .withColumn("den", den.cast("long"))
+        .withColumn("ewma", col("num").cast("double") / col("den") / 100.0)
+        .select("event_id", "user_id", "t_us", "vc", "num", "den", "ewma")
+        .orderBy("user_id", "t_us", "event_id")
+    }),
+
     // T7/A11 — periodic-outlier period candidate (srch_outlperi
     // main.py:5203–5279): top-5 outliers → sorted pairwise Δt →
     // successive fractional change.
@@ -1752,6 +1780,26 @@ object TimeSeries {
            |    + (CAST(db AS DOUBLE) / det) * (CAST(db AS DOUBLE) / det))
            |    AS amp_val
            |FROM cr ORDER BY event_type""".stripMargin
+      },
+
+      // Identical 20-term truncated-exponential window, generated from
+      // the same loop constants.
+      "w8_ewma" -> {
+        val numSql = (0 until 20).map(k =>
+          s"coalesce(lag(vc, $k) OVER wu, 0) * ${1L << (19 - k)}")
+          .mkString(" + ")
+        val denSql = (0 until 20).map(k =>
+          s"(CASE WHEN lag(vc, $k) OVER wu IS NOT NULL THEN ${1L << (19 - k)} ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH $baseSql,
+           |e AS (SELECT event_id, user_id, t_us, vc,
+           |    CAST($numSql AS BIGINT) AS num,
+           |    CAST($denSql AS BIGINT) AS den
+           |  FROM base
+           |  WINDOW wu AS (PARTITION BY user_id ORDER BY t_us, event_id))
+           |SELECT event_id, user_id, t_us, vc, num, den,
+           |  CAST(num AS DOUBLE) / den / 100.0 AS ewma
+           |FROM e ORDER BY user_id, t_us, event_id""".stripMargin
       },
 
       "t7_outlperi" ->

@@ -188,6 +188,69 @@ class R6ContOpsSpec extends SparkSpec {
     }
   }
 
+  test("m6: banded pairs equal brute force over closed-form hashes (real-decode checked by oracle)") {
+    // recompute every aHash from the generation formula, brute-force
+    // ALL pairs at hamming <= 2, and demand the banded equi-join found
+    // exactly that set — proves 6/5/5 pigeonhole completeness AND the
+    // cross-multiplied bit definition in one shot
+    val ids = graft.core.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 3 === 0).select("doc_id").collect()
+      .map(_.getLong(0))
+    def ahash(id: Long): Long = {
+      val w = (id % 13 + 4).toInt; val h = (id % 11 + 4).toInt
+      val g = Array.tabulate(w, h)((x, y) => (id * 31 + x * 7 + y * 13) % 256)
+      val cs = Array.fill(16)(0L); val cn = Array.fill(16)(0L)
+      for (x <- 0 until w; y <- 0 until h) {
+        val c = (y * 4 / h) * 4 + (x * 4 / w)
+        cs(c) += g(x)(y); cn(c) += 1
+      }
+      val tot = cs.sum; val npx = (w * h).toLong
+      (0 until 16).map(c => if (cs(c) * npx > tot * cn(c)) 1L << c else 0L).sum
+    }
+    val hs = ids.map(id => id -> ahash(id)).toMap
+    val brute = (for {
+      a <- ids; b <- ids if a < b
+      if java.lang.Long.bitCount(hs(a) ^ hs(b)) <= 2
+    } yield (a, b)).toSet
+    val got = SparkEntry.queries("m6_image_phash")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute,
+      s"banded pairs ${got.size} != brute force ${brute.size}")
+  }
+
+  test("w8: truncated-EWMA window equals a per-user scalar replay") {
+    val rows = SparkEntry.queries("w8_ewma")(spark, sf).collect()
+    val byUser = rows.groupBy(_.getLong(1))
+    val (user, urows) = byUser.maxBy(_._2.length)
+    val vcs = urows.sortBy(r => (r.getLong(2), r.getLong(0))).map(_.getLong(3))
+    urows.sortBy(r => (r.getLong(2), r.getLong(0))).zipWithIndex.foreach {
+      case (r, i) =>
+        var num = 0L; var den = 0L
+        var k = 0
+        while (k < 20 && i - k >= 0) {
+          num += vcs(i - k) * (1L << (19 - k)); den += 1L << (19 - k)
+          k += 1
+        }
+        assert(r.getLong(4) == num && r.getLong(5) == den,
+          s"user=$user row $i: num/den mismatch")
+    }
+  }
+
+  test("p5: histogram buckets partition the key space with exact bounds") {
+    val rows = SparkEntry.queries("p5_skew_profile")(spark, sf).collect()
+    val ev = graft.core.Tables.events(spark, sf)
+    val nKeys = ev.select("user_id").distinct().count()
+    val nRows = ev.count()
+    assert(rows.map(_.getLong(1)).sum == nKeys, "n_keys must sum to distinct keys")
+    assert(rows.map(_.getLong(4)).sum == nRows, "rows_covered must sum to fact rows")
+    rows.foreach { r =>
+      val (b, lo, hi) = (r.getInt(0), r.getLong(2), r.getLong(3))
+      assert(lo >= (1L << b) && hi < (1L << (b + 1)),
+        s"bucket $b bounds [$lo,$hi] outside [2^$b, 2^${b + 1})")
+      assert(r.getLong(5) >= 0 && r.getLong(5) <= 1000000L)
+    }
+  }
+
   test("st13: histogram readout brackets the exact order statistic within one bin") {
     val rows = SparkEntry.queries("st13_stream_quantile")(spark, sf).collect()
     assert(rows.length >= 3, "at least one series with three quantiles")
