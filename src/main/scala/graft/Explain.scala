@@ -120,7 +120,9 @@ object Explain {
       "e12_recall_eval" -> "in-plan index-quality eval: the e1 (brute-force baseline) and e2 (bucket-keyed LSH) arms feed a |queries*k|-row left join + keyed rollup; recall_ppm is an exact integer ratio; both rank windows partition by q_id",
       "m6_image_phash" -> "perceptual-hash image near-dup: per-pixel stream from the REAL PNG decode (partition-local kernel), aHash as declarative SQL (cross-multiplied cell bits, no division), pairs from d4's pigeonhole band EQUI-join with the popcount gate on the candidate stream — never all pairs",
       "w8_ewma" -> "truncated exponential smoothing: ONE partitioned window carrying 20 codegen lag() terms with exact power-of-two weights — no recurrence, no self-join; partial leading windows normalize by present weight mass",
-      "p5_skew_profile" -> "join-key skew diagnostic: two map-side-combined aggregations (rows -> key counts -> <=41 histogram rows); the only window runs over the histogram itself; log2 bucket is an integer CASE ladder")
+      "p5_skew_profile" -> "join-key skew diagnostic: two map-side-combined aggregations (rows -> key counts -> <=41 histogram rows); the only window runs over the histogram itself; log2 bucket is an integer CASE ladder",
+      "a16_cohort_retention" -> "cohort retention matrix: first-seen is ONE user-keyed min-agg; activity join user-keyed (AQE broadcasts the cohort table while it fits); distinct + cell rollup share the (cohort, age) partitioning; sizes a |cohorts|-row broadcast — no window anywhere",
+      "t19_sliding_harmonic" -> "time-resolved harmonic amplitude: t18's integer Cramer fit with the week as an extra group key — the window axis adds a key, not a new shuffle shape; per-(series, week) rollup of nine exact int64 sums")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by graft.Explain)\n\n")
@@ -181,7 +183,8 @@ object Explain {
       "st10_stream_flare" -> "flatMapGroupsWithState flare trigger: state = per-user horizon-deep buffers (bounded by TIME, not stream length), carried across 3 micro-batches — hits right after a batch boundary score against the previous batch's state",
       "st11_stream_hll" -> "streaming HLL: state = |event_types|x64 register rows MAX regardless of stream length (max-merged per micro-batch) — the bounded-state distinct-count; estimate post-processing runs batch on the drained sink",
       "st12_stream_cms" -> "streaming CountMin: state = depth x width = 256 cell rows MAX regardless of stream length (counts SUM-merge per micro-batch) — st11's counterpart for per-item frequency; the heavy-hitter min-probe runs batch on the drained grid",
-      "st13_stream_quantile" -> "streaming quantile histogram: state = |event_types| x 256 fixed-range bin rows MAX regardless of stream length (counts SUM-merge per micro-batch; tails clamp to the edge bins) — the third sketch beside st11/st12; the cumulative-walk readout runs batch on the drained grid and is grounded within one bin of the exact order statistic")
+      "st13_stream_quantile" -> "streaming quantile histogram: state = |event_types| x 256 fixed-range bin rows MAX regardless of stream length (counts SUM-merge per micro-batch; tails clamp to the edge bins) — the third sketch beside st11/st12; the cumulative-walk readout runs batch on the drained grid and is grounded within one bin of the exact order statistic",
+      "st14_stream_ewma" -> "stateful streaming EWMA: ONE integer fixed-point estimate per user carried across three micro-batches (flatMapGroupsWithState, no-late fixture) — the exact infinite-horizon recurrence whose batch form w8 truncates; state rows = distinct users, no eviction needed (one value per key)")
     sb.append("\n\n# Streaming state-operator audit (micro-batch engine telemetry)\n")
     streamAudit.foreach { case (name, expectation) =>
       progresses.synchronized(progresses.clear())

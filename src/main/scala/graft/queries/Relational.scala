@@ -500,6 +500,31 @@ object Relational {
         .orderBy("idx")
     }),
 
+    // A16 — cohort retention matrix (a15's funnel sibling, the other
+    // canonical product-analytics query): users are cohorted by
+    // first-seen week, and each (cohort, age) cell counts how many of
+    // the cohort were active `age` weeks later, as an exact ppm share
+    // of cohort size. Scale shape: first-seen is ONE user-keyed
+    // min-aggregation; the activity join is user-keyed (AQE broadcasts
+    // the cohort table while it fits); the distinct and the cell
+    // rollup share the (cohort, age) partitioning; cohort sizes are a
+    // |cohorts|-row broadcast. No window anywhere.
+    "a16_cohort_retention" -> ((s, d) => {
+      val W = 7L * 86400000000L
+      val ev = events(s, d).select(col("user_id"),
+        expr(s"(unix_micros(ts) - ${1704067200000000L}L) div $W").as("wk"))
+      val cohort = ev.groupBy("user_id").agg(min(col("wk")).as("cw"))
+      val sizes = cohort.groupBy("cw").agg(count(lit(1)).cast("long").as("cohort_size"))
+      ev.join(cohort, "user_id")
+        .select(col("cw"), (col("wk") - col("cw")).as("age"), col("user_id"))
+        .distinct()
+        .groupBy("cw", "age").agg(count(lit(1)).cast("long").as("active"))
+        .join(broadcast(sizes), "cw")
+        .withColumn("ret_ppm", expr("(active * 1000000) div cohort_size"))
+        .select("cw", "age", "cohort_size", "active", "ret_ppm")
+        .orderBy("cw", "age")
+    }),
+
     // P5 — join-key skew profile: the diagnostic a planner (or an
     // engineer) runs BEFORE choosing between a plain hash join, j9's
     // salting, or b1's bucketing — a log2-bucketed count-of-counts
@@ -1038,6 +1063,22 @@ object Relational {
       """SELECT event_id, epoch_us(ts) AS t_us,
         |  row_number() OVER (ORDER BY epoch_us(ts), event_id) AS idx
         |FROM events ORDER BY idx""".stripMargin,
+
+    "a16_cohort_retention" ->
+      """WITH ev AS (SELECT user_id,
+        |    (epoch_us(ts) - 1704067200000000) // 604800000000 AS wk
+        |  FROM events),
+        |cohort AS (SELECT user_id, min(wk) AS cw FROM ev GROUP BY 1),
+        |sizes AS (SELECT cw, CAST(count(*) AS BIGINT) AS cohort_size
+        |  FROM cohort GROUP BY 1),
+        |cells AS (SELECT DISTINCT c.cw, e.wk - c.cw AS age, e.user_id
+        |  FROM ev e JOIN cohort c USING (user_id)),
+        |act AS (SELECT cw, age, CAST(count(*) AS BIGINT) AS active
+        |  FROM cells GROUP BY 1, 2)
+        |SELECT a.cw, a.age, s.cohort_size, a.active,
+        |  (a.active * 1000000) // s.cohort_size AS ret_ppm
+        |FROM act a JOIN sizes s USING (cw)
+        |ORDER BY a.cw, a.age""".stripMargin,
 
     "p5_skew_profile" ->
       s"""WITH cnts AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt

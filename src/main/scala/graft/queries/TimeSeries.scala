@@ -517,6 +517,45 @@ object TimeSeries {
         .orderBy("user_id", "event_id")
     }),
 
+    // §2.10 — STREAMING EWMA: w8's recurrence carried as REAL state —
+    // one integer fixed-point estimate per user in a
+    // flatMapGroupsWithState kernel, across three micro-batches (the
+    // st10 no-late arrival fixture, whose time-disjoint batches make
+    // processing order equal global order — which is what lets a
+    // batch recursive CTE replay the walk bit-for-bit). This is the
+    // deployment shape the w8 scaladoc promises: the batch form
+    // truncates the horizon to stay a window; the streaming form
+    // keeps the exact infinite-horizon recurrence with O(keys) state.
+    "st14_stream_ewma" -> ((s, d) => {
+      val ss = streamSession(s)
+      import ss.implicits._
+      val dataDir = arrivalFixture(s, d, "graft_st14",
+        df => df.select(col("ts"), col("user_id"), col("event_id"),
+          col("value")),
+        withLate = false)
+      val schema = ss.read.parquet(dataDir.toString).schema
+      val stream = ss.readStream.schema(schema)
+        .option("basePath", dataDir.toString)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$dataDir/*.parquet")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("tUs"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+        .as[graft.streaming.StreamOps.EvC]
+      val out = graft.streaming.StreamOps.streamEwma(stream)
+      val q = out.writeStream
+        .format("memory").queryName("st14_sink")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ss.table("st14_sink")
+        .withColumn("ewma", col("efp") / lit(1048576.0) / lit(100.0))
+        .select(col("user_id"), col("event_id"), col("tUs").as("t_us"),
+          col("vc"), col("efp"), col("ewma"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // §2.10 + d30 — STREAMING cardinality sketch: the HyperLogLog
     // register table maintained as a streaming stateful aggregation —
     // the deployment mode the d30 scaladoc promises. State is
@@ -1124,6 +1163,50 @@ object TimeSeries {
         .orderBy("event_type")
     }),
 
+    // T19 — time-resolved harmonic amplitude (the spectrogram row of
+    // t18: the same closed-form sinusoid fit, evaluated per 7-day
+    // window, so amplitude EVOLUTION is observable — the windowed
+    // periodogram every rotation/activity study plots). Identical
+    // integer machinery to t18 — phase-bin aggregation now keyed by
+    // (series, week), the 24-row basis broadcast, per-(series, week)
+    // Cramer rollup — so the window axis adds a group key, not a new
+    // shuffle shape; everything stays order-free exact int64.
+    "t19_sliding_harmonic" -> ((s, d) => {
+      import s.implicits._
+      val W = 7L * PDAY
+      val basis = broadcast(harmBasis.toDF("k", "c2", "s2"))
+      val binned = base(s, d)
+        .withColumn("wk", expr(s"(t_us - $E) div $W"))
+        .withColumn("ph", TsOps.phaseUs(col("t_us"), lit(E), lit(PDAY)))
+        .withColumn("k", expr(s"((ph * 24) div $PDAY)").cast("int"))
+        .groupBy("event_type", "wk", "k")
+        .agg(count(lit(1)).as("n"), sum(col("vc")).cast("long").as("sv"))
+        .withColumn("mb", expr("(sv - ((sv % n + n) % n)) div n"))
+      binned.join(basis, "k").groupBy("event_type", "wk").agg(
+          count(lit(1)).cast("long").as("nb"),
+          sum(col("c2")).cast("long").as("sc"),
+          sum(col("s2")).cast("long").as("ss"),
+          sum(col("c2") * col("c2")).cast("long").as("scc"),
+          sum(col("s2") * col("s2")).cast("long").as("sss"),
+          sum(col("c2") * col("s2")).cast("long").as("scs"),
+          sum(col("mb")).cast("long").as("sy"),
+          sum(col("c2") * col("mb")).cast("long").as("scy"),
+          sum(col("s2") * col("mb")).cast("long").as("ssy"))
+        .withColumn("det", expr(
+          "nb*(scc*sss - scs*scs) - sc*(sc*sss - scs*ss) + ss*(sc*scs - scc*ss)"))
+        .withColumn("da", expr(
+          "nb*(scy*sss - scs*ssy) - sy*(sc*sss - scs*ss) + ss*(sc*ssy - scy*ss)"))
+        .withColumn("db", expr(
+          "nb*(scc*ssy - scy*scs) - sc*(sc*ssy - scy*ss) + sy*(sc*scs - scc*ss)"))
+        .filter(col("det") =!= 0L)
+        .withColumn("a2", col("da").cast("double") / col("det"))
+        .withColumn("b2", col("db").cast("double") / col("det"))
+        .withColumn("amp_val",
+          sqrt(col("a2") * col("a2") + col("b2") * col("b2")))
+        .select("event_type", "wk", "nb", "det", "da", "db", "amp_val")
+        .orderBy("event_type", "wk")
+    }),
+
     // W8 — exponentially-weighted moving average, bounded horizon:
     // the exponential-decay member of the rolling family (t3/a4/t9
     // are uniform-window). True EWMA is an infinite recurrence; the
@@ -1283,6 +1366,30 @@ object TimeSeries {
            |GROUP BY probes.user_id, cnt
            |ORDER BY cnt DESC, probes.user_id""".stripMargin
       },
+
+      // Replays the streaming kernel's walk as a per-user recursive
+      // CTE (the t3c recurrence technique): rank each user's events in
+      // the same (t_us, event_id) order the kernel folds in, seed with
+      // vc·2^20, and advance all users in lockstep one rank per
+      // iteration — exact because the no-late fixture makes the
+      // engine's processing order equal this global order.
+      "st14_stream_ewma" ->
+        """WITH RECURSIVE ev AS (SELECT user_id, event_id,
+          |    epoch_us(ts) AS t_us,
+          |    CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+          |ranked AS (SELECT *, row_number() OVER (PARTITION BY user_id
+          |    ORDER BY t_us, event_id) AS r FROM ev),
+          |rec AS (
+          |  SELECT user_id, event_id, t_us, vc, r, vc * 1048576 AS efp
+          |  FROM ranked WHERE r = 1
+          |  UNION ALL
+          |  SELECT n.user_id, n.event_id, n.t_us, n.vc, n.r,
+          |    (rec.efp + n.vc * 1048576) // 2
+          |  FROM rec JOIN ranked n
+          |    ON n.user_id = rec.user_id AND n.r = rec.r + 1)
+          |SELECT user_id, event_id, t_us, vc, efp,
+          |  CAST(efp AS DOUBLE) / 1048576.0 / 100.0 AS ewma
+          |FROM rec ORDER BY user_id, event_id""".stripMargin,
 
       // Replays the drained histogram grid and both readouts in plain
       // SQL: the same clamped fixed bins, ceil targets as exact
@@ -1780,6 +1887,47 @@ object TimeSeries {
            |    + (CAST(db AS DOUBLE) / det) * (CAST(db AS DOUBLE) / det))
            |    AS amp_val
            |FROM cr ORDER BY event_type""".stripMargin
+      },
+
+      // t18's replay with the week as an extra group key; same basis
+      // literals, same Cramer spelling, same zero-det guard.
+      "t19_sliding_harmonic" -> {
+        val basisVals = harmBasis
+          .map { case (k, c, s2) => s"($k, $c, $s2)" }.mkString(", ")
+        s"""WITH $baseSql,
+           |f AS (SELECT event_type, vc,
+           |    (t_us - $E) // ${7L * PDAY} AS wk,
+           |    ((t_us - $E) % $PDAY + $PDAY) % $PDAY AS ph FROM base),
+           |binned AS (SELECT event_type, wk, (ph * 24) // $PDAY AS k,
+           |    count(*) AS n, CAST(sum(vc) AS BIGINT) AS sv
+           |  FROM f GROUP BY 1, 2, 3),
+           |mbt AS (SELECT event_type, wk, k,
+           |    (sv - ((sv % n + n) % n)) // n AS mb FROM binned),
+           |basis AS (SELECT * FROM (VALUES $basisVals) AS t(k, c2, s2)),
+           |sums AS (SELECT event_type, wk,
+           |    CAST(count(*) AS BIGINT) AS nb,
+           |    CAST(sum(c2) AS BIGINT) AS sc,
+           |    CAST(sum(s2) AS BIGINT) AS ss,
+           |    CAST(sum(c2 * c2) AS BIGINT) AS scc,
+           |    CAST(sum(s2 * s2) AS BIGINT) AS sss,
+           |    CAST(sum(c2 * s2) AS BIGINT) AS scs,
+           |    CAST(sum(mb) AS BIGINT) AS sy,
+           |    CAST(sum(c2 * mb) AS BIGINT) AS scy,
+           |    CAST(sum(s2 * mb) AS BIGINT) AS ssy
+           |  FROM mbt JOIN basis USING (k) GROUP BY 1, 2),
+           |cr AS (SELECT event_type, wk, nb,
+           |    nb*(scc*sss - scs*scs) - sc*(sc*sss - scs*ss)
+           |      + ss*(sc*scs - scc*ss) AS det,
+           |    nb*(scy*sss - scs*ssy) - sy*(sc*sss - scs*ss)
+           |      + ss*(sc*ssy - scy*ss) AS da,
+           |    nb*(scc*ssy - scy*scs) - sc*(sc*ssy - scy*ss)
+           |      + sy*(sc*scs - scc*ss) AS db
+           |  FROM sums)
+           |SELECT event_type, wk, nb, det, da, db,
+           |  sqrt((CAST(da AS DOUBLE) / det) * (CAST(da AS DOUBLE) / det)
+           |    + (CAST(db AS DOUBLE) / det) * (CAST(db AS DOUBLE) / det))
+           |    AS amp_val
+           |FROM cr WHERE det <> 0 ORDER BY event_type, wk""".stripMargin
       },
 
       // Identical 20-term truncated-exponential window, generated from

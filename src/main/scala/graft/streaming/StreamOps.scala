@@ -84,6 +84,43 @@ object StreamOps {
         })
   }
 
+  case class EvC(user_id: Long, event_id: Long, tUs: Long, vc: Long)
+  case class EwmaOut(user_id: Long, event_id: Long, tUs: Long, vc: Long,
+                     efp: Long)
+  case class EwmaState(efp: Long)
+
+  /** Stateful streaming EWMA (α = 1/2) in integer fixed point: ONE
+    * state value (the running estimate in 2⁻²⁰-cent units) per key —
+    * the TRUE recurrence whose batch form (w8) truncates at 20 lags.
+    * e₁ = vc·2²⁰; eₜ = (eₜ₋₁ + vc·2²⁰) div 2, floor — vc ≥ 0 in the
+    * fixture, so the kernel's `>> 1`, Spark's `div`, and duckdb's `//`
+    * all agree. Emits the post-update estimate per event; within a
+    * micro-batch the group's rows fold in (tUs, event_id) order, and
+    * the no-late time-disjoint arrival fixture (st10's contract)
+    * makes cross-batch order equal global order, so a batch recursive
+    * CTE replays the walk exactly. */
+  def streamEwma(events: Dataset[EvC]): Dataset[EwmaOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, it: Iterator[EvC], state: GroupState[EwmaState]) => {
+          var eOpt = state.getOption.map(_.efp)
+          val out = scala.collection.mutable.ArrayBuffer.empty[EwmaOut]
+          it.toSeq.sortBy(x => (x.tUs, x.event_id)).foreach { ev =>
+            val x = ev.vc << 20
+            val e = eOpt match {
+              case None       => x
+              case Some(prev) => (prev + x) >> 1
+            }
+            eOpt = Some(e)
+            out += EwmaOut(uid, ev.event_id, ev.tUs, ev.vc, e)
+          }
+          eOpt.foreach(e => state.update(EwmaState(e)))
+          out.iterator
+        })
+  }
+
   /** The file stream source requires a DIRECTORY; stage the single
     * events.parquet file behind a symlink in a temp dir. */
   private def stagedDir(dir: String): String = {

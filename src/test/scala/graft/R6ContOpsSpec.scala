@@ -251,6 +251,59 @@ class R6ContOpsSpec extends SparkSpec {
     }
   }
 
+  test("a16: cohort matrix obeys retention invariants") {
+    val rows = SparkEntry.queries("a16_cohort_retention")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val users = graft.core.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    // each cohort's age-0 cell is the cohort itself (first week active
+    // by definition), shares stay within [0, 1e6], and cohort sizes
+    // sum to the distinct-user count
+    val age0 = rows.filter(_.getLong(1) == 0L)
+    age0.foreach(r => assert(r.getLong(3) == r.getLong(2) &&
+      r.getLong(4) == 1000000L, s"age-0 cell must equal cohort: $r"))
+    assert(age0.map(_.getLong(2)).sum == users)
+    rows.foreach(r => assert(r.getLong(4) >= 0 && r.getLong(4) <= 1000000L))
+  }
+
+  test("t19: weekly harmonic cells are solvable and consistent with t18's machinery") {
+    val rows = SparkEntry.queries("t19_sliding_harmonic")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 3 && r.getLong(2) <= 24,
+        s"weekly profile must have 3..24 phase bins: $r")
+      assert(r.getLong(3) != 0L, s"det must be nonzero after the guard: $r")
+      assert(r.getDouble(6) >= 0.0)
+    }
+    // every (series, week) present in the data with enough bins shows up
+    val nSeries = rows.map(_.getString(0)).distinct.length
+    assert(nSeries >= 3, s"expected most series present, got $nSeries")
+  }
+
+  test("st14: cross-batch streaming state equals a per-user scalar fold") {
+    // replay the recurrence per user from the raw batch table in
+    // plain Scala — proves the micro-batch kernel's cross-batch state
+    // carry and in-batch ordering produced exactly the sequential fold
+    val got = SparkEntry.queries("st14_stream_ewma")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    val ev = graft.core.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      .collect().groupBy(_.getLong(0))
+    var checked = 0
+    ev.foreach { case (uid, rows) =>
+      var e = -1L
+      rows.sortBy(r => (r.getLong(2), r.getLong(1))).foreach { r =>
+        val x = r.getLong(3) << 20
+        e = if (e < 0) x else (e + x) >> 1
+        assert(got((uid, r.getLong(1))) == e,
+          s"user=$uid event=${r.getLong(1)}: state mismatch")
+        checked += 1
+      }
+    }
+    assert(checked == got.size)
+  }
+
   test("st13: histogram readout brackets the exact order statistic within one bin") {
     val rows = SparkEntry.queries("st13_stream_quantile")(spark, sf).collect()
     assert(rows.length >= 3, "at least one series with three quantiles")
