@@ -145,7 +145,17 @@ class ScaleSweepSpec extends SparkSpec {
       // state bounded at types×64 regardless of stream length
       "p4_grouped_quantiles" -> 30.0,
       "d32_incremental_dedup" -> 30.0,
-      "st11_stream_hll" -> 30.0)
+      "st11_stream_hll" -> 30.0,
+      // r6 continuation ops: d36 is one doc×bucket shuffle with
+      // 1024-row LM broadcasts; o9 one bucket-keyed Exchange + a
+      // #buckets-row offsets window; t17's lag join is linear in the
+      // span-scaled bin count; a16 two user/cohort-keyed aggs; st14
+      // carries one state row per user across micro-batches
+      "d36_dsir" -> 30.0,
+      "o9_global_index" -> 30.0,
+      "t17_xcorr" -> 30.0,
+      "a16_cohort_retention" -> 30.0,
+      "st14_stream_ewma" -> 30.0)
     val report = bounds.toSeq.sortBy(_._1).map { case (q, bound) =>
       var t1 = timeQ(q, x1)
       var t10 = timeQ(q, x10)
