@@ -122,7 +122,10 @@ object Explain {
       "w8_ewma" -> "truncated exponential smoothing: ONE partitioned window carrying 20 codegen lag() terms with exact power-of-two weights — no recurrence, no self-join; partial leading windows normalize by present weight mass",
       "p5_skew_profile" -> "join-key skew diagnostic: two map-side-combined aggregations (rows -> key counts -> <=41 histogram rows); the only window runs over the histogram itself; log2 bucket is an integer CASE ladder",
       "a16_cohort_retention" -> "cohort retention matrix: first-seen is ONE user-keyed min-agg; activity join user-keyed (AQE broadcasts the cohort table while it fits); distinct + cell rollup share the (cohort, age) partitioning; sizes a |cohorts|-row broadcast — no window anywhere",
-      "t19_sliding_harmonic" -> "time-resolved harmonic amplitude: t18's integer Cramer fit with the week as an extra group key — the window axis adds a key, not a new shuffle shape; per-(series, week) rollup of nine exact int64 sums")
+      "t19_sliding_harmonic" -> "time-resolved harmonic amplitude: t18's integer Cramer fit with the week as an extra group key — the window axis adds a key, not a new shuffle shape; per-(series, week) rollup of nine exact int64 sums",
+      "d37_train_split" -> "deterministic train/val/test split: split membership a pure function of the stable doc key (md5 gate in 2^20ths) — map-side gate, one (lang, split) rollup, a |cells|-row share window; no RNG so re-runs can never leak across the boundary",
+      "e13_pseudo_label" -> "cluster-majority pseudo-labeling: e4's broadcast-codebook argmin assignment (one cid shuffle), a 16-row seed-majority table broadcast back, one keyed rollup; accuracy an exact integer ppm",
+      "u7_snapshot_diff" -> "snapshot diff / CDC derivation: ONE full-outer join on the business key (bucketable like u5) classifying added/removed/changed/unchanged with exact cents drift; rollup is four rows")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by graft.Explain)\n\n")

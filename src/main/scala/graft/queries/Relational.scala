@@ -500,6 +500,41 @@ object Relational {
         .orderBy("idx")
     }),
 
+    // U7 — snapshot diff / CDC derivation (u5 MERGE applies a delta;
+    // u7 RECOVERS one): two snapshots of the orders table are compared
+    // on the business key with ONE full-outer join, classifying every
+    // key as added / removed / changed / unchanged and accounting the
+    // exact cents drift — the change-data-capture a lakehouse derives
+    // between table versions. The snapshots are deterministic
+    // restrictions/perturbations of the fixture (old drops keys
+    // ≡0 mod 97, new drops ≡0 mod 89 and bumps price by 1.00 on
+    // ≡0 mod 7), so the oracle rebuilds both sides identically. Scale
+    // shape: the join keys on o_orderkey — bucketable like u5, so
+    // only one side shuffles on a bucketed layout; the rollup is
+    // four rows.
+    "u7_snapshot_diff" -> ((s, d) => {
+      val base = orders(s, d).select(col("o_orderkey"),
+        cents(col("o_totalprice")).as("pc"))
+      val old = base.filter(col("o_orderkey") % 97 =!= 0)
+        .select(col("o_orderkey"), col("pc").as("old_pc"))
+      val nw = base.filter(col("o_orderkey") % 89 =!= 0)
+        .select(col("o_orderkey"),
+          (col("pc") + when(col("o_orderkey") % 7 === 0, 100L).otherwise(0L))
+            .as("new_pc"))
+      old.join(nw, Seq("o_orderkey"), "full_outer")
+        .withColumn("status",
+          when(col("old_pc").isNull, "added")
+            .when(col("new_pc").isNull, "removed")
+            .when(col("old_pc") =!= col("new_pc"), "changed")
+            .otherwise("unchanged"))
+        .groupBy("status")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(abs(coalesce(col("new_pc"), lit(0L)) -
+            coalesce(col("old_pc"), lit(0L)))).cast("long").as("drift_cents"),
+          min(col("o_orderkey")).as("min_key"))
+        .orderBy("status")
+    }),
+
     // A16 — cohort retention matrix (a15's funnel sibling, the other
     // canonical product-analytics query): users are cohorted by
     // first-seen week, and each (cohort, age) cell counts how many of
@@ -1063,6 +1098,29 @@ object Relational {
       """SELECT event_id, epoch_us(ts) AS t_us,
         |  row_number() OVER (ORDER BY epoch_us(ts), event_id) AS idx
         |FROM events ORDER BY idx""".stripMargin,
+
+    "u7_snapshot_diff" ->
+      """WITH b AS (SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders),
+        |old AS (SELECT o_orderkey, pc AS old_pc FROM b
+        |  WHERE o_orderkey % 97 <> 0),
+        |nw AS (SELECT o_orderkey,
+        |    pc + CASE WHEN o_orderkey % 7 = 0 THEN 100 ELSE 0 END AS new_pc
+        |  FROM b WHERE o_orderkey % 89 <> 0),
+        |j AS (SELECT coalesce(o.o_orderkey, n.o_orderkey) AS k,
+        |    o.old_pc, n.new_pc
+        |  FROM old o FULL OUTER JOIN nw n ON n.o_orderkey = o.o_orderkey),
+        |c AS (SELECT k,
+        |    CASE WHEN old_pc IS NULL THEN 'added'
+        |         WHEN new_pc IS NULL THEN 'removed'
+        |         WHEN old_pc <> new_pc THEN 'changed'
+        |         ELSE 'unchanged' END AS status,
+        |    abs(coalesce(new_pc, 0) - coalesce(old_pc, 0)) AS drift
+        |  FROM j)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(drift) AS BIGINT) AS drift_cents,
+        |  min(k) AS min_key
+        |FROM c GROUP BY 1 ORDER BY status""".stripMargin,
 
     "a16_cohort_retention" ->
       """WITH ev AS (SELECT user_id,

@@ -426,6 +426,59 @@ object TextQueries {
         .orderBy("q_id")
     }),
 
+    // E13 — cluster-majority pseudo-labeling (semi-supervised label
+    // spread, the cheap first stage of dataset auto-labeling): every
+    // vector is assigned to e4's fixed codebook cell (same exact
+    // integer argmin), the ~14% whose vec_id % 7 == 0 act as the
+    // trusted SEED set, each cell takes its seed-majority label
+    // (deterministic tie-break: smallest label), and the cell's
+    // remaining vectors inherit it; the query reports per-cell seed
+    // counts and pseudo-label accuracy against the held-out true
+    // labels as an exact ppm. Scale shape: one broadcast codebook
+    // crossJoin + argmin agg (e4's audited shape), a 16-row majority
+    // table, and one keyed rollup — the corpus shuffles once on cid.
+    "e13_pseudo_label" -> ((s, d) => {
+      val dim = 64; val k = 16
+      val code = (0 until k).map { cid =>
+        val arr = Array.tabulate(dim) { j =>
+          val u = ((cid * 64 + j).toLong * 2654435761L) % 2147483648L
+          ((u % 1025) - 512).toFloat / 1024.0f
+        }
+        val nrmc = arr.map(x =>
+          graft.expr.VecExprs.roundHalfAway(x.toDouble * x.toDouble * 1e12)).sum
+        (cid, arr.toSeq, nrmc)
+      }
+      val codeDf = s.createDataFrame(code).toDF("cid", "cvec", "nrmc")
+      val assigned = embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), col("label"))
+        .withColumn("nrm", dot_i12(col("embedding"), col("embedding")))
+        .crossJoin(broadcast(codeDf))
+        .withColumn("dist",
+          col("nrm") - lit(2) * dot_i12(col("embedding"), col("cvec")) + col("nrmc"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist"), col("cid"))).as("m"),
+          first(col("label")).as("label"))
+        .select(col("vec_id"), col("m.cid").as("cid"), col("label"))
+      val wm = Window.partitionBy("cid")
+        .orderBy(desc("n_seed_lab"), asc("label"))
+      val cellLab = assigned.filter(col("vec_id") % 7 === 0)
+        .groupBy("cid", "label").agg(count(lit(1)).as("n_seed_lab"))
+        .withColumn("rn", row_number().over(wm)).filter(col("rn") === 1)
+        .select(col("cid"), col("label").as("pseudo"))
+      assigned.join(broadcast(cellLab), "cid")
+        .groupBy("cid", "pseudo").agg(
+          sum(when(col("vec_id") % 7 === 0, 1L).otherwise(0L))
+            .cast("long").as("n_seed"),
+          sum(when(col("vec_id") % 7 =!= 0, 1L).otherwise(0L))
+            .cast("long").as("n_rest"),
+          sum(when(col("vec_id") % 7 =!= 0 && col("label") === col("pseudo"),
+            1L).otherwise(0L)).cast("long").as("n_correct"))
+        .withColumn("acc_ppm",
+          expr("CASE WHEN n_rest > 0 THEN (n_correct * 1000000) div n_rest" +
+            " ELSE 0 END"))
+        .orderBy("cid")
+    }),
+
     // E8 — FILTERED vector search (the filtered-ANN problem every
     // vector store exposes: top-k restricted by a metadata
     // predicate). This is the PRE-filter strategy: the label/id
@@ -1851,6 +1904,31 @@ object TextQueries {
         .orderBy(desc("w6"), asc("doc_id")).limit(100)
     }),
 
+    // D37 — deterministic train/val/test split (the 98/1/1 assignment
+    // every training corpus needs): split membership is a PURE
+    // FUNCTION of the stable doc key (md5 gate in 2^20ths — the
+    // d20/d33 hash-gate family), so re-running the pipeline, adding
+    // machines, or re-partitioning can never move a document across
+    // the boundary (the leakage failure mode of random()-based
+    // splits). Map-side gate + one (lang, split) rollup; the share
+    // check is a |cells|-row window. Thresholds floor(0.98·2^20) /
+    // floor(0.99·2^20) are integer literals in both engines.
+    "d37_train_split" -> ((s, d) => {
+      documents(s, d)
+        .withColumn("h",
+          expr(TextOps.md5Hash32Fast("CAST(doc_id AS STRING)")) % 1048576L)
+        .withColumn("split",
+          when(col("h") < 1027604L, lit("train"))
+            .when(col("h") < 1038090L, lit("val"))
+            .otherwise(lit("test")))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).cast("long").as("n"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .withColumn("lang_share_ppm", expr(
+          "(n * 1000000) div (sum(n) OVER (PARTITION BY lang))"))
+        .orderBy("lang", "split")
+    }),
+
     // D33 — temperature-reweighted source mixture (the data-mix
     // rebalancing step of corpus assembly, cf. the Pile / CCNet
     // mixture weights): sampling rates are DERIVED IN-PLAN from
@@ -2578,6 +2656,23 @@ object TextQueries {
     // derived: positional md5 bucket hash (the CASE-tree form), both
     // LMs re-aggregated from the doc×bucket counts, the log ratio's
     // single division over the same exact integer products.
+    "d37_train_split" ->
+      s"""WITH g AS (SELECT doc_id, lang,
+        |    (${TextOps.md5Hash32("CAST(doc_id AS VARCHAR)")}) % 1048576 AS h
+        |  FROM documents),
+        |a AS (SELECT doc_id, lang,
+        |    CASE WHEN h < 1027604 THEN 'train'
+        |         WHEN h < 1038090 THEN 'val' ELSE 'test' END AS split
+        |  FROM g),
+        |c AS (SELECT lang, split, CAST(count(*) AS BIGINT) AS n,
+        |    min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |  FROM a GROUP BY 1, 2)
+        |SELECT lang, split, n, min_doc, max_doc,
+        |  (n * 1000000)
+        |    // CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT)
+        |    AS lang_share_ppm
+        |FROM c ORDER BY lang, split""".stripMargin,
+
     "d36_dsir" ->
       s"""WITH toks AS (SELECT doc_id, lang,
         |    (${TextOps.md5Hash32("tok")}) % 1024 AS b
@@ -2853,6 +2948,57 @@ object TextQueries {
          |SELECT q_id, bucket, rank, vec_id, round(sim, 6) AS sim
          |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
     },
+
+    // e4's fixed-codebook assignment CTEs + seed majority + rollup;
+    // same argmin tie-break (dist ASC, cid ASC).
+    "e13_pseudo_label" ->
+      """WITH cdims AS (
+        |  SELECT cid, j,
+        |    CAST((((cid*64 + j) * 2654435761) % 2147483648) % 1025 - 512
+        |      AS DOUBLE) / 1024.0 AS c
+        |  FROM (SELECT unnest(generate_series(0, 15)) AS cid),
+        |       (SELECT unnest(generate_series(0, 63)) AS j)),
+        |cnorm AS (SELECT cid, sum(CAST(round(c * c * 1e12) AS BIGINT)) AS nrmc
+        |  FROM cdims GROUP BY 1),
+        |dims AS (
+        |  SELECT vec_id, pos, CAST(x AS DOUBLE) AS x FROM (
+        |    SELECT vec_id, unnest(embedding) AS x,
+        |      unnest(generate_series(0, len(embedding) - 1)) AS pos
+        |    FROM embeddings)),
+        |norms AS (SELECT vec_id,
+        |    sum(CAST(round(x * x * 1e12) AS BIGINT)) AS nrm
+        |  FROM dims GROUP BY 1),
+        |cdots AS (SELECT vec_id, cid,
+        |    sum(CAST(round(x * c * 1e12) AS BIGINT)) AS dotc
+        |  FROM dims JOIN cdims ON dims.pos = cdims.j GROUP BY 1, 2),
+        |assigned AS (SELECT vec_id, cid FROM (
+        |    SELECT d.vec_id, d.cid,
+        |      row_number() OVER (PARTITION BY d.vec_id
+        |        ORDER BY n.nrm - 2*d.dotc + cn.nrmc ASC, d.cid ASC) AS rn
+        |    FROM cdots d JOIN norms n ON n.vec_id = d.vec_id
+        |    JOIN cnorm cn ON cn.cid = d.cid)
+        |  WHERE rn = 1),
+        |lab AS (SELECT a.vec_id, a.cid, e.label
+        |  FROM assigned a JOIN embeddings e USING (vec_id)),
+        |cell AS (SELECT cid, label AS pseudo FROM (
+        |    SELECT cid, label,
+        |      row_number() OVER (PARTITION BY cid
+        |        ORDER BY count(*) DESC, label ASC) AS rn
+        |    FROM lab WHERE vec_id % 7 = 0 GROUP BY cid, label)
+        |  WHERE rn = 1),
+        |agg AS (SELECT l.cid, c.pseudo,
+        |    CAST(sum(CASE WHEN l.vec_id % 7 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_seed,
+        |    CAST(sum(CASE WHEN l.vec_id % 7 <> 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_rest,
+        |    CAST(sum(CASE WHEN l.vec_id % 7 <> 0 AND l.label = c.pseudo
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+        |  FROM lab l JOIN cell c USING (cid) GROUP BY 1, 2)
+        |SELECT CAST(cid AS INTEGER) AS cid, pseudo, n_seed, n_rest,
+        |  n_correct,
+        |  CASE WHEN n_rest > 0 THEN (n_correct * 1000000) // n_rest
+        |    ELSE 0 END AS acc_ppm
+        |FROM agg ORDER BY cid""".stripMargin,
 
     // Both arms rebuilt from the e1/e2 oracle forms, intersected and
     // rolled up — same integerized cosine, same tie-break ranking.

@@ -304,6 +304,56 @@ class R6ContOpsSpec extends SparkSpec {
     assert(checked == got.size)
   }
 
+  test("d37: split is a stable partition with ~98/1/1 mass") {
+    val rows = SparkEntry.queries("d37_train_split")(spark, sf).collect()
+    val total = graft.core.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum == total, "cells must partition the corpus")
+    val bySplit = rows.groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2)).sum)
+    val train = bySplit.getOrElse("train", 0L).toDouble / total
+    assert(train > 0.9 && train < 1.0,
+      s"train share $train should sit near 0.98 (hash noise at this corpus size)")
+    // stability: the same doc must land in the same split on a re-run
+    // (pure function of doc_id — no RNG anywhere)
+    val again = SparkEntry.queries("d37_train_split")(spark, sf).collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
+  test("e13: pseudo-labels beat the majority-class baseline where labels align with geometry") {
+    // structural invariants on the driver fixture (whose labels are
+    // NOT geometry-aligned — accuracy there is honestly ~chance)
+    val rows = SparkEntry.queries("e13_pseudo_label")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(3), "n_correct <= n_rest")
+      assert(r.getLong(5) >= 0 && r.getLong(5) <= 1000000L)
+    }
+    // the LEARNING claim needs label-aligned clusters: the scale
+    // fixture's embeddings are 10 labeled centers + noise, so
+    // cell-majority spreading must far exceed the 1/10 baseline there
+    val x1 = ScaleFixture.dir(spark, 1)
+    val srows = SparkEntry.queries("e13_pseudo_label")(spark, x1).collect()
+    val acc = srows.map(_.getLong(4)).sum.toDouble / srows.map(_.getLong(3)).sum
+    assert(acc > 0.5, s"clustered-corpus pseudo-label accuracy $acc should be >> 0.1")
+  }
+
+  test("u7: diff classes reconcile exactly with the snapshot derivations") {
+    val rows = SparkEntry.queries("u7_snapshot_diff")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val keys = graft.core.Tables.orders(spark, sf)
+      .select("o_orderkey").collect().map(_.getLong(0))
+    val added = keys.count(k => k % 97 == 0 && k % 89 != 0)
+    val removed = keys.count(k => k % 89 == 0 && k % 97 != 0)
+    val changed = keys.count(k => k % 97 != 0 && k % 89 != 0 && k % 7 == 0)
+    assert(rows("added")._1 == added && rows("removed")._1 == removed &&
+      rows("changed")._1 == changed,
+      s"class counts: got $rows expected a=$added r=$removed c=$changed")
+    assert(rows("changed")._2 == changed * 100L,
+      "every changed row drifts by exactly 1.00")
+    assert(rows.values.map(_._1).sum == keys.length -
+      keys.count(k => k % 97 == 0 && k % 89 == 0),
+      "classes partition the union of both snapshots")
+  }
+
   test("st13: histogram readout brackets the exact order statistic within one bin") {
     val rows = SparkEntry.queries("st13_stream_quantile")(spark, sf).collect()
     assert(rows.length >= 3, "at least one series with three quantiles")
