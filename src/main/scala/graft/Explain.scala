@@ -125,7 +125,9 @@ object Explain {
       "t19_sliding_harmonic" -> "time-resolved harmonic amplitude: t18's integer Cramer fit with the week as an extra group key — the window axis adds a key, not a new shuffle shape; per-(series, week) rollup of nine exact int64 sums",
       "d37_train_split" -> "deterministic train/val/test split: split membership a pure function of the stable doc key (md5 gate in 2^20ths) — map-side gate, one (lang, split) rollup, a |cells|-row share window; no RNG so re-runs can never leak across the boundary",
       "e13_pseudo_label" -> "cluster-majority pseudo-labeling: e4's broadcast-codebook argmin assignment (one cid shuffle), a 16-row seed-majority table broadcast back, one keyed rollup; accuracy an exact integer ppm",
-      "u7_snapshot_diff" -> "snapshot diff / CDC derivation: ONE full-outer join on the business key (bucketable like u5) classifying added/removed/changed/unchanged with exact cents drift; rollup is four rows")
+      "u7_snapshot_diff" -> "snapshot diff / CDC derivation: ONE full-outer join on the business key (bucketable like u5) classifying added/removed/changed/unchanged with exact cents drift; rollup is four rows",
+      "t20_oddeven" -> "odd/even depth vetting: one filtered keyed aggregation (2 parity groups) + a one-row out-of-transit baseline broadcast — two map-side-combined passes over the series at any scale",
+      "d38_classifier_auc" -> "exact tie-aware ROC-AUC: score-grouped integer Mann-Whitney with the o9 two-level cumulative (fixed 4096-wide score buckets: in-bucket window partitioned by bkt + a <=#buckets-row offset table) — NO single-partition window over the score distribution")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by graft.Explain)\n\n")

@@ -1929,6 +1929,60 @@ object TextQueries {
         .orderBy("lang", "split")
     }),
 
+    // D38 — exact ROC-AUC of the d24 quality classifier (the metrics
+    // family beside e12's recall: every curation classifier ships
+    // with an AUC number). Tie-aware Mann–Whitney formulation kept
+    // ENTIRELY in integers: group docs by score, then
+    // numer2 = Σ_s np_s·(2·cnn_s + nn_s) — each positive counts 2 per
+    // out-scored negative and 1 per tied negative — and
+    // AUC = numer2 / (2·np·nn). The cumulative negative count uses
+    // the o9 two-level trick (fixed 4096-wide score buckets: in-bucket
+    // window partitioned by bucket + a ≤#buckets-row offset table), so
+    // NO single-partition window ever sees the score distribution —
+    // the classic scalability failure of naive AUC. Positive class =
+    // lang 'en' (a deterministic ground truth for the metric; the toy
+    // hash-LR scores near chance on it, which the spec asserts via
+    // the exact identity, not model quality).
+    "d38_classifier_auc" -> ((s, d) => {
+      val bgf = documents(s, d)
+        .select(col("doc_id"), explode(expr(
+          """zip_with(
+            |  slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
+            |  slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
+            |  (x, y) -> concat(x, ' ', y))""".stripMargin)).as("bg"))
+      val wDf = s.createDataFrame(
+        (0 until 64).map(b => (b.toLong, (b * 2654435761L) % 2001L - 1000L)))
+        .toDF("bucket", "w")
+      val scored = bgf
+        .withColumn("bucket", expr(s"pmod(${TextOps.md5Hash32Fast("bg")}, 64)"))
+        .join(broadcast(wDf), "bucket")
+        .groupBy("doc_id").agg(sum(col("w")).as("logit"))
+      val lab = documents(s, d)
+        .select(col("doc_id"), (col("lang") === "en").as("pos"))
+        .join(scored, Seq("doc_id"), "left")
+        .withColumn("sL", coalesce(col("logit"), lit(0L)))
+      val g = lab.groupBy("sL").agg(
+          sum(when(col("pos"), 1L).otherwise(0L)).cast("long").as("np_s"),
+          sum(when(!col("pos"), 1L).otherwise(0L)).cast("long").as("nn_s"))
+        .withColumn("bkt", expr("(sL - ((sL % 4096 + 4096) % 4096)) div 4096"))
+      val inb = g.withColumn("cnn_in",
+        coalesce(sum(col("nn_s")).over(Window.partitionBy("bkt").orderBy("sL")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val offs = g.groupBy("bkt").agg(sum(col("nn_s")).cast("long").as("nnb"))
+        .withColumn("off", coalesce(sum(col("nnb")).over(
+          Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .select("bkt", "off")
+      inb.join(broadcast(offs), "bkt")
+        .withColumn("cnn", col("off") + col("cnn_in"))
+        .agg(sum(col("np_s")).cast("long").as("np"),
+          sum(col("nn_s")).cast("long").as("nn"),
+          sum(col("np_s") * (lit(2) * col("cnn") + col("nn_s")))
+            .cast("long").as("numer2"))
+        .withColumn("auc",
+          col("numer2").cast("double") / (lit(2.0) * col("np") * col("nn")))
+    }),
+
     // D33 — temperature-reweighted source mixture (the data-mix
     // rebalancing step of corpus assembly, cf. the Pile / CCNet
     // mixture weights): sampling rates are DERIVED IN-PLAN from
@@ -2656,6 +2710,40 @@ object TextQueries {
     // derived: positional md5 bucket hash (the CASE-tree form), both
     // LMs re-aggregated from the doc×bucket counts, the log ratio's
     // single division over the same exact integer products.
+    // d24's scoring replay + a single-level exclusive cumulative (the
+    // oracle need not be scalable) over the same integer identity.
+    "d38_classifier_auc" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         |         unnest(generate_series(1, len(string_split(text, ' ')))) AS ord
+         |  FROM documents),
+         |bg AS (SELECT x.doc_id, x.tok || ' ' || y.tok AS bg
+         |       FROM toks x JOIN toks y
+         |         ON x.doc_id = y.doc_id AND y.ord = x.ord + 1),
+         |sc AS (SELECT doc_id,
+         |    CAST(sum(${TextOps.md5Hash32("bg")} % 64 * 2654435761 % 2001 - 1000)
+         |      AS BIGINT) AS logit
+         |  FROM bg GROUP BY 1),
+         |lab AS (SELECT d.doc_id, d.lang = 'en' AS pos,
+         |    coalesce(sc.logit, 0) AS s
+         |  FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id),
+         |g AS (SELECT s,
+         |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np_s,
+         |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS nn_s
+         |  FROM lab GROUP BY 1),
+         |c AS (SELECT np_s, nn_s,
+         |    CAST(coalesce(sum(nn_s) OVER (ORDER BY s
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cnn
+         |  FROM g),
+         |a AS (SELECT CAST(sum(np_s) AS BIGINT) AS np,
+         |    CAST(sum(nn_s) AS BIGINT) AS nn,
+         |    CAST(sum(np_s * (2 * cnn + nn_s)) AS BIGINT) AS numer2
+         |  FROM c)
+         |SELECT np, nn, numer2,
+         |  CAST(numer2 AS DOUBLE) / (2.0 * np * nn) AS auc
+         |FROM a""".stripMargin,
+
     "d37_train_split" ->
       s"""WITH g AS (SELECT doc_id, lang,
         |    (${TextOps.md5Hash32("CAST(doc_id AS VARCHAR)")}) % 1048576 AS h

@@ -856,6 +856,37 @@ object TimeSeries {
         .orderBy("k")
     }),
 
+    // T20 — odd/even depth test (the standard eclipsing-binary
+    // false-positive vetting diagnostic: a blended binary at twice
+    // the period shows alternating transit depths, a planet shows
+    // equal ones; cf. the reference's vetting around its transit
+    // stats, main.py:6540 region). Pools the in-transit samples by
+    // transit-index PARITY, measures each parity's depth against the
+    // shared out-of-transit baseline — every number a ratio of exact
+    // integer sums. Scale shape: one filtered keyed aggregation (2
+    // groups) + a one-row baseline broadcast; at 100 TB this is two
+    // map-side-combined passes over the series.
+    "t20_oddeven" -> ((s, d) => {
+      val b = base(s, d)
+        .withColumn("k", TsOps.transitIndex(col("t_us"), lit(E), lit(P7)))
+        .withColumn("intr",
+          TsOps.inTransit(col("t_us"), lit(E), lit(P7), lit(DUR)))
+      val oot = b.filter(!col("intr"))
+        .agg(sum(col("vc")).cast("long").as("so"),
+          count(lit(1)).cast("long").as("no"))
+      b.filter(col("intr"))
+        .withColumn("parity", expr("((k % 2) + 2) % 2"))
+        .groupBy("parity")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("vc")).cast("long").as("sv"))
+        .crossJoin(broadcast(oot))
+        .withColumn("mean_val", col("sv").cast("double") / col("n") / 100.0)
+        .withColumn("oot_mean", col("so").cast("double") / col("no") / 100.0)
+        .withColumn("depth", col("oot_mean") - col("mean_val"))
+        .select("parity", "n", "sv", "mean_val", "oot_mean", "depth")
+        .orderBy("parity")
+    }),
+
     // F3+/T10b — ingress/egress sub-windows + secondary eclipse
     // (retr_indxtimetran main.py:6540–6567: typeineg
     // ingrinit/ingrfinl/eggrinit/eggrfinl quarter-splits and the
@@ -1645,6 +1676,30 @@ object TimeSeries {
            |  CAST(sum(vc) AS BIGINT)/100.0/count(*) AS vmean
            |FROM ph WHERE abs(pc) < ${DUR / 2}
            |GROUP BY 1 ORDER BY k""".stripMargin,
+
+      // Same transit-index arithmetic pooled by parity; baseline from
+      // the complementary out-of-transit rows; identical ratio order.
+      "t20_oddeven" ->
+        s"""WITH $baseSql,
+           |ph AS (SELECT vc,
+           |    ((t_us - $E + ${P7 / 2}) % $P7 + $P7) % $P7 - ${P7 / 2} AS pc,
+           |    t_us - $E + ${P7 / 2} AS a,
+           |    ((t_us - $E + ${P7 / 2}) % $P7 + $P7) % $P7 AS pm
+           |  FROM base),
+           |kk AS (SELECT vc, abs(pc) < ${DUR / 2} AS intr,
+           |    CAST((a - pm) / $P7 AS BIGINT) AS k FROM ph),
+           |oot AS (SELECT CAST(sum(vc) AS BIGINT) AS so,
+           |    CAST(count(*) AS BIGINT) AS no FROM kk WHERE NOT intr),
+           |par AS (SELECT ((k % 2) + 2) % 2 AS parity,
+           |    CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(vc) AS BIGINT) AS sv
+           |  FROM kk WHERE intr GROUP BY 1)
+           |SELECT parity, n, sv,
+           |  CAST(sv AS DOUBLE) / n / 100.0 AS mean_val,
+           |  CAST(so AS DOUBLE) / no / 100.0 AS oot_mean,
+           |  CAST(so AS DOUBLE) / no / 100.0
+           |    - CAST(sv AS DOUBLE) / n / 100.0 AS depth
+           |FROM par, oot ORDER BY parity""".stripMargin,
 
       "t10b_ineg_secondary" -> {
         val D2 = DUR / 2; val D38 = 3 * DUR / 8; val D4 = DUR / 4

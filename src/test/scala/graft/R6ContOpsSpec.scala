@@ -354,6 +354,45 @@ class R6ContOpsSpec extends SparkSpec {
       "classes partition the union of both snapshots")
   }
 
+  test("t20: parity pools cover the in-transit rows exactly and depths reconcile") {
+    val rows = SparkEntry.queries("t20_oddeven")(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).sorted.sameElements(Array(0L, 1L)),
+      "exactly the two parities")
+    // independent in/out-of-transit row accounting
+    val E = 1704067200000000L; val P7 = 7L * 86400000000L; val D = 86400000000L
+    val ev = graft.core.Tables.events(spark, sf)
+      .select(expr("unix_micros(ts)").as("t"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc")).collect()
+    def pc(t: Long): Long = ((t - E + P7 / 2) % P7 + P7) % P7 - P7 / 2
+    val inTr = ev.filter(r => math.abs(pc(r.getLong(0))) < D / 2)
+    assert(rows.map(_.getLong(1)).sum == inTr.length,
+      "parity cells must cover every in-transit row")
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(5) - (r.getDouble(4) - r.getDouble(3))) == 0.0,
+        "depth must be exactly oot_mean - mean_val")
+    }
+  }
+
+  test("d38: bucketed AUC equals the brute-force pairwise Mann-Whitney count") {
+    val r = SparkEntry.queries("d38_classifier_auc")(spark, sf).collect()(0)
+    val (np, nn, numer2) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    // brute force over all (pos, neg) score pairs from the declared
+    // d24 scoring (logit column), positives = lang 'en'
+    val scores = SparkEntry.queries("d24_quality_lr")(spark, sf).collect()
+      .map(x => x.getLong(0) -> x.getLong(2)).toMap
+    val langs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "lang").collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    val pos = langs.toSeq.filter(_._2 == "en").map(t => scores(t._1)).toArray
+    val neg = langs.toSeq.filter(_._2 != "en").map(t => scores(t._1)).toArray
+    assert(np == pos.length && nn == neg.length)
+    var brute = 0L
+    for (p <- pos; n <- neg)
+      brute += (if (p > n) 2L else if (p == n) 1L else 0L)
+    assert(numer2 == brute, s"numer2 $numer2 != brute $brute")
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+  }
+
   test("st13: histogram readout brackets the exact order statistic within one bin") {
     val rows = SparkEntry.queries("st13_stream_quantile")(spark, sf).collect()
     assert(rows.length >= 3, "at least one series with three quantiles")
