@@ -441,6 +441,38 @@ object Advanced {
         .orderBy("media_id", "frame_idx", "by", "bx")
     }),
 
+    // M7 — scene-cut detection (the shot-boundary pass of video
+    // curation: consecutive-frame difference thresholding): every
+    // frame of each REAL-decoded AVI (pooledFrames at every=1,
+    // pool=1 = the per-pixel stream) is compared to its successor by
+    // summed absolute 3-channel difference; a boundary whose mean
+    // abs diff exceeds the threshold is flagged. The adjacency is an
+    // EQUI-join whose key folds frame_idx+1 (the d34 technique — no
+    // theta join), the SAD is an exact integer sum, and the flag is
+    // an integer cross-multiply (sad·2 > n_px·723 ⇔ mad > 120.5 —
+    // the fixture's frame-step diff concentrates near 120.5, so both
+    // branches actually occur). Row-local decode, one (media, frame,
+    // pixel)-keyed shuffle; at 100 TB this is a scan of the video
+    // bytes plus a frame-pair-bounded join.
+    "m7_scene_cut" -> ((s, d) => {
+      val media = graft.multimodal.Multimodal.fromDocuments(
+        documents(s, d).filter(col("doc_id") % 3 === 2))
+      val px = graft.multimodal.Multimodal.pooledFrames(media, every = 1, pool = 1)
+        .select(col("media_id"), col("frame_idx"), col("bx"), col("by"),
+          (col("sum_b") + col("sum_g") + col("sum_r")).as("g3"))
+      val nxt = px.select(col("media_id"),
+        (col("frame_idx") - 1).as("frame_idx"),
+        col("bx"), col("by"), col("g3").as("g3n"))
+      px.join(nxt, Seq("media_id", "frame_idx", "bx", "by"))
+        .groupBy("media_id", "frame_idx")
+        .agg(count(lit(1)).cast("long").as("n_px"),
+          sum(abs(col("g3n") - col("g3"))).cast("long").as("sad3"))
+        .withColumn("mad", col("sad3").cast("double") / col("n_px") / 3.0)
+        .withColumn("is_cut", col("sad3") * 2 > col("n_px") * lit(723L))
+        .select("media_id", "frame_idx", "n_px", "sad3", "mad", "is_cut")
+        .orderBy("media_id", "frame_idx")
+    }),
+
     // M5 — image resize (average-pool to 2×2 blocks) over REAL PNG
     // decode: the thumbnail/downsample step of a multimodal ingest
     // pipeline, completing the per-modality transform set (m3
@@ -872,6 +904,32 @@ object Advanced {
         |  CAST(sum(vb + vg + vr) AS DOUBLE) / (3 * count(*)) AS mean_gray
         |FROM b GROUP BY 1, 2, 3, 4
         |ORDER BY media_id, frame_idx, by, bx""".stripMargin,
+
+    // Per-pixel 3-channel values from the generation formula for
+    // frames f and f+1 (base step +97), the same SAD sum and the same
+    // cross-multiplied threshold.
+    "m7_scene_cut" ->
+      """WITH vid AS (SELECT doc_id, doc_id % 9 + 4 AS w, doc_id % 7 + 4 AS h,
+        |    doc_id % 5 + 2 AS nf
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |vf AS (SELECT doc_id, w, h,
+        |    unnest(generate_series(0, nf - 2)) AS f FROM vid),
+        |vp AS (SELECT doc_id, w, h, f,
+        |    unnest(generate_series(0, w * h - 1)) AS p FROM vf),
+        |g AS (SELECT doc_id, f,
+        |    (doc_id*31 + f*97 + (p % w)*7 + (p // w)*13) % 256
+        |      + (doc_id*31 + f*97 + (p % w)*7 + (p // w)*13 + 29) % 256
+        |      + (doc_id*31 + f*97 + (p % w)*7 + (p // w)*13 + 58) % 256 AS g3f,
+        |    (doc_id*31 + (f+1)*97 + (p % w)*7 + (p // w)*13) % 256
+        |      + (doc_id*31 + (f+1)*97 + (p % w)*7 + (p // w)*13 + 29) % 256
+        |      + (doc_id*31 + (f+1)*97 + (p % w)*7 + (p // w)*13 + 58) % 256 AS g3n
+        |  FROM vp)
+        |SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+        |  CAST(count(*) AS BIGINT) AS n_px,
+        |  CAST(sum(abs(g3n - g3f)) AS BIGINT) AS sad3,
+        |  CAST(sum(abs(g3n - g3f)) AS DOUBLE) / count(*) / 3.0 AS mad,
+        |  CAST(sum(abs(g3n - g3f)) AS BIGINT) * 2 > count(*) * 723 AS is_cut
+        |FROM g GROUP BY 1, 2 ORDER BY media_id, frame_idx""".stripMargin,
 
     // Independent reconstruction of the pooled image blocks from the
     // closed-form pixel values (Codec.gray): block = (x//2, y//2),

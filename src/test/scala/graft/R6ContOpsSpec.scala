@@ -393,6 +393,33 @@ class R6ContOpsSpec extends SparkSpec {
     assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
   }
 
+  test("m7: SAD boundaries equal a closed-form frame-diff replay, both branches occur") {
+    val rows = SparkEntry.queries("m7_scene_cut")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0); val f = r.getInt(1)
+      val w = (id % 9 + 4).toInt; val h = (id % 7 + 4).toInt
+      assert(r.getLong(2) == w.toLong * h, s"n_px must be w*h: $r")
+      var sad = 0L
+      for (p <- 0 until w * h) {
+        val x = p % w; val y = p / w
+        def g3(fr: Int): Long = {
+          val base = id * 31 + fr * 97 + x * 7 + y * 13
+          base % 256 + (base + 29) % 256 + (base + 58) % 256
+        }
+        sad += math.abs(g3(f + 1) - g3(f))
+      }
+      assert(r.getLong(3) == sad, s"video=$id f=$f: SAD mismatch vs replay")
+      assert(r.getBoolean(5) == (sad * 2 > r.getLong(2) * 723L))
+    }
+    // threshold sits inside the fixture's mad distribution: the flag
+    // must not be vacuous (check at sf0.01 where pair count is large)
+    val big = SparkEntry.queries("m7_scene_cut")(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(big.exists(_.getBoolean(5)) && big.exists(!_.getBoolean(5)),
+      "both cut and non-cut boundaries must occur")
+  }
+
   test("st13: histogram readout brackets the exact order statistic within one bin") {
     val rows = SparkEntry.queries("st13_stream_quantile")(spark, sf).collect()
     assert(rows.length >= 3, "at least one series with three quantiles")

@@ -34,7 +34,12 @@ object ScaleDecade {
       // r6 late ops: sketch (bounded cells), bounded-degree graph,
       // histogram-narrowed quantiles — their scale claims get the
       // second measured decade here too
-      "d30_hll_cardinality", "d31_knn_triangles", "p3_exact_quantiles")
+      "d30_hll_cardinality", "d31_knn_triangles", "p3_exact_quantiles",
+      // r6 continuation ops: one-shuffle DSIR, bucketed global index,
+      // span-scaled lag join, user-keyed cohorts, per-key streaming
+      // state, bucketed-cumulative AUC
+      "d36_dsir", "o9_global_index", "t17_xcorr", "a16_cohort_retention",
+      "st14_stream_ewma", "d38_classifier_auc")
     // optional 2nd arg: comma-separated subset (re-measure selectively)
     val queries = args.lift(1).map(_.split(",").toSeq.filter(all.contains))
       .getOrElse(all)
