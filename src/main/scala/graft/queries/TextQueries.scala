@@ -1983,6 +1983,58 @@ object TextQueries {
           col("numer2").cast("double") / (lit(2.0) * col("np") * col("nn")))
     }),
 
+    // D39 — composite quality gate with REASONS (the production form
+    // of the Gopher-rule stage: a filter that only says keep/drop is
+    // undebuggable — curation pipelines emit WHY as a bitmask so rule
+    // firing rates can be audited per source). Five rules over the
+    // d6/d16 signal family, every comparison an integer
+    // cross-multiply: bit0 n_tok<10, bit1 n_tok>400, bit2 mean token
+    // length outside [3,10] (via text length minus separators), bit3
+    // top-token fraction >12%, bit4 duplicate-bigram fraction >35%.
+    // Scale shape: two keyed count aggregations (token, bigram) rolled
+    // to per-doc scalars + one map-side bitmask projection — d16's
+    // cost, one pass more than d6.
+    "d39_filter_reasons" -> ((s, d) => {
+      val tf = documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      val ta = tf.groupBy("doc_id").agg(
+        sum(col("c")).cast("long").as("n_tok"),
+        max(col("c")).cast("long").as("top_tok"))
+      val bf = documents(s, d)
+        .select(col("doc_id"), explode(expr(
+          """zip_with(
+            |  slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
+            |  slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
+            |  (x, y) -> concat(x, ' ', y))""".stripMargin)).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(
+          sum(col("c")).cast("long").as("n_bg"),
+          count(lit(1)).cast("long").as("n_bg_uniq"))
+      documents(s, d).select(col("doc_id"),
+          length(col("text")).cast("long").as("tlen"))
+        .join(ta, Seq("doc_id"), "left")
+        .join(bf, Seq("doc_id"), "left")
+        .withColumn("n_tok", coalesce(col("n_tok"), lit(0L)))
+        .withColumn("top_tok", coalesce(col("top_tok"), lit(0L)))
+        .withColumn("n_bg", coalesce(col("n_bg"), lit(0L)))
+        .withColumn("n_bg_uniq", coalesce(col("n_bg_uniq"), lit(0L)))
+        .withColumn("sum_len", col("tlen") - (col("n_tok") - 1))
+        .withColumn("reasons",
+          when(col("n_tok") < 10, 1L).otherwise(0L) +
+          when(col("n_tok") > 400, 2L).otherwise(0L) +
+          when(col("n_tok") > 0 &&
+            (col("sum_len") < lit(3L) * col("n_tok") ||
+             col("sum_len") > lit(10L) * col("n_tok")), 4L).otherwise(0L) +
+          when(col("top_tok") * 100 > col("n_tok") * 12, 8L).otherwise(0L) +
+          when((col("n_bg") - col("n_bg_uniq")) * 100 > col("n_bg") * 35,
+            16L).otherwise(0L))
+        .withColumn("keep", col("reasons") === 0L)
+        .select("doc_id", "n_tok", "reasons", "keep")
+        .orderBy("doc_id")
+    }),
+
     // D33 — temperature-reweighted source mixture (the data-mix
     // rebalancing step of corpus assembly, cf. the Pile / CCNet
     // mixture weights): sampling rates are DERIVED IN-PLAN from
@@ -2743,6 +2795,41 @@ object TextQueries {
          |SELECT np, nn, numer2,
          |  CAST(numer2 AS DOUBLE) / (2.0 * np * nn) AS auc
          |FROM a""".stripMargin,
+
+    "d39_filter_reasons" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |              FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS c FROM toks
+        |       WHERE tok <> '' GROUP BY 1, 2),
+        |ta AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+        |       CAST(max(c) AS BIGINT) AS top_tok FROM tf GROUP BY 1),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |bgi AS (SELECT doc_id, tk,
+        |        unnest(generate_series(1, len(tk) - 1)) AS i FROM t),
+        |bf0 AS (SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS bg, count(*) AS c
+        |  FROM bgi GROUP BY 1, 2),
+        |bf AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bg,
+        |       CAST(count(*) AS BIGINT) AS n_bg_uniq FROM bf0 GROUP BY 1),
+        |j AS (SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS tlen,
+        |    coalesce(ta.n_tok, 0) AS n_tok,
+        |    coalesce(ta.top_tok, 0) AS top_tok,
+        |    coalesce(bf.n_bg, 0) AS n_bg,
+        |    coalesce(bf.n_bg_uniq, 0) AS n_bg_uniq
+        |  FROM documents d
+        |  LEFT JOIN ta ON ta.doc_id = d.doc_id
+        |  LEFT JOIN bf ON bf.doc_id = d.doc_id),
+        |r AS (SELECT doc_id, n_tok,
+        |    CAST((CASE WHEN n_tok < 10 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN n_tok > 400 THEN 2 ELSE 0 END)
+        |      + (CASE WHEN n_tok > 0 AND
+        |          (tlen - (n_tok - 1) < 3 * n_tok
+        |           OR tlen - (n_tok - 1) > 10 * n_tok) THEN 4 ELSE 0 END)
+        |      + (CASE WHEN top_tok * 100 > n_tok * 12 THEN 8 ELSE 0 END)
+        |      + (CASE WHEN (n_bg - n_bg_uniq) * 100 > n_bg * 35
+        |          THEN 16 ELSE 0 END) AS BIGINT) AS reasons
+        |  FROM j)
+        |SELECT doc_id, n_tok, reasons, reasons = 0 AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "d37_train_split" ->
       s"""WITH g AS (SELECT doc_id, lang,

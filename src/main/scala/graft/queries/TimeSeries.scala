@@ -887,6 +887,43 @@ object TimeSeries {
         .orderBy("parity")
     }),
 
+    // T21 — transit-timing variations (O−C): per-transit observed
+    // center vs the linear ephemeris (the TTV diagnostic the
+    // reference's timing stage produces; departures from zero reveal
+    // additional companions). The observed center is the
+    // DEPTH-WEIGHTED mean time of the in-transit samples — weight
+    // w = baseline_mean_cents − vc (integerized, clamped ≥0 so noise
+    // above baseline never flips a weight), giving center =
+    // Σw·(t−C_k) / Σw + C_k in exact micros-by-rational form; O−C is
+    // emitted as both the exact integer pair (num, den) and the
+    // divided minutes. Scale shape: one-row baseline broadcast + ONE
+    // keyed aggregation on the transit index — map-side combined,
+    // like t10.
+    "t21_ttv" -> ((s, d) => {
+      val b = base(s, d)
+        .withColumn("k", TsOps.transitIndex(col("t_us"), lit(E), lit(P7)))
+        .withColumn("intr",
+          TsOps.inTransit(col("t_us"), lit(E), lit(P7), lit(DUR)))
+      val oot = b.filter(!col("intr"))
+        .agg(sum(col("vc")).cast("long").as("so"),
+          count(lit(1)).cast("long").as("no"))
+      b.filter(col("intr"))
+        .crossJoin(broadcast(oot))
+        // integer baseline mean in cents (floor), then clamped weight
+        .withColumn("bm", expr("(so - ((so % no + no) % no)) div no"))
+        .withColumn("w", greatest(col("bm") - col("vc"), lit(0L)))
+        .withColumn("ck", lit(E) + col("k") * lit(P7))
+        .groupBy("k")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("w")).cast("long").as("sw"),
+          sum(col("w") * (col("t_us") - col("ck"))).cast("long").as("swt"))
+        .filter(col("sw") > 0)
+        .withColumn("oc_min",
+          col("swt").cast("double") / col("sw") / 6e7)
+        .select("k", "n", "sw", "swt", "oc_min")
+        .orderBy("k")
+    }),
+
     // F3+/T10b — ingress/egress sub-windows + secondary eclipse
     // (retr_indxtimetran main.py:6540–6567: typeineg
     // ingrinit/ingrfinl/eggrinit/eggrfinl quarter-splits and the
@@ -1676,6 +1713,31 @@ object TimeSeries {
            |  CAST(sum(vc) AS BIGINT)/100.0/count(*) AS vmean
            |FROM ph WHERE abs(pc) < ${DUR / 2}
            |GROUP BY 1 ORDER BY k""".stripMargin,
+
+      // Same transit indexing; the weighted-center sums replayed with
+      // the identical clamped integer weights and floor-div baseline.
+      "t21_ttv" ->
+        s"""WITH $baseSql,
+           |ph AS (SELECT vc, t_us,
+           |    ((t_us - $E + ${P7 / 2}) % $P7 + $P7) % $P7 - ${P7 / 2} AS pc,
+           |    t_us - $E + ${P7 / 2} AS a,
+           |    ((t_us - $E + ${P7 / 2}) % $P7 + $P7) % $P7 AS pm
+           |  FROM base),
+           |kk AS (SELECT vc, t_us, abs(pc) < ${DUR / 2} AS intr,
+           |    CAST((a - pm) / $P7 AS BIGINT) AS k FROM ph),
+           |oot AS (SELECT CAST(sum(vc) AS BIGINT) AS so,
+           |    CAST(count(*) AS BIGINT) AS no FROM kk WHERE NOT intr),
+           |wt AS (SELECT k, t_us,
+           |    greatest((so - ((so % no + no) % no)) // no - vc, 0) AS w,
+           |    $E + k * $P7 AS ck
+           |  FROM kk, oot WHERE intr),
+           |g AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(w) AS BIGINT) AS sw,
+           |    CAST(sum(w * (t_us - ck)) AS BIGINT) AS swt
+           |  FROM wt GROUP BY 1)
+           |SELECT k, n, sw, swt,
+           |  CAST(swt AS DOUBLE) / sw / 6e7 AS oc_min
+           |FROM g WHERE sw > 0 ORDER BY k""".stripMargin,
 
       // Same transit-index arithmetic pooled by parity; baseline from
       // the complementary out-of-transit rows; identical ratio order.

@@ -420,6 +420,35 @@ class R6ContOpsSpec extends SparkSpec {
       "both cut and non-cut boundaries must occur")
   }
 
+  test("t21: weighted centers stay inside the transit window and divide exactly") {
+    val rows = SparkEntry.queries("t21_ttv")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (sw, swt, oc) = (r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(sw > 0)
+      assert(oc == swt.toDouble / sw / 6e7, "oc_min must be the exact ratio")
+      // the weighted center cannot leave the in-transit window
+      // (|t - C_k| < DUR/2 = 720 min for every contributing sample)
+      assert(math.abs(oc) <= 720.0, s"O-C outside the transit window: $r")
+    }
+  }
+
+  test("d39: reason bits decompose against the declared d16 signals") {
+    val rows = SparkEntry.queries("d39_filter_reasons")(spark, sf).collect()
+    val total = graft.core.Tables.documents(spark, sf).count()
+    assert(rows.length == total, "one verdict per document")
+    rows.foreach(r => assert(r.getBoolean(3) == (r.getLong(2) == 0L)))
+    // bit 3 (top-token fraction > 12%) must agree with d16's
+    // independently-declared top_tok_frac on every doc
+    val d16 = SparkEntry.queries("d16_repetition")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(6) > 0.12)).toMap
+    rows.foreach { r =>
+      val bit8 = (r.getLong(2) & 8L) != 0
+      d16.get(r.getLong(0)).foreach(expect =>
+        assert(bit8 == expect, s"doc=${r.getLong(0)}: bit3 vs d16"))
+    }
+  }
+
   test("st13: histogram readout brackets the exact order statistic within one bin") {
     val rows = SparkEntry.queries("st13_stream_quantile")(spark, sf).collect()
     assert(rows.length >= 3, "at least one series with three quantiles")
