@@ -348,6 +348,40 @@ object Relational {
         .orderBy("user_id", "ver")
     }),
 
+    // J13 — point-in-time join against the SCD2 dimension (u6 BUILDS
+    // the versioned dimension; j13 USES it — the canonical lakehouse
+    // temporal-enrichment join: each fact row picks the dimension
+    // version valid AT ITS EVENT TIME, never the current one). Shape:
+    // an EQUI-join on the business key with the validity range as a
+    // residual predicate — correct and scalable because versions per
+    // key are bounded (the timeline partition), so the per-key probe
+    // is tiny; the versions partition each user's timeline from their
+    // first event, so every purchase matches EXACTLY one version
+    // (row-count preservation asserted in spec). j8b's custom as-of
+    // operator is the alternative when the dimension is unversioned.
+    "j13_pit_join" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("t_us"), col("event_id"))
+      val ev = events(s, d).select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("t_us"), cents(col("value")).as("vc"))
+      val dim = ev.withColumn("prev_vc", lag(col("vc"), 1).over(w))
+        .filter(col("prev_vc").isNull || col("prev_vc") =!= col("vc"))
+        .withColumn("ver", row_number().over(w).cast("long"))
+        .withColumn("valid_to_us", lead(col("t_us"), 1).over(w))
+        .select(col("user_id").as("d_uid"), col("ver"),
+          col("vc").as("dim_vc"), col("t_us").as("valid_from_us"),
+          col("valid_to_us"))
+      val facts = events(s, d).filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("t_us"), cents(col("value")).as("fact_vc"))
+      facts.join(dim,
+          col("user_id") === col("d_uid") &&
+            col("t_us") >= col("valid_from_us") &&
+            (col("valid_to_us").isNull || col("t_us") < col("valid_to_us")))
+        .select(col("user_id"), col("event_id"), col("t_us"), col("ver"),
+          col("dim_vc"), col("fact_vc"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // P4 — per-GROUP exact quantiles by the same two-round histogram
     // narrowing as p3, all groups in ONE plan: per-group stats and
     // target-bin tables stay ≤|groups|-row broadcasts, the cumulative
@@ -1298,6 +1332,36 @@ object Relational {
         |  CASE WHEN valid_to_us IS NULL
         |    THEN CAST(1 AS BIGINT) ELSE 0 END AS is_current
         |FROM v ORDER BY user_id, ver""".stripMargin,
+
+    // u6's dimension CTEs + the same range-predicate equi-join.
+    "j13_pit_join" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t_us,
+        |    CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events),
+        |ch AS (
+        |  SELECT user_id, event_id, t_us, vc FROM (
+        |    SELECT *, lag(vc) OVER
+        |      (PARTITION BY user_id ORDER BY t_us, event_id) AS prev_vc
+        |    FROM ev)
+        |  WHERE prev_vc IS NULL OR prev_vc <> vc),
+        |dim AS (
+        |  SELECT user_id AS d_uid, vc AS dim_vc, t_us AS valid_from_us,
+        |    CAST(row_number() OVER
+        |      (PARTITION BY user_id ORDER BY t_us, event_id) AS BIGINT) AS ver,
+        |    lead(t_us) OVER
+        |      (PARTITION BY user_id ORDER BY t_us, event_id) AS valid_to_us
+        |  FROM ch),
+        |facts AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t_us,
+        |    CAST(round(value * 100) AS BIGINT) AS fact_vc
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT f.user_id, f.event_id, f.t_us, d.ver, d.dim_vc, f.fact_vc
+        |FROM facts f JOIN dim d
+        |  ON d.d_uid = f.user_id
+        |  AND f.t_us >= d.valid_from_us
+        |  AND (d.valid_to_us IS NULL OR f.t_us < d.valid_to_us)
+        |ORDER BY f.user_id, f.event_id""".stripMargin,
 
     "o8_zorder_layout" -> {
       def zSql(x: String, y: String): String =

@@ -449,6 +449,30 @@ class R6ContOpsSpec extends SparkSpec {
     }
   }
 
+  test("j13: point-in-time join preserves fact cardinality and picks the right version") {
+    val rows = SparkEntry.queries("j13_pit_join")(spark, sf).collect()
+    val purchases = graft.core.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(rows.length == purchases,
+      "every purchase must match exactly one dimension version")
+    // brute-force version pick for the busiest user: the matched
+    // version must be the LAST change at-or-before the fact time
+    val ev = graft.core.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc")).collect()
+    val byUser = ev.groupBy(_.getLong(0))
+    val (uid, urows) = byUser.maxBy(_._2.length)
+    val ordered = urows.sortBy(r => (r.getLong(2), r.getLong(1)))
+    val changes = ordered.zipWithIndex.filter { case (r, i) =>
+      i == 0 || ordered(i - 1).getLong(3) != r.getLong(3) }.map(_._1)
+    rows.filter(_.getLong(0) == uid).foreach { r =>
+      val t = r.getLong(2)
+      val expect = changes.takeWhile(_.getLong(2) <= t).lastOption
+      assert(expect.isDefined && r.getLong(4) == expect.get.getLong(3),
+        s"user=$uid fact t=$t: wrong dimension version value")
+    }
+  }
+
   test("st13: histogram readout brackets the exact order statistic within one bin") {
     val rows = SparkEntry.queries("st13_stream_quantile")(spark, sf).collect()
     assert(rows.length >= 3, "at least one series with three quantiles")
