@@ -131,7 +131,8 @@ object Explain {
       "m7_scene_cut" -> "video scene-cut detection: row-local REAL AVI decode to the per-pixel stream, frame adjacency as an EQUI-join folding frame_idx+1 (the d34 technique), exact integer SAD per boundary, cross-multiplied threshold — one (media, frame, pixel)-keyed shuffle",
       "t21_ttv" -> "transit-timing variations: one-row baseline broadcast + ONE keyed aggregation on the transit index (map-side combined, t10's shape); the weighted center is an exact integer rational, O-C divided once at output",
       "d39_filter_reasons" -> "composite quality gate with reason bitmask: two keyed count aggregations (token, bigram) rolled to per-doc scalars + a map-side bitmask projection; every rule an integer cross-multiply",
-      "j13_pit_join" -> "point-in-time join against the u6 SCD2 dimension: EQUI-join on the business key with the validity range as a residual predicate — versions per key bounded by the timeline partition, so the per-key probe is tiny; every fact matches exactly one version (spec-asserted cardinality)")
+      "j13_pit_join" -> "point-in-time join against the u6 SCD2 dimension: EQUI-join on the business key with the validity range as a residual predicate — versions per key bounded by the timeline partition, so the per-key probe is tiny; every fact matches exactly one version (spec-asserted cardinality)",
+      "a17_corr_matrix" -> "cross-series Pearson matrix: daily rebin is the one corpus-scale agg (series become calendar-bounded), pair join on the day key moves types^2-bounded rows, five exact int64 sums per pair feed the closed-form r")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by graft.Explain)\n\n")

@@ -569,6 +569,47 @@ object Relational {
         .orderBy("status")
     }),
 
+    // A17 — cross-series Pearson correlation matrix (the covariance
+    // screen run across metrics before any modeling; t17's CCF is one
+    // pair at many lags — this is every pair at lag 0). Daily rebin
+    // first (the t16 principle: after it each series is
+    // calendar-bounded), then ONE equi-join on the day key pairs the
+    // rollups and five exact integer sums per (a, b) feed the
+    // closed-form r — numerator and both variance factors are exact
+    // int64, combined with two casts, one multiply, one sqrt, one
+    // division (IEEE-identical in both engines). Scale shape: the
+    // corpus-scale work is the daily aggregation; the pair join moves
+    // types²-bounded rows.
+    "a17_corr_matrix" -> ((s, d) => {
+      val daily = events(s, d)
+        .select(col("event_type"),
+          expr(s"(unix_micros(ts) - ${1704067200000000L}L) div 86400000000")
+            .as("day"), cents(col("value")).as("vc"))
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("n"), sum(col("vc")).cast("long").as("sv"))
+        .withColumn("m", expr("(sv - ((sv % n + n) % n)) div n"))
+        .select(col("event_type"), col("day"), col("m"))
+      val a = daily.select(col("event_type").as("ta"), col("day"),
+        col("m").as("ma"))
+      val b = daily.select(col("event_type").as("tb"), col("day"),
+        col("m").as("mb"))
+      a.join(b, "day").filter(col("ta") <= col("tb"))
+        .groupBy("ta", "tb")
+        .agg(count(lit(1)).cast("long").as("nd"),
+          sum(col("ma")).cast("long").as("sa"),
+          sum(col("mb")).cast("long").as("sb"),
+          sum(col("ma") * col("ma")).cast("long").as("saa"),
+          sum(col("mb") * col("mb")).cast("long").as("sbb"),
+          sum(col("ma") * col("mb")).cast("long").as("sab"))
+        .withColumn("num", col("nd") * col("sab") - col("sa") * col("sb"))
+        .withColumn("va", col("nd") * col("saa") - col("sa") * col("sa"))
+        .withColumn("vb", col("nd") * col("sbb") - col("sb") * col("sb"))
+        .withColumn("r", col("num").cast("double") /
+          sqrt(col("va").cast("double") * col("vb")))
+        .select("ta", "tb", "nd", "num", "va", "vb", "r")
+        .orderBy("ta", "tb")
+    }),
+
     // A16 — cohort retention matrix (a15's funnel sibling, the other
     // canonical product-analytics query): users are cohorted by
     // first-seen week, and each (cohort, age) cell counts how many of
@@ -1155,6 +1196,33 @@ object Relational {
         |  CAST(sum(drift) AS BIGINT) AS drift_cents,
         |  min(k) AS min_key
         |FROM c GROUP BY 1 ORDER BY status""".stripMargin,
+
+    "a17_corr_matrix" ->
+      """WITH daily AS (SELECT event_type,
+        |    (epoch_us(ts) - 1704067200000000) // 86400000000 AS day,
+        |    count(*) AS n,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sv
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, day,
+        |    (sv - ((sv % n + n) % n)) // n AS m FROM daily),
+        |p AS (SELECT a.event_type AS ta, b.event_type AS tb,
+        |    a.m AS ma, b.m AS mb
+        |  FROM m a JOIN m b ON a.day = b.day
+        |  WHERE a.event_type <= b.event_type),
+        |g AS (SELECT ta, tb, CAST(count(*) AS BIGINT) AS nd,
+        |    CAST(sum(ma) AS BIGINT) AS sa, CAST(sum(mb) AS BIGINT) AS sb,
+        |    CAST(sum(ma * ma) AS BIGINT) AS saa,
+        |    CAST(sum(mb * mb) AS BIGINT) AS sbb,
+        |    CAST(sum(ma * mb) AS BIGINT) AS sab
+        |  FROM p GROUP BY 1, 2)
+        |SELECT ta, tb, nd,
+        |  nd * sab - sa * sb AS num,
+        |  nd * saa - sa * sa AS va,
+        |  nd * sbb - sb * sb AS vb,
+        |  CAST(nd * sab - sa * sb AS DOUBLE)
+        |    / sqrt(CAST(nd * saa - sa * sa AS DOUBLE) * (nd * sbb - sb * sb))
+        |    AS r
+        |FROM g ORDER BY ta, tb""".stripMargin,
 
     "a16_cohort_retention" ->
       """WITH ev AS (SELECT user_id,

@@ -473,6 +473,34 @@ class R6ContOpsSpec extends SparkSpec {
     }
   }
 
+  test("a17: correlation matrix matches a BigInt replay, diagonal is unity") {
+    val rows = SparkEntry.queries("a17_corr_matrix")(spark, sf).collect()
+    // independent daily-mean replay with BigInt sums
+    val E = 1704067200000000L
+    val daily = graft.core.Tables.events(spark, sf)
+      .select(col("event_type"),
+        expr(s"(unix_micros(ts) - ${E}L) div 86400000000").as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      .collect().groupBy(r => (r.getString(0), r.getLong(1)))
+      .map { case ((t, day), rs) =>
+        val n = rs.length; val sv = rs.map(_.getLong(2)).sum
+        (t, day) -> ((sv - ((sv % n + n) % n)) / n)
+      }
+    rows.foreach { r =>
+      val (ta, tb) = (r.getString(0), r.getString(1))
+      val shared = daily.keys.filter(_._1 == ta).map(_._2).toSet
+        .intersect(daily.keys.filter(_._1 == tb).map(_._2).toSet)
+      val pairs = shared.toSeq.map(day => (BigInt(daily((ta, day))), BigInt(daily((tb, day)))))
+      val nd = BigInt(pairs.length)
+      val num = nd * pairs.map(p => p._1 * p._2).sum -
+        pairs.map(_._1).sum * pairs.map(_._2).sum
+      assert(BigInt(r.getLong(3)) == num, s"($ta,$tb): num mismatch")
+      if (ta == tb)
+        assert(math.abs(r.getDouble(6) - 1.0) < 1e-9, s"diagonal r must be ~1: $r")
+      assert(math.abs(r.getDouble(6)) <= 1.0 + 1e-9)
+    }
+  }
+
   test("st13: histogram readout brackets the exact order statistic within one bin") {
     val rows = SparkEntry.queries("st13_stream_quantile")(spark, sf).collect()
     assert(rows.length >= 3, "at least one series with three quantiles")
