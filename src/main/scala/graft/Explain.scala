@@ -132,7 +132,8 @@ object Explain {
       "t21_ttv" -> "transit-timing variations: one-row baseline broadcast + ONE keyed aggregation on the transit index (map-side combined, t10's shape); the weighted center is an exact integer rational, O-C divided once at output",
       "d39_filter_reasons" -> "composite quality gate with reason bitmask: two keyed count aggregations (token, bigram) rolled to per-doc scalars + a map-side bitmask projection; every rule an integer cross-multiply",
       "j13_pit_join" -> "point-in-time join against the u6 SCD2 dimension: EQUI-join on the business key with the validity range as a residual predicate — versions per key bounded by the timeline partition, so the per-key probe is tiny; every fact matches exactly one version (spec-asserted cardinality)",
-      "a17_corr_matrix" -> "cross-series Pearson matrix: daily rebin is the one corpus-scale agg (series become calendar-bounded), pair join on the day key moves types^2-bounded rows, five exact int64 sums per pair feed the closed-form r")
+      "a17_corr_matrix" -> "cross-series Pearson matrix: daily rebin is the one corpus-scale agg (series become calendar-bounded), pair join on the day key moves types^2-bounded rows, five exact int64 sums per pair feed the closed-form r",
+      "p6_psi_drift" -> "PSI drift monitor: ONE map-side-combined aggregation to <=256 histogram cells, grid-completed so both engines see identical smoothing terms; per-term 1e8 quantization makes the sum order-free exact")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by graft.Explain)\n\n")

@@ -635,6 +635,45 @@ object Relational {
         .orderBy("cw", "age")
     }),
 
+    // P6 — population-stability-index drift monitor (the standard
+    // ML-ops check that a feature's distribution hasn't shifted
+    // between a reference window and a live window): the value
+    // histogram (st13's fixed 256-bin grid) is built for the first
+    // and second halves of the time span, grid-COMPLETED (absent bins
+    // carry the add-one smoothing mass, so both engines see the same
+    // 256 terms), and PSI = Σ(p_a−p_b)·ln(p_a/p_b) with each term
+    // quantized at 1e8 (the d28 technique) so the sum is order-free
+    // exact. Scale shape: ONE map-side-combined aggregation to ≤256
+    // cells; everything after is grid-sized.
+    "p6_psi_drift" -> ((s, d) => {
+      val mid = 1704067200000000L + 15L * 86400000000L
+      val g = events(s, d)
+        .select(expr("CAST(round(value * 100) AS BIGINT)").as("vc"),
+          (unix_micros(col("ts")) < mid).as("ha"))
+        .withColumn("bin",
+          least(greatest(expr("vc div 250"), lit(0L)), lit(255L)))
+        .groupBy("bin").agg(
+          sum(when(col("ha"), 1L).otherwise(0L)).cast("long").as("ca"),
+          sum(when(!col("ha"), 1L).otherwise(0L)).cast("long").as("cb"))
+      val grid = s.range(0, 256).toDF("bin")
+        .join(g, Seq("bin"), "left")
+        .withColumn("ca", coalesce(col("ca"), lit(0L)))
+        .withColumn("cb", coalesce(col("cb"), lit(0L)))
+      val tot = grid.agg(sum(col("ca")).cast("long").as("na"),
+        sum(col("cb")).cast("long").as("nb"))
+      grid.crossJoin(broadcast(tot))
+        .withColumn("term6", expr(
+          "CAST(round((CAST(ca + 1 AS DOUBLE) / (na + 256)" +
+            " - CAST(cb + 1 AS DOUBLE) / (nb + 256))" +
+            " * ln((CAST(ca + 1 AS DOUBLE) / (na + 256))" +
+            " / (CAST(cb + 1 AS DOUBLE) / (nb + 256))) * 1e8) AS BIGINT)"))
+        .groupBy("na", "nb")
+        .agg(count(lit(1)).cast("long").as("n_bins"),
+          sum(col("term6")).cast("long").as("psi8"))
+        .withColumn("psi", col("psi8").cast("double") / 1e8)
+        .select("na", "nb", "n_bins", "psi8", "psi")
+    }),
+
     // P5 — join-key skew profile: the diagnostic a planner (or an
     // engineer) runs BEFORE choosing between a plain hash join, j9's
     // salting, or b1's bucketing — a log2-bucketed count-of-counts
@@ -1239,6 +1278,31 @@ object Relational {
         |  (a.active * 1000000) // s.cohort_size AS ret_ppm
         |FROM act a JOIN sizes s USING (cw)
         |ORDER BY a.cw, a.age""".stripMargin,
+
+    "p6_psi_drift" ->
+      s"""WITH ev AS (SELECT CAST(round(value * 100) AS BIGINT) AS vc,
+        |    epoch_us(ts) < ${1704067200000000L + 15L * 86400000000L} AS ha
+        |  FROM events),
+        |h AS (SELECT least(greatest(vc // 250, 0), 255) AS bin,
+        |    CAST(sum(CASE WHEN ha THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN ha THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        |  FROM ev GROUP BY 1),
+        |grid AS (SELECT g.bin, coalesce(h.ca, 0) AS ca, coalesce(h.cb, 0) AS cb
+        |  FROM (SELECT unnest(generate_series(0, 255)) AS bin) g
+        |  LEFT JOIN h ON h.bin = g.bin),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |    CAST(sum(cb) AS BIGINT) AS nb FROM grid),
+        |t AS (SELECT na, nb,
+        |    CAST(round((CAST(ca + 1 AS DOUBLE) / (na + 256)
+        |      - CAST(cb + 1 AS DOUBLE) / (nb + 256))
+        |      * ln((CAST(ca + 1 AS DOUBLE) / (na + 256))
+        |      / (CAST(cb + 1 AS DOUBLE) / (nb + 256))) * 1e8) AS BIGINT)
+        |      AS term6
+        |  FROM grid, tot)
+        |SELECT na, nb, CAST(count(*) AS BIGINT) AS n_bins,
+        |  CAST(sum(term6) AS BIGINT) AS psi8,
+        |  CAST(sum(term6) AS DOUBLE) / 1e8 AS psi
+        |FROM t GROUP BY 1, 2""".stripMargin,
 
     "p5_skew_profile" ->
       s"""WITH cnts AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt

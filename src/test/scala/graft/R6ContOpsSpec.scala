@@ -501,6 +501,24 @@ class R6ContOpsSpec extends SparkSpec {
     }
   }
 
+  test("p6: PSI is nonnegative, grid-complete, and small on the stationary fixture") {
+    val r = SparkEntry.queries("p6_psi_drift")(spark, sf).collect()(0)
+    val total = graft.core.Tables.events(spark, sf).count()
+    assert(r.getLong(0) + r.getLong(1) == total, "halves must partition the rows")
+    assert(r.getLong(2) == 256L, "grid-complete: all 256 bins present")
+    // each term (p_a - p_b)·ln(p_a/p_b) is nonnegative (same sign), so
+    // the quantized sum must be too
+    assert(r.getLong(3) >= 0L, "PSI must be nonnegative")
+    // the fixture is stationary across its halves, but PSI needs
+    // populated bins to say so (at sf0.001 the 256-bin grid holds ~2
+    // rows/bin and add-one smoothing dominates) — assert the
+    // below-threshold claim where counts support it
+    val big = SparkEntry.queries("p6_psi_drift")(spark, "/root/testdata/sf0.01")
+      .collect()(0)
+    assert(big.getDouble(4) < 0.1,
+      s"stationary fixture drifted? psi=${big.getDouble(4)}")
+  }
+
   test("st13: histogram readout brackets the exact order statistic within one bin") {
     val rows = SparkEntry.queries("st13_stream_quantile")(spark, sf).collect()
     assert(rows.length >= 3, "at least one series with three quantiles")
