@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout straight through (no `[info] `
+// logger prefix): the driver tail-parses Bench's one-line JSON from
+// raw sbt output, and the prefixed form broke that parse for four
+// consecutive rounds (BENCH_r0{3..6} "parsed": null).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
