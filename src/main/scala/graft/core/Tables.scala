@@ -72,6 +72,27 @@ object Tables {
     * on the duckdb side (avoids engine-specific mod sign conventions). */
   def pmodPos(x: Column, p: Column): Column = x - floor(x / p) * p
 
+  /** Quantize a transcendental-derived double to BIGINT with a
+    * runtime boundary-margin proof (the t13 `lnQ6` discipline, moved
+    * IN-PLAN for values computed distributed): the generated SQL
+    * asserts the scaled value sits ≥ `margin` quanta away from a .5
+    * rounding boundary before rounding, so any libm within a few ulps
+    * of the true value (Java's Math.log vs C libm differ by ≤1 ulp)
+    * rounds to the SAME integer in both engines. This turns the
+    * "ln of identical doubles rounds identically" assumption from
+    * empirically-true-today into a guarantee verified on the actual
+    * data every run: a violation raises with the offending value
+    * (remedy: perturb the quantum or the fixture), never silently
+    * hash-diverges. Inline the value SQL only on grid-sized frames
+    * (it is repeated 4×). */
+  def guardedRoundQ(valueSql: String, margin: Double): String =
+    s"CASE WHEN abs(($valueSql) - round($valueSql)) < 0.5 - $margin " +
+      s"THEN CAST(round($valueSql) AS BIGINT) " +
+      "ELSE CAST(raise_error(concat('quantized value ', " +
+      s"CAST(($valueSql) AS STRING), ' sits within $margin of a " +
+      "rounding boundary - cross-engine exactness unprovable')) " +
+      "AS BIGINT) END"
+
   /** Event time in microseconds since epoch (exact long). */
   def tUs(ts: Column): Column = unix_micros(ts)
 

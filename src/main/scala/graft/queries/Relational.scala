@@ -485,7 +485,10 @@ object Relational {
       val bucketUs = 86400L * 1000000L * 30 // 30-day lag buckets
       val ev = events(s, d)
         .withColumn("t_us", unix_micros(col("ts")))
-        .withColumn("bkt", floor(col("t_us") / bucketUs))
+        // integer div, not floor(double /): exact at ANY timestamp
+        // magnitude (the double form loses exactness past 2^53 µs),
+        // matching the all-integer key derivations elsewhere (t16/a16)
+        .withColumn("bkt", expr(s"t_us div $bucketUs"))
       val wIn = Window.partitionBy("bkt").orderBy("t_us", "event_id")
       val inner = ev
         .withColumn("gap_us", col("t_us") - lag(col("t_us"), 1).over(wIn))
@@ -521,7 +524,10 @@ object Relational {
       val bucketUs = 86400L * 1000000L * 30
       val ev = events(s, d)
         .withColumn("t_us", unix_micros(col("ts")))
-        .withColumn("bkt", floor(col("t_us") / bucketUs))
+        // integer div, not floor(double /): exact at ANY timestamp
+        // magnitude (the double form loses exactness past 2^53 µs),
+        // matching the all-integer key derivations elsewhere (t16/a16)
+        .withColumn("bkt", expr(s"t_us div $bucketUs"))
       val wIn = Window.partitionBy("bkt").orderBy("t_us", "event_id")
       val wB = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
       val offs = ev.groupBy("bkt").agg(count(lit(1)).as("cnt"))
@@ -661,12 +667,18 @@ object Relational {
         .withColumn("cb", coalesce(col("cb"), lit(0L)))
       val tot = grid.agg(sum(col("ca")).cast("long").as("na"),
         sum(col("cb")).cast("long").as("nb"))
+      // guardedRoundQ: in-plan proof the 1e8-quantized term sits
+      // ≥1e-5 quanta from a .5 boundary — the float chain here (two
+      // inexact divisions + ln + product) carries ≤ ~3e-6 quanta of
+      // worst-case cross-engine skew at |term| ≤ ~1.5e9 quanta, so
+      // the margin covers it with slack and a violation raises
+      // instead of silently hash-diverging on another libc
       grid.crossJoin(broadcast(tot))
-        .withColumn("term6", expr(
-          "CAST(round((CAST(ca + 1 AS DOUBLE) / (na + 256)" +
+        .withColumn("term6", expr(guardedRoundQ(
+          "(CAST(ca + 1 AS DOUBLE) / (na + 256)" +
             " - CAST(cb + 1 AS DOUBLE) / (nb + 256))" +
             " * ln((CAST(ca + 1 AS DOUBLE) / (na + 256))" +
-            " / (CAST(cb + 1 AS DOUBLE) / (nb + 256))) * 1e8) AS BIGINT)"))
+            " / (CAST(cb + 1 AS DOUBLE) / (nb + 256))) * 1e8", 1e-5)))
         .groupBy("na", "nb")
         .agg(count(lit(1)).cast("long").as("n_bins"),
           sum(col("term6")).cast("long").as("psi8"))

@@ -1898,10 +1898,14 @@ object TextQueries {
           .cast("long").as("ct"))
       val ns = lm.agg(sum(col("cr")).cast("long").as("nr"),
         sum(col("ct")).cast("long").as("nt"))
+      // guardedRoundQ: in-plan boundary-margin proof that the 1e6
+      // quantization of ln() is ≥1e-6 quanta from a .5 boundary, so
+      // Java-vs-C libm 1-ulp skew (≤ ~1.4e-8 quanta at |li| ≤ 14e6)
+      // cannot flip the rounded integer on any platform
       val li = lm.crossJoin(broadcast(ns))
-        .withColumn("li", expr(
-          "CAST(round(ln(CAST((ct + 1) * (nr + 1024) AS DOUBLE) / " +
-            "((cr + 1) * (nt + 1024))) * 1e6) AS BIGINT)"))
+        .withColumn("li", expr(guardedRoundQ(
+          "ln(CAST((ct + 1) * (nr + 1024) AS DOUBLE) / " +
+            "((cr + 1) * (nt + 1024))) * 1e6", 1e-6)))
         .select("b", "li")
       dbf.join(broadcast(li), "b")
         .groupBy("doc_id", "lang")

@@ -916,7 +916,15 @@ object TimeSeries {
         .groupBy("k")
         .agg(count(lit(1)).cast("long").as("n"),
           sum(col("w")).cast("long").as("sw"),
-          sum(col("w") * (col("t_us") - col("ck"))).cast("long").as("swt"))
+          // per-row |w·(t−ck)| ≤ 1e4 cents × DUR/2 ≈ 3.6e13, so an
+          // int64 ACCUMULATOR exhausts at ~2.5e5 in-transit rows per
+          // transit — real at the claimed corpus scale. Accumulate in
+          // decimal(38,0) (exact, ~1e24-row headroom; DuckDB's BIGINT
+          // sum is HUGEINT-backed the same way) and cast back, which
+          // under ANSI fails loudly in the truly-out-of-range case
+          // instead of wrapping (the d15 label-sum discipline).
+          sum((col("w") * (col("t_us") - col("ck"))).cast("decimal(38,0)"))
+            .cast("long").as("swt"))
         .filter(col("sw") > 0)
         .withColumn("oc_min",
           col("swt").cast("double") / col("sw") / 6e7)
@@ -1221,6 +1229,11 @@ object TimeSeries {
           "nb*(scy*sss - scs*ssy) - sy*(sc*sss - scs*ss) + ss*(sc*ssy - scy*ss)"))
         .withColumn("db", expr(
           "nb*(scc*ssy - scy*scs) - sc*(sc*ssy - scy*ss) + sy*(sc*scs - scc*ss)"))
+        // det = 0 only for a degenerate folded profile (<3 occupied
+        // phase bins) — impossible on the fixture, but a sparse series
+        // must yield a clean empty row, not an ANSI divide-by-zero
+        // (t19's guard, mirrored here for symmetry)
+        .filter(col("det") =!= 0L)
         .withColumn("mean_val", col("dm").cast("double") / col("det") / 100.0)
         .withColumn("a2", col("da").cast("double") / col("det"))
         .withColumn("b2", col("db").cast("double") / col("det"))
@@ -2003,7 +2016,7 @@ object TimeSeries {
            |  sqrt((CAST(da AS DOUBLE) / det) * (CAST(da AS DOUBLE) / det)
            |    + (CAST(db AS DOUBLE) / det) * (CAST(db AS DOUBLE) / det))
            |    AS amp_val
-           |FROM cr ORDER BY event_type""".stripMargin
+           |FROM cr WHERE det <> 0 ORDER BY event_type""".stripMargin
       },
 
       // t18's replay with the week as an extra group key; same basis
