@@ -77,6 +77,65 @@ object Extras {
       |  FROM events)""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    // S14 — REAL FITS ingest (the reference's actual front door,
+    // read_tesskplr_file main.py:7407–7502): eight TESS-shaped
+    // light-curve FITS files (primary HDU carrying SECTOR/CAMERA/CCD
+    // + one BINTABLE HDU with TIME/PDCSAP_FLUX/PDCSAP_FLUX_ERR/
+    // QUALITY) are written by the hand-rolled FITS writer
+    // (sources/Fits.scala — public 2880-byte-block format, the
+    // PNG/WAV/AVI codec pattern), scanned via binaryFile (parallelism
+    // = files packed by maxPartitionBytes, the s10 shape), decoded
+    // row-locally by the hand-rolled BINTABLE reader, then routed
+    // through the FULL S1 semantics: QUALITY==0 ∧ finite-flux mask,
+    // TESS BJD offset (+2457000), per-sector median normalization of
+    // flux AND error — exactly the reference's mask/offset/normalize
+    // chain. Sample values are closed-form in (sector, i) with
+    // integer-valued float32 flux (exact through the float32→float64
+    // widening), so the DuckDB oracle recomputes the whole pipeline —
+    // including the NaN gap rows and the median — without a FITS
+    // reader of its own: write → scan → parse → mask → offset →
+    // normalize is verified end to end. Scale: decode is map-only;
+    // the only shuffles are the per-sector median aggregate
+    // (broadcast back) and the output sort.
+    "s14_fits_scan" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val dir = derivedFixture("graft_fits", d, "graft-fits-v1") { tmp =>
+        tmp.mkdirs()
+        (1 to 8).foreach { k =>
+          java.nio.file.Files.write(
+            new java.io.File(tmp, f"tess-s$k%04d-lc.fits").toPath,
+            graft.sources.Fits.fixtureFile(k))
+        }
+      }
+      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(
+        StructType(Seq(
+          StructField("sector", LongType), StructField("camera", LongType),
+          StructField("ccd", LongType), StructField("i", LongType),
+          StructField("tb", DoubleType), StructField("flux", DoubleType),
+          StructField("err", DoubleType), StructField("quality", LongType))))
+      val rows = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*lc.fits").load(dir.toString)
+        .select(col("content"))
+        .mapPartitions { it =>
+          it.flatMap { r =>
+            val lc = graft.sources.Fits.readLightCurve(r.getAs[Array[Byte]](0))
+            lc.rows.iterator.map { case (i, t, f, e, q) =>
+              org.apache.spark.sql.Row(
+                lc.sector.toLong, lc.camera.toLong, lc.ccd.toLong, i.toLong,
+                t, f.toDouble, e.toDouble, q.toLong)
+            }
+          }
+        }(enc)
+      val good = rows.filter(col("quality") === 0L && !isnan(col("flux")))
+      val med = good.groupBy("sector").agg(expr("percentile(flux, 0.5)").as("m"))
+      good.join(broadcast(med), "sector")
+        .select(col("sector"), col("camera"), col("ccd"), col("i"),
+          (col("tb") + lit(2457000.0)).as("time_bjd"),
+          (col("flux") / col("m")).as("flux_norm"),
+          (col("err") / col("m")).as("err_norm"))
+        .orderBy("sector", "i")
+    }),
+
     // T15 — visibility calculation (ref examples/target_visibility.py:
     // 34–66, args main.py:7664–7699): target altitude over a night
     // grid from an observatory location, as pure column trig — the
@@ -510,6 +569,38 @@ object Extras {
   )
 
   val oracle: Map[String, String] = Map(
+    // Recomputes the FITS fixture closed-form — same LCG mix, dip,
+    // NaN-gap and quality rules as Fits.sample, same float32-exact
+    // integer flux, same mask/offset/median/divide chain the engine
+    // runs on the DECODED bytes. quantile_cont == Spark percentile
+    // bit-exactly (verified engine-wide); every division is one IEEE
+    // op on identical doubles.
+    "s14_fits_scan" ->
+      """WITH ks AS (SELECT unnest(generate_series(1, 8)) AS sector),
+        |idx AS (SELECT unnest(generate_series(0, 999)) AS i),
+        |raw AS (SELECT sector, i,
+        |    (sector * 2654435761 + i * 1103515245 + 12345)
+        |      % 2147483648 AS r
+        |  FROM ks, idx),
+        |sam AS (SELECT sector, (sector - 1) % 4 + 1 AS camera,
+        |    sector * 3 % 4 + 1 AS ccd, i,
+        |    CAST(1000 AS DOUBLE) + (sector - 1) * CAST(30 AS DOUBLE)
+        |      + i * CAST(0.002 AS DOUBLE) AS tb,
+        |    CAST(10000 + r % 200 -
+        |      CASE WHEN i % 360 < 18 THEN 300 ELSE 0 END AS DOUBLE) AS flux,
+        |    CAST(50.0 AS DOUBLE) AS err,
+        |    CASE WHEN r % 97 = 0 THEN 8 ELSE 0 END AS quality,
+        |    r % 131 = 0 AS gap
+        |  FROM raw),
+        |good AS (SELECT * FROM sam WHERE quality = 0 AND NOT gap),
+        |med AS (SELECT sector, quantile_cont(flux, 0.5) AS m
+        |  FROM good GROUP BY 1)
+        |SELECT g.sector, g.camera, g.ccd, g.i,
+        |  g.tb + CAST(2457000 AS DOUBLE) AS time_bjd,
+        |  g.flux / m.m AS flux_norm, g.err / m.m AS err_norm
+        |FROM good g JOIN med m USING (sector)
+        |ORDER BY g.sector, g.i""".stripMargin,
+
     // Same LST polynomial + alt-az formula in DuckDB trig; both engines
     // round the transcendental output at 4 dp (sc_math discipline,
     // coarsened — see the query comment). pmod(x, 360) is spelled as

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Fits
+
+/** The hand-rolled FITS codec behind s14_fits_scan: writer/reader
+  * round-trip, structural FITS invariants (block sizing, header
+  * discovery by TTYPE), NaN/quality semantics, and the full declared
+  * query shape on the real binaryFile path.
+  */
+class FitsSpec extends SparkSpec {
+
+  test("fits file is 2880-block aligned and starts with SIMPLE") {
+    val bytes = Fits.fixtureFile(3)
+    assert(bytes.length % 2880 === 0, s"length ${bytes.length} not block-aligned")
+    assert(new String(bytes, 0, 30, "US-ASCII").startsWith("SIMPLE  ="))
+  }
+
+  test("round-trip: header ids and every sample value survive") {
+    val lc = Fits.readLightCurve(Fits.fixtureFile(5))
+    assert(lc.sector === 5)
+    assert(lc.camera === (5 - 1) % 4 + 1)
+    assert(lc.ccd === 5 * 3 % 4 + 1)
+    assert(lc.rows.length === Fits.N_ROWS)
+    lc.rows.foreach { case (i, t, f, e, q) =>
+      val want = Fits.sample(5, i)
+      assert(t === want.timeBtjd, s"time at $i")
+      if (want.flux.isNaN) assert(f.isNaN, s"NaN lost at $i")
+      else assert(f === want.flux, s"flux at $i")
+      assert(e === want.err, s"err at $i")
+      assert(q === want.quality, s"quality at $i")
+    }
+  }
+
+  test("reader discovers columns by TTYPE: reordered + extra columns skipped") {
+    val rows = (0 until 10).map(i => Fits.sample(2, i))
+    // QUALITY first, an extra CADENCENO column interleaved, TIME last
+    val reordered = Fits.writeTable(2, 1, 3,
+      Seq("QUALITY" -> 'J', "PDCSAP_FLUX" -> 'E', "CADENCENO" -> 'K',
+        "PDCSAP_FLUX_ERR" -> 'E', "TIME" -> 'D'),
+      rows.zipWithIndex.map { case (r, i) =>
+        Seq[Any](r.quality, r.flux, i.toLong * 7L, r.err, r.timeBtjd) })
+    val lc = Fits.readLightCurve(reordered)
+    assert(lc.sector === 2); assert(lc.camera === 1); assert(lc.ccd === 3)
+    assert(lc.rows.length === 10)
+    lc.rows.foreach { case (i, t, f, e, q) =>
+      val want = Fits.sample(2, i)
+      assert(t === want.timeBtjd); assert(q === want.quality)
+      assert(e === want.err)
+      if (!want.flux.isNaN) assert(f === want.flux)
+    }
+  }
+
+  test("reader rejects a non-BINTABLE extension and missing columns") {
+    val bytes = Fits.fixtureFile(1)
+    val s = new String(bytes, "US-ASCII")
+    val broken = s.replace("'BINTABLE'", "'IMAGE   '").getBytes("US-ASCII")
+    intercept[IllegalArgumentException] { Fits.readLightCurve(broken) }
+    val noflux = s.replace("'PDCSAP_FLUX'", "'SAP_BKGXXXX'").getBytes("US-ASCII")
+    intercept[IllegalArgumentException] { Fits.readLightCurve(noflux) }
+  }
+
+  test("s14 query: mask, offset, per-sector normalization over binaryFile") {
+    val df = graft.queries.Extras.queries("s14_fits_scan")(spark, sf)
+    val rows = df.collect()
+    // expected survivor count from the closed form
+    val expect = (1 to 8).flatMap(k => (0 until Fits.N_ROWS).map(i => (k, i)))
+      .count { case (k, i) =>
+        val r = Fits.rMix(k, i); r % 97 != 0 && r % 131 != 0 }
+    assert(rows.length === expect)
+    // every sector's median row normalizes to 1.0 exactly at the median
+    val bySector = rows.groupBy(_.getLong(0))
+    assert(bySector.keySet === (1L to 8L).toSet)
+    bySector.foreach { case (k, rs) =>
+      val fluxes = rs.map(_.getDouble(5)).sorted
+      val med = (fluxes(fluxes.length / 2) +
+        fluxes((fluxes.length - 1) / 2)) / 2
+      assert(math.abs(med - 1.0) < 1e-12, s"sector $k median $med")
+      // camera/ccd parsed from the primary header
+      assert(rs.head.getLong(1) === (k - 1) % 4 + 1)
+      assert(rs.head.getLong(2) === k * 3 % 4 + 1)
+      // BJD offset applied
+      assert(rs.map(_.getDouble(4)).min >= 2457000.0 + 1000.0)
+    }
+  }
+}
