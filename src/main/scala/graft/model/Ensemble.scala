@@ -147,6 +147,44 @@ object Ensemble {
     -s
   }
 
+  /** Order-free integer GP-marginal log-likelihood for a box-transit
+    * fit under Matérn-3/2 correlated noise (ref retr_llik_mile
+    * main.py:735–850, GP branch at 772–817; the reference default
+    * typebdtr='GaussianProcess' main.py:7919) in micro-nats up to an
+    * additive constant. The GP enters through the steady-state
+    * Kalman innovation filter (Detrend.gpInnovSteady): with integer
+    * residuals rq_i = round(r_i·1e8) and integer lag weights
+    * cq_l = round(c_l·1e6), the innovation
+    *   νq_i = rq_i·1e6 − Σ_l cq_l·rq_{i−l}
+    * is EXACT int64 arithmetic — order-free, so a SQL engine's
+    * unordered SUM reproduces it bit-for-bit (the reason this form,
+    * not the sequential m0/m1 recurrence, is the declared t13c
+    * likelihood; the log-det term is proposal-independent under fixed
+    * hyperparameters and cancels in the accept ratio). Magnitudes:
+    * |rq| ≤ ~6e6, |cq| ≤ ~1e6, 32 lags ⇒ |νq| ≤ ~2e14 < 2^53, so the
+    * one double conversion νq/1e14 is exact. scale = 1e6/(2·S) with S
+    * the steady innovation variance. */
+  def gpBoxLlq(t: Array[Double], y: Array[Double], cq: Array[Long],
+               scale: Double, period: Double)(p: Array[Double]): Long = {
+    import graft.expr.VecExprs.roundHalfAway
+    val model = boxModel(t, p(1), period, p(2), p(0))
+    val n = y.length
+    val rq = new Array[Long](n)
+    var i = 0
+    while (i < n) { rq(i) = roundHalfAway((y(i) - model(i)) * 1e8); i += 1 }
+    var s = 0L
+    i = 0
+    while (i < n) {
+      var nuq = rq(i) * 1000000L
+      var l = 1
+      while (l <= cq.length && l <= i) { nuq -= cq(l - 1) * rq(i - l); l += 1 }
+      val nu = nuq.toDouble / 1e14
+      s += roundHalfAway(nu * nu * scale)
+      i += 1
+    }
+    -s
+  }
+
   /** [[boxGuess]] over PRE-QUANTIZED flux (yq = round(y·1e9)): window
     * sums are integer (order-free), argmin is an integer compare with
     * first-index tiebreak — the SQL replay is a window-sum aggregate

@@ -142,6 +142,67 @@ object Detrend {
     ll
   }
 
+  /** Steady-state innovation representation of [[gpLogLik]]'s
+    * Matérn-3/2 Kalman filter on a REGULAR grid (constant dt): with a
+    * constant transition the covariance recursion converges to the
+    * Riccati fixpoint, where the gains K and innovation variance S
+    * are CONSTANT and the innovation becomes a constant-coefficient
+    * lag filter on the residuals:
+    *   ν_i = r_i − Σ_{l≥1} c_l · r_{i−l},  c_l = e₀ᵀ A Ã^{l−1} K,
+    *   Ã = (I − K e₀ᵀ) A,
+    * with |eig(Ã)| < 1 so c_l decays geometrically — the celerite/
+    * ARMA form of Matérn-3/2 on a uniform grid. Truncating at nLags
+    * (the w8_ewma discipline: the dropped tail is below the weight
+    * quantum) turns the GP marginal likelihood into an ORDER-FREE
+    * integer-expressible sum both engines can evaluate identically —
+    * what makes the t13c GP-likelihood MCMC walk SQL-replayable.
+    * Returns (lag weights c_1..c_nLags, steady innovation variance S).
+    */
+  def gpInnovSteady(sigma: Double, rho: Double, dt: Double, yerr: Double,
+                    nLags: Int): (Array[Double], Double) = {
+    val lam = math.sqrt(3.0) / rho
+    val s2 = sigma * sigma
+    val p11 = s2; val p22 = s2 * lam * lam
+    val e = math.exp(-lam * dt)
+    val a00 = e * (1 + lam * dt); val a01 = e * dt
+    val a10 = -e * lam * lam * dt; val a11 = e * (1 - lam * dt)
+    val q00 = p11 - (a00 * (a00 * p11) + a01 * (a01 * p22))
+    val q01 = -(a10 * (a00 * p11) + a11 * (a01 * p22))
+    val q11 = p22 - (a10 * (a10 * p11) + a11 * (a11 * p22))
+    val rv = yerr * yerr
+    // predicted-covariance recursion to the fixpoint: geometric
+    // convergence, fixed iteration count for determinism (the weights
+    // ship as shared literals, so this runs driver-side only)
+    var c00 = p11; var c01 = 0.0; var c11 = p22
+    var it = 0
+    while (it < 512) {
+      val sInn = c00 + rv
+      val k0 = c00 / sInn; val k1 = c01 / sInn
+      val pc00 = (1 - k0) * c00; val pc01 = (1 - k0) * c01
+      val pc11 = c11 - k1 * c01
+      val t00 = a00 * pc00 + a01 * pc01; val t01 = a00 * pc01 + a01 * pc11
+      val t10 = a10 * pc00 + a11 * pc01; val t11 = a10 * pc01 + a11 * pc11
+      c00 = t00 * a00 + t01 * a01 + q00
+      c01 = t00 * a10 + t01 * a11 + q01
+      c11 = t10 * a10 + t11 * a11 + q11
+      it += 1
+    }
+    val sInn = c00 + rv
+    val k0 = c00 / sInn; val k1 = c01 / sInn
+    val at00 = (1 - k0) * a00; val at01 = (1 - k0) * a01
+    val at10 = a10 - k1 * a00; val at11 = a11 - k1 * a01
+    var v0 = k0; var v1 = k1 // v_1 = K
+    val out = new Array[Double](nLags)
+    var l = 0
+    while (l < nLags) {
+      out(l) = a00 * v0 + a01 * v1 // e₀ᵀ A v_l
+      val nv0 = at00 * v0 + at01 * v1; val nv1 = at10 * v0 + at11 * v1
+      v0 = nv0; v1 = nv1
+      l += 1
+    }
+    (out, sInn)
+  }
+
   /** Matérn-3/2 GP posterior mean by Kalman filtering + RTS smoothing
     * of its exact state-space representation (state = [f, f']):
     * kernel k(τ) = σ²(1 + λτ)e^(−λτ), λ = √3/ρ. O(n), numerically

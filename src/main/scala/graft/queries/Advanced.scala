@@ -266,6 +266,71 @@ object Advanced {
         .orderBy("param")
     }),
 
+    // T13c — GP-LIKELIHOOD MCMC (the reference's DEFAULT inference
+    // path restored to the oracle-gated surface: typebdtr=
+    // 'GaussianProcess' main.py:7919, GP branch of retr_llik_mile
+    // main.py:772–817): the same sampleQ integer proposal chain as
+    // t13, but the likelihood marginalizes a Matérn-3/2 correlated
+    // baseline instead of assuming white noise. The fixture ADDS that
+    // nuisance: an 8-bin circular moving-sum LCG wiggle (rms ~1e-3,
+    // 4× the binned white noise) rides on t13's box+noise curve — a
+    // white-noise fit would absorb it into depth/epoch scatter; the
+    // GP fit must recover the injected 3% depth through it.
+    //
+    // Cross-engine exactness: on the uniform 200-bin phase grid the
+    // t3c Kalman recurrence has constant dt, so its covariances/gains
+    // converge to the Riccati fixpoint — the likelihood is DECLARED
+    // in that steady-state innovation form (Detrend.gpInnovSteady):
+    // ν_i = r_i − Σ_l c_l·r_{i−l}, 32 lags, weights quantized at 1e6
+    // and shared as literals with the oracle (the harmBasis
+    // technique). With integer residuals (1e8) the whole filter is
+    // exact int64 — order-free, so DuckDB's unordered SUM replays it
+    // bit-for-bit inside the same recursive walk CTE as t13
+    // (the log-det term is proposal-independent under fixed
+    // hyperparameters and cancels in the accept ratio). Ensemble
+    // geometry 50×60 keeps the oracle's 3050 GP evaluations
+    // (200 bins × 32 lags each) tractable in DuckDB.
+    "t13c_mcmc_gp" -> ((s, d) => {
+      import s.implicits._
+      val PDAY = 86400000000L; val P7 = 7L * PDAY
+      val n = 4000L
+      val step = 30L * PDAY / n
+      val bins = base(s, d).agg(min(col("t_us")).as("t0"))
+        .withColumn("i", explode(sequence(lit(0L), lit(n - 1))))
+        .withColumn("g_us", col("t0") + col("i") * step)
+        .withColumn("r", (col("i") % 65536L * 1103515245L + 12345L) % 2147483648L)
+        .withColumn("noise", (col("r").cast("double") / 2147483648.0 - 0.5) * 0.004)
+        .withColumn("ph", pmod(col("g_us") - col("t0"), lit(P7)))
+        .withColumn("flux", lit(1.0)
+          - when(col("ph") < PDAY / 2 || col("ph") > P7 - PDAY / 2, 0.03).otherwise(0.0)
+          + col("noise"))
+        .withColumn("fc", round(col("flux") * 1e6).cast("long"))
+        .withColumn("b", expr(s"(ph * 200) div $P7"))
+        .groupBy("b").agg(count(lit(1)).as("n"), sum(col("fc")).as("sv"))
+        .withColumn("wigq", expr(t13cWigSql("b")))
+        .orderBy("b")
+        .collect()
+      val t = bins.map(r => (r.getLong(0).toDouble + 0.5) * 7.0 / 200)
+      val y = bins.map(r => r.getLong(2).toDouble / r.getLong(1) / 1e6
+        + (r.getLong(3) - 4000L).toDouble * 1.25e-6)
+      val (cq, scale) = t13cGp
+      val llq = graft.model.Ensemble.gpBoxLlq(t, y, cq, scale, period = 7.0) _
+      val yq = y.map(v => graft.expr.VecExprs.roundHalfAway(v * 1e9))
+      val guess = graft.model.Ensemble.boxGuessQ(t, yq, 7.0, 1.0)
+      val (samples, acc) = graft.model.Ensemble.sampleQ(llq,
+        lo = Array(-0.2, -3.5, 0.2), hi = Array(0.2, 3.5, 2.0),
+        nWalkers = 50, nSteps = 60, burnFrac = 0.3, seed = 42L,
+        init = guess, ballFrac = 0.005)
+      val pct = graft.model.Ensemble.percentiles(samples)
+      Seq(
+        ("acceptance", acc, acc, acc),
+        ("depth", pct(0)(0), pct(0)(1), pct(0)(2)),
+        ("dur", pct(2)(0), pct(2)(1), pct(2)(2)),
+        ("epoch", pct(1)(0), pct(1)(1), pct(1)(2)))
+        .toDF("param", "p16", "p50", "p84")
+        .orderBy("param")
+    }),
+
     // T13 per-energy-bin fits, SPARK-PARALLEL (ref main.py:12301–12316:
     // typemodlenerfitt='iter' loops the whole fit once per energy bin —
     // here the loop IS the shuffle key): phase-fold each energy bin at
@@ -600,9 +665,20 @@ object Advanced {
     * @param enersSql  one row per fit: `SELECT ... AS ener`
     * @param fixtureSql CTEs ending in `bins(ener, b, tb, y, yq)`
     * @param seedBase  Scala-side seed = seedBase + ener
+    * @param nW,nSteps ensemble geometry (mirrors sampleQ's arguments)
+    * @param llqGen    (alias, paramPrefix) → scalar-subquery SQL for
+    *                  the integer micro-nat likelihood of that row's
+    *                  parameter columns; None → the white-noise
+    *                  boxLlq replay (t13/t13b). t13c passes the GP
+    *                  innovation-filter likelihood here.
+    * @param extraCte  additional CTEs (e.g. the GP lag-weight VALUES
+    *                  table) injected after the fixture
     */
   private def mcmcSamplerSql(enersSql: String, fixtureSql: String,
-                             seedBase: Long): String = {
+                             seedBase: Long,
+                             nW: Int = 100, nSteps: Int = 100,
+                             llqGen: Option[(String, String) => String] = None,
+                             extraCte: String = ""): String = {
     def D(x: Double) = s"CAST($x AS DOUBLE)"
     // box model at bin `bb` for parameter columns $al.${p}0..2 —
     // mirrors Ensemble.boxModel: ph = fmod-wrap into [0,P) minus P/2
@@ -613,10 +689,13 @@ object Advanced {
       s" THEN ${D(1.0)} ELSE ${D(0.0)} END))"
     // order-free integer micro-nat log-likelihood (Ensemble.boxLlq),
     // scale = 1e6/(2·(4e-4)²) = 3.125e12
-    def llq(al: String, p: String) =
+    val llq: (String, String) => String = llqGen.getOrElse((al, p) =>
       s"(SELECT CAST(-sum(CAST(round((bb.y - ${mdl(al, p)}) * (bb.y - ${mdl(al, p)}) * 3.125e12)" +
-      s" AS BIGINT)) AS BIGINT) FROM bins bb WHERE bb.ener = $al.ener)"
+      s" AS BIGINT)) AS BIGINT) FROM bins bb WHERE bb.ener = $al.ener)")
     def lnq(x: String) = s"CAST(round(ln($x) * 1e6) AS BIGINT)"
+    val burnRow = (nSteps * 0.3).toInt + 1 // first post-burn recursion row
+    val nSamples = (nSteps - (nSteps * 0.3).toInt) * nW
+    val nProps = nSteps.toLong * nW
     val los = Seq(-0.2, -3.5, 0.2); val his = Seq(0.2, 3.5, 2.0)
     def clamp(d: Int, v: String) =
       s"LEAST(${D(his(d))}, GREATEST(${D(los(d))}, $v))"
@@ -630,7 +709,7 @@ object Advanced {
     def prop(d: Int) = clamp(d, s"wj$d + z * (wk$d - wj$d)")
     s"""WITH RECURSIVE
        |eners AS ($enersSql),
-       |$fixtureSql,
+       |$fixtureSql,$extraCte
        |-- stateless indexed draws (Ensemble.draw): 2 LCG rounds with
        |-- xorshift mixing, mod 2^31; u = (r+1)/(2^31+1) exact IEEE
        |dr AS MATERIALIZED (
@@ -643,9 +722,9 @@ object Advanced {
        |                  ((($seedBase + en.ener + ix.idx) % 2147483648)
        |                   * 1103515245 + 12345) % 2147483648 AS x1
        |                FROM eners en,
-       |                  (SELECT unnest(range(0, 30000)) AS idx
+       |                  (SELECT unnest(range(0, ${nProps * 3})) AS idx
        |                   UNION ALL
-       |                   SELECT unnest(range(1000000, 1000300))) ix)))),
+       |                   SELECT unnest(range(1000000, ${1000000 + nW * 3}))) ix)))),
        |-- boxGuessQ: deepest 1-day CIRCULAR window of integer yq sums
        |-- (h = round(200·1.0/7.0)/2 = 14, width 2h+1 = 29), first-index
        |-- tiebreak; depth/epoch from the same IEEE expression shapes
@@ -669,7 +748,7 @@ object Advanced {
        |  FROM best JOIN sall ON sall.ener = best.ener),
        |ini AS (SELECT gx.ener AS ener, wk.k AS k,
        |    ${initW(0)} AS w0, ${initW(1)} AS w1, ${initW(2)} AS w2
-       |  FROM gx CROSS JOIN (SELECT unnest(range(0, 100)) AS k) wk),
+       |  FROM gx CROSS JOIN (SELECT unnest(range(0, $nW)) AS k) wk),
        |inil AS (SELECT i0.ener AS ener, i0.k AS k,
        |    i0.w0 AS w00, i0.w1 AS w01, i0.w2 AS w02, ${llq("i0", "w")} AS llq
        |  FROM ini i0),
@@ -706,23 +785,23 @@ object Advanced {
        |                wt.k AS k,
        |                e.w0s[wt.k + 1] AS wk0, e.w1s[wt.k + 1] AS wk1,
        |                e.w2s[wt.k + 1] AS wk2, e.llqs[wt.k + 1] AS llk,
-       |                e.w0s[(SELECT CASE WHEN r % 99 >= wt.k THEN r % 99 + 1 ELSE r % 99 END
+       |                e.w0s[(SELECT CASE WHEN r % ${nW - 1} >= wt.k THEN r % ${nW - 1} + 1 ELSE r % ${nW - 1} END
        |                       FROM dr WHERE dr.ener = e.ener
-       |                         AND dr.idx = (e.step * 100 + wt.k) * 3) + 1] AS wj0,
-       |                e.w1s[(SELECT CASE WHEN r % 99 >= wt.k THEN r % 99 + 1 ELSE r % 99 END
+       |                         AND dr.idx = (e.step * $nW + wt.k) * 3) + 1] AS wj0,
+       |                e.w1s[(SELECT CASE WHEN r % ${nW - 1} >= wt.k THEN r % ${nW - 1} + 1 ELSE r % ${nW - 1} END
        |                       FROM dr WHERE dr.ener = e.ener
-       |                         AND dr.idx = (e.step * 100 + wt.k) * 3) + 1] AS wj1,
-       |                e.w2s[(SELECT CASE WHEN r % 99 >= wt.k THEN r % 99 + 1 ELSE r % 99 END
+       |                         AND dr.idx = (e.step * $nW + wt.k) * 3) + 1] AS wj1,
+       |                e.w2s[(SELECT CASE WHEN r % ${nW - 1} >= wt.k THEN r % ${nW - 1} + 1 ELSE r % ${nW - 1} END
        |                       FROM dr WHERE dr.ener = e.ener
-       |                         AND dr.idx = (e.step * 100 + wt.k) * 3) + 1] AS wj2,
+       |                         AND dr.idx = (e.step * $nW + wt.k) * 3) + 1] AS wj2,
        |                (SELECT (u + 1) * (u + 1) / 2 FROM dr
        |                 WHERE dr.ener = e.ener
-       |                   AND dr.idx = (e.step * 100 + wt.k) * 3 + 1) AS z,
+       |                   AND dr.idx = (e.step * $nW + wt.k) * 3 + 1) AS z,
        |                (SELECT u FROM dr WHERE dr.ener = e.ener
-       |                   AND dr.idx = (e.step * 100 + wt.k) * 3 + 2) AS u2
+       |                   AND dr.idx = (e.step * $nW + wt.k) * 3 + 2) AS u2
        |            FROM ens e
-       |            CROSS JOIN (SELECT unnest(range(0, 100)) AS k) wt
-       |            WHERE e.step < 100
+       |            CROSS JOIN (SELECT unnest(range(0, $nW)) AS k) wt
+       |            WHERE e.step < $nSteps
        |          ) l1
        |        ) l2
        |      ) l3
@@ -734,7 +813,7 @@ object Advanced {
        |-- 0-based steps 30..99 = recursion rows 31..100 (70×100 = 7000)
        |smp AS MATERIALIZED (SELECT ener,
        |    unnest(w0s) AS w0, unnest(w1s) AS w1, unnest(w2s) AS w2
-       |  FROM ensm WHERE step >= 31),
+       |  FROM ensm WHERE step >= $burnRow),
        |qs AS (SELECT ${D(0.16)} AS q UNION ALL SELECT ${D(0.5)}
        |       UNION ALL SELECT ${D(0.84)}),
        |o0 AS (SELECT ener, w0 AS x,
@@ -744,28 +823,83 @@ object Advanced {
        |o2 AS (SELECT ener, w2 AS x,
        |    row_number() OVER (PARTITION BY ener ORDER BY w2) - 1 AS rn FROM smp),
        |-- Ensemble.percentiles: xs(i) + (xs(i+1)−xs(i))·(idx−i),
-       |-- idx = q·6999, i = trunc(idx) — the exact interpolation shape
+       |-- idx = q·${nSamples - 1}, i = trunc(idx) — the exact interpolation shape
        |pc0 AS (SELECT a.ener AS ener, qs.q AS q,
-       |    a.x + (b.x - a.x) * (qs.q * 6999 - trunc(qs.q * 6999)) AS v
+       |    a.x + (b.x - a.x) * (qs.q * ${nSamples - 1} - trunc(qs.q * ${nSamples - 1})) AS v
        |  FROM qs, o0 a, o0 b
-       |  WHERE a.rn = CAST(trunc(qs.q * 6999) AS BIGINT)
+       |  WHERE a.rn = CAST(trunc(qs.q * ${nSamples - 1}) AS BIGINT)
        |    AND b.ener = a.ener AND b.rn = a.rn + 1),
        |pc1 AS (SELECT a.ener AS ener, qs.q AS q,
-       |    a.x + (b.x - a.x) * (qs.q * 6999 - trunc(qs.q * 6999)) AS v
+       |    a.x + (b.x - a.x) * (qs.q * ${nSamples - 1} - trunc(qs.q * ${nSamples - 1})) AS v
        |  FROM qs, o1 a, o1 b
-       |  WHERE a.rn = CAST(trunc(qs.q * 6999) AS BIGINT)
+       |  WHERE a.rn = CAST(trunc(qs.q * ${nSamples - 1}) AS BIGINT)
        |    AND b.ener = a.ener AND b.rn = a.rn + 1),
        |pc2 AS (SELECT a.ener AS ener, qs.q AS q,
-       |    a.x + (b.x - a.x) * (qs.q * 6999 - trunc(qs.q * 6999)) AS v
+       |    a.x + (b.x - a.x) * (qs.q * ${nSamples - 1} - trunc(qs.q * ${nSamples - 1})) AS v
        |  FROM qs, o2 a, o2 b
-       |  WHERE a.rn = CAST(trunc(qs.q * 6999) AS BIGINT)
+       |  WHERE a.rn = CAST(trunc(qs.q * ${nSamples - 1}) AS BIGINT)
        |    AND b.ener = a.ener AND b.rn = a.rn + 1),
-       |accr AS (SELECT ener, CAST(nacc AS DOUBLE) / 10000 AS a
-       |  FROM ensm WHERE step = 100)""".stripMargin
+       |accr AS (SELECT ener, CAST(nacc AS DOUBLE) / $nProps AS a
+       |  FROM ensm WHERE step = $nSteps)""".stripMargin
   }
 
   /** t13's fixture CTEs (mirrors the declared query's Spark fixture
     * bit-for-bit) ending in bins(ener, b, tb, y, yq); ener ≡ 0. */
+  /** t13c's correlated-baseline wiggle over the 200 phase bins: a
+    * circular 8-bin moving sum of per-bin LCG draws — integer closed
+    * form shared verbatim by both engines, correlated over ~8 bins
+    * (0.28 d), rms ≈ 1.0e-3 ≈ 4× the binned white noise and 1/30 of
+    * the transit depth: exactly the nuisance structure the GP
+    * likelihood must marginalize out for the depth posterior to stay
+    * centered. */
+  private[queries] def t13cWigSql(bcol: String): String =
+    (0 until 8).map(k =>
+      s"(((($bcol + ${200 - k}) % 200) * 1103515245 + 54321) % 2147483648) % 1000")
+      .mkString(" + ")
+
+  /** t13c GP hyperparameters + derived innovation-filter constants
+    * (fixed, not fitted — the reference supports fixed GP hyperpriors;
+    * fitting them would make the lag weights proposal-dependent and
+    * the log-det term non-constant): σ=1e-3 (the wiggle's scale),
+    * ρ=0.15 d (~4 bins), R=(4e-4)² (t13's measurement noise), 32 lags
+    * (decay e^{-λ·dt} ≈ 0.668 per lag ⇒ lag-32 weight ~2.6e-6, below
+    * the 1e-6 weight quantum — the w8_ewma truncation discipline). */
+  private[queries] lazy val t13cGp: (Array[Long], Double) = {
+    val (cw, sInn) = graft.ops.Detrend.gpInnovSteady(
+      sigma = 0.001, rho = 0.15, dt = 7.0 / 200, yerr = 4e-4, nLags = 32)
+    (cw.map(c => graft.expr.VecExprs.roundHalfAway(c * 1e6)),
+      1e6 / (2 * sInn))
+  }
+
+  /** t13's fixture + the wiggle: bins(ener, b, tb, y, yq) with
+    * y = binned flux + wig — mirrors the Spark fixture bit-for-bit
+    * (identical literal expression shapes, identical operation
+    * order). */
+  private def t13cFixtureSql: String = {
+    val wig = t13cWigSql("b")
+    s"""e0 AS (SELECT min(epoch_us(ts)) AS t0 FROM events),
+       |gn AS (SELECT en.ener AS ener, ii.i AS i,
+       |    (i % 65536 * 1103515245 + 12345) % 2147483648 AS r,
+       |    (ii.i * 648000000) % 604800000000 AS ph
+       |  FROM e0, eners en, (SELECT unnest(range(0, 4000)) AS i) ii),
+       |fl AS (SELECT ener, ph,
+       |    1.0 - (CASE WHEN ph < 43200000000 OR ph > 561600000000
+       |                THEN CAST(0.03 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+       |        + (CAST(r AS DOUBLE) / 2147483648.0 - 0.5) * 0.004 AS flux
+       |  FROM gn),
+       |bnr AS (SELECT ener, (ph * 200) // 604800000000 AS b, count(*) AS n,
+       |    CAST(sum(CAST(round(flux * 1e6) AS BIGINT)) AS BIGINT) AS sv
+       |  FROM fl GROUP BY 1, 2),
+       |bins AS MATERIALIZED (SELECT ener, b,
+       |    (CAST(b AS DOUBLE) + 0.5) * 7.0 / 200 AS tb,
+       |    CAST(sv AS DOUBLE) / n / 1e6
+       |      + CAST(($wig) - 4000 AS DOUBLE) * CAST(1.25e-6 AS DOUBLE) AS y,
+       |    CAST(round((CAST(sv AS DOUBLE) / n / 1e6
+       |      + CAST(($wig) - 4000 AS DOUBLE) * CAST(1.25e-6 AS DOUBLE)) * 1e9)
+       |      AS BIGINT) AS yq
+       |  FROM bnr)""".stripMargin
+  }
+
   private def t13FixtureSql(perEner: Boolean): String = {
     val rExpr =
       if (perEner) "((i + ener * 7919) % 65536 * 1103515245 + 12345) % 2147483648"
@@ -812,6 +946,53 @@ object Advanced {
          |      max(CASE WHEN q > 0.3 AND q < 0.7 THEN v END),
          |      max(CASE WHEN q > 0.7 THEN v END) FROM pc1
          |) ORDER BY param""".stripMargin,
+
+    // The GP walk replay: same recursive sampler CTE, the likelihood
+    // subquery swapped for the steady-state innovation filter — the
+    // lag-weight table arrives as the SAME integer literals the
+    // engine derived (t13cGp), so the filter is exact int64 in both
+    // engines and the per-proposal evaluation is one 200×≤32
+    // join+aggregate.
+    "t13c_mcmc_gp" -> {
+      val (cq, scale) = t13cGp
+      def D(x: Double) = s"CAST($x AS DOUBLE)"
+      val wtsVals = cq.zipWithIndex
+        .map { case (c, i) => s"(${i + 1}, $c)" }.mkString(", ")
+      val gpLlq: (String, String) => String = (al, p) => {
+        def mdl2(ba: String) =
+          s"(1.0 - $al.${p}0 * (CASE WHEN abs(fmod($ba.tb - $al.${p}1 + 3.5, 7.0) - 3.5)" +
+          s" < $al.${p}2 / 2 THEN ${D(1.0)} ELSE ${D(0.0)} END))"
+        def rq(ba: String) =
+          s"CAST(round(($ba.y - ${mdl2(ba)}) * 1e8) AS BIGINT)"
+        s"(SELECT CAST(-sum(CAST(round((CAST(nuq AS DOUBLE) / 1e14)" +
+        s" * (CAST(nuq AS DOUBLE) / 1e14) * ${D(scale)}) AS BIGINT)) AS BIGINT)" +
+        s" FROM (SELECT max(${rq("bb")}) * 1000000" +
+        s" - coalesce(CAST(sum(w.cq * ${rq("b2")}) AS BIGINT), 0) AS nuq" +
+        s" FROM bins bb LEFT JOIN wts w ON w.l <= bb.b" +
+        s" LEFT JOIN bins b2 ON b2.ener = bb.ener AND b2.b = bb.b - w.l" +
+        s" WHERE bb.ener = $al.ener GROUP BY bb.b) nn)"
+      }
+      s"""${mcmcSamplerSql("SELECT CAST(0 AS BIGINT) AS ener",
+                           t13cFixtureSql, 42L, nW = 50, nSteps = 60,
+                           llqGen = Some(gpLlq),
+                           extraCte = s"""
+wts AS (SELECT * FROM (VALUES $wtsVals) AS t(l, cq)),""")}
+         |SELECT * FROM (
+         |  SELECT 'acceptance' AS param, a AS p16, a AS p50, a AS p84 FROM accr
+         |  UNION ALL
+         |  SELECT 'depth', max(CASE WHEN q < 0.3 THEN v END),
+         |      max(CASE WHEN q > 0.3 AND q < 0.7 THEN v END),
+         |      max(CASE WHEN q > 0.7 THEN v END) FROM pc0
+         |  UNION ALL
+         |  SELECT 'dur', max(CASE WHEN q < 0.3 THEN v END),
+         |      max(CASE WHEN q > 0.3 AND q < 0.7 THEN v END),
+         |      max(CASE WHEN q > 0.7 THEN v END) FROM pc2
+         |  UNION ALL
+         |  SELECT 'epoch', max(CASE WHEN q < 0.3 THEN v END),
+         |      max(CASE WHEN q > 0.3 AND q < 0.7 THEN v END),
+         |      max(CASE WHEN q > 0.7 THEN v END) FROM pc1
+         |) ORDER BY param""".stripMargin
+    },
 
     "t13b_mcmc_perener" ->
       s"""${mcmcSamplerSql("SELECT unnest(range(0, 8)) AS ener",

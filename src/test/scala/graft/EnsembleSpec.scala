@@ -139,4 +139,64 @@ class EnsembleSpec extends AnyFunSuite {
     assert(math.abs(g(1)) < 0.3, s"epoch guess ${g(1)} should be ~0")
     assert(g(0) > 0.01 && g(0) < 0.03, s"depth guess ${g(0)}")
   }
+
+  test("gpInnovSteady: truncated innovation filter tracks the exact Kalman GP likelihood") {
+    // On a uniform grid, llq differences between two residual vectors
+    // must match the EXACT sequential Kalman marginal likelihood
+    // (Detrend.gpLogLik) up to the additive log-det constant and the
+    // truncation/quantization tail — this pins the steady-state
+    // + lag-truncation derivation against the recurrence it replaces.
+    val nb = 200; val dt = 7.0 / 200
+    val t = Array.tabulate(nb)(b => (b + 0.5) * dt)
+    val sigma = 0.001; val rho = 0.15; val yerr = 4e-4
+    val (cw, sInn) = graft.ops.Detrend.gpInnovSteady(sigma, rho, dt, yerr, 32)
+    val cq = cw.map(c => graft.expr.VecExprs.roundHalfAway(c * 1e6))
+    val scale = 1e6 / (2 * sInn)
+    def mkR(seed: Int): Array[Double] = {
+      val rng = new scala.util.Random(seed)
+      // correlated-ish residuals at the fixture's magnitude
+      val w = Array.fill(nb)(rng.nextGaussian() * 0.001)
+      Array.tabulate(nb)(i => w(math.max(0, i - 1)) * 0.5 + w(i) * 0.5)
+    }
+    val ye = Array.fill(nb)(yerr)
+    def llqOf(r: Array[Double]): Long = {
+      // gpBoxLlq with a zero model: y = r, depth 0 box
+      Ensemble.gpBoxLlq(t, r.map(_ + 1.0), cq, scale, 7.0)(Array(0.0, 0.0, 0.5))
+    }
+    val r1 = mkR(7); val r2 = mkR(8)
+    val dLlq = (llqOf(r1) - llqOf(r2)).toDouble / 1e6 // nats
+    val dExact = graft.ops.Detrend.gpLogLik(t, r1, ye, sigma, rho) -
+      graft.ops.Detrend.gpLogLik(t, r2, ye, sigma, rho)
+    // exact path carries the first bins' transient (non-steady gains)
+    // and no truncation; agreement to ~1% of the difference magnitude
+    assert(math.abs(dLlq - dExact) < 0.02 * math.abs(dExact) + 2.0,
+      s"innovation-filter delta $dLlq vs exact Kalman delta $dExact")
+  }
+
+  test("t13c fixture-volume GP fit recovers the injection through the correlated wiggle") {
+    // mirrors the declared query's construction driver-side (no Spark):
+    // box + white LCG noise + the 8-bin moving-sum wiggle, then the
+    // 50x60 sampleQ walk under the GP innovation likelihood
+    val nb = 200
+    val t = Array.tabulate(nb)(b => (b + 0.5) * 7.0 / 200)
+    val y = Array.tabulate(nb) { b =>
+      val box = Ensemble.boxModel(Array(t(b)), 0.0, 7.0, 1.0, 0.03)(0)
+      val wigq = (0 until 8).map(k =>
+        ((((b + 200 - k) % 200).toLong * 1103515245L + 54321L) % 2147483648L) % 1000L).sum
+      box + (wigq - 4000L).toDouble * 1.25e-6
+    }
+    val (cw, sInn) = graft.ops.Detrend.gpInnovSteady(0.001, 0.15, 7.0 / 200, 4e-4, 32)
+    val cq = cw.map(c => graft.expr.VecExprs.roundHalfAway(c * 1e6))
+    val llq = Ensemble.gpBoxLlq(t, y, cq, 1e6 / (2 * sInn), 7.0) _
+    val yq = y.map(v => graft.expr.VecExprs.roundHalfAway(v * 1e9))
+    val guess = Ensemble.boxGuessQ(t, yq, 7.0, 1.0)
+    val (samples, acc) = Ensemble.sampleQ(llq,
+      lo = Array(-0.2, -3.5, 0.2), hi = Array(0.2, 3.5, 2.0),
+      nWalkers = 50, nSteps = 60, seed = 42L, init = guess, ballFrac = 0.005)
+    val pct = Ensemble.percentiles(samples)
+    assert(acc > 0.1 && acc < 0.9, s"acceptance $acc")
+    assert(math.abs(pct(0)(1) - 0.03) < 0.006, s"depth p50 ${pct(0)(1)}")
+    assert(math.abs(pct(1)(1)) < 0.1, s"epoch p50 ${pct(1)(1)}")
+    assert(math.abs(pct(2)(1) - 1.0) < 0.15, s"dur p50 ${pct(2)(1)}")
+  }
 }
