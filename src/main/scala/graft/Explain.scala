@@ -133,7 +133,16 @@ object Explain {
       "d39_filter_reasons" -> "composite quality gate with reason bitmask: two keyed count aggregations (token, bigram) rolled to per-doc scalars + a map-side bitmask projection; every rule an integer cross-multiply",
       "j13_pit_join" -> "point-in-time join against the u6 SCD2 dimension: EQUI-join on the business key with the validity range as a residual predicate — versions per key bounded by the timeline partition, so the per-key probe is tiny; every fact matches exactly one version (spec-asserted cardinality)",
       "a17_corr_matrix" -> "cross-series Pearson matrix: daily rebin is the one corpus-scale agg (series become calendar-bounded), pair join on the day key moves types^2-bounded rows, five exact int64 sums per pair feed the closed-form r",
-      "p6_psi_drift" -> "PSI drift monitor: ONE map-side-combined aggregation to <=256 histogram cells, grid-completed so both engines see identical smoothing terms; per-term 1e8 quantization makes the sum order-free exact")
+      "p6_psi_drift" -> "PSI drift monitor: ONE map-side-combined aggregation to <=256 histogram cells, grid-completed so both engines see identical smoothing terms; per-term 1e8 quantization makes the sum order-free exact",
+      // round-7: the >=0.8 s previously-unaudited tail + the new ops
+      "a10_sessionize" -> "trigger-island clustering: gap flags and island ids are lag/cumulative windows ALL partitioned by user_id (one Exchange serves the chain); per-island rollup reuses the same partitioning — no global window, no join",
+      "sc_json" -> "JSON scalar-function surface: get_json_object/from_json are row-local codegen projections — map-only until the output sort (one range Exchange)",
+      "a13_rms_binwidth" -> "residual RMS vs bin width: the 50 widths come from ONE exploded broadcast frame joined map-side; per-(width, bin) partial sums combine map-side, the per-width rollup is 50 rows — the series is scanned once, not once per width",
+      "u2_except" -> "set difference as LeftAnti join keyed on the row hash — hash-partitionable at any scale (no sort-based EXCEPT), filters below the shuffle",
+      "a2_median_norm" -> "per-group median normalization: percentile aggregation partitioned by the group key (map-side partial), broadcast back onto the stream — no global sort, no single-partition window",
+      "j8_asof_interp" -> "as-of interpolation join: both series Exchange ONCE on the series key; the bracketing neighbors come from partitioned lag/lead windows over the union — no theta join, no per-row subquery",
+      "s14_fits_scan" -> "REAL FITS ingest: binaryFile scan (one row per lc.fits, parallelism = files packed by maxPartitionBytes), row-local BINTABLE decode in mapPartitions, quality/finite mask on the decoded stream; the only shuffles are the 8-row per-sector median aggregate (broadcast back) and the output sort",
+      "t13c_mcmc_gp" -> "GP-likelihood MCMC (driver-fit division like t13): ONE exact-integer phase-bin aggregation + the 200-row wiggle projection feed the collected fit window; the 50x60 walk under the steady-state innovation-filter likelihood is driver-side and SQL-replayable (see oracle); plan is the binning aggregate + LocalTableScan of the posterior")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by graft.Explain)\n\n")

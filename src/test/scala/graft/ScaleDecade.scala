@@ -39,7 +39,14 @@ object ScaleDecade {
       // span-scaled lag join, user-keyed cohorts, per-key streaming
       // state, bucketed-cumulative AUC
       "d36_dsir", "o9_global_index", "t17_xcorr", "a16_cohort_retention",
-      "st14_stream_ewma", "d38_classifier_auc")
+      "st14_stream_ewma", "d38_classifier_auc",
+      // r7: the last heavy ops with only one measured decade — the
+      // streaming joins/flare kernel, the companion loop (fixed-size
+      // sim + a growing min-scan), the grid crossmatch (fixed this
+      // round: density-adaptive cells), phash pairs, multi-kernel
+      // matched filter
+      "st7_stream_join", "st10_stream_flare", "t6b_bls_companions",
+      "j11_zone_crossmatch", "m6_image_phash", "t8b_matched_multi")
     // optional 2nd arg: comma-separated subset (re-measure selectively)
     val queries = args.lift(1).map(_.split(",").toSeq.filter(all.contains))
       .getOrElse(all)

@@ -155,7 +155,12 @@ class ScaleSweepSpec extends SparkSpec {
       "o9_global_index" -> 30.0,
       "t17_xcorr" -> 30.0,
       "a16_cohort_retention" -> 30.0,
-      "st14_stream_ewma" -> 30.0)
+      "st14_stream_ewma" -> 30.0,
+      // r7: the grid crossmatch after the density fix — the fine
+      // pass's candidate stream is O(probes) at any density (the
+      // zones-only r6 shape went quadratic here, caught by the 100×
+      // sweep prep)
+      "j11_zone_crossmatch" -> 30.0)
     val report = bounds.toSeq.sortBy(_._1).map { case (q, bound) =>
       var t1 = timeQ(q, x1)
       var t10 = timeQ(q, x10)
@@ -204,13 +209,21 @@ class ScaleSweepSpec extends SparkSpec {
   * int64 NANOS to flow through Tables.events / the st* glob readers
   * exactly like the driver fixture. */
 object ScaleFixture {
-  private val Version = "v3" // v2: uniform token draw (v1's u² skew made
+  private val Version = "v6" // v2: uniform token draw (v1's u² skew made
                              // ~5% of RANDOM doc pairs Jaccard-similar —
                              // unrealistically dense near-dup structure)
                              // v3: events.value / lineitem money columns
                              // cast DOUBLE like the driver fixture
                              // (decimal literals made them DECIMAL(28,6),
                              // which typed Dataset consumers reject)
+                             // v4: + supplier/customer id tables so the
+                             // j11 crossmatch gets its 100× decade
+                             // v5: adjacent event pairs share a user
+                             // (see user_id below — st7 was
+                             // structurally empty on v3/v4)
+                             // v6: xorshift-mixed value AND type draws
+                             // (affine draws were per-user periodic /
+                             // pair-deterministic — see inline notes)
 
   def dir(spark: SparkSession, mult: Int): String = {
     val d = new java.io.File(sys.props("java.io.tmpdir"), s"graft_scale_x$mult")
@@ -277,10 +290,30 @@ object ScaleFixture {
     val evs = spark.range(ne).toDF("event_id").selectExpr(
       "event_id",
       s"(1704067200000000 + event_id * (CAST($spanUs AS BIGINT) div $ne)) * 1000 AS ts",
-      "pmod(event_id * 2654435761, 1500) AS user_id",
+      // (event_id div 2): adjacent event PAIRS share a user, so
+      // user-keyed sequences contain ~26 s-apart neighbors — without
+      // this the constant 100k-events-per-30-days rate puts same-user
+      // events ~11 h apart and the st7 6-hour stream-stream join is
+      // structurally empty at EVERY multiplier (v3 measured 0 rows)
+      "pmod((event_id div 2) * 2654435761, 1500) AS user_id",
+      // type from the same xorshift mix: the affine pmod(id·7919, 5)
+      // draw makes adjacent-pair types a DETERMINISTIC function of
+      // id mod 5 — a (click → purchase) pair never occurs and st7's
+      // stream-stream join is structurally empty
       "element_at(array('view','click','error','purchase','login')," +
-        " CAST(pmod(event_id * 7919, 5) AS INT) + 1) AS event_type",
-      "CAST(20.0 + pmod(event_id * 104729, 20000) / 100.0 AS DOUBLE) AS value",
+        " CAST(pmod((pmod(event_id * 104729 + 12345, 2147483648)" +
+        " ^ shiftright(pmod(event_id * 104729 + 12345, 2147483648), 13))" +
+        " * 7919, 5) AS INT) + 1) AS event_type",
+      // xorshift-mixed value draw (the documents token-draw lesson):
+      // a pure affine draw is PERIODIC on any fixed-stride
+      // subsequence — per-user ids step by 1500 and
+      // 1500·104729 ≡ 13500 (mod 20000) gives period 40, which
+      // resampled onto t8b's 12 h grid repeats every 36 grid steps,
+      // ties the top correlation ~16× per partition, and pins the
+      // p99 threshold AT the max (t8b measured 0 triggers at 10×)
+      "CAST(20.0 + pmod((pmod(event_id * 104729 + 12345, 2147483648)" +
+        " ^ shiftright(pmod(event_id * 104729 + 12345, 2147483648), 13))" +
+        " * 69069, 20000) / 100.0 AS DOUBLE) AS value",
       "concat('{\"k\": ', event_id % 100, '}') AS props")
     write(evs, "events", math.max(2, mult))
 
@@ -295,5 +328,13 @@ object ScaleFixture {
     write(li, "lineitem", math.max(2, mult))
 
     write(spark.read.parquet("/root/testdata/sf0.1/nation.parquet"), "nation", 1)
+
+    // supplier/customer id tables for the j11 grid crossmatch — the
+    // driver fixture's 1:15 catalog:probe ratio, scaled; only the key
+    // columns are read (positions are closed-form in the key)
+    write(spark.range(1000L * mult).toDF("s_suppkey"),
+      "supplier", math.max(1, mult / 10))
+    write(spark.range(15000L * mult).toDF("c_custkey"),
+      "customer", math.max(1, mult / 10))
   }
 }
