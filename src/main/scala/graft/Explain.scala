@@ -118,7 +118,7 @@ object Explain {
       "g5_grouping_sets" -> "arbitrary GROUPING SETS ((type,day),(day),()): ONE Expand pass (3x replication) + a single keyed aggregation — no union of separate GROUP BYs; completes g1 ROLLUP / g2 PIVOT / g3 CUBE / g4 UNPIVOT",
       "t18_harmonic" -> "closed-form sinusoid fit: one corpus-scale phase-bin aggregation, a 24-row broadcast basis join, per-series rollup of NINE exact int64 normal-equation sums, Cramer determinants as order-free integer column math — no solver iteration, no collect of the data",
       "e12_recall_eval" -> "in-plan index-quality eval: the e1 (brute-force baseline) and e2 (bucket-keyed LSH) arms feed a |queries*k|-row left join + keyed rollup; recall_ppm is an exact integer ratio; both rank windows partition by q_id",
-      "m6_image_phash" -> "perceptual-hash image near-dup: per-pixel stream from the REAL PNG decode (partition-local kernel), aHash as declarative SQL (cross-multiplied cell bits, no division), pairs from d4's pigeonhole band EQUI-join with the popcount gate on the candidate stream — never all pairs",
+      "m6_image_phash" -> "perceptual-hash image near-dup: per-pixel stream from the REAL PNG decode (partition-local kernel), aHash as declarative SQL (cross-multiplied cell bits, no division), candidates from d4's pigeonhole band EQUI-join SALTED into <=128-member sub-cells (d31 — a 16-bit hash space saturates at corpus scale and unsalted buckets go quadratic, caught by the 100x sweep), per-image rank-1 best match so the answer is bounded at one row per image",
       "w8_ewma" -> "truncated exponential smoothing: ONE partitioned window carrying 20 codegen lag() terms with exact power-of-two weights — no recurrence, no self-join; partial leading windows normalize by present weight mass",
       "p5_skew_profile" -> "join-key skew diagnostic: two map-side-combined aggregations (rows -> key counts -> <=41 histogram rows); the only window runs over the histogram itself; log2 bucket is an integer CASE ladder",
       "a16_cohort_retention" -> "cohort retention matrix: first-seen is ONE user-keyed min-agg; activity join user-keyed (AQE broadcasts the cohort table while it fits); distinct + cell rollup share the (cohort, age) partitioning; sizes a |cohorts|-row broadcast — no window anywhere",

@@ -564,10 +564,17 @@ object Advanced {
     // 16-bit hash assembled with the shared pow2 ladder. Pairs at
     // Hamming ≤ 2 use d4's exact pigeonhole: 3 bands (6/5/5 bits) —
     // ≤2 flipped bits leave ≥1 band intact — so candidates come from
-    // an EQUI-join on (band, value) and the popcount gate runs on the
-    // candidate stream, never all pairs. At production scale the hash
-    // widens to 8×8/64-bit and d4b's banding applies verbatim; the
-    // 4×4 grid here is forced by the 4-px fixture images.
+    // an EQUI-join on (band, value, sub-cell). r7 scale hardening
+    // (the d31 lesson, caught by the 100× sweep: the unsalted form
+    // ran >15 min at 500 k images before being killed): a 16-bit hash
+    // space has ≤128 distinct (band, value) keys TOTAL, so buckets
+    // grow O(corpus) and both the pair join and the pair LIST itself
+    // go quadratic on any large corpus. The declared operator is
+    // therefore the production dedup shape — per-image BEST
+    // near-duplicate (hamming ≤ 2) over population-salted sub-cells
+    // of ≤128 members: candidates ≤ ~381·n at any saturation, output
+    // ≤ 1 row per image. The salt is DORMANT at driver SFs (every
+    // bucket ≤128), where the answer is the exact rank-1 assignment.
     "m6_image_phash" -> ((s, d) => {
       import graft.text.TextOps
       val media = graft.multimodal.Multimodal.fromDocuments(
@@ -599,15 +606,31 @@ object Advanced {
           struct(lit(2).as("bi"), expr("ahash div 2048").as("bv")))).as("b"))
         .select(col("media_id"), col("ahash"), col("b.bi").as("bi"),
           col("b.bv").as("bv"))
-      val lhs = bands.select(col("bi"), col("bv"),
+      // bucket-population sub-cell salt (d31): bcnt has ≤128 rows
+      val bcnt = bands.groupBy("bi", "bv").agg(count(lit(1)).as("bc"))
+      val bandsS = bands.join(broadcast(bcnt), Seq("bi", "bv"))
+        .withColumn("nsub", expr("(bc + 127) div 128"))
+        .withColumn("sub",
+          expr(TextOps.md5Hash32Fast("CAST(media_id AS STRING)")) % col("nsub"))
+      val lhs = bandsS.select(col("bi"), col("bv"), col("sub"),
         col("media_id").as("a_id"), col("ahash").as("ha"))
-      val rhs = bands.select(col("bi"), col("bv"),
+      val rhs = bandsS.select(col("bi"), col("bv"), col("sub"),
         col("media_id").as("b_id"), col("ahash").as("hb"))
-      lhs.join(rhs, Seq("bi", "bv")).filter(col("a_id") < col("b_id"))
+      val pairs = lhs.join(rhs, Seq("bi", "bv", "sub"))
+        .filter(col("a_id") < col("b_id"))
         .select("a_id", "b_id", "ha", "hb").distinct()
         .withColumn("hamm", expr("bit_count(ha ^ hb)"))
         .filter(col("hamm") <= 2)
-        .orderBy("a_id", "b_id")
+      // per-image best match, both directions of each a<b pair
+      val sym = pairs.select(col("a_id").as("media_id"),
+          col("b_id").as("match_id"), col("hamm"), col("ha").as("ahash"))
+        .unionByName(pairs.select(col("b_id").as("media_id"),
+          col("a_id").as("match_id"), col("hamm"), col("hb").as("ahash")))
+      val wbest = org.apache.spark.sql.expressions.Window
+        .partitionBy("media_id").orderBy(asc("hamm"), asc("match_id"))
+      sym.withColumn("rn", row_number().over(wbest)).filter(col("rn") === 1)
+        .select("media_id", "match_id", "hamm", "ahash")
+        .orderBy("media_id")
     }),
 
     // M4 — audio framing features (the audio analog of m3): every
@@ -1159,15 +1182,29 @@ wts AS (SELECT * FROM (VALUES $wtsVals) AS t(l, cq)),""")}
         |  SELECT media_id, ahash, 1, (ahash // 64) % 32 FROM hashes
         |  UNION ALL
         |  SELECT media_id, ahash, 2, ahash // 2048 FROM hashes),
+        |bcnt AS (SELECT bi, bv, count(*) AS bc FROM bands GROUP BY 1, 2),
+        |bs AS (SELECT bands.media_id, bands.ahash, bands.bi, bands.bv,
+        |    (${TextOps.md5Hash32("CAST(media_id AS VARCHAR)")})
+        |      % ((bc + 127) // 128) AS sub
+        |  FROM bands JOIN bcnt USING (bi, bv)),
         |pairs AS (SELECT DISTINCT a.media_id AS a_id, b.media_id AS b_id,
         |    a.ahash AS ha, b.ahash AS hb
-        |  FROM bands a JOIN bands b
-        |    ON a.bi = b.bi AND a.bv = b.bv AND a.media_id < b.media_id)
-        |SELECT a_id, b_id, ha, hb,
-        |  CAST(bit_count(CAST(xor(ha, hb) AS BIGINT)) AS INTEGER) AS hamm
-        |FROM pairs
-        |WHERE bit_count(CAST(xor(ha, hb) AS BIGINT)) <= 2
-        |ORDER BY a_id, b_id""".stripMargin
+        |  FROM bs a JOIN bs b
+        |    ON a.bi = b.bi AND a.bv = b.bv AND a.sub = b.sub
+        |      AND a.media_id < b.media_id
+        |  WHERE bit_count(CAST(xor(a.ahash, b.ahash) AS BIGINT)) <= 2),
+        |sym AS (
+        |  SELECT a_id AS media_id, b_id AS match_id,
+        |    CAST(bit_count(CAST(xor(ha, hb) AS BIGINT)) AS INTEGER) AS hamm,
+        |    ha AS ahash FROM pairs
+        |  UNION ALL
+        |  SELECT b_id, a_id,
+        |    CAST(bit_count(CAST(xor(ha, hb) AS BIGINT)) AS INTEGER),
+        |    hb FROM pairs),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY media_id
+        |    ORDER BY hamm ASC, match_id ASC) AS rn FROM sym)
+        |SELECT media_id, match_id, hamm, ahash FROM rk WHERE rn = 1
+        |ORDER BY media_id""".stripMargin
     },
 
     // Independent reconstruction of the framed audio features from

@@ -60,6 +60,20 @@ class FitsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Fits.readLightCurve(noflux) }
   }
 
+  test("px pipeline: the injected dip surfaces as the deepest phase bins") {
+    val df = graft.queries.Extras.queries("px_lightcurve_pipeline")(spark, sf)
+    val rows = df.collect()
+    assert(rows.length === 5)
+    // dip: i%360 < 18 ⇒ ph_md = 2i mod 720 ∈ {0..34} ⇒ bins 0..2 are
+    // fully in-transit and bin 3 is 60% in-transit (ph 30/32/34 dip,
+    // 36/38 not) — all four must rank among the 5 deepest
+    val bins = rows.map(_.getLong(0)).toSet
+    assert(Set(0L, 1L, 2L, 3L).subsetOf(bins), s"dip bins missing from $bins")
+    // fully-in-transit mean ≈ 0.97; the partial bin ≈ 0.99
+    val fullMeans = rows.filter(r => r.getLong(0) <= 2).map(_.getDouble(4))
+    assert(fullMeans.forall(m => m < 0.985 && m > 0.95), fullMeans.mkString(","))
+  }
+
   test("s14 query: mask, offset, per-sector normalization over binaryFile") {
     val df = graft.queries.Extras.queries("s14_fits_scan")(spark, sf)
     val rows = df.collect()

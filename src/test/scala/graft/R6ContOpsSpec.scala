@@ -208,14 +208,27 @@ class R6ContOpsSpec extends SparkSpec {
       (0 until 16).map(c => if (cs(c) * npx > tot * cn(c)) 1L << c else 0L).sum
     }
     val hs = ids.map(id => id -> ahash(id)).toMap
-    val brute = (for {
-      a <- ids; b <- ids if a < b
-      if java.lang.Long.bitCount(hs(a) ^ hs(b)) <= 2
-    } yield (a, b)).toSet
+    // r7: the declared output is the per-image BEST match (the d31
+    // sub-cell salt is dormant at this SF — every band bucket <=128 —
+    // so the assignment must equal the brute-force rank-1 over ALL
+    // hamming<=2 pairs)
+    val best = ids.flatMap { a =>
+      val cands = ids.filter(b => b != a &&
+        java.lang.Long.bitCount(hs(a) ^ hs(b)) <= 2)
+      if (cands.isEmpty) None
+      else {
+        val m = cands.map(b =>
+          (java.lang.Long.bitCount(hs(a) ^ hs(b)), b)).min
+        Some(a -> m)
+      }
+    }.toMap
     val got = SparkEntry.queries("m6_image_phash")(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(got == brute,
-      s"banded pairs ${got.size} != brute force ${brute.size}")
+      .map(r => r.getLong(0) -> ((r.getInt(2), r.getLong(1)))).toMap
+    assert(got.keySet == best.keySet,
+      s"matched-image set ${got.size} != brute force ${best.size}")
+    got.foreach { case (id, m) =>
+      assert(m == best(id), s"image $id: $m != ${best(id)}")
+    }
   }
 
   test("w8: truncated-EWMA window equals a per-user scalar replay") {
