@@ -142,7 +142,8 @@ object Explain {
       "a2_median_norm" -> "per-group median normalization: percentile aggregation partitioned by the group key (map-side partial), broadcast back onto the stream — no global sort, no single-partition window",
       "j8_asof_interp" -> "as-of interpolation join: both series Exchange ONCE on the series key; the bracketing neighbors come from partitioned lag/lead windows over the union — no theta join, no per-row subquery",
       "s14_fits_scan" -> "REAL FITS ingest: binaryFile scan (one row per lc.fits, parallelism = files packed by maxPartitionBytes), row-local BINTABLE decode in mapPartitions, quality/finite mask on the decoded stream; the only shuffles are the 8-row per-sector median aggregate (broadcast back) and the output sort",
-      "t13c_mcmc_gp" -> "GP-likelihood MCMC (driver-fit division like t13): ONE exact-integer phase-bin aggregation + the 200-row wiggle projection feed the collected fit window; the 50x60 walk under the steady-state innovation-filter likelihood is driver-side and SQL-replayable (see oracle); plan is the binning aggregate + LocalTableScan of the posterior")
+      "t13c_mcmc_gp" -> "GP-likelihood MCMC (driver-fit division like t13): ONE exact-integer phase-bin aggregation + the 200-row wiggle projection feed the collected fit window; the 50x60 walk under the steady-state innovation-filter likelihood is driver-side and SQL-replayable (see oracle); plan is the binning aggregate + LocalTableScan of the posterior",
+      "px_lightcurve_pipeline" -> "end-to-end light-curve pipeline in ONE fused plan: map-only FITS decode; mask/normalize/clip are map-side against BROADCAST per-sector stats frames; the fold/bin aggregation is the single corpus-scale shuffle (map-side combined); top-5 is TakeOrderedAndProject over 72 bin rows")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by graft.Explain)\n\n")

@@ -69,23 +69,32 @@ object MatchedFilter {
       .withColumn("n_grid", expr(s"(t1r - t0r + $stepUs - 1) div $stepUs"))
       .filter(col("n_grid") >= 1 && col("n_samp") >= 2 &&
         col("n_samp") >= lit(fillFrac) * col("n_grid"))
-    val grid = bnd
-      .withColumn("i", explode(sequence(lit(0L), col("n_grid") - 1)))
-      .withColumn("g_us", col("t0r") + col("i") * stepUs)
-      .select(prc ++ Seq(col("i"), col("g_us")): _*)
     val wseg = Window.partitionBy(prc: _*).orderBy(col(tUs), col(id))
     val seg = reg
       .withColumn("_t1", lead(col(tUs), 1).over(wseg))
       .withColumn("_v1", lead(col(vc), 1).over(wseg))
       .filter(col("_t1").isNotNull)
-    val joinCond = (pr.map(c => col(s"g.$c") === col(s"s.$c")) :+
-      (col("g.g_us") >= col(s"s.$tUs")) :+ (col("g.g_us") < col("s._t1")))
-      .reduce(_ && _)
-    val interp = grid.alias("g").join(seg.alias("s"), joinCond)
-      .select(pr.map(c => col(s"g.$c")) ++ Seq(col("g.i"),
-        floor(lit(1e6) * (col(s"s.$vc") +
-          (col("s._v1") - col(s"s.$vc")) *
-          ((col("g.g_us") - col(s"s.$tUs")) / (col("s._t1") - col(s"s.$tUs")))))
+    // Grid slots are GENERATED from their unique covering segment
+    // instead of range-joined to it: every grid point g = t0r + i·step
+    // lies in exactly one [t_us, _t1) interval, so exploding each
+    // segment into the slot indices it covers is output-identical to
+    // the theta join the r6 form used — but O(grid) instead of
+    // O(grid × segments) per region. The r6 nested-loop shape was the
+    // 100× sweep's finding: within one region the range join paired
+    // every slot with every segment before filtering (~4e7 rows per
+    // key at 100×, 240 s; this form re-measures at ~linear).
+    val interp = seg
+      .join(bnd.select(prc :+ col("t0r") :+ col("n_grid"): _*), pr)
+      .withColumn("_i0", expr(s"($tUs - t0r + $stepUs - 1) div $stepUs"))
+      .withColumn("_i1", least(expr(s"(_t1 - t0r - 1) div $stepUs"),
+        col("n_grid") - 1))
+      .filter(col("_i1") >= col("_i0"))
+      .withColumn("i", explode(sequence(col("_i0"), col("_i1"))))
+      .withColumn("g_us", col("t0r") + col("i") * stepUs)
+      .select(prc ++ Seq(col("i"),
+        floor(lit(1e6) * (col(vc) +
+          (col("_v1") - col(vc)) *
+          ((col("g_us") - col(tUs)) / (col("_t1") - col(tUs)))))
           .cast("long").as("vi")): _*)
     val wg = Window.partitionBy(prc: _*).orderBy(col("i"))
     val weights = multiKernelWeights(tauSteps)

@@ -209,7 +209,7 @@ class ScaleSweepSpec extends SparkSpec {
   * int64 NANOS to flow through Tables.events / the st* glob readers
   * exactly like the driver fixture. */
 object ScaleFixture {
-  private val Version = "v6" // v2: uniform token draw (v1's u² skew made
+  private val Version = "v7" // v2: uniform token draw (v1's u² skew made
                              // ~5% of RANDOM doc pairs Jaccard-similar —
                              // unrealistically dense near-dup structure)
                              // v3: events.value / lineitem money columns
@@ -224,6 +224,9 @@ object ScaleFixture {
                              // v6: xorshift-mixed value AND type draws
                              // (affine draws were per-user periodic /
                              // pair-deterministic — see inline notes)
+                             // v7: ascending event-file mtimes so
+                             // bounded-batch streaming replays in
+                             // event-time order (see events note)
 
   def dir(spark: SparkSession, mult: Int): String = {
     val d = new java.io.File(sys.props("java.io.tmpdir"), s"graft_scale_x$mult")
@@ -316,6 +319,18 @@ object ScaleFixture {
         " * 69069, 20000) / 100.0 AS DOUBLE) AS value",
       "concat('{\"k\": ', event_id % 100, '}') AS props")
     write(evs, "events", math.max(2, mult))
+    // arrival order = event-time order (the production contract that
+    // bounded-batch streaming relies on): FileStreamSource batches by
+    // file MODIFICATION time, and parallel-written part files get
+    // arbitrary mtimes — under maxFilesPerTrigger that makes batches
+    // jump around in event time and cross-batch rows get dropped as
+    // late (measured: st7 lost half its joins at 100×). Stamp
+    // ascending mtimes in name order (= time order from the ordered
+    // range write).
+    new java.io.File(out, "events.parquet").listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      .zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(1700000000000L + i * 60000L) }
 
     // lineitem: the j9 skew columns only (skey derivation puts 80% of
     // rows on one key by construction, exactly like the driver fixture)
