@@ -511,31 +511,35 @@ object Extras {
       // many cells are empty) and the R-zone fallback ate them at
       // ~3·n_cat/10 candidates each; at ~16/disc certification is
       // 99.9% (126 of 150 k probes fell back) while the fine join
-      // stays ~45 candidates/probe — linear at any density
-      val stats = cat.agg(count(lit(1)).as("n_cat"))
-        .withColumn("cs", least(lit(R), greatest(lit(1L),
-          expr("CAST(floor(2256758.0 / sqrt(n_cat)) AS BIGINT)"))))
-        .select("cs")
-      val catC = cat.crossJoin(broadcast(stats))
-      val catG = catC
+      // stays ~45 candidates/probe — linear at any density. ONE
+      // driver count derives the cell size (the t6/t13 stats-pass
+      // division — a one-row crossJoin would plan as a
+      // BroadcastNestedLoopJoin replicated into every reuse of the
+      // probe/catalog subtrees); the oracle never sees cs: it states
+      // the brute-force NN, so the certificate logic carries the
+      // correctness, not the cell choice.
+      val nCat = cat.count()
+      val cs = math.max(1L, math.min(R,
+        math.floor(2256758.0 / math.sqrt(nCat.toDouble)).toLong))
+      val catG = cat
         .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
         .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
         .select(col("cat_id"), col("cx"), col("cy"),
-          (expr("cx div cs") + col("dx")).as("gx"),
-          (expr("cy div cs") + col("dy")).as("gy"))
+          (expr(s"cx div $cs") + col("dx")).as("gx"),
+          (expr(s"cy div $cs") + col("dy")).as("gy"))
       val probes = customer(s, d).select(col("c_custkey").as("p_id"))
         .withColumn("px", (col("p_id") * 2654435761L) % 1000000L)
         .withColumn("py", (col("p_id") * 40503L) % 1000000L)
-      val probesG = probes.crossJoin(broadcast(stats))
-        .withColumn("gx", expr("px div cs"))
-        .withColumn("gy", expr("py div cs"))
+      val probesG = probes
+        .withColumn("gx", expr(s"px div $cs"))
+        .withColumn("gy", expr(s"py div $cs"))
       val d2c = (col("px") - col("cx")) * (col("px") - col("cx")) +
         (col("py") - col("cy")) * (col("py") - col("cy"))
       val w = Window.partitionBy("p_id").orderBy(asc("d2"), asc("cat_id"))
       val fine = probesG.join(catG, Seq("gx", "gy"))
         .withColumn("d2", d2c)
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      val resolved = fine.filter(col("d2") <= col("cs") * col("cs"))
+      val resolved = fine.filter(col("d2") <= lit(cs * cs))
         .select("p_id", "cat_id", "d2")
       val rest = probes
         .join(resolved.select("p_id"), Seq("p_id"), "left_anti")

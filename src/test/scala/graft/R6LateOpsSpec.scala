@@ -345,7 +345,9 @@ class R6LateOpsSpec extends SparkSpec {
     }.toSet
     assert(got == expect,
       s"zone pruning must lose no true match: ${got.size} vs ${expect.size}")
-    // candidates must come from the zone EQUI-join, not a cross/theta join
+    // candidates must come from the grid/zone EQUI-join, not a
+    // cross/theta join (the cell size is a driver-derived literal, so
+    // no stats crossJoin appears anywhere in the plan)
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"zones key must make this an equi-join:\n$plan")
