@@ -160,10 +160,14 @@ object Ensemble {
     * unordered SUM reproduces it bit-for-bit (the reason this form,
     * not the sequential m0/m1 recurrence, is the declared t13c
     * likelihood; the log-det term is proposal-independent under fixed
-    * hyperparameters and cancels in the accept ratio). Magnitudes:
-    * |rq| ≤ ~6e6, |cq| ≤ ~1e6, 32 lags ⇒ |νq| ≤ ~2e14 < 2^53, so the
-    * one double conversion νq/1e14 is exact. scale = 1e6/(2·S) with S
-    * the steady innovation variance. */
+    * hyperparameters and cancels in the accept ratio). Magnitudes,
+    * bounded over the SAMPLER'S PRIOR BOX (not just the fixture's
+    * typical residuals): depth may reach 0.2, so |r| ≤ ~0.23 and
+    * |rq| ≤ ~2.4e7; with |cq| ≤ ~1e6 and 32 lags,
+    * |νq| ≤ 2.4e7·1e6 + 32·1e6·2.4e7 ≈ 8e14 < 2^53, so the one double
+    * conversion νq/1e14 is exact. Re-derive this bound if the prior
+    * box or the quantization scales ever change. scale = 1e6/(2·S)
+    * with S the steady innovation variance. */
   def gpBoxLlq(t: Array[Double], y: Array[Double], cq: Array[Long],
                scale: Double, period: Double)(p: Array[Double]): Long = {
     import graft.expr.VecExprs.roundHalfAway

@@ -573,8 +573,18 @@ object Advanced {
     // therefore the production dedup shape — per-image BEST
     // near-duplicate (hamming ≤ 2) over population-salted sub-cells
     // of ≤128 members: candidates ≤ ~381·n at any saturation, output
-    // ≤ 1 row per image. The salt is DORMANT at driver SFs (every
-    // bucket ≤128), where the answer is the exact rank-1 assignment.
+    // ≤ 1 row per image.
+    // DECLARED OUTPUT CONTRACT (r8): below salt activation (every
+    // (band,value) bucket ≤128 members — always true at the driver
+    // SFs, where engine and oracle agree exactly) the result is the
+    // EXACT rank-1 near-duplicate assignment. Once any bucket exceeds
+    // 128 members the salt splits it and the result becomes a
+    // BOUNDED-RECALL assignment: a true hamming≤2 best match whose
+    // every shared intact band lands in a different sub-cell can be
+    // missed, and nsub (hence the split) depends on corpus size. The
+    // trade is deliberate — it is what keeps candidates O(n) on a
+    // 16-bit hash space — and scale runs can audit activation by
+    // checking max bucket population (the `bcnt` frame) against 128.
     "m6_image_phash" -> ((s, d) => {
       import graft.text.TextOps
       val media = graft.multimodal.Multimodal.fromDocuments(

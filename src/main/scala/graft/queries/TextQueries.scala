@@ -45,9 +45,52 @@ object TextQueries {
     * edge table materialized once per curation run).
     */
   private val simGraphCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (DataFrame, DataFrame)]
-  private def simGraph(s: SparkSession, d: String): (DataFrame, DataFrame) =
-    simGraphCache.getOrElseUpdate((s, d), {
+    .empty[(SparkSession, String, String), (DataFrame, DataFrame)]
+
+  /** Content token of the documents table's files (paths, sizes,
+    * mtimes): the cache key carries it so a fixture dir regenerated
+    * IN PLACE within one session gets a fresh graph instead of the
+    * stale checkpointed edges (r8 advice), and so stale entries can
+    * be found and freed. */
+  private def docsToken(d: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
+      else Seq(f)
+    walk(new java.io.File(d, "documents.parquet"))
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("|").hashCode.toHexString
+  }
+
+  /** Free the storage blocks behind a localCheckpoint-ed frame: the
+    * blocks belong to the materialized RDD inside the plan's
+    * LogicalRDD leaf (a plain unpersist() only touches CacheManager
+    * entries, which a checkpoint never registers). */
+  private def unpersistCheckpointed(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
+
+  /** Drop (and free) every cached graph of `s` — call when a session's
+    * run completes or its fixture dirs are about to regenerate. */
+  def clearSimGraph(s: SparkSession): Unit =
+    simGraphCache.keys.filter(_._1 == s).foreach {
+      simGraphCache.remove(_).foreach { case (e, n) =>
+        unpersistCheckpointed(e); unpersistCheckpointed(n) }
+    }
+
+  private def simGraph(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val token = docsToken(d)
+    // evict graphs built from a previous generation of this dir — and
+    // unpersist their checkpoint blocks, which otherwise pin memory
+    // for the session lifetime
+    simGraphCache.keys
+      .filter(k => k._1 == s && k._2 == d && k._3 != token)
+      .foreach { k =>
+        simGraphCache.remove(k).foreach { case (e, n) =>
+          unpersistCheckpointed(e); unpersistCheckpointed(n) }
+      }
+    simGraphCache.getOrElseUpdate((s, d, token), {
       val toks = distinctToks(s, d).withColumn("h", expr(H))
       // two BANDS of two minhash rows each (d3's banding, packed
       // losslessly into one long per band) — single-hash buckets over
@@ -89,6 +132,7 @@ object TextQueries {
       sig.unpersist()
       (sym, nodes)
     })
+  }
 
   val queries: Map[String, Q] = Map(
     // D1 — exact dedup by content hash: every duplicate group keyed by

@@ -91,8 +91,22 @@ object TimeSeries {
         val dst = new java.io.File(dataDir, f"b$i%02d.parquet")
         java.nio.file.Files.move(part.toPath, dst.toPath,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        dst.setLastModified(1000000000000L + i * 60000L)
+        // batch order is CONTRACTUAL (cross-batch rows are late vs the
+        // watermark if batches reorder): fail the build loudly if the
+        // filesystem refuses the stamp rather than let the source pick
+        // an undefined order (r8 advice)
+        require(dst.setLastModified(1000000000000L + i * 60000L),
+          s"arrivalFixture: setLastModified failed on $dst — " +
+          "batch processing order would be filesystem-defined")
       }
+      // defense in depth against coarse mtime granularity: the stamps
+      // are 60 s apart, so any rounding that still yields a strictly
+      // increasing sequence preserves order; anything else fails here
+      val stamped = dataDir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .sortBy(_.getName).map(_.lastModified)
+      require(stamped.sliding(2).forall(w => w.length < 2 || w(0) < w(1)),
+        s"arrivalFixture: non-increasing mtimes ${stamped.mkString(",")} — " +
+        "the file source would reorder batches")
     }
     dataDir
   }
