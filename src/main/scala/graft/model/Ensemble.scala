@@ -147,6 +147,31 @@ object Ensemble {
     -s
   }
 
+  /** Order-free integer micro-nat log-likelihood for a LIMB-DARKENED
+    * transit fit under iid Gaussian noise (ref retr_llik_mile
+    * main.py:735–850 evaluating the ephesos.eval_modl limb-darkened
+    * model, main.py:497–528) — [[boxLlq]] with the box swapped for
+    * [[LimbDark.flux]]. p = (rrat, epoch, t14); the model chain is
+    * IEEE-exact (√/min/max/±×÷ only, identical shapes in the SQL
+    * replay), so the rounded integers — and their order-free sum —
+    * are bit-identical across engines. */
+  def ldBoxLlq(t: Array[Double], y: Array[Double], scale: Double,
+               period: Double)(p: Array[Double]): Long = {
+    val half = period / 2
+    var s = 0L; var i = 0
+    while (i < y.length) {
+      // same wrap as boxModel; t−epoch+half ≥ 0 on the t13d fixture,
+      // so % == the SQL fmod bit-for-bit
+      val m0 = (t(i) - p(1) + half) % period
+      val m1 = if (m0 < 0) m0 + period else m0
+      val aph = math.abs(m1 - half)
+      val r = y(i) - LimbDark.flux(aph, p(0), p(2))
+      s += graft.expr.VecExprs.roundHalfAway(r * r * scale)
+      i += 1
+    }
+    -s
+  }
+
   /** Order-free integer GP-marginal log-likelihood for a box-transit
     * fit under Matérn-3/2 correlated noise (ref retr_llik_mile
     * main.py:735–850, GP branch at 772–817; the reference default

@@ -331,6 +331,72 @@ object Advanced {
         .orderBy("param")
     }),
 
+    // T13d — LIMB-DARKENED MCMC fit (the reference's ACTUAL model
+    // core restored to the fitted surface: every fit in init()
+    // main.py:12178–12330 evaluates ephesos.eval_modl main.py:497–528,
+    // a limb-darkened occultation curve — t13/t13c fit boxes). The
+    // fixture INJECTS a real quadratic-LD transit (p=0.15, b=0.3,
+    // u1=0.4, u2=0.25, T14=1.0 d — central depth p²·I(b)/Ω4 ≈ 2.68%)
+    // plus t13's LCG noise; the same sampleQ integer proposal chain
+    // then fits (rrat, epoch, T14) under the LD model itself — the
+    // walker-ball guess converts boxGuessQ's window depth to a radius
+    // ratio via p0 = √(depth·Ω4/I(b)).
+    //
+    // Cross-engine exactness WITHOUT quantizing the model: the LD
+    // chain (model/LimbDark.scala) is √/min/max/±×÷ only — every op
+    // IEEE correctly-rounded, so with identical expression shapes
+    // (the layered columns here are the same per-layer SQL strings
+    // the DuckDB fixture CTE and the oracle's correlated llq inline)
+    // both engines produce bit-identical doubles, and the micro-nat
+    // rounding + integer accept comparison replay exactly as in t13.
+    "t13d_mcmc_ld" -> ((s, d) => {
+      import s.implicits._
+      import graft.model.LimbDark
+      val PDAY = 86400000000L; val P7 = 7L * PDAY
+      val n = 4000L
+      val step = 30L * PDAY / n
+      val PT = LimbDark.D(0.15); val TT = LimbDark.D(1.0)
+      val bins = base(s, d).agg(min(col("t_us")).as("t0"))
+        .withColumn("i", explode(sequence(lit(0L), lit(n - 1))))
+        .withColumn("g_us", col("t0") + col("i") * step)
+        .withColumn("r", (col("i") % 65536L * 1103515245L + 12345L) % 2147483648L)
+        .withColumn("ph", pmod(col("g_us") - col("t0"), lit(P7)))
+        .withColumn("phd", expr("CAST(ph AS DOUBLE) / 86400e6"))
+        .withColumn("aph", expr("CASE WHEN phd < 3.5 THEN phd ELSE 7.0 - phd END"))
+        .withColumn("hu", expr(LimbDark.huSql("aph", TT)))
+        .withColumn("z", expr(LimbDark.zSql("hu", PT)))
+        .withColumn("lam", expr(LimbDark.lamSql("z", PT)))
+        .withColumn("mu", expr(LimbDark.muSql("z", PT)))
+        .withColumn("iz", expr(LimbDark.izSql("mu")))
+        .withColumn("ldf", expr(LimbDark.fluxSql("hu", PT, "iz", "lam")))
+        .withColumn("noise", (col("r").cast("double") / 2147483648.0 - 0.5) * 0.004)
+        .withColumn("flux", col("ldf") + col("noise"))
+        .withColumn("fc", round(col("flux") * 1e6).cast("long"))
+        .withColumn("b", expr(s"(ph * 200) div $P7"))
+        .groupBy("b").agg(count(lit(1)).as("n"), sum(col("fc")).as("sv"))
+        .orderBy("b")
+        .collect()
+      val t = bins.map(r => (r.getLong(0).toDouble + 0.5) * 7.0 / 200)
+      val y = bins.map(r => r.getLong(2).toDouble / r.getLong(1) / 1e6)
+      val llq = graft.model.Ensemble.ldBoxLlq(t, y, scale = 3.125e12, period = 7.0) _
+      val yq = y.map(v => graft.expr.VecExprs.roundHalfAway(v * 1e9))
+      val g = graft.model.Ensemble.boxGuessQ(t, yq, 7.0, 1.0)
+      val guess = Array(
+        math.sqrt(math.max(g(0) * LimbDark.KK, 4e-4)), g(1), g(2))
+      val (samples, acc) = graft.model.Ensemble.sampleQ(llq,
+        lo = Array(0.02, -3.5, 0.2), hi = Array(0.45, 3.5, 2.0),
+        nWalkers = 100, nSteps = 100, burnFrac = 0.3, seed = 42L,
+        init = guess, ballFrac = 0.005)
+      val pct = graft.model.Ensemble.percentiles(samples)
+      Seq(
+        ("acceptance", acc, acc, acc),
+        ("dur", pct(2)(0), pct(2)(1), pct(2)(2)),
+        ("epoch", pct(1)(0), pct(1)(1), pct(1)(2)),
+        ("rrat", pct(0)(0), pct(0)(1), pct(0)(2)))
+        .toDF("param", "p16", "p50", "p84")
+        .orderBy("param")
+    }),
+
     // T13 per-energy-bin fits, SPARK-PARALLEL (ref main.py:12301–12316:
     // typemodlenerfitt='iter' loops the whole fit once per energy bin —
     // here the loop IS the shuffle key): phase-fold each energy bin at
@@ -707,11 +773,20 @@ object Advanced {
     * @param extraCte  additional CTEs (e.g. the GP lag-weight VALUES
     *                  table) injected after the fixture
     */
+  /** Depth of the deepest 1-day circular window (the boxGuessQ g0
+    * shape) — exposed so llq variants can transform it (t13d turns it
+    * into a radius-ratio guess). */
+  private val mcmcDepthG0 =
+    "(CAST(sa AS DOUBLE) / 200 - CAST(w AS DOUBLE) / 29) / 1e9"
+
   private def mcmcSamplerSql(enersSql: String, fixtureSql: String,
                              seedBase: Long,
                              nW: Int = 100, nSteps: Int = 100,
                              llqGen: Option[(String, String) => String] = None,
-                             extraCte: String = ""): String = {
+                             extraCte: String = "",
+                             los: Seq[Double] = Seq(-0.2, -3.5, 0.2),
+                             his: Seq[Double] = Seq(0.2, 3.5, 2.0),
+                             g0Sql: Option[String] = None): String = {
     def D(x: Double) = s"CAST($x AS DOUBLE)"
     // box model at bin `bb` for parameter columns $al.${p}0..2 —
     // mirrors Ensemble.boxModel: ph = fmod-wrap into [0,P) minus P/2
@@ -729,7 +804,6 @@ object Advanced {
     val burnRow = (nSteps * 0.3).toInt + 1 // first post-burn recursion row
     val nSamples = (nSteps - (nSteps * 0.3).toInt) * nW
     val nProps = nSteps.toLong * nW
-    val los = Seq(-0.2, -3.5, 0.2); val his = Seq(0.2, 3.5, 2.0)
     def clamp(d: Int, v: String) =
       s"LEAST(${D(his(d))}, GREATEST(${D(los(d))}, $v))"
     // walker-ball init around the boxGuessQ center (Ensemble.sampleQ):
@@ -773,7 +847,7 @@ object Advanced {
        |    FROM gw) WHERE rw = 1),
        |sall AS (SELECT ener, CAST(sum(yq) AS BIGINT) AS sa FROM bins GROUP BY 1),
        |gx AS (SELECT best.ener AS ener,
-       |    (CAST(sa AS DOUBLE) / 200 - CAST(w AS DOUBLE) / 29) / 1e9 AS g0,
+       |    ${g0Sql.getOrElse(mcmcDepthG0)} AS g0,
        |    CASE WHEN (CAST(c AS DOUBLE) + 0.5) * 7.0 / 200 >= 3.5
        |         THEN (CAST(c AS DOUBLE) + 0.5) * 7.0 / 200 - 7.0
        |         ELSE (CAST(c AS DOUBLE) + 0.5) * 7.0 / 200 END AS g1,
@@ -933,6 +1007,43 @@ object Advanced {
        |  FROM bnr)""".stripMargin
   }
 
+  /** t13d's fixture: t13's grid + noise with the box dip replaced by
+    * the injected limb-darkened transit — the LD layers are the SAME
+    * per-layer SQL strings the Spark fixture names as columns
+    * (model/LimbDark.scala), so both engines spell one arithmetic
+    * DAG. */
+  private def t13dFixtureSql: String = {
+    import graft.model.LimbDark
+    val PT = LimbDark.D(0.15); val TT = LimbDark.D(1.0)
+    s"""e0 AS (SELECT min(epoch_us(ts)) AS t0 FROM events),
+       |gn AS (SELECT en.ener AS ener, ii.i AS i,
+       |    (i % 65536 * 1103515245 + 12345) % 2147483648 AS r,
+       |    (ii.i * 648000000) % 604800000000 AS ph
+       |  FROM e0, eners en, (SELECT unnest(range(0, 4000)) AS i) ii),
+       |ap AS (SELECT ener, ph, r,
+       |    CASE WHEN phd < 3.5 THEN phd ELSE 7.0 - phd END AS aph
+       |  FROM (SELECT ener, ph, r, CAST(ph AS DOUBLE) / 86400e6 AS phd
+       |        FROM gn) pd),
+       |l1 AS (SELECT ener, ph, r, ${LimbDark.huSql("aph", TT)} AS hu FROM ap),
+       |l2 AS (SELECT ener, ph, r, hu, ${LimbDark.zSql("hu", PT)} AS z FROM l1),
+       |l3 AS (SELECT ener, ph, r, hu,
+       |    ${LimbDark.lamSql("z", PT)} AS lam,
+       |    ${LimbDark.muSql("z", PT)} AS mu FROM l2),
+       |l4 AS (SELECT ener, ph, r, hu, lam, ${LimbDark.izSql("mu")} AS iz FROM l3),
+       |fl AS (SELECT ener, ph,
+       |    ${LimbDark.fluxSql("hu", PT, "iz", "lam")}
+       |      + (CAST(r AS DOUBLE) / 2147483648.0 - 0.5) * 0.004 AS flux
+       |  FROM l4),
+       |bnr AS (SELECT ener, (ph * 200) // 604800000000 AS b, count(*) AS n,
+       |    CAST(sum(CAST(round(flux * 1e6) AS BIGINT)) AS BIGINT) AS sv
+       |  FROM fl GROUP BY 1, 2),
+       |bins AS MATERIALIZED (SELECT ener, b,
+       |    (CAST(b AS DOUBLE) + 0.5) * 7.0 / 200 AS tb,
+       |    CAST(sv AS DOUBLE) / n / 1e6 AS y,
+       |    CAST(round(CAST(sv AS DOUBLE) / n / 1e6 * 1e9) AS BIGINT) AS yq
+       |  FROM bnr)""".stripMargin
+  }
+
   private def t13FixtureSql(perEner: Boolean): String = {
     val rExpr =
       if (perEner) "((i + ener * 7919) % 65536 * 1103515245 + 12345) % 2147483648"
@@ -1024,6 +1135,47 @@ wts AS (SELECT * FROM (VALUES $wtsVals) AS t(l, cq)),""")}
          |  SELECT 'epoch', max(CASE WHEN q < 0.3 THEN v END),
          |      max(CASE WHEN q > 0.3 AND q < 0.7 THEN v END),
          |      max(CASE WHEN q > 0.7 THEN v END) FROM pc1
+         |) ORDER BY param""".stripMargin
+    },
+
+    // The LD walk replay: same recursive sampler CTE; the likelihood
+    // subquery evaluates the full limb-darkened model INLINE (the
+    // same per-layer strings composed by substitution —
+    // LimbDark.fluxInlineSql — so the arithmetic DAG matches the
+    // engine's layered columns and Ensemble.ldBoxLlq bit-for-bit);
+    // the guess converts window depth to a radius ratio with the
+    // identical √/max shape the Scala side applies after boxGuessQ.
+    "t13d_mcmc_ld" -> {
+      import graft.model.LimbDark
+      val ldLlq: (String, String) => String = (al, p) => {
+        val aph = s"abs(fmod(bb.tb - $al.${p}1 + 3.5, 7.0) - 3.5)"
+        s"(SELECT CAST(-sum(CAST(round((yy - mm) * (yy - mm) * 3.125e12)" +
+        s" AS BIGINT)) AS BIGINT) FROM (SELECT bb.y AS yy, " +
+        LimbDark.fluxInlineSql(aph, s"$al.${p}0", s"$al.${p}2") +
+        s" AS mm FROM bins bb WHERE bb.ener = $al.ener) qq)"
+      }
+      val g0 = s"sqrt(GREATEST($mcmcDepthG0 * ${LimbDark.D(LimbDark.KK)}, " +
+        s"${LimbDark.D(4e-4)}))"
+      s"""${mcmcSamplerSql("SELECT CAST(0 AS BIGINT) AS ener",
+                           t13dFixtureSql, 42L,
+                           llqGen = Some(ldLlq),
+                           los = Seq(0.02, -3.5, 0.2),
+                           his = Seq(0.45, 3.5, 2.0),
+                           g0Sql = Some(g0))}
+         |SELECT * FROM (
+         |  SELECT 'acceptance' AS param, a AS p16, a AS p50, a AS p84 FROM accr
+         |  UNION ALL
+         |  SELECT 'dur', max(CASE WHEN q < 0.3 THEN v END),
+         |      max(CASE WHEN q > 0.3 AND q < 0.7 THEN v END),
+         |      max(CASE WHEN q > 0.7 THEN v END) FROM pc2
+         |  UNION ALL
+         |  SELECT 'epoch', max(CASE WHEN q < 0.3 THEN v END),
+         |      max(CASE WHEN q > 0.3 AND q < 0.7 THEN v END),
+         |      max(CASE WHEN q > 0.7 THEN v END) FROM pc1
+         |  UNION ALL
+         |  SELECT 'rrat', max(CASE WHEN q < 0.3 THEN v END),
+         |      max(CASE WHEN q > 0.3 AND q < 0.7 THEN v END),
+         |      max(CASE WHEN q > 0.7 THEN v END) FROM pc0
          |) ORDER BY param""".stripMargin
     },
 

@@ -1111,6 +1111,44 @@ object TimeSeries {
         .orderBy("i")
     }),
 
+    // T12d — LIMB-DARKENED model evaluation (the reference's actual
+    // model core, ephesos.eval_modl main.py:497–528; t12 composes a
+    // BOX transit — this evaluates the quadratic-LD occultation from
+    // model/LimbDark.scala over the same 501-point grid, for three
+    // (rrat, T14) configurations spanning shallow/deep and
+    // short/long: the parameters arrive as COLUMNS, exactly the shape
+    // the t13d likelihood evaluates per proposal). Pure codegen
+    // column math — the LD chain is √/min/max/±×÷ only, so the raw
+    // doubles are bit-identical in the DuckDB replay with no
+    // rounding at all (stronger than t12's 6-dp rounding, which its
+    // exp/sin transcendentals force). Scale: generated grid — no
+    // input-proportional work except the one-row agg; no shuffle
+    // until the output sort.
+    "t12d_model_ld" -> ((s, d) => {
+      import graft.model.LimbDark
+      val b = base(s, d)
+      b.agg(min(col("t_us")).as("t0"), max(col("t_us")).as("t1"))
+        .withColumn("step", expr("(t1 - t0) div 500"))
+        .withColumn("cfg", explode(array(lit(0), lit(1), lit(2))))
+        .withColumn("pp", expr("CASE WHEN cfg = 0 THEN CAST(0.08 AS DOUBLE) " +
+          "WHEN cfg = 1 THEN CAST(0.15 AS DOUBLE) ELSE CAST(0.25 AS DOUBLE) END"))
+        .withColumn("tt", expr("CASE WHEN cfg = 0 THEN CAST(0.6 AS DOUBLE) " +
+          "WHEN cfg = 1 THEN CAST(1.0 AS DOUBLE) ELSE CAST(1.6 AS DOUBLE) END"))
+        .withColumn("i", explode(sequence(lit(0L), lit(500L))))
+        .withColumn("g_us", col("t0") + col("i") * col("step"))
+        .withColumn("ph", TsOps.phaseUs(col("g_us"), lit(E), lit(P7)))
+        .withColumn("phd", expr("CAST(ph AS DOUBLE) / 86400e6"))
+        .withColumn("aph", expr("CASE WHEN phd < 3.5 THEN phd ELSE 7.0 - phd END"))
+        .withColumn("hu", expr(LimbDark.huSql("aph", "tt")))
+        .withColumn("z", expr(LimbDark.zSql("hu", "pp")))
+        .withColumn("lam", expr(LimbDark.lamSql("z", "pp")))
+        .withColumn("mu", expr(LimbDark.muSql("z", "pp")))
+        .withColumn("iz", expr(LimbDark.izSql("mu")))
+        .withColumn("flux_ld", expr(LimbDark.fluxSql("hu", "pp", "iz", "lam")))
+        .select("cfg", "i", "g_us", "aph", "flux_ld")
+        .orderBy("cfg", "i")
+    }),
+
     // T16 — ACF period detector (the McQuillan et al. 2013 rotation-
     // period method; complements T5's Lomb–Scargle and T6's BLS with
     // the third standard periodogram family, cf. the reference's
@@ -1925,6 +1963,35 @@ object TimeSeries {
            |    + 0.02 * exp(-CAST(pd AS DOUBLE) / 7200000000.0), 6) AS flux,
            |  round(5.0 * sin(2.0 * pi() * CAST(g_us - $E AS DOUBLE) / $P7), 6) AS rv
            |FROM ph ORDER BY i""".stripMargin,
+
+      // Same grid, same LD layer strings (model/LimbDark.scala) as
+      // named CTE columns — raw doubles compared bit-for-bit, no
+      // rounding (the model chain has no transcendental).
+      "t12d_model_ld" -> {
+        import graft.model.LimbDark
+        s"""WITH $baseSql,
+           |mm AS (SELECT min(t_us) AS t0, (max(t_us) - min(t_us)) // 500 AS step FROM base),
+           |cf AS (SELECT * FROM (VALUES
+           |    (0, CAST(0.08 AS DOUBLE), CAST(0.6 AS DOUBLE)),
+           |    (1, CAST(0.15 AS DOUBLE), CAST(1.0 AS DOUBLE)),
+           |    (2, CAST(0.25 AS DOUBLE), CAST(1.6 AS DOUBLE))) t(cfg, pp, tt)),
+           |g AS (SELECT cfg, pp, tt, i, t0 + i * step AS g_us FROM
+           |        (SELECT unnest(generate_series(0, 500)) AS i, t0, step FROM mm), cf),
+           |ap AS (SELECT cfg, pp, tt, i, g_us,
+           |    CASE WHEN phd < 3.5 THEN phd ELSE 7.0 - phd END AS aph
+           |  FROM (SELECT cfg, pp, tt, i, g_us,
+           |          CAST(((g_us - $E) % $P7 + $P7) % $P7 AS DOUBLE) / 86400e6 AS phd
+           |        FROM g) pd),
+           |l1 AS (SELECT cfg, pp, i, g_us, aph, ${LimbDark.huSql("aph", "tt")} AS hu FROM ap),
+           |l2 AS (SELECT cfg, pp, i, g_us, aph, hu, ${LimbDark.zSql("hu", "pp")} AS z FROM l1),
+           |l3 AS (SELECT cfg, pp, i, g_us, aph, hu,
+           |    ${LimbDark.lamSql("z", "pp")} AS lam,
+           |    ${LimbDark.muSql("z", "pp")} AS mu FROM l2),
+           |l4 AS (SELECT cfg, pp, i, g_us, aph, hu, lam, ${LimbDark.izSql("mu")} AS iz FROM l3)
+           |SELECT cfg, i, g_us, aph,
+           |  ${LimbDark.fluxSql("hu", "pp", "iz", "lam")} AS flux_ld
+           |FROM l4 ORDER BY cfg, i""".stripMargin
+      },
 
       // Same rebin→center→lag-join arithmetic, independently spelled:
       // floor divisions via the explicit positive-mod formula (// on
