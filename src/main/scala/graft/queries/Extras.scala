@@ -136,6 +136,72 @@ object Extras {
         .orderBy("sector", "i")
     }),
 
+    // S15 — REAL HDF5 ingest (the reference's SECOND front door,
+    // read_qlop main.py:6420–6453, closing its last simulated ingest
+    // boundary — s3_mag2flux covered these semantics on a parquet
+    // twin): eight QLP-shaped HDF5 files (v0 superblock, symbol-table
+    // group hierarchy LightCurve/{BJD,QFLAG,AperturePhotometry/
+    // Aperture_002/RawMagnitude}, contiguous f64/i32 datasets) are
+    // written by the hand-rolled HDF5 writer (sources/Hdf5.scala —
+    // public file-format spec, the Fits.scala pattern), scanned via
+    // binaryFile, decoded row-locally by the hand-rolled reader (a
+    // genuine superblock → B-tree → SNOD → heap walk, no hardcoded
+    // offsets), then routed through the FULL read_qlop chain:
+    // QFLAG==0 ∧ finite mask, flux = 10^(−(tmag − median(tmag))/2.5),
+    // flux /= median(flux), constant σ = 1e-3, BJD + 2457000. Sample
+    // values are closed-form in (orbit, i), so the DuckDB oracle
+    // recomputes the whole pipeline without an HDF5 reader of its
+    // own. The one transcendental (10^x) differs by ~1 ulp between
+    // libm implementations, so flux_norm is rounded at 6 dp (the
+    // t15 discipline; values sit ~1e-16 from the quanta, 9 orders
+    // from a boundary). Scale: decode is map-only; the only shuffles
+    // are two 8-row per-orbit median aggregates (broadcast back) and
+    // the output sort.
+    "s15_hdf5_scan" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val dir = derivedFixture("graft_hdf5", d, "graft-hdf5-v1") { tmp =>
+        tmp.mkdirs()
+        (1 to 8).foreach { k =>
+          java.nio.file.Files.write(
+            new java.io.File(tmp, f"qlp-orbit-$k%03d.h5").toPath,
+            graft.sources.Hdf5.fixtureFile(k))
+        }
+      }
+      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(
+        StructType(Seq(
+          StructField("orbit", LongType), StructField("i", LongType),
+          StructField("bjd", DoubleType), StructField("tmag", DoubleType),
+          StructField("qflag", LongType))))
+      val pat = raw"qlp-orbit-(\d+)\.h5".r
+      val rows = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.h5").load(dir.toString)
+        .select(col("path"), col("content"))
+        .mapPartitions { it =>
+          it.flatMap { r =>
+            val k = pat.findFirstMatchIn(r.getString(0)).get.group(1).toLong
+            val bytes = r.getAs[Array[Byte]](1)
+            val bjd = graft.sources.Hdf5.readF64(bytes, "LightCurve/BJD")
+            val mag = graft.sources.Hdf5.readF64(bytes,
+              "LightCurve/AperturePhotometry/Aperture_002/RawMagnitude")
+            val qf = graft.sources.Hdf5.readI32(bytes, "LightCurve/QFLAG")
+            bjd.indices.iterator.map(i =>
+              org.apache.spark.sql.Row(k, i.toLong, bjd(i), mag(i), qf(i).toLong))
+          }
+        }(enc)
+      val good = rows.filter(col("qflag") === 0L && !isnan(col("tmag")))
+      val medm = good.groupBy("orbit").agg(expr("percentile(tmag, 0.5)").as("mm"))
+      val fx = good.join(broadcast(medm), "orbit")
+        .withColumn("flux",
+          expr("power(CAST(10.0 AS DOUBLE), -(tmag - mm) / CAST(2.5 AS DOUBLE))"))
+      val medf = fx.groupBy("orbit").agg(expr("percentile(flux, 0.5)").as("mf"))
+      fx.join(broadcast(medf), "orbit")
+        .select(col("orbit"), col("i"),
+          (col("bjd") + lit(2457000.0)).as("time_bjd"),
+          round(col("flux") / col("mf"), 6).as("flux_norm"),
+          lit(1e-3).as("err"))
+        .orderBy("orbit", "i")
+    }),
+
     // PX — the reference's `init()` story as ONE declared multi-stage
     // query (SURVEY §7.2's minimum end-to-end slice; the corpus
     // counterpart is d10): REAL FITS ingest → quality∧finite mask →
@@ -740,6 +806,40 @@ object Extras {
         |SELECT bin, n_pts, sq9, mq9,
         |  1.0 + CAST(mq9 AS DOUBLE) / 1e9 AS mean_norm
         |FROM mb ORDER BY mq9 ASC, bin ASC LIMIT 5""".stripMargin,
+
+    // Recomputes the HDF5 fixture closed-form (same LCG mix, mag
+    // dip, NaN-gap and QFLAG rules as Hdf5.sample) and replays the
+    // full read_qlop chain: mask → mag median → 10^(−Δm/2.5) →
+    // flux median → divide → round 6 (absorbs the pow libm ulp) →
+    // +2457000.
+    "s15_hdf5_scan" ->
+      """WITH ks AS (SELECT unnest(generate_series(1, 8)) AS orbit),
+        |idx AS (SELECT unnest(generate_series(0, 999)) AS i),
+        |raw AS (SELECT orbit, i,
+        |    (orbit * 2654435761 + i * 1103515245 + 12345)
+        |      % 2147483648 AS r
+        |  FROM ks, idx),
+        |sam AS (SELECT orbit, i,
+        |    CAST(1000.0 AS DOUBLE) + (orbit - 1) * CAST(15.0 AS DOUBLE)
+        |      + i * CAST(0.002 AS DOUBLE) AS bjd,
+        |    CAST(12.0 AS DOUBLE) + CAST(r % 200 AS DOUBLE) / CAST(1000.0 AS DOUBLE)
+        |      + CASE WHEN i % 360 < 18 THEN CAST(0.01 AS DOUBLE)
+        |             ELSE CAST(0.0 AS DOUBLE) END AS tmag,
+        |    CASE WHEN r % 97 = 0 THEN 8 ELSE 0 END AS qflag,
+        |    r % 131 = 0 AS gap
+        |  FROM raw),
+        |good AS (SELECT * FROM sam WHERE qflag = 0 AND NOT gap),
+        |mm AS (SELECT orbit, quantile_cont(tmag, 0.5) AS mm
+        |  FROM good GROUP BY 1),
+        |fx AS (SELECT g.orbit, g.i, g.bjd,
+        |    power(CAST(10.0 AS DOUBLE), -(g.tmag - mm.mm) / CAST(2.5 AS DOUBLE)) AS flux
+        |  FROM good g JOIN mm USING (orbit)),
+        |mf AS (SELECT orbit, quantile_cont(flux, 0.5) AS mf
+        |  FROM fx GROUP BY 1)
+        |SELECT fx.orbit, fx.i, fx.bjd + CAST(2457000.0 AS DOUBLE) AS time_bjd,
+        |  round(fx.flux / mf.mf, 6) AS flux_norm, 1e-3 AS err
+        |FROM fx JOIN mf USING (orbit)
+        |ORDER BY fx.orbit, fx.i""".stripMargin,
 
     "s14_fits_scan" ->
       """WITH ks AS (SELECT unnest(generate_series(1, 8)) AS sector),
