@@ -279,6 +279,96 @@ object Extras {
         .select("bin", "n_pts", "sq9", "mq9", "mean_norm")
     }),
 
+    // PX2 — the MULTI-TARGET pipeline fan-out (the reference's cluster
+    // mode, main.py:12458–12539: one init() per target, results
+    // appended to a DEDUP'D results table — the actual 100×-scale
+    // deployment shape of the astro side): a directory of 30 FITS
+    // files spanning 12 targets × 1–4 sectors each (REAL target
+    // SKEW — per-target row counts span 4×), target parsed from the
+    // TESS-style filename (the s10 path technique), sector from the
+    // header. The px chain runs with `target` as the group key
+    // throughout: per-(target, sector) median normalization, 3σ clip
+    // per target, phase fold at EACH TARGET'S OWN injected period
+    // (240+60·(t%4) samples — recovered only if the per-target fold is
+    // genuinely per-group), rank-1 deepest bin per target; finally the
+    // s12 dedup-sink contract — targets already in the prior results
+    // table keep their prior row, only new targets append. Scale: the
+    // medians frame is one row per FILE (broadcastable at any corpus),
+    // clip stats one row per target; the fold/bin aggregation is the
+    // one corpus-scale shuffle keyed (target, bin) — per-target skew
+    // rides map-side combine, not a per-target sort; rank-1 windows
+    // partition by target; the prior-results anti-join broadcasts.
+    // Exactness: the px q9/floor-div discipline end to end.
+    "px2_multi_target" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val dir = derivedFixture("graft_fits_mt", d, "graft-fits-mt-v1") { tmp =>
+        tmp.mkdirs()
+        (1 to 12).foreach { t =>
+          (1 to (1 + t % 4)).foreach { sec =>
+            java.nio.file.Files.write(
+              new java.io.File(tmp, f"tess-s$sec%04d-$t%011d-lc.fits").toPath,
+              graft.sources.Fits.fixtureFile2(t, sec))
+          }
+        }
+      }
+      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(
+        StructType(Seq(
+          StructField("target", LongType), StructField("sector", LongType),
+          StructField("i", LongType), StructField("flux", DoubleType),
+          StructField("quality", LongType))))
+      val pat = raw"tess-s\d+-(\d+)-lc\.fits".r
+      val rows = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*lc.fits").load(dir.toString)
+        .select(col("path"), col("content"))
+        .mapPartitions { it =>
+          it.flatMap { r =>
+            val t = pat.findFirstMatchIn(r.getString(0)).get.group(1).toLong
+            val lc = graft.sources.Fits.readLightCurve(r.getAs[Array[Byte]](1))
+            lc.rows.iterator.map { case (i, _, f, _, q) =>
+              org.apache.spark.sql.Row(t, lc.sector.toLong, i.toLong,
+                f.toDouble, q.toLong)
+            }
+          }
+        }(enc)
+      val good = rows.filter(col("quality") === 0L && !isnan(col("flux")))
+      val med = good.groupBy("target", "sector")
+        .agg(expr("percentile(flux, 0.5)").as("m"))
+      val nrm = good.join(broadcast(med), Seq("target", "sector"))
+        .withColumn("q9",
+          expr("CAST(round(flux / m * 1e9) AS BIGINT) - 1000000000"))
+      val stats = nrm.groupBy("target").agg(
+        count(lit(1)).as("n"),
+        sum(col("q9")).cast("long").as("sq"),
+        sum(col("q9") * col("q9")).cast("long").as("qq"))
+        .withColumn("mean9", col("sq").cast("double") / col("n"))
+        .withColumn("sd9", sqrt((col("qq") -
+          col("sq").cast("double") * col("sq") / col("n")) / col("n")))
+        .select("target", "mean9", "sd9")
+      val kept = nrm.join(broadcast(stats), "target")
+        .filter(abs(col("q9") - col("mean9")) <= lit(3.0) * col("sd9"))
+      val binned = kept
+        .withColumn("period_md", expr("2 * (240 + 60 * (target % 4))"))
+        .withColumn("ph_md", expr("(i * 2) % period_md"))
+        .withColumn("bin", expr("(ph_md * 30) div period_md"))
+        .groupBy("target", "period_md", "bin")
+        .agg(count(lit(1)).cast("long").as("n_pts"),
+          sum(col("q9")).cast("long").as("sq9"))
+        .withColumn("mq9",
+          expr("(sq9 - ((sq9 % n_pts + n_pts) % n_pts)) div n_pts"))
+      val wbest = Window.partitionBy("target").orderBy(asc("mq9"), asc("bin"))
+      val newres = binned
+        .withColumn("rn", row_number().over(wbest)).filter(col("rn") === 1)
+        .select(col("target"), lit("scan").as("src"), col("period_md"),
+          col("bin"), col("n_pts"), col("mq9"))
+      val prior = s.range(1, 4).toDF("target")
+        .select(col("target"), lit("prior").as("src"), lit(0L).as("period_md"),
+          lit(-1L).as("bin"), lit(0L).as("n_pts"), lit(0L).as("mq9"))
+      prior.unionByName(
+        newres.join(broadcast(prior.select(col("target").as("pt"))),
+          col("target") === col("pt"), "left_anti"))
+        .orderBy("target")
+    }),
+
     // T15 — visibility calculation (ref examples/target_visibility.py:
     // 34–66, args main.py:7664–7699): target altitude over a night
     // grid from an observatory location, as pure column trig — the
@@ -806,6 +896,65 @@ object Extras {
         |SELECT bin, n_pts, sq9, mq9,
         |  1.0 + CAST(mq9 AS DOUBLE) / 1e9 AS mean_norm
         |FROM mb ORDER BY mq9 ASC, bin ASC LIMIT 5""".stripMargin,
+
+    // The multi-target pipeline replayed from the closed form: skewed
+    // target×sector grid, per-(target,sector) medians, per-target clip,
+    // per-target-period integer fold, rank-1 bins, prior-wins dedup.
+    "px2_multi_target" ->
+      """WITH tg AS (SELECT unnest(generate_series(1, 12)) AS target),
+        |fs AS (SELECT target,
+        |    unnest(generate_series(1, 1 + target % 4)) AS sector FROM tg),
+        |idx AS (SELECT unnest(generate_series(0, 999)) AS i),
+        |raw AS (SELECT target, sector, i,
+        |    (target * 69069 + sector * 2654435761 + i * 1103515245 + 12345)
+        |      % 2147483648 AS r
+        |  FROM fs, idx),
+        |sam AS (SELECT target, sector, i,
+        |    CAST(10000 + r % 200 -
+        |      CASE WHEN i % (240 + 60 * (target % 4)) < 15
+        |           THEN 300 ELSE 0 END AS DOUBLE) AS flux,
+        |    CASE WHEN r % 97 = 0 THEN 8 ELSE 0 END AS quality,
+        |    r % 131 = 0 AS gap
+        |  FROM raw),
+        |good AS (SELECT * FROM sam WHERE quality = 0 AND NOT gap),
+        |med AS (SELECT target, sector, quantile_cont(flux, 0.5) AS m
+        |  FROM good GROUP BY 1, 2),
+        |nrm AS (SELECT g.target, g.sector, g.i,
+        |    CAST(round(g.flux / m.m * 1e9) AS BIGINT) - 1000000000 AS q9
+        |  FROM good g JOIN med m USING (target, sector)),
+        |st AS (SELECT target, count(*) AS n,
+        |    CAST(sum(q9) AS BIGINT) AS sq,
+        |    CAST(sum(q9 * q9) AS BIGINT) AS qq
+        |  FROM nrm GROUP BY 1),
+        |stat AS (SELECT target,
+        |    CAST(sq AS DOUBLE) / n AS mean9,
+        |    sqrt((qq - CAST(sq AS DOUBLE) * sq / n) / n) AS sd9
+        |  FROM st),
+        |kept AS (SELECT nrm.* FROM nrm JOIN stat USING (target)
+        |  WHERE abs(q9 - mean9) <= 3.0 * sd9),
+        |bins AS (SELECT target,
+        |    2 * (240 + 60 * (target % 4)) AS period_md,
+        |    ((i * 2) % (2 * (240 + 60 * (target % 4))) * 30)
+        |      // (2 * (240 + 60 * (target % 4))) AS bin,
+        |    count(*) AS n_pts, CAST(sum(q9) AS BIGINT) AS sq9
+        |  FROM kept GROUP BY 1, 2, 3),
+        |mb AS (SELECT target, period_md, bin,
+        |    CAST(n_pts AS BIGINT) AS n_pts, sq9,
+        |    (sq9 - ((sq9 % n_pts + n_pts) % n_pts)) // n_pts AS mq9
+        |  FROM bins),
+        |best AS (SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY target
+        |        ORDER BY mq9 ASC, bin ASC) AS rn
+        |    FROM mb) WHERE rn = 1),
+        |prior AS (SELECT unnest(generate_series(1, 3)) AS target,
+        |    'prior' AS src, CAST(0 AS BIGINT) AS period_md,
+        |    CAST(-1 AS BIGINT) AS bin, CAST(0 AS BIGINT) AS n_pts,
+        |    CAST(0 AS BIGINT) AS mq9)
+        |SELECT target, src, period_md, bin, n_pts, mq9 FROM prior
+        |UNION ALL
+        |SELECT target, 'scan', period_md, bin, n_pts, mq9 FROM best
+        |WHERE target NOT IN (SELECT target FROM prior)
+        |ORDER BY target""".stripMargin,
 
     // Recomputes the HDF5 fixture closed-form (same LCG mix, mag
     // dip, NaN-gap and QFLAG rules as Hdf5.sample) and replays the

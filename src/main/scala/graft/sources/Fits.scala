@@ -268,4 +268,33 @@ object Fits {
   def fixtureFile(sector: Int): Array[Byte] =
     writeLightCurve(sector, (sector - 1) % 4 + 1, sector * 3 % 4 + 1,
       (0 until N_ROWS).map(i => sample(sector, i)))
+
+  // ---------------------------------------------------------------
+  // multi-target fixture (px2): many targets × many sectors, each
+  // target with its OWN injected period — same closed-form oracle
+  // technique, target id carried in the TESS-style filename
+  // ---------------------------------------------------------------
+
+  /** px2 mix — all intermediates < 2^63, valid DuckDB SQL verbatim. */
+  def rMix2(target: Long, sector: Long, i: Long): Long =
+    (target * 69069L + sector * 2654435761L + i * 1103515245L + 12345L) % 2147483648L
+
+  /** Closed-form sample for (target, sector, i): per-TARGET dip
+    * period — every (240 + 60·(t%4))-th sample for 15 samples, so the
+    * fold must run at each target's own period to recover it. */
+  def sample2(target: Int, sector: Int, i: Int): Sample = {
+    val r = rMix2(target, sector, i)
+    val k = 240 + 60 * (target % 4)
+    val dip = if (i % k < 15) 300L else 0L
+    val flux =
+      if (r % 131 == 0) Float.NaN
+      else (10000L + r % 200 - dip).toFloat
+    Sample(1000.0 + (sector - 1) * 30.0 + i * 0.002, flux, 50.0f,
+      if (r % 97 == 0) 8 else 0)
+  }
+
+  /** One (target, sector) fixture file. */
+  def fixtureFile2(target: Int, sector: Int): Array[Byte] =
+    writeLightCurve(sector, (sector - 1) % 4 + 1, sector * 3 % 4 + 1,
+      (0 until N_ROWS).map(i => sample2(target, sector, i)))
 }

@@ -97,4 +97,25 @@ class FitsSpec extends SparkSpec {
       assert(rs.map(_.getDouble(4)).min >= 2457000.0 + 1000.0)
     }
   }
+
+  test("px2 query: per-target fold at each target's own period, prior-wins dedup sink") {
+    val out = graft.queries.Extras.queries("px2_multi_target")(spark, sf).collect()
+    assert(out.length === 12, s"rows ${out.length}")
+    val byTarget = out.map(r => r.getLong(0) -> r).toMap
+    // targets 1–3 keep their PRIOR row (the s12 dedup contract)
+    (1L to 3L).foreach { t =>
+      assert(byTarget(t).getString(1) === "prior", s"target $t overwritten")
+      assert(byTarget(t).getLong(3) === -1L)
+    }
+    // targets 4–12: scanned, folded at the target's OWN period, and the
+    // injected dip (i % k < 15 ⇒ phase bin 0) surfaces as rank-1
+    (4L to 12L).foreach { t =>
+      val r = byTarget(t)
+      assert(r.getString(1) === "scan")
+      assert(r.getLong(2) === 2 * (240 + 60 * (t % 4)), s"target $t period")
+      assert(r.getLong(3) === 0L, s"target $t deepest bin ${r.getLong(3)}")
+      // dip depth ≈ 2–3% below baseline in q9 units
+      assert(r.getLong(5) < -15000000L, s"target $t mq9 ${r.getLong(5)}")
+    }
+  }
 }
