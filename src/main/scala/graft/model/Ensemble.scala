@@ -172,6 +172,32 @@ object Ensemble {
     -s
   }
 
+  /** Two-planet joint limb-darkened likelihood (ref PlanetarySystem
+    * with numbcomp > 1, setp_modlbase main.py:4504–4887): additive
+    * dips, F = flux_a + flux_b − 1, planet a at period 7 d
+    * (T14 = 1.0 d), planet b at the COMMENSURATE period 3.5 d
+    * (T14 = 0.5 d) — commensurability is what lets the joint fit run
+    * on the 7-day fold (planet b appears twice per fold, exactly
+    * periodic). p = (rrat_a, epoch_a, rrat_b, epoch_b); T14s fixed. */
+  def ld2Llq(t: Array[Double], y: Array[Double], scale: Double)
+            (p: Array[Double]): Long = {
+    var s = 0L; var i = 0
+    while (i < y.length) {
+      val mA0 = (t(i) - p(1) + 3.5) % 7.0
+      val mA = if (mA0 < 0) mA0 + 7.0 else mA0
+      val aphA = math.abs(mA - 3.5)
+      val mB0 = (t(i) - p(3) + 1.75) % 3.5
+      val mB = if (mB0 < 0) mB0 + 3.5 else mB0
+      val aphB = math.abs(mB - 1.75)
+      val f = LimbDark.flux(aphA, p(0), 1.0) +
+        LimbDark.flux(aphB, p(2), 0.5) - 1.0
+      val r = y(i) - f
+      s += graft.expr.VecExprs.roundHalfAway(r * r * scale)
+      i += 1
+    }
+    -s
+  }
+
   /** Order-free integer GP-marginal log-likelihood for a box-transit
     * fit under Matérn-3/2 correlated noise (ref retr_llik_mile
     * main.py:735–850, GP branch at 772–817; the reference default

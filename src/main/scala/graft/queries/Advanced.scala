@@ -397,6 +397,103 @@ object Advanced {
         .orderBy("param")
     }),
 
+    // T13e — TWO-PLANET joint limb-darkened fit (the reference's
+    // multi-companion model: PlanetarySystem with numbcomp > 1,
+    // setp_modlbase main.py:4504–4887 — every companion contributes
+    // its own transit to one summed model, fitted JOINTLY): the
+    // fixture injects planet a (p=0.15, T14=1.0 d, epoch 0, P=7 d)
+    // AND planet b (p=0.11, T14=0.5 d, epoch 1.2, P=3.5 d — the
+    // COMMENSURATE half period, so the 7-day fold carries b's two
+    // dips exactly periodically) plus t13's noise; the sampleQ chain
+    // then walks FOUR dimensions (rrat_a, epoch_a, rrat_b, epoch_b)
+    // under the additive model F = flux_a + flux_b − 1. The
+    // walker-ball guess finds planet a as the deepest 1-day circular
+    // window and planet b as the deepest window at circular distance
+    // > 28 bins from a (so b's guess can't land on a's dip); window
+    // depths map to radius ratios via the t13d √(depth·KK) shape.
+    // Cross-engine exactness: the r8 nd-generalized recursive CTE
+    // replays all 4 walk dimensions; the model chain is the t13d
+    // IEEE-exact LD DAG twice plus one subtraction. Geometry 50×300:
+    // planet b's window-depth guess is diluted by the global-mean
+    // depression of BOTH dips (measured pb0 ≈ 0.03 vs true 0.11), so
+    // the 4-dim walk needs ~300 steps to converge from the ball —
+    // measured recovery (0.150, 0.001, 0.110, 1.200) at 300 vs a
+    // still-biased (0.142, 0.004, 0.037, 1.107) at 60.
+    "t13e_mcmc_ld2" -> ((s, d) => {
+      import s.implicits._
+      import graft.model.LimbDark
+      val PDAY = 86400000000L; val P7 = 7L * PDAY
+      val n = 4000L
+      val step = 30L * PDAY / n
+      val PA = LimbDark.D(0.15); val TA = LimbDark.D(1.0)
+      val PB = LimbDark.D(0.11); val TB = LimbDark.D(0.5)
+      val bins = base(s, d).agg(min(col("t_us")).as("t0"))
+        .withColumn("i", explode(sequence(lit(0L), lit(n - 1))))
+        .withColumn("g_us", col("t0") + col("i") * step)
+        .withColumn("r", (col("i") % 65536L * 1103515245L + 12345L) % 2147483648L)
+        .withColumn("ph", pmod(col("g_us") - col("t0"), lit(P7)))
+        .withColumn("phd", expr("CAST(ph AS DOUBLE) / 86400e6"))
+        .withColumn("aph_a", expr("CASE WHEN phd < 3.5 THEN phd ELSE 7.0 - phd END"))
+        .withColumn("aph_b", expr("abs((phd - 1.2 + 1.75) % 3.5 - 1.75)"))
+        .withColumn("hu_a", expr(LimbDark.huSql("aph_a", TA)))
+        .withColumn("z_a", expr(LimbDark.zSql("hu_a", PA)))
+        .withColumn("lam_a", expr(LimbDark.lamSql("z_a", PA)))
+        .withColumn("mu_a", expr(LimbDark.muSql("z_a", PA)))
+        .withColumn("iz_a", expr(LimbDark.izSql("mu_a")))
+        .withColumn("f_a", expr(LimbDark.fluxSql("hu_a", PA, "iz_a", "lam_a")))
+        .withColumn("hu_b", expr(LimbDark.huSql("aph_b", TB)))
+        .withColumn("z_b", expr(LimbDark.zSql("hu_b", PB)))
+        .withColumn("lam_b", expr(LimbDark.lamSql("z_b", PB)))
+        .withColumn("mu_b", expr(LimbDark.muSql("z_b", PB)))
+        .withColumn("iz_b", expr(LimbDark.izSql("mu_b")))
+        .withColumn("f_b", expr(LimbDark.fluxSql("hu_b", PB, "iz_b", "lam_b")))
+        .withColumn("noise", (col("r").cast("double") / 2147483648.0 - 0.5) * 0.004)
+        .withColumn("flux", expr("f_a + f_b - 1.0") + col("noise"))
+        .withColumn("fc", round(col("flux") * 1e6).cast("long"))
+        .withColumn("b", expr(s"(ph * 200) div $P7"))
+        .groupBy("b").agg(count(lit(1)).as("n"), sum(col("fc")).as("sv"))
+        .orderBy("b")
+        .collect()
+      val t = bins.map(r => (r.getLong(0).toDouble + 0.5) * 7.0 / 200)
+      val y = bins.map(r => r.getLong(2).toDouble / r.getLong(1) / 1e6)
+      val yq = y.map(v => graft.expr.VecExprs.roundHalfAway(v * 1e9))
+      // two-window guess: mirror of the oracle's gx block (b1 = deepest
+      // 29-bin circular window; b2 = deepest at circular distance > 28)
+      val h = 14
+      def winSum(c: Int): Long = {
+        var s2 = 0L; var k = -h
+        while (k <= h) { s2 += yq(((c + k) % 200 + 200) % 200); k += 1 }
+        s2
+      }
+      val ws = Array.tabulate(200)(winSum)
+      val c1 = (0 until 200).minBy(c => (ws(c), c))
+      def circ(a: Int, b2: Int) = { val dd = math.abs(a - b2); math.min(dd, 200 - dd) }
+      val c2 = (0 until 200).filter(c => circ(c, c1) > 28).minBy(c => (ws(c), c))
+      var sall = 0L; yq.foreach(sall += _)
+      val dA = (sall.toDouble / 200 - ws(c1).toDouble / 29) / 1e9
+      val dB = (sall.toDouble / 200 - ws(c2).toDouble / 29) / 1e9
+      val e1r = (c1 + 0.5) * 7.0 / 200
+      val g1 = if (e1r >= 3.5) e1r - 7.0 else e1r
+      val g3 = ((c2 + 0.5) * 7.0 / 200 + 1.75) % 3.5 - 1.75
+      val guess = Array(
+        math.sqrt(math.max(dA * LimbDark.KK, 4e-4)), g1,
+        math.sqrt(math.max(dB * LimbDark.KK, 4e-4)), g3)
+      val llq = graft.model.Ensemble.ld2Llq(t, y, scale = 3.125e12) _
+      val (samples, acc) = graft.model.Ensemble.sampleQ(llq,
+        lo = Array(0.02, -3.5, 0.02, -1.75), hi = Array(0.45, 3.5, 0.45, 1.75),
+        nWalkers = 50, nSteps = 300, burnFrac = 0.3, seed = 42L,
+        init = guess, ballFrac = 0.005)
+      val pct = graft.model.Ensemble.percentiles(samples)
+      Seq(
+        ("acceptance", acc, acc, acc),
+        ("epoch_a", pct(1)(0), pct(1)(1), pct(1)(2)),
+        ("epoch_b", pct(3)(0), pct(3)(1), pct(3)(2)),
+        ("rrat_a", pct(0)(0), pct(0)(1), pct(0)(2)),
+        ("rrat_b", pct(2)(0), pct(2)(1), pct(2)(2)))
+        .toDF("param", "p16", "p50", "p84")
+        .orderBy("param")
+    }),
+
     // T13 per-energy-bin fits, SPARK-PARALLEL (ref main.py:12301–12316:
     // typemodlenerfitt='iter' loops the whole fit once per energy bin —
     // here the loop IS the shuffle key): phase-fold each energy bin at
@@ -786,7 +883,17 @@ object Advanced {
                              extraCte: String = "",
                              los: Seq[Double] = Seq(-0.2, -3.5, 0.2),
                              his: Seq[Double] = Seq(0.2, 3.5, 2.0),
-                             g0Sql: Option[String] = None): String = {
+                             g0Sql: Option[String] = None,
+                             gxBlockSql: Option[String] = None): String = {
+    // nd-dimensional since r8 (t13e needs 4 walk dimensions): every
+    // per-dimension fragment is generated from 0 until nd; for nd != 3
+    // the caller MUST supply gxBlockSql (CTEs ending in
+    // gx(ener, g0..g{nd-1})) because the default single-dip window
+    // guess is 3-parameter by construction.
+    val nd = los.length
+    require(his.length == nd && (nd == 3 || gxBlockSql.isDefined),
+      "mcmcSamplerSql: non-3-dim walks need an explicit gx block")
+    val dims = 0 until nd
     def D(x: Double) = s"CAST($x AS DOUBLE)"
     // box model at bin `bb` for parameter columns $al.${p}0..2 —
     // mirrors Ensemble.boxModel: ph = fmod-wrap into [0,P) minus P/2
@@ -811,9 +918,43 @@ object Advanced {
     // in DOUBLE like the Scala hi(d)-lo(d) (NOT as a decimal literal —
     // 2.0−0.2 in DECIMAL is exactly 1.8, a different double)
     def initW(d: Int) = clamp(d,
-      s"g$d + (2 * (SELECT u FROM dr WHERE dr.ener = gx.ener AND dr.idx = 1000000 + wk.k * 3 + $d) - 1)" +
+      s"g$d + (2 * (SELECT u FROM dr WHERE dr.ener = gx.ener AND dr.idx = 1000000 + wk.k * $nd + $d) - 1)" +
       s" * ${D(0.005)} * (${D(his(d))} - ${D(los(d))})")
     def prop(d: Int) = clamp(d, s"wj$d + z * (wk$d - wj$d)")
+    // the stateless index subquery selecting walker j for the stretch
+    // move — shared by every wj$d column
+    val jSel =
+      s"""(SELECT CASE WHEN r % ${nW - 1} >= wt.k THEN r % ${nW - 1} + 1 ELSE r % ${nW - 1} END
+         |                       FROM dr WHERE dr.ener = e.ener
+         |                         AND dr.idx = (e.step * $nW + wt.k) * 3)""".stripMargin
+    val gxDefault =
+      s"""gw AS (SELECT c.ener AS ener, c.b AS c, CAST(sum(b2.yq) AS BIGINT) AS w
+         |  FROM bins c
+         |  CROSS JOIN (SELECT unnest(range(-14, 15)) AS kk) o
+         |  JOIN bins b2 ON b2.ener = c.ener
+         |    AND b2.b = ((c.b + o.kk) % 200 + 200) % 200
+         |  GROUP BY 1, 2),
+         |best AS (SELECT ener, c, w FROM (
+         |    SELECT ener, c, w,
+         |      row_number() OVER (PARTITION BY ener ORDER BY w ASC, c ASC) AS rw
+         |    FROM gw) WHERE rw = 1),
+         |sall AS (SELECT ener, CAST(sum(yq) AS BIGINT) AS sa FROM bins GROUP BY 1),
+         |gx AS (SELECT best.ener AS ener,
+         |    ${g0Sql.getOrElse(mcmcDepthG0)} AS g0,
+         |    CASE WHEN (CAST(c AS DOUBLE) + 0.5) * 7.0 / 200 >= 3.5
+         |         THEN (CAST(c AS DOUBLE) + 0.5) * 7.0 / 200 - 7.0
+         |         ELSE (CAST(c AS DOUBLE) + 0.5) * 7.0 / 200 END AS g1,
+         |    ${D(1.0)} AS g2
+         |  FROM best JOIN sall ON sall.ener = best.ener)""".stripMargin
+    val pcBlocks = dims.map { d =>
+      s"""o$d AS (SELECT ener, w$d AS x,
+         |    row_number() OVER (PARTITION BY ener ORDER BY w$d) - 1 AS rn FROM smp),
+         |pc$d AS (SELECT a.ener AS ener, qs.q AS q,
+         |    a.x + (b.x - a.x) * (qs.q * ${nSamples - 1} - trunc(qs.q * ${nSamples - 1})) AS v
+         |  FROM qs, o$d a, o$d b
+         |  WHERE a.rn = CAST(trunc(qs.q * ${nSamples - 1}) AS BIGINT)
+         |    AND b.ener = a.ener AND b.rn = a.rn + 1)""".stripMargin
+    }.mkString(",\n")
     s"""WITH RECURSIVE
        |eners AS ($enersSql),
        |$fixtureSql,$extraCte
@@ -831,76 +972,50 @@ object Advanced {
        |                FROM eners en,
        |                  (SELECT unnest(range(0, ${nProps * 3})) AS idx
        |                   UNION ALL
-       |                   SELECT unnest(range(1000000, ${1000000 + nW * 3}))) ix)))),
-       |-- boxGuessQ: deepest 1-day CIRCULAR window of integer yq sums
-       |-- (h = round(200·1.0/7.0)/2 = 14, width 2h+1 = 29), first-index
-       |-- tiebreak; depth/epoch from the same IEEE expression shapes
-       |gw AS (SELECT c.ener AS ener, c.b AS c, CAST(sum(b2.yq) AS BIGINT) AS w
-       |  FROM bins c
-       |  CROSS JOIN (SELECT unnest(range(-14, 15)) AS kk) o
-       |  JOIN bins b2 ON b2.ener = c.ener
-       |    AND b2.b = ((c.b + o.kk) % 200 + 200) % 200
-       |  GROUP BY 1, 2),
-       |best AS (SELECT ener, c, w FROM (
-       |    SELECT ener, c, w,
-       |      row_number() OVER (PARTITION BY ener ORDER BY w ASC, c ASC) AS rw
-       |    FROM gw) WHERE rw = 1),
-       |sall AS (SELECT ener, CAST(sum(yq) AS BIGINT) AS sa FROM bins GROUP BY 1),
-       |gx AS (SELECT best.ener AS ener,
-       |    ${g0Sql.getOrElse(mcmcDepthG0)} AS g0,
-       |    CASE WHEN (CAST(c AS DOUBLE) + 0.5) * 7.0 / 200 >= 3.5
-       |         THEN (CAST(c AS DOUBLE) + 0.5) * 7.0 / 200 - 7.0
-       |         ELSE (CAST(c AS DOUBLE) + 0.5) * 7.0 / 200 END AS g1,
-       |    ${D(1.0)} AS g2
-       |  FROM best JOIN sall ON sall.ener = best.ener),
+       |                   SELECT unnest(range(1000000, ${1000000 + nW * nd}))) ix)))),
+       |-- walker-ball center: by default boxGuessQ (deepest 1-day
+       |-- CIRCULAR window of integer yq sums, h = 14, width 29,
+       |-- first-index tiebreak); callers with other parametrizations
+       |-- supply their own CTE chain ending in gx(ener, g0..g${nd - 1})
+       |${gxBlockSql.getOrElse(gxDefault)},
        |ini AS (SELECT gx.ener AS ener, wk.k AS k,
-       |    ${initW(0)} AS w0, ${initW(1)} AS w1, ${initW(2)} AS w2
+       |    ${dims.map(d => s"${initW(d)} AS w$d").mkString(",\n    ")}
        |  FROM gx CROSS JOIN (SELECT unnest(range(0, $nW)) AS k) wk),
        |inil AS (SELECT i0.ener AS ener, i0.k AS k,
-       |    i0.w0 AS w00, i0.w1 AS w01, i0.w2 AS w02, ${llq("i0", "w")} AS llq
+       |    ${dims.map(d => s"i0.w$d AS w0$d").mkString(", ")}, ${llq("i0", "w")} AS llq
        |  FROM ini i0),
        |-- the walk: one recursion round = one whole-ensemble step;
-       |-- state = (ener, step, #accepts, 4×100-element lists)
+       |-- state = (ener, step, #accepts, ${nd + 1}×$nW-element lists)
        |ens AS (
        |  SELECT ener, 0 AS step, CAST(0 AS BIGINT) AS nacc,
-       |      list(w00 ORDER BY k) AS w0s, list(w01 ORDER BY k) AS w1s,
-       |      list(w02 ORDER BY k) AS w2s, list(llq ORDER BY k) AS llqs
+       |      ${dims.map(d => s"list(w0$d ORDER BY k) AS w${d}s").mkString(", ")},
+       |      list(llq ORDER BY k) AS llqs
        |  FROM inil GROUP BY ener
        |  UNION ALL
        |  SELECT ener, step + 1, max(pnacc) + CAST(sum(acci) AS BIGINT),
-       |      list(nw0 ORDER BY k), list(nw1 ORDER BY k),
-       |      list(nw2 ORDER BY k), list(nllq ORDER BY k)
+       |      ${dims.map(d => s"list(nw$d ORDER BY k)").mkString(", ")},
+       |      list(nllq ORDER BY k)
        |  FROM (
        |    SELECT ener, step, pnacc, k,
-       |        CASE WHEN acc THEN p0 ELSE wk0 END AS nw0,
-       |        CASE WHEN acc THEN p1 ELSE wk1 END AS nw1,
-       |        CASE WHEN acc THEN p2 ELSE wk2 END AS nw2,
+       |        ${dims.map(d => s"CASE WHEN acc THEN p$d ELSE wk$d END AS nw$d").mkString(",\n        ")},
        |        CASE WHEN acc THEN llp ELSE llk END AS nllq,
        |        CASE WHEN acc THEN 1 ELSE 0 END AS acci
        |    FROM (
        |      SELECT l3.*,
-       |          (${lnq("l3.u2")} < 2 * ${lnq("l3.z")} + (l3.llp - l3.llk)) AS acc
+       |          (${lnq("l3.u2")} < ${nd - 1} * ${lnq("l3.z")} + (l3.llp - l3.llk)) AS acc
        |      FROM (
        |        SELECT l2.*, ${llq("l2", "p")} AS llp
        |        FROM (
        |          SELECT l1.ener AS ener, l1.step AS step, l1.pnacc AS pnacc,
-       |              l1.k AS k, l1.wk0 AS wk0, l1.wk1 AS wk1, l1.wk2 AS wk2,
+       |              l1.k AS k, ${dims.map(d => s"l1.wk$d AS wk$d").mkString(", ")},
        |              l1.llk AS llk, l1.z AS z, l1.u2 AS u2,
-       |              ${prop(0)} AS p0, ${prop(1)} AS p1, ${prop(2)} AS p2
+       |              ${dims.map(d => s"${prop(d)} AS p$d").mkString(", ")}
        |          FROM (
        |            SELECT e.ener AS ener, e.step AS step, e.nacc AS pnacc,
        |                wt.k AS k,
-       |                e.w0s[wt.k + 1] AS wk0, e.w1s[wt.k + 1] AS wk1,
-       |                e.w2s[wt.k + 1] AS wk2, e.llqs[wt.k + 1] AS llk,
-       |                e.w0s[(SELECT CASE WHEN r % ${nW - 1} >= wt.k THEN r % ${nW - 1} + 1 ELSE r % ${nW - 1} END
-       |                       FROM dr WHERE dr.ener = e.ener
-       |                         AND dr.idx = (e.step * $nW + wt.k) * 3) + 1] AS wj0,
-       |                e.w1s[(SELECT CASE WHEN r % ${nW - 1} >= wt.k THEN r % ${nW - 1} + 1 ELSE r % ${nW - 1} END
-       |                       FROM dr WHERE dr.ener = e.ener
-       |                         AND dr.idx = (e.step * $nW + wt.k) * 3) + 1] AS wj1,
-       |                e.w2s[(SELECT CASE WHEN r % ${nW - 1} >= wt.k THEN r % ${nW - 1} + 1 ELSE r % ${nW - 1} END
-       |                       FROM dr WHERE dr.ener = e.ener
-       |                         AND dr.idx = (e.step * $nW + wt.k) * 3) + 1] AS wj2,
+       |                ${dims.map(d => s"e.w${d}s[wt.k + 1] AS wk$d").mkString(", ")},
+       |                e.llqs[wt.k + 1] AS llk,
+       |                ${dims.map(d => s"e.w${d}s[$jSel + 1] AS wj$d").mkString(",\n                ")},
        |                (SELECT (u + 1) * (u + 1) / 2 FROM dr
        |                 WHERE dr.ener = e.ener
        |                   AND dr.idx = (e.step * $nW + wt.k) * 3 + 1) AS z,
@@ -917,35 +1032,15 @@ object Advanced {
        |),
        |ensm AS MATERIALIZED (SELECT * FROM ens),
        |-- post-burn samples: Scala records the post-move ensemble at
-       |-- 0-based steps 30..99 = recursion rows 31..100 (70×100 = 7000)
+       |-- 0-based steps ${burnRow - 1}..${nSteps - 1} = recursion rows $burnRow..$nSteps
        |smp AS MATERIALIZED (SELECT ener,
-       |    unnest(w0s) AS w0, unnest(w1s) AS w1, unnest(w2s) AS w2
+       |    ${dims.map(d => s"unnest(w${d}s) AS w$d").mkString(", ")}
        |  FROM ensm WHERE step >= $burnRow),
        |qs AS (SELECT ${D(0.16)} AS q UNION ALL SELECT ${D(0.5)}
        |       UNION ALL SELECT ${D(0.84)}),
-       |o0 AS (SELECT ener, w0 AS x,
-       |    row_number() OVER (PARTITION BY ener ORDER BY w0) - 1 AS rn FROM smp),
-       |o1 AS (SELECT ener, w1 AS x,
-       |    row_number() OVER (PARTITION BY ener ORDER BY w1) - 1 AS rn FROM smp),
-       |o2 AS (SELECT ener, w2 AS x,
-       |    row_number() OVER (PARTITION BY ener ORDER BY w2) - 1 AS rn FROM smp),
        |-- Ensemble.percentiles: xs(i) + (xs(i+1)−xs(i))·(idx−i),
        |-- idx = q·${nSamples - 1}, i = trunc(idx) — the exact interpolation shape
-       |pc0 AS (SELECT a.ener AS ener, qs.q AS q,
-       |    a.x + (b.x - a.x) * (qs.q * ${nSamples - 1} - trunc(qs.q * ${nSamples - 1})) AS v
-       |  FROM qs, o0 a, o0 b
-       |  WHERE a.rn = CAST(trunc(qs.q * ${nSamples - 1}) AS BIGINT)
-       |    AND b.ener = a.ener AND b.rn = a.rn + 1),
-       |pc1 AS (SELECT a.ener AS ener, qs.q AS q,
-       |    a.x + (b.x - a.x) * (qs.q * ${nSamples - 1} - trunc(qs.q * ${nSamples - 1})) AS v
-       |  FROM qs, o1 a, o1 b
-       |  WHERE a.rn = CAST(trunc(qs.q * ${nSamples - 1}) AS BIGINT)
-       |    AND b.ener = a.ener AND b.rn = a.rn + 1),
-       |pc2 AS (SELECT a.ener AS ener, qs.q AS q,
-       |    a.x + (b.x - a.x) * (qs.q * ${nSamples - 1} - trunc(qs.q * ${nSamples - 1})) AS v
-       |  FROM qs, o2 a, o2 b
-       |  WHERE a.rn = CAST(trunc(qs.q * ${nSamples - 1}) AS BIGINT)
-       |    AND b.ener = a.ener AND b.rn = a.rn + 1),
+       |$pcBlocks,
        |accr AS (SELECT ener, CAST(nacc AS DOUBLE) / $nProps AS a
        |  FROM ensm WHERE step = $nSteps)""".stripMargin
   }
@@ -1032,6 +1127,52 @@ object Advanced {
        |l4 AS (SELECT ener, ph, r, hu, lam, ${LimbDark.izSql("mu")} AS iz FROM l3),
        |fl AS (SELECT ener, ph,
        |    ${LimbDark.fluxSql("hu", PT, "iz", "lam")}
+       |      + (CAST(r AS DOUBLE) / 2147483648.0 - 0.5) * 0.004 AS flux
+       |  FROM l4),
+       |bnr AS (SELECT ener, (ph * 200) // 604800000000 AS b, count(*) AS n,
+       |    CAST(sum(CAST(round(flux * 1e6) AS BIGINT)) AS BIGINT) AS sv
+       |  FROM fl GROUP BY 1, 2),
+       |bins AS MATERIALIZED (SELECT ener, b,
+       |    (CAST(b AS DOUBLE) + 0.5) * 7.0 / 200 AS tb,
+       |    CAST(sv AS DOUBLE) / n / 1e6 AS y,
+       |    CAST(round(CAST(sv AS DOUBLE) / n / 1e6 * 1e9) AS BIGINT) AS yq
+       |  FROM bnr)""".stripMargin
+  }
+
+  /** t13e's fixture: t13's grid + noise with BOTH planets' LD dips
+    * (additive, commensurate periods) — layer strings shared with the
+    * Spark fixture columns. */
+  private def t13eFixtureSql: String = {
+    import graft.model.LimbDark
+    val PA = LimbDark.D(0.15); val TA = LimbDark.D(1.0)
+    val PB = LimbDark.D(0.11); val TB = LimbDark.D(0.5)
+    s"""e0 AS (SELECT min(epoch_us(ts)) AS t0 FROM events),
+       |gn AS (SELECT en.ener AS ener, ii.i AS i,
+       |    (i % 65536 * 1103515245 + 12345) % 2147483648 AS r,
+       |    (ii.i * 648000000) % 604800000000 AS ph
+       |  FROM e0, eners en, (SELECT unnest(range(0, 4000)) AS i) ii),
+       |ap AS (SELECT ener, ph, r,
+       |    CASE WHEN phd < 3.5 THEN phd ELSE 7.0 - phd END AS aph_a,
+       |    abs((phd - 1.2 + 1.75) % 3.5 - 1.75) AS aph_b
+       |  FROM (SELECT ener, ph, r, CAST(ph AS DOUBLE) / 86400e6 AS phd
+       |        FROM gn) pd),
+       |l1 AS (SELECT ener, ph, r,
+       |    ${LimbDark.huSql("aph_a", TA)} AS hu_a,
+       |    ${LimbDark.huSql("aph_b", TB)} AS hu_b FROM ap),
+       |l2 AS (SELECT ener, ph, r, hu_a, hu_b,
+       |    ${LimbDark.zSql("hu_a", PA)} AS z_a,
+       |    ${LimbDark.zSql("hu_b", PB)} AS z_b FROM l1),
+       |l3 AS (SELECT ener, ph, r, hu_a, hu_b,
+       |    ${LimbDark.lamSql("z_a", PA)} AS lam_a,
+       |    ${LimbDark.muSql("z_a", PA)} AS mu_a,
+       |    ${LimbDark.lamSql("z_b", PB)} AS lam_b,
+       |    ${LimbDark.muSql("z_b", PB)} AS mu_b FROM l2),
+       |l4 AS (SELECT ener, ph, r, hu_a, hu_b, lam_a, lam_b,
+       |    ${LimbDark.izSql("mu_a")} AS iz_a,
+       |    ${LimbDark.izSql("mu_b")} AS iz_b FROM l3),
+       |fl AS (SELECT ener, ph,
+       |    ${LimbDark.fluxSql("hu_a", PA, "iz_a", "lam_a")}
+       |      + ${LimbDark.fluxSql("hu_b", PB, "iz_b", "lam_b")} - 1.0
        |      + (CAST(r AS DOUBLE) / 2147483648.0 - 0.5) * 0.004 AS flux
        |  FROM l4),
        |bnr AS (SELECT ener, (ph * 200) // 604800000000 AS b, count(*) AS n,
@@ -1176,6 +1317,79 @@ wts AS (SELECT * FROM (VALUES $wtsVals) AS t(l, cq)),""")}
          |  SELECT 'rrat', max(CASE WHEN q < 0.3 THEN v END),
          |      max(CASE WHEN q > 0.3 AND q < 0.7 THEN v END),
          |      max(CASE WHEN q > 0.7 THEN v END) FROM pc0
+         |) ORDER BY param""".stripMargin
+    },
+
+    // The 4-dimensional two-planet walk replay: the nd-generalized
+    // recursive CTE with the additive two-LD-model likelihood and a
+    // custom two-window gx block (deepest window = planet a; deepest
+    // window at circular distance > 28 bins = planet b).
+    "t13e_mcmc_ld2" -> {
+      import graft.model.LimbDark
+      val ld2: (String, String) => String = (al, p) => {
+        val aphA = s"abs(fmod(bb.tb - $al.${p}1 + 3.5, 7.0) - 3.5)"
+        val aphB = s"abs(fmod(bb.tb - $al.${p}3 + 1.75, 3.5) - 1.75)"
+        val fa = LimbDark.fluxInlineSql(aphA, s"$al.${p}0", LimbDark.D(1.0))
+        val fb = LimbDark.fluxInlineSql(aphB, s"$al.${p}2", LimbDark.D(0.5))
+        s"(SELECT CAST(-sum(CAST(round((yy - mm) * (yy - mm) * 3.125e12)" +
+        s" AS BIGINT)) AS BIGINT) FROM (SELECT bb.y AS yy, " +
+        s"$fa + $fb - 1.0 AS mm FROM bins bb WHERE bb.ener = $al.ener) qq)"
+      }
+      def dep(w: String) =
+        s"(CAST(sa AS DOUBLE) / 200 - CAST($w AS DOUBLE) / 29) / 1e9"
+      def rr(w: String) =
+        s"sqrt(GREATEST(${dep(w)} * ${LimbDark.D(LimbDark.KK)}, ${LimbDark.D(4e-4)}))"
+      val gxBlock =
+        s"""gw AS (SELECT c.ener AS ener, c.b AS c, CAST(sum(b2.yq) AS BIGINT) AS w
+           |  FROM bins c
+           |  CROSS JOIN (SELECT unnest(range(-14, 15)) AS kk) o
+           |  JOIN bins b2 ON b2.ener = c.ener
+           |    AND b2.b = ((c.b + o.kk) % 200 + 200) % 200
+           |  GROUP BY 1, 2),
+           |b1 AS (SELECT ener, c, w FROM (
+           |    SELECT ener, c, w,
+           |      row_number() OVER (PARTITION BY ener ORDER BY w ASC, c ASC) AS rw
+           |    FROM gw) WHERE rw = 1),
+           |b2w AS (SELECT ener, c, w FROM (
+           |    SELECT g.ener AS ener, g.c AS c, g.w AS w,
+           |      row_number() OVER (PARTITION BY g.ener ORDER BY g.w ASC, g.c ASC) AS rw
+           |    FROM gw g JOIN b1 ON b1.ener = g.ener
+           |    WHERE LEAST(abs(g.c - b1.c), 200 - abs(g.c - b1.c)) > 28)
+           |  WHERE rw = 1),
+           |sall AS (SELECT ener, CAST(sum(yq) AS BIGINT) AS sa FROM bins GROUP BY 1),
+           |gx AS (SELECT b1.ener AS ener,
+           |    ${rr("b1.w")} AS g0,
+           |    CASE WHEN (CAST(b1.c AS DOUBLE) + 0.5) * 7.0 / 200 >= 3.5
+           |         THEN (CAST(b1.c AS DOUBLE) + 0.5) * 7.0 / 200 - 7.0
+           |         ELSE (CAST(b1.c AS DOUBLE) + 0.5) * 7.0 / 200 END AS g1,
+           |    ${rr("b2w.w")} AS g2,
+           |    fmod((CAST(b2w.c AS DOUBLE) + 0.5) * 7.0 / 200 + 1.75, 3.5) - 1.75 AS g3
+           |  FROM b1 JOIN b2w ON b2w.ener = b1.ener
+           |  JOIN sall ON sall.ener = b1.ener)""".stripMargin
+      s"""${mcmcSamplerSql("SELECT CAST(0 AS BIGINT) AS ener",
+                           t13eFixtureSql, 42L, nW = 50, nSteps = 300,
+                           llqGen = Some(ld2),
+                           los = Seq(0.02, -3.5, 0.02, -1.75),
+                           his = Seq(0.45, 3.5, 0.45, 1.75),
+                           gxBlockSql = Some(gxBlock))}
+         |SELECT * FROM (
+         |  SELECT 'acceptance' AS param, a AS p16, a AS p50, a AS p84 FROM accr
+         |  UNION ALL
+         |  SELECT 'epoch_a', max(CASE WHEN q < 0.3 THEN v END),
+         |      max(CASE WHEN q > 0.3 AND q < 0.7 THEN v END),
+         |      max(CASE WHEN q > 0.7 THEN v END) FROM pc1
+         |  UNION ALL
+         |  SELECT 'epoch_b', max(CASE WHEN q < 0.3 THEN v END),
+         |      max(CASE WHEN q > 0.3 AND q < 0.7 THEN v END),
+         |      max(CASE WHEN q > 0.7 THEN v END) FROM pc3
+         |  UNION ALL
+         |  SELECT 'rrat_a', max(CASE WHEN q < 0.3 THEN v END),
+         |      max(CASE WHEN q > 0.3 AND q < 0.7 THEN v END),
+         |      max(CASE WHEN q > 0.7 THEN v END) FROM pc0
+         |  UNION ALL
+         |  SELECT 'rrat_b', max(CASE WHEN q < 0.3 THEN v END),
+         |      max(CASE WHEN q > 0.3 AND q < 0.7 THEN v END),
+         |      max(CASE WHEN q > 0.7 THEN v END) FROM pc2
          |) ORDER BY param""".stripMargin
     },
 

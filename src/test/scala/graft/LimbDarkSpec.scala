@@ -95,4 +95,16 @@ class LimbDarkSpec extends SparkSpec {
       assert(a <= b && b <= c, s"$k percentiles out of order: $a $b $c")
     }
   }
+
+  test("declared t13e query: two-planet joint fit recovers BOTH injected companions") {
+    val out = graft.queries.Advanced.queries("t13e_mcmc_ld2")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // true params: a = (0.15, epoch 0, T14 1.0 @ P 7 d);
+    //              b = (0.11, epoch 1.2, T14 0.5 @ P 3.5 d)
+    assert(math.abs(out("rrat_a") - 0.15) < 0.01, s"rrat_a ${out("rrat_a")}")
+    assert(math.abs(out("epoch_a")) < 0.05, s"epoch_a ${out("epoch_a")}")
+    assert(math.abs(out("rrat_b") - 0.11) < 0.01, s"rrat_b ${out("rrat_b")}")
+    assert(math.abs(out("epoch_b") - 1.2) < 0.05, s"epoch_b ${out("epoch_b")}")
+    assert(out("acceptance") > 0.1 && out("acceptance") < 0.9)
+  }
 }
