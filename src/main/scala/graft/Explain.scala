@@ -143,7 +143,60 @@ object Explain {
       "j8_asof_interp" -> "as-of interpolation join: both series Exchange ONCE on the series key; the bracketing neighbors come from partitioned lag/lead windows over the union — no theta join, no per-row subquery",
       "s14_fits_scan" -> "REAL FITS ingest: binaryFile scan (one row per lc.fits, parallelism = files packed by maxPartitionBytes), row-local BINTABLE decode in mapPartitions, quality/finite mask on the decoded stream; the only shuffles are the 8-row per-sector median aggregate (broadcast back) and the output sort",
       "t13c_mcmc_gp" -> "GP-likelihood MCMC (driver-fit division like t13): ONE exact-integer phase-bin aggregation + the 200-row wiggle projection feed the collected fit window; the 50x60 walk under the steady-state innovation-filter likelihood is driver-side and SQL-replayable (see oracle); plan is the binning aggregate + LocalTableScan of the posterior",
-      "px_lightcurve_pipeline" -> "end-to-end light-curve pipeline in ONE fused plan: map-only FITS decode; mask/normalize/clip are map-side against BROADCAST per-sector stats frames; the fold/bin aggregation is the single corpus-scale shuffle (map-side combined); top-5 is TakeOrderedAndProject over 72 bin rows")
+      "px_lightcurve_pipeline" -> "end-to-end light-curve pipeline in ONE fused plan: map-only FITS decode; mask/normalize/clip are map-side against BROADCAST per-sector stats frames; the fold/bin aggregation is the single corpus-scale shuffle (map-side combined); top-5 is TakeOrderedAndProject over 72 bin rows",
+      // round-8: the new queries + the remaining sub-1 s tail, so every
+      // declared query carries an audit (the round-5 invariant closed)
+      "s15_hdf5_scan" -> "REAL HDF5 ingest (read_qlop): binaryFile scan of .h5 files, row-local superblock/B-tree/heap walk in mapPartitions; the only shuffles are TWO 8-row per-orbit median aggregates (mag, then flux — both broadcast back) and the output sort; the pow(10,x) chain is pure codegen column math",
+      "px2_multi_target" -> "multi-target pipeline fan-out: per-FILE medians and per-TARGET clip stats are broadcast frames; ONE corpus-scale shuffle keyed (target, bin) with map-side combine absorbing the 4x per-target skew; rank-1 window partitions by target; prior-results dedup is a broadcast anti-join",
+      "t12d_model_ld" -> "limb-darkened model eval: generated 501-point grid x 3 parameter configs, the whole LD chain (sqrt/min/max arithmetic) as codegen column layers — no shuffle before the output sort, no UDF, no transcendental",
+      "t13d_mcmc_ld" -> "LD-likelihood MCMC (driver-fit division like t13): ONE exact-integer phase-bin aggregation feeds the collected 200-bin window; the 100x100 walk under the LD model is driver-side and SQL-replayable; plan is the binning aggregate + LocalTableScan of the posterior",
+      "t13e_mcmc_ld2" -> "two-planet joint LD fit: same binning-aggregate + LocalTableScan shape as t13d; the 4-dimensional 50x300 walk runs driver-side over the collected window (corpus cost is the min(ts) anchor scan only)",
+      "a1_rebin_time" -> "time rebin: ONE keyed aggregation on (user, bin) with map-side partial combine; bin id is integer div column math below the exchange",
+      "t2_phase_bin" -> "phase binning: integer fold (pmod) is row-local column math; ONE (bin)-keyed aggregation with partial combine; no window",
+      "a3_percentiles" -> "16/50/84 percentiles: percentile aggregation partitioned by the group key (map-side partial_percentile), one exchange, no global sort",
+      "a12_conditional_agg" -> "conditional aggregates: CASE-gated sums share ONE keyed aggregation pass — no per-condition re-scan, no join",
+      "a14_mc_explode" -> "per-row Monte Carlo: the trial axis is a row-local explode (map-side), error propagation is codegen column math; ONE rollup keyed by the source row",
+      "d1_exact_dedup" -> "exact dedup: md5 content key computed map-side; ONE keyed aggregation (count + min doc_id) with partial combine — the canonical hash-groupBy dedup at any scale",
+      "d4_simhash" -> "simhash signatures: per-token hashes and the 64-bit majority fold are row-local higher-order-function column math; ONE per-doc rollup; no self-join in the signature pass",
+      "d5_langid" -> "n-gram language id: profile scores fold row-locally over a BROADCAST literal profile table; map-only until the per-lang rollup",
+      "d6_quality" -> "quality scoring: length/punct/stopword ratios are pure row-local column math; ONE rollup; gates are filters below the shuffle",
+      "d7_token_count" -> "token counting: whitespace + BPE-ish regex splits row-locally; ONE per-doc aggregation with map-side combine",
+      "d8_fingerprint" -> "rolling-hash fingerprinting: the window hash folds row-locally (transform over token slices); ONE keyed rollup; no window function over the corpus",
+      "e2_lsh_ann" -> "sign-LSH ANN: bucket keys map-side from a broadcast hyperplane literal frame; candidates from the bucket EQUI-join; rank window partitioned by q_id over bucket-local candidates only",
+      "f2_interval_mask" -> "interval mask: anti-join against the tiny interval table BROADCAST — the fact stream never shuffles for the mask",
+      "f7_string_filter" -> "metadata string predicates: pushed to the scan (PushedFilters with StringContains/StartsWith) — prune before any compute",
+      "j2_nn_crossmatch" -> "NN crossmatch (small catalog): catalog side BROADCAST, distance + rank-1 window partitioned by probe id; the 100 TB path is j11's zone join (audited above)",
+      "j3_semi_join" -> "semi join: LeftSemi keyed on the join key — hash-partitionable, AQE broadcasts the filter side while it fits, no row duplication",
+      "j3_anti_join" -> "anti join: LeftAnti, same exchange shape as j3_semi — the NOT EXISTS form with no null-trap",
+      "j4_interval_join" -> "interval join: equi-prefix on the coarse bucket key makes it hash-joinable; the range predicate verifies inside the join — no pure theta join",
+      "j5_population" -> "population join: the population table is a broadcast dim; per-row closed-form error propagation is codegen math; ONE rollup",
+      "j6_pair_diffs" -> "self pair diffs: self-join bounded by the group key (pairs form within groups only); a < b predicate halves the output; no global cross join",
+      "m1_binary_meta" -> "media metadata: row-local header decode in mapPartitions (no full-payload parse); map-only until the output sort",
+      "o1_union_sort" -> "union + global sort: unionByName is plan-level (no shuffle); the ONE exchange is the range partitioning of the output sort",
+      "o3_topk" -> "top-N outliers: TakeOrderedAndProject — per-partition heaps, driver sees N rows, no global sort of the stream",
+      "o7_subsample" -> "deterministic subsample: hash-gate filter (pure function of the key) map-side — no shuffle, no RNG state, reproducible on re-run",
+      "s3_mag2flux" -> "mag->flux transform: pow/normalize as column math over the scan; per-series median aggregate broadcast back; no window",
+      "s5_csv_scan" -> "user CSV scan: explicit schema (no inference pass), sanity filter at the reader, one output sort",
+      "s6_schema_evolution" -> "mergeSchema scan: two parquet generations read as one table, the missing column surfaces as NULL — one aggregation, no per-file branching",
+      "s12_dedup_first" -> "keyed dedup sink: first-wins via min-aggregation on the business key (ONE exchange) — no window over the full stream",
+      "sc_math" -> "scalar math surface: map-only codegen projections; the only exchange is the output sort",
+      "sc_strings" -> "scalar string surface: map-only codegen projections; the only exchange is the output sort",
+      "sc_arrays" -> "array higher-order functions: transform/filter/aggregate run row-locally inside codegen — no explode-shuffle-reassemble",
+      "sc_datetime" -> "datetime surface: timezone-pinned column math, map-only until the output sort",
+      "sc_regex" -> "regex surface: compiled-per-task regexp_* projections, map-only until the output sort",
+      "t3_detrend_median" -> "sliding-median detrend: percentile over a RANGE frame partitioned by series — no global window, one exchange serves detrend and residual",
+      "t5_lombscargle" -> "Lomb-Scargle: the trial-frequency axis is a broadcast generated frame; per-(series, freq) integer trig sums aggregate with map-side combine; peak pick is a window over the trial grid only",
+      "t7_outlperi" -> "pairwise-diff period estimate: outlier set is small by construction (filtered first), so the pair join is bounded; histogram rollup keyed by the quantized diff",
+      "t10_transit_stats" -> "transit stats: in/out-of-transit classification is closed-form column math (no interval join); ONE keyed aggregation per transit index",
+      "t11_time_grid" -> "uniform grid generation: sequence + explode off a one-row bounds aggregate — no input-proportional work after the bounds scan",
+      "t12_model_eval" -> "model evaluation: generated 501-point grid, box+flare+RV model as codegen column math, no shuffle before the output sort",
+      "t14_injection" -> "signal injection: LCG noise + dip are pure column math over the scan (deterministic, engine-neutral) — map-only until the verification rollup",
+      "t15_visibility" -> "visibility: targets x 144-point night grid via explode; alt-az trig is row-local; no shuffle until the output sort",
+      "u1_union_distinct" -> "union + distinct: ONE hash aggregation on the row key after a plan-level union — no sort-based distinct",
+      "w1_lag_diff" -> "successive differences: ONE lag window partitioned by series key — single exchange, no self-join",
+      "w2_gap_segment" -> "gap segmentation: lag + cumulative-sum windows SHARE the series-key partitioning — one exchange for the whole chain",
+      "w5_argmax" -> "rank-1 selection: row_number window partitioned by the group key, filter rn=1 — no global sort, no self-join against the max",
+      "w6_sequence" -> "sequence generation: generator expression off a one-row frame — zero input-proportional work")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by graft.Explain)\n\n")

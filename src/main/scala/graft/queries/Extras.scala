@@ -71,6 +71,19 @@ object Extras {
     dir
   }
 
+  /** Scale multiplier of a data dir (r8): scale corpora (ScaleFixture)
+    * carry a `_scale_mult` marker that multiplies the derived FITS/
+    * HDF5 fixture FILE COUNTS, so the ingest queries' measured decades
+    * scale the real bottleneck (files × decode) with the corpus. The
+    * driver's sf dirs carry no marker → ×1, where the DuckDB oracles'
+    * fixed generate_series bounds hold. */
+  private def scaleMult(d: String): Int = {
+    val f = new java.io.File(d, "_scale_mult")
+    if (f.exists())
+      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.toInt
+    else 1
+  }
+
   private val baseSql =
     """base AS (SELECT event_id, user_id, event_type, value,
       |  epoch_us(ts) AS t_us, CAST(round(value*100) AS BIGINT) AS vc
@@ -99,9 +112,10 @@ object Extras {
     // (broadcast back) and the output sort.
     "s14_fits_scan" -> ((s, d) => {
       import org.apache.spark.sql.types._
-      val dir = derivedFixture("graft_fits", d, "graft-fits-v1") { tmp =>
+      val nf = 8 * scaleMult(d)
+      val dir = derivedFixture("graft_fits", d, s"graft-fits-v2-n$nf") { tmp =>
         tmp.mkdirs()
-        (1 to 8).foreach { k =>
+        (1 to nf).foreach { k =>
           java.nio.file.Files.write(
             new java.io.File(tmp, f"tess-s$k%04d-lc.fits").toPath,
             graft.sources.Fits.fixtureFile(k))
@@ -159,9 +173,10 @@ object Extras {
     // the output sort.
     "s15_hdf5_scan" -> ((s, d) => {
       import org.apache.spark.sql.types._
-      val dir = derivedFixture("graft_hdf5", d, "graft-hdf5-v1") { tmp =>
+      val nf = 8 * scaleMult(d)
+      val dir = derivedFixture("graft_hdf5", d, s"graft-hdf5-v2-n$nf") { tmp =>
         tmp.mkdirs()
-        (1 to 8).foreach { k =>
+        (1 to nf).foreach { k =>
           java.nio.file.Files.write(
             new java.io.File(tmp, f"qlp-orbit-$k%03d.h5").toPath,
             graft.sources.Hdf5.fixtureFile(k))
@@ -222,9 +237,10 @@ object Extras {
     // the fold runs on the exact integer milliday grid; bin means
     // are floor-divided integers (the t16 'mb' form).
     "px_lightcurve_pipeline" -> ((s, d) => {
-      val dir = derivedFixture("graft_fits", d, "graft-fits-v1") { tmp =>
+      val nf = 8 * scaleMult(d)
+      val dir = derivedFixture("graft_fits", d, s"graft-fits-v2-n$nf") { tmp =>
         tmp.mkdirs()
-        (1 to 8).foreach { k =>
+        (1 to nf).foreach { k =>
           java.nio.file.Files.write(
             new java.io.File(tmp, f"tess-s$k%04d-lc.fits").toPath,
             graft.sources.Fits.fixtureFile(k))
@@ -301,9 +317,10 @@ object Extras {
     // Exactness: the px q9/floor-div discipline end to end.
     "px2_multi_target" -> ((s, d) => {
       import org.apache.spark.sql.types._
-      val dir = derivedFixture("graft_fits_mt", d, "graft-fits-mt-v1") { tmp =>
+      val nt = 12 * scaleMult(d)
+      val dir = derivedFixture("graft_fits_mt", d, s"graft-fits-mt-v2-n$nt") { tmp =>
         tmp.mkdirs()
-        (1 to 12).foreach { t =>
+        (1 to nt).foreach { t =>
           (1 to (1 + t % 4)).foreach { sec =>
             java.nio.file.Files.write(
               new java.io.File(tmp, f"tess-s$sec%04d-$t%011d-lc.fits").toPath,

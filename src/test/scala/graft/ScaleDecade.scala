@@ -46,7 +46,16 @@ object ScaleDecade {
       // round: density-adaptive cells), phash pairs, multi-kernel
       // matched filter
       "st7_stream_join", "st10_stream_flare", "t6b_bls_companions",
-      "j11_zone_crossmatch", "m6_image_phash", "t8b_matched_multi")
+      "j11_zone_crossmatch", "m6_image_phash", "t8b_matched_multi",
+      // r8: the ingest pipelines scale their FILE COUNTS with the
+      // corpus via the _scale_mult marker (800 FITS / 800 HDF5 /
+      // 3000-file multi-target dir at ×100); m7 gets its first 100×
+      // row; the driver-fit queries (t13c/d/e) are O(1) in the corpus
+      // by design — their row here PROVES the only corpus term is the
+      // min(ts) anchor scan
+      "s14_fits_scan", "s15_hdf5_scan", "px_lightcurve_pipeline",
+      "px2_multi_target", "m7_scene_cut", "t13c_mcmc_gp",
+      "t13d_mcmc_ld", "t13e_mcmc_ld2")
     // optional 2nd arg: comma-separated subset (re-measure selectively)
     val queries = args.lift(1).map(_.split(",").toSeq.filter(all.contains))
       .getOrElse(all)

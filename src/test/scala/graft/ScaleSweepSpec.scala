@@ -239,6 +239,12 @@ object ScaleFixture {
       build(spark, d, mult)
       java.nio.file.Files.write(mf.toPath, expect.getBytes("UTF-8"))
     }
+    // scale marker (r8): derived-fixture queries (s14/s15/px/px2) read
+    // this to scale their FILE COUNTS with the corpus — the sf dirs
+    // carry no marker, so the oracle contract stays pinned at ×1
+    val sm = new java.io.File(d, "_scale_mult")
+    if (!sm.exists())
+      java.nio.file.Files.write(sm.toPath, mult.toString.getBytes("UTF-8"))
     d.getAbsolutePath
   }
 
