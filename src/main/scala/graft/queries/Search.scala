@@ -254,7 +254,8 @@ object Search {
          |         ELSE 0 END AS l
          |  FROM trid, mind),
          |exploded AS (SELECT p_us, m_steps, gmean, n, s,
-         |    ((((((tmid - r.t0) % p_us + p_us) % p_us) * m_steps) // p_us)
+         |    (CAST((CAST((((tmid - r.t0) % p_us + p_us) % p_us) AS HUGEINT)
+         |        * m_steps) // p_us AS BIGINT)
          |      - d + m_steps) % m_steps AS m
          |  FROM route r JOIN binmid b ON b.l = r.l, (VALUES (0), (1)) dd(d)),
          |agg AS (SELECT p_us, m_steps, m, CAST(sum(n) AS BIGINT) AS n_in,

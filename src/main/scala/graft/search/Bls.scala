@@ -62,7 +62,12 @@ object Bls {
       .select("t0", "p_us", "m_steps", "gmean")
     val boxes = df.crossJoin(broadcast(trials))
       .withColumn("phase_us", pmod(col(tUs) - col("t0"), col("p_us")))
-      .withColumn("m1", expr("(phase_us * m_steps) div p_us"))
+      .withColumn("m1", expr(
+        // r8: widened product — phase_us < p_us <= span, so span x M can
+        // exceed 2^63 on decade-long corpora (found by the sf1 sweep:
+        // DuckDB errored loudly where BIGINT math would wrap silently);
+        // DECIMAL(38,0) holds ~25 digits worst-case, div returns BIGINT
+        "(CAST(phase_us AS DECIMAL(38,0)) * m_steps) div p_us"))
       .withColumn("d", explode(array(lit(0), lit(1))))
       .withColumn("m", pmod(col("m1") - col("d") + col("m_steps"), col("m_steps")))
       .groupBy("p_us", "m_steps", "m")
@@ -130,7 +135,12 @@ object Bls {
       .orderBy(col("box_mean").asc, col("m_steps").asc, col("m").asc)
     binned.join(broadcast(trialsDf), "lvl")
       .withColumn("phase_us", pmod(col("tmid") - t0, col("p_us")))
-      .withColumn("m1", expr("(phase_us * m_steps) div p_us"))
+      .withColumn("m1", expr(
+        // r8: widened product — phase_us < p_us <= span, so span x M can
+        // exceed 2^63 on decade-long corpora (found by the sf1 sweep:
+        // DuckDB errored loudly where BIGINT math would wrap silently);
+        // DECIMAL(38,0) holds ~25 digits worst-case, div returns BIGINT
+        "(CAST(phase_us AS DECIMAL(38,0)) * m_steps) div p_us"))
       .withColumn("d", explode(array(lit(0), lit(1))))
       .withColumn("m", pmod(col("m1") - col("d") + col("m_steps"), col("m_steps")))
       .groupBy("p_us", "m_steps", "m")
@@ -225,7 +235,12 @@ object Bls {
       .orderBy(col("box_mean").asc, col("m_steps").asc, col("m").asc)
     binned.join(broadcast(trialsDf), "lvl")
       .withColumn("phase_us", pmod(col("tmid") - t0, col("p_us")))
-      .withColumn("m1", expr("(phase_us * m_steps) div p_us"))
+      .withColumn("m1", expr(
+        // r8: widened product — phase_us < p_us <= span, so span x M can
+        // exceed 2^63 on decade-long corpora (found by the sf1 sweep:
+        // DuckDB errored loudly where BIGINT math would wrap silently);
+        // DECIMAL(38,0) holds ~25 digits worst-case, div returns BIGINT
+        "(CAST(phase_us AS DECIMAL(38,0)) * m_steps) div p_us"))
       .withColumn("d", explode(array(lit(0), lit(1))))
       .withColumn("m", pmod(col("m1") - col("d") + col("m_steps"), col("m_steps")))
       .groupBy("p_us", "m_steps", "m")
@@ -321,7 +336,8 @@ object Bls {
           // lands on steps m-1..m+2 (box = 2 steps + margins; the guard
           // absorbs the grid-period drift that would otherwise leak
           // transit shoulders into the next iteration).
-          val m1 = expr(s"((($tUs - $t0) % $p + $p) % $p * $mSteps) div $p")
+          val m1 = expr(
+            s"(CAST(((($tUs - $t0) % $p + $p) % $p) AS DECIMAL(38,0)) * $mSteps) div $p")
           val dist = pmod(m1 - m + mSteps, lit(mSteps))
           val masked = df.filter(!(dist <= 2 || dist === mSteps - 1)).persist()
           df.unpersist()
