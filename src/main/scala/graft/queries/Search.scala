@@ -254,8 +254,11 @@ object Search {
          |         ELSE 0 END AS l
          |  FROM trid, mind),
          |exploded AS (SELECT p_us, m_steps, gmean, n, s,
-         |    (CAST((CAST((((tmid - r.t0) % p_us + p_us) % p_us) AS HUGEINT)
-         |        * m_steps) // p_us AS BIGINT)
+         |    (CASE WHEN ((tmid - r.t0) % p_us + p_us) % p_us
+         |            <= 9223372036854775807 // m_steps
+         |          THEN (((tmid - r.t0) % p_us + p_us) % p_us * m_steps) // p_us
+         |          ELSE CAST((CAST((((tmid - r.t0) % p_us + p_us) % p_us) AS HUGEINT)
+         |                     * m_steps) // p_us AS BIGINT) END
          |      - d + m_steps) % m_steps AS m
          |  FROM route r JOIN binmid b ON b.l = r.l, (VALUES (0), (1)) dd(d)),
          |agg AS (SELECT p_us, m_steps, m, CAST(sum(n) AS BIGINT) AS n_in,

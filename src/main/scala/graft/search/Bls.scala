@@ -63,11 +63,17 @@ object Bls {
     val boxes = df.crossJoin(broadcast(trials))
       .withColumn("phase_us", pmod(col(tUs) - col("t0"), col("p_us")))
       .withColumn("m1", expr(
-        // r8: widened product — phase_us < p_us <= span, so span x M can
-        // exceed 2^63 on decade-long corpora (found by the sf1 sweep:
-        // DuckDB errored loudly where BIGINT math would wrap silently);
-        // DECIMAL(38,0) holds ~25 digits worst-case, div returns BIGINT
-        "(CAST(phase_us AS DECIMAL(38,0)) * m_steps) div p_us"))
+        // r8: overflow-guarded product — phase_us < p_us <= span, so
+        // span x M can exceed 2^63 on decade-long corpora (found by the
+        // sf1 sweep: DuckDB errored loudly where BIGINT math would wrap
+        // silently into wrong phase bins). The guard keeps the LONG
+        // fast path for every safe row (an unconditional DECIMAL(38,0)
+        // product measured 2-3x slower on t6/t6b) and widens only the
+        // rows that would overflow; both branches are exact, so the
+        // result is branch-independent and cross-engine identical
+        "CASE WHEN phase_us <= 9223372036854775807 div m_steps " +
+        "THEN (phase_us * m_steps) div p_us " +
+        "ELSE (CAST(phase_us AS DECIMAL(38,0)) * m_steps) div p_us END"))
       .withColumn("d", explode(array(lit(0), lit(1))))
       .withColumn("m", pmod(col("m1") - col("d") + col("m_steps"), col("m_steps")))
       .groupBy("p_us", "m_steps", "m")
@@ -136,11 +142,17 @@ object Bls {
     binned.join(broadcast(trialsDf), "lvl")
       .withColumn("phase_us", pmod(col("tmid") - t0, col("p_us")))
       .withColumn("m1", expr(
-        // r8: widened product — phase_us < p_us <= span, so span x M can
-        // exceed 2^63 on decade-long corpora (found by the sf1 sweep:
-        // DuckDB errored loudly where BIGINT math would wrap silently);
-        // DECIMAL(38,0) holds ~25 digits worst-case, div returns BIGINT
-        "(CAST(phase_us AS DECIMAL(38,0)) * m_steps) div p_us"))
+        // r8: overflow-guarded product — phase_us < p_us <= span, so
+        // span x M can exceed 2^63 on decade-long corpora (found by the
+        // sf1 sweep: DuckDB errored loudly where BIGINT math would wrap
+        // silently into wrong phase bins). The guard keeps the LONG
+        // fast path for every safe row (an unconditional DECIMAL(38,0)
+        // product measured 2-3x slower on t6/t6b) and widens only the
+        // rows that would overflow; both branches are exact, so the
+        // result is branch-independent and cross-engine identical
+        "CASE WHEN phase_us <= 9223372036854775807 div m_steps " +
+        "THEN (phase_us * m_steps) div p_us " +
+        "ELSE (CAST(phase_us AS DECIMAL(38,0)) * m_steps) div p_us END"))
       .withColumn("d", explode(array(lit(0), lit(1))))
       .withColumn("m", pmod(col("m1") - col("d") + col("m_steps"), col("m_steps")))
       .groupBy("p_us", "m_steps", "m")
@@ -236,11 +248,17 @@ object Bls {
     binned.join(broadcast(trialsDf), "lvl")
       .withColumn("phase_us", pmod(col("tmid") - t0, col("p_us")))
       .withColumn("m1", expr(
-        // r8: widened product — phase_us < p_us <= span, so span x M can
-        // exceed 2^63 on decade-long corpora (found by the sf1 sweep:
-        // DuckDB errored loudly where BIGINT math would wrap silently);
-        // DECIMAL(38,0) holds ~25 digits worst-case, div returns BIGINT
-        "(CAST(phase_us AS DECIMAL(38,0)) * m_steps) div p_us"))
+        // r8: overflow-guarded product — phase_us < p_us <= span, so
+        // span x M can exceed 2^63 on decade-long corpora (found by the
+        // sf1 sweep: DuckDB errored loudly where BIGINT math would wrap
+        // silently into wrong phase bins). The guard keeps the LONG
+        // fast path for every safe row (an unconditional DECIMAL(38,0)
+        // product measured 2-3x slower on t6/t6b) and widens only the
+        // rows that would overflow; both branches are exact, so the
+        // result is branch-independent and cross-engine identical
+        "CASE WHEN phase_us <= 9223372036854775807 div m_steps " +
+        "THEN (phase_us * m_steps) div p_us " +
+        "ELSE (CAST(phase_us AS DECIMAL(38,0)) * m_steps) div p_us END"))
       .withColumn("d", explode(array(lit(0), lit(1))))
       .withColumn("m", pmod(col("m1") - col("d") + col("m_steps"), col("m_steps")))
       .groupBy("p_us", "m_steps", "m")
@@ -336,8 +354,14 @@ object Bls {
           // lands on steps m-1..m+2 (box = 2 steps + margins; the guard
           // absorbs the grid-period drift that would otherwise leak
           // transit shoulders into the next iteration).
-          val m1 = expr(
-            s"(CAST(((($tUs - $t0) % $p + $p) % $p) AS DECIMAL(38,0)) * $mSteps) div $p")
+          // p and mSteps are literals here, so the overflow decision is
+          // made ONCE at plan time: the long fast path unless p*mSteps
+          // could exceed 2^63 (phase < p)
+          val m1 =
+            if (p <= Long.MaxValue / mSteps)
+              expr(s"((($tUs - $t0) % $p + $p) % $p * $mSteps) div $p")
+            else expr(
+              s"(CAST(((($tUs - $t0) % $p + $p) % $p) AS DECIMAL(38,0)) * $mSteps) div $p")
           val dist = pmod(m1 - m + mSteps, lit(mSteps))
           val masked = df.filter(!(dist <= 2 || dist === mSteps - 1)).persist()
           df.unpersist()
