@@ -151,6 +151,7 @@ object Explain {
       "t12d_model_ld" -> "limb-darkened model eval: generated 501-point grid x 3 parameter configs, the whole LD chain (sqrt/min/max arithmetic) as codegen column layers — no shuffle before the output sort, no UDF, no transcendental",
       "t13d_mcmc_ld" -> "LD-likelihood MCMC (driver-fit division like t13): ONE exact-integer phase-bin aggregation feeds the collected 200-bin window; the 100x100 walk under the LD model is driver-side and SQL-replayable; plan is the binning aggregate + LocalTableScan of the posterior",
       "t13e_mcmc_ld2" -> "two-planet joint LD fit: same binning-aggregate + LocalTableScan shape as t13d; the 4-dimensional 50x300 walk runs driver-side over the collected window (corpus cost is the min(ts) anchor scan only)",
+      "t13f_mcmc_rv" -> "RV orbit fit in the linear-harmonic basis: the 200-row quantized trig table joins as a BROADCAST literal frame; one fold-bin aggregation feeds the collected window; the trig-free (gamma, A, B) walk is driver-side and SQL-replayable",
       "a1_rebin_time" -> "time rebin: ONE keyed aggregation on (user, bin) with map-side partial combine; bin id is integer div column math below the exchange",
       "t2_phase_bin" -> "phase binning: integer fold (pmod) is row-local column math; ONE (bin)-keyed aggregation with partial combine; no window",
       "a3_percentiles" -> "16/50/84 percentiles: percentile aggregation partitioned by the group key (map-side partial_percentile), one exchange, no global sort",

@@ -172,6 +172,27 @@ object Ensemble {
     -s
   }
 
+  /** Radial-velocity orbit likelihood in the LINEAR-HARMONIC
+    * parametrization (ref: the RV model branch of eval_modl /
+    * typemodl 'rvel' — a circular-orbit RV curve K·sin(2πφ+φ0) + γ,
+    * refit here as γ + A·s(φ) + B·c(φ) with the trig basis FIXED and
+    * quantized at 1e6, the t18 harmBasis technique): epoch enters
+    * through (A, B), so no transcendental is ever evaluated at
+    * proposal time and the whole walk replays cross-engine exactly.
+    * p = (gamma, A, B); sq/cq are the shared integer basis at the
+    * fold bins. */
+  def rvLlq(y: Array[Double], sq: Array[Long], cq: Array[Long],
+            scale: Double)(p: Array[Double]): Long = {
+    var s = 0L; var i = 0
+    while (i < y.length) {
+      val m = p(0) + p(1) * (sq(i) / 1e6) + p(2) * (cq(i) / 1e6)
+      val r = y(i) - m
+      s += graft.expr.VecExprs.roundHalfAway(r * r * scale)
+      i += 1
+    }
+    -s
+  }
+
   /** Two-planet joint limb-darkened likelihood (ref PlanetarySystem
     * with numbcomp > 1, setp_modlbase main.py:4504–4887): additive
     * dips, F = flux_a + flux_b − 1, planet a at period 7 d

@@ -494,6 +494,67 @@ object Advanced {
         .orderBy("param")
     }),
 
+    // T13f — RADIAL-VELOCITY orbit MCMC (the reference's RV model
+    // axis: typemodl 'rvel', the K·sin(2πφ+φ0)+γ curve its RV branch
+    // fits — t12 only EVALUATES an RV sinusoid; this FITS one): the
+    // fixture injects γ=12.5, A=8, B=−5 (K≈9.43 m/s) on the 200-bin
+    // fold plus ±2 m/s LCG noise, and sampleQ walks (γ, A, B) in the
+    // LINEAR-HARMONIC parametrization — the trig basis is FIXED,
+    // quantized at 1e6 and shared as literals with the oracle (the
+    // t18 harmBasis technique), and epoch enters through (A, B), so
+    // NO transcendental is evaluated at proposal time: every model
+    // value is γ + A·(sq/1e6) + B·(cq/1e6), IEEE-exact in both
+    // engines. The walker-ball guess is the exact Fourier projection
+    // (integer sums of yq·sq / yq·cq — order-free, SQL-replayable).
+    "t13f_mcmc_rv" -> ((s, d) => {
+      import s.implicits._
+      val PDAY = 86400000000L; val P7 = 7L * PDAY
+      val n = 4000L
+      val step = 30L * PDAY / n
+      val bdf = broadcast(rvBasis.toDF("bb", "sq", "cq"))
+      val bins = base(s, d).agg(min(col("t_us")).as("t0"))
+        .withColumn("i", explode(sequence(lit(0L), lit(n - 1))))
+        .withColumn("g_us", col("t0") + col("i") * step)
+        .withColumn("r", (col("i") % 65536L * 1103515245L + 12345L) % 2147483648L)
+        .withColumn("ph", pmod(col("g_us") - col("t0"), lit(P7)))
+        .withColumn("b", expr(s"(ph * 200) div $P7"))
+        .join(bdf, col("b") === col("bb"))
+        .withColumn("v", expr("CAST(12.5 AS DOUBLE) " +
+            "+ CAST(8.0 AS DOUBLE) * (sq / 1e6) " +
+            "+ CAST(-5.0 AS DOUBLE) * (cq / 1e6)")
+          + (col("r").cast("double") / 2147483648.0 - 0.5) * 4.0)
+        .withColumn("rc", round(col("v") * 1e3).cast("long"))
+        .groupBy("b").agg(count(lit(1)).as("n"), sum(col("rc")).as("sv"))
+        .orderBy("b")
+        .collect()
+      val y = bins.map(r => r.getLong(2).toDouble / r.getLong(1) / 1e3)
+      val yq = y.map(v => graft.expr.VecExprs.roundHalfAway(v * 1e9))
+      val sq = rvBasis.map(_._2).toArray
+      val cq = rvBasis.map(_._3).toArray
+      // exact Fourier-projection guess (yq·sq ≤ ~1.25e16, ×200 < 2^63)
+      var sa = 0L; var psu = 0L; var pcu = 0L
+      var b = 0
+      while (b < 200) { sa += yq(b); psu += yq(b) * sq(b); pcu += yq(b) * cq(b); b += 1 }
+      val guess = Array(
+        sa.toDouble / 200 / 1e9,
+        2.0 * (psu.toDouble / 200 / 1e15),
+        2.0 * (pcu.toDouble / 200 / 1e15))
+      // binned noise σ ≈ (2/√3)/√20 ≈ 0.26 m/s ⇒ scale = 1e6/(2σ²) ≈ 7.4e6
+      val llq = graft.model.Ensemble.rvLlq(y, sq, cq, scale = 7.4e6) _
+      val (samples, acc) = graft.model.Ensemble.sampleQ(llq,
+        lo = Array(0.0, -15.0, -15.0), hi = Array(25.0, 15.0, 15.0),
+        nWalkers = 100, nSteps = 100, burnFrac = 0.3, seed = 42L,
+        init = guess, ballFrac = 0.005)
+      val pct = graft.model.Ensemble.percentiles(samples)
+      Seq(
+        ("acceptance", acc, acc, acc),
+        ("amp_cos", pct(2)(0), pct(2)(1), pct(2)(2)),
+        ("amp_sin", pct(1)(0), pct(1)(1), pct(1)(2)),
+        ("gamma", pct(0)(0), pct(0)(1), pct(0)(2)))
+        .toDF("param", "p16", "p50", "p84")
+        .orderBy("param")
+    }),
+
     // T13 per-energy-bin fits, SPARK-PARALLEL (ref main.py:12301–12316:
     // typemodlenerfitt='iter' loops the whole fit once per energy bin —
     // here the loop IS the shuffle key): phase-fold each energy bin at
@@ -876,6 +937,17 @@ object Advanced {
   private val mcmcDepthG0 =
     "(CAST(sa AS DOUBLE) / 200 - CAST(w AS DOUBLE) / 29) / 1e9"
 
+  /** t13f's quantized trig basis at the 200 fold-bin centers:
+    * (b, round(sin·1e6), round(cos·1e6)) — computed ONCE and injected
+    * as literals into BOTH the Spark plan and the DuckDB oracle (the
+    * t18 harmBasis technique), so no libm trig call ever crosses
+    * engines. */
+  private[queries] lazy val rvBasis: Seq[(Long, Long, Long)] =
+    (0 until 200).map { b =>
+      val th = 2.0 * math.Pi * (b + 0.5) / 200.0
+      (b.toLong, math.round(math.sin(th) * 1e6), math.round(math.cos(th) * 1e6))
+    }
+
   private def mcmcSamplerSql(enersSql: String, fixtureSql: String,
                              seedBase: Long,
                              nW: Int = 100, nSteps: Int = 100,
@@ -1185,6 +1257,29 @@ object Advanced {
        |  FROM bnr)""".stripMargin
   }
 
+  /** t13f's fixture: the t13 grid with an injected linear-harmonic RV
+    * curve (γ + A·s + B·c from the shared rvb basis literals) + t13's
+    * LCG noise at ±2 m/s, quantized at 1e3 (mm/s) into 200 fold
+    * bins. */
+  private def t13fFixtureSql: String =
+    s"""e0 AS (SELECT min(epoch_us(ts)) AS t0 FROM events),
+       |gn AS (SELECT en.ener AS ener, ii.i AS i,
+       |    (i % 65536 * 1103515245 + 12345) % 2147483648 AS r,
+       |    (ii.i * 648000000) % 604800000000 AS ph
+       |  FROM e0, eners en, (SELECT unnest(range(0, 4000)) AS i) ii),
+       |rv AS (SELECT ener, ph,
+       |    CAST(12.5 AS DOUBLE) + CAST(8.0 AS DOUBLE) * (w.sq / 1e6)
+       |      + CAST(-5.0 AS DOUBLE) * (w.cq / 1e6)
+       |      + (CAST(r AS DOUBLE) / 2147483648.0 - 0.5) * 4.0 AS v
+       |  FROM gn JOIN rvb w ON w.b = (ph * 200) // 604800000000),
+       |bnr AS (SELECT ener, (ph * 200) // 604800000000 AS b, count(*) AS n,
+       |    CAST(sum(CAST(round(v * 1e3) AS BIGINT)) AS BIGINT) AS sv
+       |  FROM rv GROUP BY 1, 2),
+       |bins AS MATERIALIZED (SELECT ener, b,
+       |    CAST(sv AS DOUBLE) / n / 1e3 AS y,
+       |    CAST(round(CAST(sv AS DOUBLE) / n / 1e3 * 1e9) AS BIGINT) AS yq
+       |  FROM bnr)""".stripMargin
+
   private def t13FixtureSql(perEner: Boolean): String = {
     val rExpr =
       if (perEner) "((i + ener * 7919) % 65536 * 1103515245 + 12345) % 2147483648"
@@ -1390,6 +1485,55 @@ wts AS (SELECT * FROM (VALUES $wtsVals) AS t(l, cq)),""")}
          |  SELECT 'rrat_b', max(CASE WHEN q < 0.3 THEN v END),
          |      max(CASE WHEN q > 0.3 AND q < 0.7 THEN v END),
          |      max(CASE WHEN q > 0.7 THEN v END) FROM pc2
+         |) ORDER BY param""".stripMargin
+    },
+
+    // The RV walk replay: the same recursive sampler CTE with the
+    // linear-harmonic likelihood (basis joined from the SAME rvb
+    // literals the engine derived) and the exact Fourier-projection
+    // gx block.
+    "t13f_mcmc_rv" -> {
+      val rvbVals = rvBasis
+        .map { case (b, sq, cq) => s"($b, $sq, $cq)" }.mkString(", ")
+      val rvLlq: (String, String) => String = (al, p) =>
+        s"(SELECT CAST(-sum(CAST(round((yy - mm) * (yy - mm) * 7.4e6)" +
+        s" AS BIGINT)) AS BIGINT) FROM (SELECT bb.y AS yy, " +
+        s"$al.${p}0 + $al.${p}1 * (w.sq / 1e6) + $al.${p}2 * (w.cq / 1e6) AS mm" +
+        s" FROM bins bb JOIN rvb w ON w.b = bb.b WHERE bb.ener = $al.ener) qq)"
+      val gxBlock =
+        """sall AS (SELECT ener, CAST(sum(yq) AS BIGINT) AS sa, count(*) AS nb
+          |  FROM bins GROUP BY 1),
+          |proj AS (SELECT bb.ener AS ener,
+          |    CAST(sum(bb.yq * w.sq) AS BIGINT) AS ps,
+          |    CAST(sum(bb.yq * w.cq) AS BIGINT) AS pc
+          |  FROM bins bb JOIN rvb w ON w.b = bb.b GROUP BY 1),
+          |gx AS (SELECT sall.ener AS ener,
+          |    CAST(sa AS DOUBLE) / 200 / 1e9 AS g0,
+          |    2.0 * (CAST(ps AS DOUBLE) / 200 / 1e15) AS g1,
+          |    2.0 * (CAST(pc AS DOUBLE) / 200 / 1e15) AS g2
+          |  FROM sall JOIN proj ON proj.ener = sall.ener)""".stripMargin
+      s"""${mcmcSamplerSql("SELECT CAST(0 AS BIGINT) AS ener",
+                           t13fFixtureSql, 42L,
+                           llqGen = Some(rvLlq),
+                           extraCte = s"""
+rvb AS (SELECT * FROM (VALUES $rvbVals) AS t(b, sq, cq)),""",
+                           los = Seq(0.0, -15.0, -15.0),
+                           his = Seq(25.0, 15.0, 15.0),
+                           gxBlockSql = Some(gxBlock))}
+         |SELECT * FROM (
+         |  SELECT 'acceptance' AS param, a AS p16, a AS p50, a AS p84 FROM accr
+         |  UNION ALL
+         |  SELECT 'amp_cos', max(CASE WHEN q < 0.3 THEN v END),
+         |      max(CASE WHEN q > 0.3 AND q < 0.7 THEN v END),
+         |      max(CASE WHEN q > 0.7 THEN v END) FROM pc2
+         |  UNION ALL
+         |  SELECT 'amp_sin', max(CASE WHEN q < 0.3 THEN v END),
+         |      max(CASE WHEN q > 0.3 AND q < 0.7 THEN v END),
+         |      max(CASE WHEN q > 0.7 THEN v END) FROM pc1
+         |  UNION ALL
+         |  SELECT 'gamma', max(CASE WHEN q < 0.3 THEN v END),
+         |      max(CASE WHEN q > 0.3 AND q < 0.7 THEN v END),
+         |      max(CASE WHEN q > 0.7 THEN v END) FROM pc0
          |) ORDER BY param""".stripMargin
     },
 

@@ -107,4 +107,17 @@ class LimbDarkSpec extends SparkSpec {
     assert(math.abs(out("epoch_b") - 1.2) < 0.05, s"epoch_b ${out("epoch_b")}")
     assert(out("acceptance") > 0.1 && out("acceptance") < 0.9)
   }
+
+  test("declared t13f query: RV orbit fit recovers (gamma, A, B) in the harmonic basis") {
+    // the t13 family's RV axis (same sampleQ machinery, trig-free walk)
+    val out = graft.queries.Advanced.queries("t13f_mcmc_rv")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(out("gamma") - 12.5) < 0.1, s"gamma ${out("gamma")}")
+    assert(math.abs(out("amp_sin") - 8.0) < 0.2, s"amp_sin ${out("amp_sin")}")
+    assert(math.abs(out("amp_cos") + 5.0) < 0.2, s"amp_cos ${out("amp_cos")}")
+    // semi-amplitude K = sqrt(A²+B²) recovers the injected ~9.43 m/s
+    val k = math.sqrt(out("amp_sin") * out("amp_sin") + out("amp_cos") * out("amp_cos"))
+    assert(math.abs(k - math.sqrt(89.0)) < 0.2, s"K $k")
+    assert(out("acceptance") > 0.1 && out("acceptance") < 0.9)
+  }
 }
