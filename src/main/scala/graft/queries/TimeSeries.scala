@@ -1073,7 +1073,15 @@ object TimeSeries {
         .withColumn("mi", round(col("m") * 1e6).cast("long"))
         .groupBy("width_us")
         .agg(count(lit(1)).as("n_bins"), sum(col("mi")).as("_s"),
-          sum(col("mi") * col("mi")).as("_q"))
+          // DECIMAL(38,0) accumulator (r8, the t21 discipline — found
+          // by the sf1 sweep): mi is an UNCENTERED 1e6-scaled bin
+          // mean, so Σ mi² reaches ~n_bins·(mean·1e6)² and overflows
+          // int64 once means grow past ~7e7 — DuckDB's sum(BIGINT)
+          // auto-widens to HUGEINT, Spark's ANSI long sum errors.
+          // Each mi² term fits int64; only the sum needs widening,
+          // and decimal→double rounds to the same double HUGEINT→
+          // double does, so rms stays bit-identical.
+          sum(expr("CAST(mi * mi AS DECIMAL(38,0))")).as("_q"))
         .withColumn("rms", round(
           sqrt((col("_q") - col("_s").cast("double") * col("_s") / col("n_bins")) /
             col("n_bins")) / 1e6, 6))
