@@ -67,8 +67,21 @@ object TimeSeries {
     // batch boundaries must force a rebuild, never silently reuse
     val schemaTag = project(events(s, d)).schema
       .map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")
+    // content token of the SOURCE files (r8, found by the sf1 sweep):
+    // the scale corpora are rebuilt in place across fixture versions,
+    // and a path-only hash served STALE batches to the engine while
+    // the oracle read the current events — the simGraphCache staleness
+    // class, closed the same way
+    val srcTok = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(d, "events.parquet"))
+        .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+        .mkString("|").hashCode.toHexString
+    }
     val root = new java.io.File(s"/tmp/${prefix}_" + Integer.toHexString(
-      (d + "|" + schemaTag + s"|$E|$C1|$C2|$withLate").hashCode))
+      (d + "|" + schemaTag + s"|$E|$C1|$C2|$withLate|$srcTok").hashCode))
     val dataDir = new java.io.File(root, "data")
     val complete = Option(dataDir.listFiles())
       .exists(_.count(_.getName.endsWith(".parquet")) == 3)
@@ -838,8 +851,14 @@ object TimeSeries {
         .withColumn("med", expr("percentile(vc, 0.5)").over(fr) / 100.0)
         .withColumn("p05", expr("percentile(vc, 0.05)").over(fr) / 100.0)
         .withColumn("p95", expr("percentile(vc, 0.95)").over(fr) / 100.0)
+        // round the envelope width BEFORE the degenerate-window nullif
+        // (r8, sf1-sweep find): Spark percentile interpolates
+        // lo + h*(hi-lo) (exact when hi == lo) but DuckDB quantile_cont
+        // computes (1-h)*lo + h*hi, which is ~1 ulp off for h = 0.05 -
+        // without the rounding, a 3.6e-12 width flips NULL vs 0.0
+        // between engines on two-equal-value windows
         .withColumn("z", round((col("value") - col("med")) /
-          nullif(col("p95") - col("p05"), lit(0.0)), 6))
+          nullif(round(col("p95") - col("p05"), 6), lit(0.0)), 6))
         .withColumn("is_flare", col("z") > 2.5)
         .select("event_id", "z", "is_flare")
         .orderBy("event_id")
@@ -1765,8 +1784,8 @@ object TimeSeries {
            |WINDOW fr AS (PARTITION BY user_id ORDER BY t_us
            |              RANGE BETWEEN 3600000000 PRECEDING AND 3600000000 FOLLOWING))
            |SELECT event_id,
-           |  round((value - med) / nullif(p95 - p05, 0.0), 6) AS z,
-           |  round((value - med) / nullif(p95 - p05, 0.0), 6) > 2.5 AS is_flare
+           |  round((value - med) / nullif(round(p95 - p05, 6), 0.0), 6) AS z,
+           |  round((value - med) / nullif(round(p95 - p05, 6), 0.0), 6) > 2.5 AS is_flare
            |FROM env ORDER BY event_id""".stripMargin,
 
       "f2_interval_mask" ->
