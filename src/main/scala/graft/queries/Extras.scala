@@ -174,7 +174,8 @@ object Extras {
     "s15_hdf5_scan" -> ((s, d) => {
       import org.apache.spark.sql.types._
       val nf = 8 * scaleMult(d)
-      val dir = derivedFixture("graft_hdf5", d, s"graft-hdf5-v2-n$nf") { tmp =>
+      // v3: superblock leaf-K now derived from the widest SNOD (r9)
+      val dir = derivedFixture("graft_hdf5", d, s"graft-hdf5-v3-n$nf") { tmp =>
         tmp.mkdirs()
         (1 to nf).foreach { k =>
           java.nio.file.Files.write(

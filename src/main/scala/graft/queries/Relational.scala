@@ -931,12 +931,18 @@ object Relational {
       // trusted: reuse only when the manifest this code wrote alongside
       // the data matches the exact schema/key/bucket-count/fixture this
       // version expects — anything else is rebuilt from scratch.
-      def ensure(name: String, cols: String, key: String,
+      def ensure(name: String, cols: String, key: String, srcTable: String,
           write: => Unit): Unit =
         if (!s.catalog.tableExists(name)) {
           val dir = new java.io.File(s"$base/$name")
           val mf = new java.io.File(dir, "_graft_manifest")
-          val expect = s"graft-bucketed-v1|$cols|$key|8|$d"
+          // r9: the manifest folds in a content token of the SOURCE
+          // table — the scale corpora are rebuilt in place across
+          // fixture versions, and a path-only manifest would serve a
+          // stale bucketed layout (the arrivalFixture staleness class)
+          val srcTok = graft.core.Digest.fileToken(
+            new java.io.File(d, s"$srcTable.parquet"))
+          val expect = s"graft-bucketed-v2|$cols|$key|8|$d|$srcTok"
           val reusable = new java.io.File(dir, "_SUCCESS").exists() &&
             mf.exists() && new String(java.nio.file.Files.readAllBytes(
               mf.toPath), "UTF-8") == expect
@@ -950,13 +956,13 @@ object Relational {
           }
         }
       ensure(lt, "l_orderkey BIGINT, l_extendedprice DOUBLE, l_discount DOUBLE",
-        "l_orderkey", {
+        "l_orderkey", "lineitem", {
           lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount")
             .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
             .option("path", s"$base/$lt").mode("overwrite").saveAsTable(lt)
         })
       ensure(ot, "o_orderkey BIGINT, o_orderpriority STRING",
-        "o_orderkey", {
+        "o_orderkey", "orders", {
           orders(s, d).select("o_orderkey", "o_orderpriority")
             .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
             .option("path", s"$base/$ot").mode("overwrite").saveAsTable(ot)

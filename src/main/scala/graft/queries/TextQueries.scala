@@ -52,14 +52,10 @@ object TextQueries {
     * IN PLACE within one session gets a fresh graph instead of the
     * stale checkpointed edges (r8 advice), and so stale entries can
     * be found and freed. */
-  private def docsToken(d: String): String = {
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
-      else Seq(f)
-    walk(new java.io.File(d, "documents.parquet"))
-      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-      .mkString("|").hashCode.toHexString
-  }
+  private def docsToken(d: String): String =
+    // r9: full-width SHA-256 (a 32-bit hashCode collision would
+    // silently serve a stale checkpointed graph — r9 advice)
+    graft.core.Digest.fileToken(new java.io.File(d, "documents.parquet"))
 
   /** Free the storage blocks behind a localCheckpoint-ed frame: the
     * blocks belong to the materialized RDD inside the plan's

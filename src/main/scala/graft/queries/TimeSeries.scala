@@ -72,16 +72,11 @@ object TimeSeries {
     // and a path-only hash served STALE batches to the engine while
     // the oracle read the current events — the simGraphCache staleness
     // class, closed the same way
-    val srcTok = {
-      def walk(f: java.io.File): Seq[java.io.File] =
-        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
-        else Seq(f)
-      walk(new java.io.File(d, "events.parquet"))
-        .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-        .mkString("|").hashCode.toHexString
-    }
-    val root = new java.io.File(s"/tmp/${prefix}_" + Integer.toHexString(
-      (d + "|" + schemaTag + s"|$E|$C1|$C2|$withLate|$srcTok").hashCode))
+    // r9: full-width SHA-256 tokens (a 32-bit hashCode collision would
+    // silently reuse a stale fixture — the staleness class r8 fixed)
+    val srcTok = graft.core.Digest.fileToken(new java.io.File(d, "events.parquet"))
+    val root = new java.io.File(s"/tmp/${prefix}_" + graft.core.Digest.sha256Hex(
+      d + "|" + schemaTag + s"|$E|$C1|$C2|$withLate|$srcTok").take(32))
     val dataDir = new java.io.File(root, "data")
     val complete = Option(dataDir.listFiles())
       .exists(_.count(_.getName.endsWith(".parquet")) == 3)
@@ -1097,10 +1092,12 @@ object TimeSeries {
           // mean, so Σ mi² reaches ~n_bins·(mean·1e6)² and overflows
           // int64 once means grow past ~7e7 — DuckDB's sum(BIGINT)
           // auto-widens to HUGEINT, Spark's ANSI long sum errors.
-          // Each mi² term fits int64; only the sum needs widening,
-          // and decimal→double rounds to the same double HUGEINT→
-          // double does, so rms stays bit-identical.
-          sum(expr("CAST(mi * mi AS DECIMAL(38,0))")).as("_q"))
+          // r9 (ADVICE): one OPERAND is cast first so the product
+          // itself is decimal — a single mi² term over 2^63 (|bin
+          // mean| > ~3e9 in 1e6 units) no longer overflows either;
+          // decimal→double rounds to the same double HUGEINT→double
+          // does, so rms stays bit-identical.
+          sum(expr("CAST(mi AS DECIMAL(38,0)) * mi")).as("_q"))
         .withColumn("rms", round(
           sqrt((col("_q") - col("_s").cast("double") * col("_s") / col("n_bins")) /
             col("n_bins")) / 1e6, 6))
@@ -1964,7 +1961,7 @@ object TimeSeries {
            |    CAST(round(CAST(sum(vc) AS DOUBLE)/100.0/count(*) * 1e6) AS BIGINT) AS mi
            |  FROM base, wd GROUP BY 1, 2),
            |agg AS (SELECT width_us, count(*) AS n_bins, sum(mi) AS _s,
-           |    sum(mi*mi) AS _q FROM bins GROUP BY 1)
+           |    sum(CAST(mi AS HUGEINT)*mi) AS _q FROM bins GROUP BY 1)
            |SELECT width_us, n_bins,
            |  round(sqrt((_q - CAST(_s AS DOUBLE)*_s/n_bins)/n_bins)/1e6, 6) AS rms
            |FROM agg ORDER BY width_us""".stripMargin,

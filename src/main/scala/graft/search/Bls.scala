@@ -32,6 +32,22 @@ object Bls {
     * k = 0..nPeriods-1 → P = baseline div (k+2)  (micros). */
   def periodLadder(nPeriods: Int): Seq[Int] = 2 to (nPeriods + 1)
 
+  /** r8 overflow-guarded epoch-index product, shared by every spectrum
+    * shape (r9: extracted — the r8 fix had to be applied three times
+    * verbatim, which is how divergence bugs start). phase_us < p_us ≤
+    * span, so span × M can exceed 2^63 on decade-long corpora (found
+    * by the sf1 sweep: DuckDB errored loudly where BIGINT math would
+    * wrap silently into wrong phase bins). The guard keeps the LONG
+    * fast path for every safe row (an unconditional DECIMAL(38,0)
+    * product measured 2–3× slower on t6/t6b) and widens only the rows
+    * that would overflow; both branches are exact, so the result is
+    * branch-independent and cross-engine identical. Expects columns
+    * `phase_us`, `m_steps`, `p_us` in scope. */
+  private val phaseIdxSql: String =
+    "CASE WHEN phase_us <= 9223372036854775807 div m_steps " +
+    "THEN (phase_us * m_steps) div p_us " +
+    "ELSE (CAST(phase_us AS DECIMAL(38,0)) * m_steps) div p_us END"
+
   /** df: integer micros `tUs`, integer cents `vc`. `dutyM`: epoch-step
     * counts M = 2/dc (e.g. Seq(20, 40) for dc = 10%, 5%). `osamp`:
     * frequency-grid oversampling (ref factosam, main.py:5307 — the
@@ -62,18 +78,7 @@ object Bls {
       .select("t0", "p_us", "m_steps", "gmean")
     val boxes = df.crossJoin(broadcast(trials))
       .withColumn("phase_us", pmod(col(tUs) - col("t0"), col("p_us")))
-      .withColumn("m1", expr(
-        // r8: overflow-guarded product — phase_us < p_us <= span, so
-        // span x M can exceed 2^63 on decade-long corpora (found by the
-        // sf1 sweep: DuckDB errored loudly where BIGINT math would wrap
-        // silently into wrong phase bins). The guard keeps the LONG
-        // fast path for every safe row (an unconditional DECIMAL(38,0)
-        // product measured 2-3x slower on t6/t6b) and widens only the
-        // rows that would overflow; both branches are exact, so the
-        // result is branch-independent and cross-engine identical
-        "CASE WHEN phase_us <= 9223372036854775807 div m_steps " +
-        "THEN (phase_us * m_steps) div p_us " +
-        "ELSE (CAST(phase_us AS DECIMAL(38,0)) * m_steps) div p_us END"))
+      .withColumn("m1", expr(phaseIdxSql))
       .withColumn("d", explode(array(lit(0), lit(1))))
       .withColumn("m", pmod(col("m1") - col("d") + col("m_steps"), col("m_steps")))
       .groupBy("p_us", "m_steps", "m")
@@ -141,18 +146,7 @@ object Bls {
       .orderBy(col("box_mean").asc, col("m_steps").asc, col("m").asc)
     binned.join(broadcast(trialsDf), "lvl")
       .withColumn("phase_us", pmod(col("tmid") - t0, col("p_us")))
-      .withColumn("m1", expr(
-        // r8: overflow-guarded product — phase_us < p_us <= span, so
-        // span x M can exceed 2^63 on decade-long corpora (found by the
-        // sf1 sweep: DuckDB errored loudly where BIGINT math would wrap
-        // silently into wrong phase bins). The guard keeps the LONG
-        // fast path for every safe row (an unconditional DECIMAL(38,0)
-        // product measured 2-3x slower on t6/t6b) and widens only the
-        // rows that would overflow; both branches are exact, so the
-        // result is branch-independent and cross-engine identical
-        "CASE WHEN phase_us <= 9223372036854775807 div m_steps " +
-        "THEN (phase_us * m_steps) div p_us " +
-        "ELSE (CAST(phase_us AS DECIMAL(38,0)) * m_steps) div p_us END"))
+      .withColumn("m1", expr(phaseIdxSql))
       .withColumn("d", explode(array(lit(0), lit(1))))
       .withColumn("m", pmod(col("m1") - col("d") + col("m_steps"), col("m_steps")))
       .groupBy("p_us", "m_steps", "m")
@@ -247,18 +241,7 @@ object Bls {
       .orderBy(col("box_mean").asc, col("m_steps").asc, col("m").asc)
     binned.join(broadcast(trialsDf), "lvl")
       .withColumn("phase_us", pmod(col("tmid") - t0, col("p_us")))
-      .withColumn("m1", expr(
-        // r8: overflow-guarded product — phase_us < p_us <= span, so
-        // span x M can exceed 2^63 on decade-long corpora (found by the
-        // sf1 sweep: DuckDB errored loudly where BIGINT math would wrap
-        // silently into wrong phase bins). The guard keeps the LONG
-        // fast path for every safe row (an unconditional DECIMAL(38,0)
-        // product measured 2-3x slower on t6/t6b) and widens only the
-        // rows that would overflow; both branches are exact, so the
-        // result is branch-independent and cross-engine identical
-        "CASE WHEN phase_us <= 9223372036854775807 div m_steps " +
-        "THEN (phase_us * m_steps) div p_us " +
-        "ELSE (CAST(phase_us AS DECIMAL(38,0)) * m_steps) div p_us END"))
+      .withColumn("m1", expr(phaseIdxSql))
       .withColumn("d", explode(array(lit(0), lit(1))))
       .withColumn("m", pmod(col("m1") - col("d") + col("m_steps"), col("m_steps")))
       .groupBy("p_us", "m_steps", "m")

@@ -218,8 +218,24 @@ object Hdf5 {
         Some((btAt, heapAt)))
   }
 
-  /** Serialize a tree to a complete HDF5 file image. */
+  /** Serialize a tree to a complete HDF5 file image.
+    *
+    * Validation note (r9 advice): the codec round-trips against its
+    * own reader and follows the public format spec; no external HDF5
+    * library exists in this environment to break that circularity, so
+    * the writer is kept strictly spec-conservative — in particular
+    * the declared group-leaf K is derived from the LARGEST SNOD
+    * actually written (a leaf holds at most 2K entries), never a
+    * constant a bigger group could violate. */
   def write(root: Grp): Array[Byte] = {
+    // spec: each symbol-table leaf holds between K and 2K entries —
+    // the writer packs one SNOD per group, so K must cover the widest
+    // group or external libhdf5/h5py readers may reject the file
+    def maxFanout(n: Node): Int = n match {
+      case Grp(cs) => (cs.size +: cs.map(c => maxFanout(c._2))).max
+      case _ => 0
+    }
+    val leafK = math.max(4, (maxFanout(root) + 1) / 2)
     val a = new Alloc
     val (_, sb) = a.alloc(96) // superblock v0 sits at address 0
     val (rootAt, stab) = writeNode(a, root)
@@ -232,7 +248,7 @@ object Hdf5 {
     sb.put(8.toByte) // size of offsets
     sb.put(8.toByte) // size of lengths
     sb.put(0.toByte) // reserved
-    sb.putShort(4)   // group leaf node k
+    sb.putShort(leafK.toShort) // group leaf node k (covers widest SNOD)
     sb.putShort(16)  // group internal node k
     sb.putInt(0)     // file consistency flags
     sb.putLong(0L)   // base address

@@ -209,7 +209,7 @@ class ScaleSweepSpec extends SparkSpec {
   * int64 NANOS to flow through Tables.events / the st* glob readers
   * exactly like the driver fixture. */
 object ScaleFixture {
-  private val Version = "v7" // v2: uniform token draw (v1's u² skew made
+  private val Version = "v8" // v2: uniform token draw (v1's u² skew made
                              // ~5% of RANDOM doc pairs Jaccard-similar —
                              // unrealistically dense near-dup structure)
                              // v3: events.value / lineitem money columns
@@ -227,6 +227,9 @@ object ScaleFixture {
                              // v7: ascending event-file mtimes so
                              // bounded-batch streaming replays in
                              // event-time order (see events note)
+                             // v8: FULL-SCHEMA relational twins — the
+                             // driver sf0.1 tables tiled ×mult with
+                             // key-stride offsets (see tile() note)
 
   def dir(spark: SparkSession, mult: Int): String = {
     val d = new java.io.File(sys.props("java.io.tmpdir"), s"graft_scale_x$mult")
@@ -250,7 +253,7 @@ object ScaleFixture {
 
   private def build(spark: SparkSession, out: java.io.File, mult: Int): Unit = {
     val nd = 5000L * mult; val vocab = 1000L * mult
-    val nv = 2000L * mult; val ne = 100000L * mult; val nl = 600000L * mult
+    val nv = 2000L * mult; val ne = 100000L * mult
     def write(df: DataFrame, name: String, parts: Int): Unit =
       df.coalesce(parts).write.mode("overwrite")
         .parquet(new java.io.File(out, s"$name.parquet").getAbsolutePath)
@@ -338,24 +341,40 @@ object ScaleFixture {
       .zipWithIndex.foreach { case (f, i) =>
         f.setLastModified(1700000000000L + i * 60000L) }
 
-    // lineitem: the j9 skew columns only (skey derivation puts 80% of
-    // rows on one key by construction, exactly like the driver fixture)
-    val li = spark.range(nl).toDF("i").selectExpr(
-      "i div 4 AS l_orderkey",
-      "CAST(i % 4 + 1 AS INT) AS l_linenumber",
-      s"pmod(i * 48271, ${1000L * mult}) AS l_suppkey",
-      "CAST(900.0 + pmod(i * 104729, 9000000) / 100.0 AS DOUBLE) AS l_extendedprice",
-      "CAST(pmod(i * 7, 11) / 100.0 AS DOUBLE) AS l_discount")
-    write(li, "lineitem", math.max(2, mult))
-
+    // Full-schema relational twins (r9, verdict #1): the six TPC-H-ish
+    // tables are the DRIVER sf0.1 fixture TILED ×mult with per-copy
+    // key offsets (strides = the sf0.1 key cardinalities; sf0.1 keys
+    // are dense 0-based), so EVERY column the relational queries touch
+    // exists at every scale and all FK joins (l_orderkey→o_orderkey,
+    // o_custkey→c_custkey, l_partkey/l_suppkey→part/supplier) stay
+    // consistent across copies. Values repeat ×mult — per-group
+    // medians/distributions match sf0.1 exactly, which is what a
+    // bit-exact oracle wants; the j9/p5 skew shape is preserved
+    // because skey derives in-query from l_suppkey % 25 (uniform on
+    // the tiled dense keys, 80% of rows on skey 0). nation/region are
+    // fixed catalogs (no tiling). This replaces the v7 reduced-schema
+    // lineitem/supplier/customer generators — the r8 sweep left 41
+    // queries out of scope for missing orders/part/region tables and
+    // lineitem/customer/supplier columns.
+    val strides = Map(
+      "c_custkey" -> 15000L, "s_suppkey" -> 1000L, "p_partkey" -> 20000L,
+      "o_orderkey" -> 150000L, "o_custkey" -> 15000L,
+      "l_orderkey" -> 150000L, "l_partkey" -> 20000L, "l_suppkey" -> 1000L)
+    def tile(name: String, parts: Int): Unit = {
+      val src = spark.read.parquet(s"/root/testdata/sf0.1/$name.parquet")
+      val cols = src.columns.map { c =>
+        strides.get(c) match {
+          case Some(st) => (col(c) + col("_k") * st).as(c)
+          case None => col(c)
+        }
+      }
+      write(src.crossJoin(spark.range(mult).toDF("_k")).select(cols.toSeq: _*),
+        name, parts)
+    }
+    Seq("lineitem" -> math.max(2, mult), "orders" -> math.max(1, mult / 2),
+      "customer" -> math.max(1, mult / 10), "supplier" -> math.max(1, mult / 10),
+      "part" -> math.max(1, mult / 10)).foreach { case (t, p) => tile(t, p) }
     write(spark.read.parquet("/root/testdata/sf0.1/nation.parquet"), "nation", 1)
-
-    // supplier/customer id tables for the j11 grid crossmatch — the
-    // driver fixture's 1:15 catalog:probe ratio, scaled; only the key
-    // columns are read (positions are closed-form in the key)
-    write(spark.range(1000L * mult).toDF("s_suppkey"),
-      "supplier", math.max(1, mult / 10))
-    write(spark.range(15000L * mult).toDF("c_custkey"),
-      "customer", math.max(1, mult / 10))
+    write(spark.read.parquet("/root/testdata/sf0.1/region.parquet"), "region", 1)
   }
 }
