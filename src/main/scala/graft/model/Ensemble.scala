@@ -172,6 +172,27 @@ object Ensemble {
     -s
   }
 
+  /** r9: limb-darkened likelihood with the LD COEFFICIENTS in the
+    * walk — p = (rrat, epoch, t14, u1, u2) (the reference fits
+    * coeflmdklinr/coeflmdkquad via setp_para, ref main.py:440–447,
+    * 3821–3831; t13d holds them constant). Same IEEE-exact chain as
+    * [[ldBoxLlq]] with [[LimbDark.fluxU]] instead of the fixed-LD
+    * flux. */
+  def ldFitLlq(t: Array[Double], y: Array[Double], scale: Double,
+               period: Double)(p: Array[Double]): Long = {
+    val half = period / 2
+    var s = 0L; var i = 0
+    while (i < y.length) {
+      val m0 = (t(i) - p(1) + half) % period
+      val m1 = if (m0 < 0) m0 + period else m0
+      val aph = math.abs(m1 - half)
+      val r = y(i) - LimbDark.fluxU(aph, p(0), p(2), p(3), p(4))
+      s += graft.expr.VecExprs.roundHalfAway(r * r * scale)
+      i += 1
+    }
+    -s
+  }
+
   /** Radial-velocity orbit likelihood in the LINEAR-HARMONIC
     * parametrization (ref: the RV model branch of eval_modl /
     * typemodl 'rvel' — a circular-orbit RV curve K·sin(2πφ+φ0) + γ,
@@ -187,6 +208,24 @@ object Ensemble {
     while (i < y.length) {
       val m = p(0) + p(1) * (sq(i) / 1e6) + p(2) * (cq(i) / 1e6)
       val r = y(i) - m
+      s += graft.expr.VecExprs.roundHalfAway(r * r * scale)
+      i += 1
+    }
+    -s
+  }
+
+  /** r9: ECCENTRIC Keplerian RV likelihood — p = (γ, K, e, ω) (ref
+    * `retr_rvel` takes eccecomp/argupericomp, main.py:646–647; t13f
+    * covers only the e = 0 circular slice). The model solves Kepler's
+    * equation with a FIXED count of Newton steps and polynomial trig
+    * (model/Kepler.scala) — IEEE-only ops, so the walk replays
+    * cross-engine with no model quantization. `m` = mean anomalies at
+    * the fold bins (fixed; t_peri pinned at 0). */
+  def rvEccLlq(y: Array[Double], m: Array[Double], scale: Double)
+              (p: Array[Double]): Long = {
+    var s = 0L; var i = 0
+    while (i < y.length) {
+      val r = y(i) - Kepler.rv(m(i), p(0), p(1), p(2), p(3))
       s += graft.expr.VecExprs.roundHalfAway(r * r * scale)
       i += 1
     }

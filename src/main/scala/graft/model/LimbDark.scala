@@ -94,6 +94,56 @@ object LimbDark {
     fluxSql(hu, pp, izSql(muSql(z, pp)), lamSql(z, pp))
   }
 
+  // ---------------------------------------------------------------
+  // r9: PARAMETRIZED-LD shapes — u1/u2 as SQL expressions instead of
+  // baked constants, for fits that walk the LD coefficients
+  // themselves (the reference registers coeflmdklinr/coeflmdkquad as
+  // fit parameters via setp_para, ref main.py:440–447, 3821–3831 —
+  // t13g). The constant-LD shapes above are left byte-identical: the
+  // t12d/t13d/t13e oracles replay THOSE strings.
+  // ---------------------------------------------------------------
+
+  /** Quadratic-LD intensity I(μ) with u1/u2 free. */
+  def izSqlU(mu: String, u1: String, u2: String): String =
+    s"(1.0 - $u1 * (1.0 - $mu) - $u2 * ((1.0 - $mu) * (1.0 - $mu)))"
+
+  /** Disk-integrated norm Ω4(u1, u2) = 1 − u1/3 − u2/6. */
+  def om4SqlU(u1: String, u2: String): String =
+    s"(1.0 - $u1 / 3.0 - $u2 / 6.0)"
+
+  /** Flux with u1/u2 free: out-of-transit guard + LD dip over the
+    * parametrized norm. */
+  def fluxSqlU(hu: String, pp: String, iz: String, lam: String,
+               om4: String): String =
+    s"(CASE WHEN $hu >= 1.0 THEN ${D(1.0)} ELSE 1.0 - (($pp * $pp) * $iz / $om4) * $lam END)"
+
+  /** Full single-expression expansion with u1/u2 free — same
+    * substitution composition as [[fluxInlineSql]]. */
+  def fluxInlineSqlU(aph: String, pp: String, tt: String,
+                     u1: String, u2: String): String = {
+    val hu = s"(${huSql(aph, tt)})"
+    val z = s"(${zSql(hu, pp)})"
+    fluxSqlU(hu, pp, izSqlU(muSql(z, pp), u1, u2), lamSql(z, pp),
+      om4SqlU(u1, u2))
+  }
+
+  /** Driver-side mirror of the parametrized shapes, op for op —
+    * used by the t13g walker-loop likelihood. Same IEEE-exactness
+    * argument as [[flux]]: ±×÷/√/min/max only. */
+  def fluxU(aph: Double, p: Double, t14: Double,
+            u1: Double, u2: Double): Double = {
+    val hu = aph / (t14 * 0.5)
+    if (hu >= 1.0) 1.0
+    else {
+      val z = math.sqrt(B * B + ((1.0 + p) * (1.0 + p) - B * B) * (hu * hu))
+      val lam = if (z <= 1.0 - p) 1.0 else (1.0 + p - z) / (2.0 * p)
+      val mu = math.sqrt(math.max(0.0, 1.0 - math.min(z, 1.0 - p) * math.min(z, 1.0 - p)))
+      val iz = 1.0 - u1 * (1.0 - mu) - u2 * ((1.0 - mu) * (1.0 - mu))
+      val om4 = 1.0 - u1 / 3.0 - u2 / 6.0
+      1.0 - ((p * p) * iz / om4) * lam
+    }
+  }
+
   /** Driver-side mirror of the SQL shapes, op for op (same
     * parenthesization, same evaluation order) — used by the t13d
     * walker-loop likelihood. sqrt/min/max/±×÷ are all IEEE

@@ -555,6 +555,147 @@ object Advanced {
         .orderBy("param")
     }),
 
+    // T13g — the LD COEFFICIENTS join the walk (r9, verdict #3; the
+    // reference registers coeflmdklinr/coeflmdkquad as fit parameters
+    // via setp_para, ref main.py:440–447, 3821–3831, and fits them
+    // per energy bin in spectral mode — t13d holds them constant).
+    // The fixture injects a transit with NON-default LD (u1=0.6,
+    // u2=0.1 vs the t13d model constants 0.4/0.25; p=0.15, T14=1.0 d,
+    // b fixed): the LD profile information lives in the dip's SHAPE —
+    // I(μ(z)) along the transit chord, steeper toward the limb for
+    // larger u1 — so a 5-dim walk (rrat, epoch, T14, u1, u2) must
+    // separate the coefficients from the overall depth (rrat). Same
+    // cross-engine-exact machinery as t13d: the parametrized LD chain
+    // (LimbDark.fluxU / fluxInlineSqlU) stays √/min/max/±×÷ only, so
+    // raw doubles replay with NO model quantization; the walker ball
+    // seeds u1/u2 at the MID-PRIOR constants (0.4, 0.25) and the
+    // t13d depth→rrat conversion. Geometry 50×300 (the t13e lesson:
+    // higher-dim walks need the longer chain to converge from the
+    // tiny ball).
+    "t13g_mcmc_ldfit" -> ((s, d) => {
+      import s.implicits._
+      import graft.model.LimbDark
+      val PDAY = 86400000000L; val P7 = 7L * PDAY
+      val n = 4000L
+      val step = 30L * PDAY / n
+      val PT = LimbDark.D(0.15); val TT = LimbDark.D(1.0)
+      val U1I = LimbDark.D(0.6); val U2I = LimbDark.D(0.1)
+      val bins = base(s, d).agg(min(col("t_us")).as("t0"))
+        .withColumn("i", explode(sequence(lit(0L), lit(n - 1))))
+        .withColumn("g_us", col("t0") + col("i") * step)
+        .withColumn("r", (col("i") % 65536L * 1103515245L + 12345L) % 2147483648L)
+        .withColumn("ph", pmod(col("g_us") - col("t0"), lit(P7)))
+        .withColumn("phd", expr("CAST(ph AS DOUBLE) / 86400e6"))
+        .withColumn("aph", expr("CASE WHEN phd < 3.5 THEN phd ELSE 7.0 - phd END"))
+        .withColumn("hu", expr(LimbDark.huSql("aph", TT)))
+        .withColumn("z", expr(LimbDark.zSql("hu", PT)))
+        .withColumn("lam", expr(LimbDark.lamSql("z", PT)))
+        .withColumn("mu", expr(LimbDark.muSql("z", PT)))
+        .withColumn("iz", expr(LimbDark.izSqlU("mu", U1I, U2I)))
+        .withColumn("om4", expr(LimbDark.om4SqlU(U1I, U2I)))
+        .withColumn("ldf", expr(LimbDark.fluxSqlU("hu", PT, "iz", "lam", "om4")))
+        .withColumn("noise", (col("r").cast("double") / 2147483648.0 - 0.5) * 0.004)
+        .withColumn("flux", col("ldf") + col("noise"))
+        .withColumn("fc", round(col("flux") * 1e6).cast("long"))
+        .withColumn("b", expr(s"(ph * 200) div $P7"))
+        .groupBy("b").agg(count(lit(1)).as("n"), sum(col("fc")).as("sv"))
+        .orderBy("b")
+        .collect()
+      val t = bins.map(r => (r.getLong(0).toDouble + 0.5) * 7.0 / 200)
+      val y = bins.map(r => r.getLong(2).toDouble / r.getLong(1) / 1e6)
+      val llq = graft.model.Ensemble.ldFitLlq(t, y, scale = 3.125e12, period = 7.0) _
+      val yq = y.map(v => graft.expr.VecExprs.roundHalfAway(v * 1e9))
+      val g = graft.model.Ensemble.boxGuessQ(t, yq, 7.0, 1.0)
+      val guess = Array(
+        math.sqrt(math.max(g(0) * LimbDark.KK, 4e-4)), g(1), g(2),
+        LimbDark.U1, LimbDark.U2)
+      val (samples, acc) = graft.model.Ensemble.sampleQ(llq,
+        lo = Array(0.02, -3.5, 0.2, 0.0, -0.3),
+        hi = Array(0.45, 3.5, 2.0, 1.2, 0.7),
+        nWalkers = 50, nSteps = 300, burnFrac = 0.3, seed = 42L,
+        init = guess, ballFrac = 0.005)
+      val pct = graft.model.Ensemble.percentiles(samples)
+      Seq(
+        ("acceptance", acc, acc, acc),
+        ("dur", pct(2)(0), pct(2)(1), pct(2)(2)),
+        ("epoch", pct(1)(0), pct(1)(1), pct(1)(2)),
+        ("rrat", pct(0)(0), pct(0)(1), pct(0)(2)),
+        ("u1", pct(3)(0), pct(3)(1), pct(3)(2)),
+        ("u2", pct(4)(0), pct(4)(1), pct(4)(2)))
+        .toDF("param", "p16", "p50", "p84")
+        .orderBy("param")
+    }),
+
+    // T13h — ECCENTRIC Keplerian RV fit (r9, verdict #4): extends
+    // t13f's circular slice to the reference's full RV surface —
+    // `retr_rvel` takes the companion's eccentricity and argument of
+    // periastron (call site main.py:646–647, model 644–647; prior
+    // defaults cover `ecce`, main.py:11543–11580). The walk is
+    // (γ, K, e, ω); the model solves Kepler's equation with a FIXED
+    // count of Newton steps from E₀ = M and polynomial quadrant trig
+    // (model/Kepler.scala) — IEEE ±×÷/√ only, so raw doubles replay
+    // across engines with NO model quantization (the LimbDark
+    // discipline extended to a transcendental model; output-rounding
+    // margins are unprovable for walked trig arguments, so libm never
+    // runs at proposal time). The fixture injects (γ=12.5, K=9.0,
+    // e=0.3, ω=1.0) through the SAME declared model (quantized as
+    // data literals) plus t13f's LCG noise; the guess fixes (γ, K)
+    // by exact Fourier projection and picks ω from an 8-candidate
+    // grid by integer-llq argmax (atan2 is libm — banned).
+    "t13h_mcmc_rvecc" -> ((s, d) => {
+      import s.implicits._
+      import graft.model.{Ensemble, Kepler}
+      val PDAY = 86400000000L; val P7 = 7L * PDAY
+      val n = 4000L
+      val step = 30L * PDAY / n
+      val bdf = broadcast(t13hTrue.toDF("bb", "vq"))
+      val bins = base(s, d).agg(min(col("t_us")).as("t0"))
+        .withColumn("i", explode(sequence(lit(0L), lit(n - 1))))
+        .withColumn("g_us", col("t0") + col("i") * step)
+        .withColumn("r", (col("i") % 65536L * 1103515245L + 12345L) % 2147483648L)
+        .withColumn("ph", pmod(col("g_us") - col("t0"), lit(P7)))
+        .withColumn("b", expr(s"(ph * 200) div $P7"))
+        .join(bdf, col("b") === col("bb"))
+        .withColumn("v", expr("vq / 1e6")
+          + (col("r").cast("double") / 2147483648.0 - 0.5) * 4.0)
+        .withColumn("rc", round(col("v") * 1e3).cast("long"))
+        .groupBy("b").agg(count(lit(1)).as("n"), sum(col("rc")).as("sv"))
+        .orderBy("b")
+        .collect()
+      val y = bins.map(r => r.getLong(2).toDouble / r.getLong(1) / 1e3)
+      val m = bins.map { r =>
+        val tb = (r.getLong(0).toDouble + 0.5) * 7.0 / 200
+        Kepler.TWOPI * (tb / 7.0)
+      }
+      val llq = Ensemble.rvEccLlq(y, m, scale = 7.4e6) _
+      val yq = y.map(v => graft.expr.VecExprs.roundHalfAway(v * 1e9))
+      val sq = rvBasis.map(_._2).toArray
+      val cq = rvBasis.map(_._3).toArray
+      var sa = 0L; var psu = 0L; var pcu = 0L
+      var b = 0
+      while (b < 200) { sa += yq(b); psu += yq(b) * sq(b); pcu += yq(b) * cq(b); b += 1 }
+      val gamma0 = sa.toDouble / 200 / 1e9
+      val ac = 2.0 * (pcu.toDouble / 200 / 1e15) //  ≈ K·cos ω
+      val as0 = 2.0 * (psu.toDouble / 200 / 1e15) // ≈ −K·sin ω
+      val k0 = math.sqrt(ac * ac + as0 * as0)
+      val om0 = t13hOmegaGrid.maxBy(w => llq(Array(gamma0, k0, 0.1, w)))
+      val guess = Array(gamma0, k0, 0.1, om0)
+      val (samples, acc) = Ensemble.sampleQ(llq,
+        lo = Array(0.0, 0.0, 0.0, -Kepler.PI),
+        hi = Array(25.0, 20.0, 0.6, Kepler.PI),
+        nWalkers = 50, nSteps = 300, burnFrac = 0.3, seed = 42L,
+        init = guess, ballFrac = 0.005)
+      val pct = Ensemble.percentiles(samples)
+      Seq(
+        ("acceptance", acc, acc, acc),
+        ("ecc", pct(2)(0), pct(2)(1), pct(2)(2)),
+        ("gamma", pct(0)(0), pct(0)(1), pct(0)(2)),
+        ("k_amp", pct(1)(0), pct(1)(1), pct(1)(2)),
+        ("omega", pct(3)(0), pct(3)(1), pct(3)(2)))
+        .toDF("param", "p16", "p50", "p84")
+        .orderBy("param")
+    }),
+
     // T13 per-energy-bin fits, SPARK-PARALLEL (ref main.py:12301–12316:
     // typemodlenerfitt='iter' loops the whole fit once per energy bin —
     // here the loop IS the shuffle key): phase-fold each energy bin at
@@ -948,6 +1089,28 @@ object Advanced {
       (b.toLong, math.round(math.sin(th) * 1e6), math.round(math.cos(th) * 1e6))
     }
 
+  /** t13h's injected TRUE curve: the declared eccentric model
+    * (γ=12.5, K=9.0, e=0.3, ω=1.0) evaluated at the fold-bin mean
+    * anomalies, quantized at 1e6 and shared as literals by both
+    * engines (the rvBasis pattern — the fixture is DATA, so
+    * quantizing it is free; the FIT model stays raw-double). */
+  private[queries] lazy val t13hTrue: Seq[(Long, Long)] =
+    (0 until 200).map { b =>
+      val tb = (b + 0.5) * 7.0 / 200
+      val m = graft.model.Kepler.TWOPI * (tb / 7.0)
+      (b.toLong, graft.expr.VecExprs.roundHalfAway(
+        graft.model.Kepler.rv(m, 12.5, 9.0, 0.3, 1.0) * 1e6))
+    }
+
+  /** t13h's ω-candidate grid (8 mid-octant angles): the circular
+    * Fourier projection fixes (γ, K) but ω needs atan2, which is libm
+    * — instead the guess scores each candidate with the EXACT integer
+    * llq and takes the argmax (first-wins), replayed in SQL as
+    * ORDER BY ll DESC, w ASC LIMIT 1. */
+  private[queries] lazy val t13hOmegaGrid: Seq[Double] =
+    (0 until 8).map(j =>
+      -graft.model.Kepler.PI + (2 * j + 1) * graft.model.Kepler.PI / 8.0)
+
   private def mcmcSamplerSql(enersSql: String, fixtureSql: String,
                              seedBase: Long,
                              nW: Int = 100, nSteps: Int = 100,
@@ -1211,6 +1374,44 @@ object Advanced {
        |  FROM bnr)""".stripMargin
   }
 
+  /** t13g's fixture: t13d's shape with the INJECTED LD coefficients
+    * (u1=0.6, u2=0.1) spelled through the parametrized layer strings
+    * — identical per-layer SQL to the Spark fixture columns. */
+  private def t13gFixtureSql: String = {
+    import graft.model.LimbDark
+    val PT = LimbDark.D(0.15); val TT = LimbDark.D(1.0)
+    val U1I = LimbDark.D(0.6); val U2I = LimbDark.D(0.1)
+    s"""e0 AS (SELECT min(epoch_us(ts)) AS t0 FROM events),
+       |gn AS (SELECT en.ener AS ener, ii.i AS i,
+       |    (i % 65536 * 1103515245 + 12345) % 2147483648 AS r,
+       |    (ii.i * 648000000) % 604800000000 AS ph
+       |  FROM e0, eners en, (SELECT unnest(range(0, 4000)) AS i) ii),
+       |ap AS (SELECT ener, ph, r,
+       |    CASE WHEN phd < 3.5 THEN phd ELSE 7.0 - phd END AS aph
+       |  FROM (SELECT ener, ph, r, CAST(ph AS DOUBLE) / 86400e6 AS phd
+       |        FROM gn) pd),
+       |l1 AS (SELECT ener, ph, r, ${LimbDark.huSql("aph", TT)} AS hu FROM ap),
+       |l2 AS (SELECT ener, ph, r, hu, ${LimbDark.zSql("hu", PT)} AS z FROM l1),
+       |l3 AS (SELECT ener, ph, r, hu,
+       |    ${LimbDark.lamSql("z", PT)} AS lam,
+       |    ${LimbDark.muSql("z", PT)} AS mu FROM l2),
+       |l4 AS (SELECT ener, ph, r, hu, lam,
+       |    ${LimbDark.izSqlU("mu", U1I, U2I)} AS iz,
+       |    ${LimbDark.om4SqlU(U1I, U2I)} AS om4 FROM l3),
+       |fl AS (SELECT ener, ph,
+       |    ${LimbDark.fluxSqlU("hu", PT, "iz", "lam", "om4")}
+       |      + (CAST(r AS DOUBLE) / 2147483648.0 - 0.5) * 0.004 AS flux
+       |  FROM l4),
+       |bnr AS (SELECT ener, (ph * 200) // 604800000000 AS b, count(*) AS n,
+       |    CAST(sum(CAST(round(flux * 1e6) AS BIGINT)) AS BIGINT) AS sv
+       |  FROM fl GROUP BY 1, 2),
+       |bins AS MATERIALIZED (SELECT ener, b,
+       |    (CAST(b AS DOUBLE) + 0.5) * 7.0 / 200 AS tb,
+       |    CAST(sv AS DOUBLE) / n / 1e6 AS y,
+       |    CAST(round(CAST(sv AS DOUBLE) / n / 1e6 * 1e9) AS BIGINT) AS yq
+       |  FROM bnr)""".stripMargin
+  }
+
   /** t13e's fixture: t13's grid + noise with BOTH planets' LD dips
     * (additive, commensurate periods) — layer strings shared with the
     * Spark fixture columns. */
@@ -1279,6 +1480,31 @@ object Advanced {
        |    CAST(sv AS DOUBLE) / n / 1e3 AS y,
        |    CAST(round(CAST(sv AS DOUBLE) / n / 1e3 * 1e9) AS BIGINT) AS yq
        |  FROM bnr)""".stripMargin
+
+  /** t13h's fixture: t13f's grid + noise with the injected ECCENTRIC
+    * curve joined from the t13hTrue literals (the fixture is data —
+    * quantized; the fit model is raw-double). `bins` carries tb so
+    * the llq derives each bin's mean anomaly in-place. */
+  private def t13hFixtureSql: String = {
+    val vals = t13hTrue.map { case (b, vq) => s"($b, $vq)" }.mkString(", ")
+    s"""e0 AS (SELECT min(epoch_us(ts)) AS t0 FROM events),
+       |rvt AS (SELECT * FROM (VALUES $vals) AS t(b, vq)),
+       |gn AS (SELECT en.ener AS ener, ii.i AS i,
+       |    (i % 65536 * 1103515245 + 12345) % 2147483648 AS r,
+       |    (ii.i * 648000000) % 604800000000 AS ph
+       |  FROM e0, eners en, (SELECT unnest(range(0, 4000)) AS i) ii),
+       |rv AS (SELECT ener, ph,
+       |    w.vq / 1e6 + (CAST(r AS DOUBLE) / 2147483648.0 - 0.5) * 4.0 AS v
+       |  FROM gn JOIN rvt w ON w.b = (ph * 200) // 604800000000),
+       |bnr AS (SELECT ener, (ph * 200) // 604800000000 AS b, count(*) AS n,
+       |    CAST(sum(CAST(round(v * 1e3) AS BIGINT)) AS BIGINT) AS sv
+       |  FROM rv GROUP BY 1, 2),
+       |bins AS MATERIALIZED (SELECT ener, b,
+       |    (CAST(b AS DOUBLE) + 0.5) * 7.0 / 200 AS tb,
+       |    CAST(sv AS DOUBLE) / n / 1e3 AS y,
+       |    CAST(round(CAST(sv AS DOUBLE) / n / 1e3 * 1e9) AS BIGINT) AS yq
+       |  FROM bnr)""".stripMargin
+  }
 
   private def t13FixtureSql(perEner: Boolean): String = {
     val rExpr =
@@ -1415,6 +1641,73 @@ wts AS (SELECT * FROM (VALUES $wtsVals) AS t(l, cq)),""")}
          |) ORDER BY param""".stripMargin
     },
 
+    // The 5-dimensional LD-coefficient walk replay (r9): the same
+    // recursive sampler with the PARAMETRIZED limb-darkened model
+    // inline (LimbDark.fluxInlineSqlU — u1/u2 are walk columns p3/p4)
+    // and a gx block seeding the coefficients at the mid-prior
+    // constants.
+    "t13g_mcmc_ldfit" -> {
+      import graft.model.LimbDark
+      val ldLlq: (String, String) => String = (al, p) => {
+        val aph = s"abs(fmod(bb.tb - $al.${p}1 + 3.5, 7.0) - 3.5)"
+        s"(SELECT CAST(-sum(CAST(round((yy - mm) * (yy - mm) * 3.125e12)" +
+        s" AS BIGINT)) AS BIGINT) FROM (SELECT bb.y AS yy, " +
+        LimbDark.fluxInlineSqlU(aph, s"$al.${p}0", s"$al.${p}2",
+          s"$al.${p}3", s"$al.${p}4") +
+        s" AS mm FROM bins bb WHERE bb.ener = $al.ener) qq)"
+      }
+      val gxBlock =
+        s"""gw AS (SELECT c.ener AS ener, c.b AS c, CAST(sum(b2.yq) AS BIGINT) AS w
+           |  FROM bins c
+           |  CROSS JOIN (SELECT unnest(range(-14, 15)) AS kk) o
+           |  JOIN bins b2 ON b2.ener = c.ener
+           |    AND b2.b = ((c.b + o.kk) % 200 + 200) % 200
+           |  GROUP BY 1, 2),
+           |best AS (SELECT ener, c, w FROM (
+           |    SELECT ener, c, w,
+           |      row_number() OVER (PARTITION BY ener ORDER BY w ASC, c ASC) AS rw
+           |    FROM gw) WHERE rw = 1),
+           |sall AS (SELECT ener, CAST(sum(yq) AS BIGINT) AS sa FROM bins GROUP BY 1),
+           |gx AS (SELECT best.ener AS ener,
+           |    sqrt(GREATEST($mcmcDepthG0 * ${LimbDark.D(LimbDark.KK)}, ${LimbDark.D(4e-4)})) AS g0,
+           |    CASE WHEN (CAST(c AS DOUBLE) + 0.5) * 7.0 / 200 >= 3.5
+           |         THEN (CAST(c AS DOUBLE) + 0.5) * 7.0 / 200 - 7.0
+           |         ELSE (CAST(c AS DOUBLE) + 0.5) * 7.0 / 200 END AS g1,
+           |    ${LimbDark.D(1.0)} AS g2,
+           |    ${LimbDark.D(LimbDark.U1)} AS g3,
+           |    ${LimbDark.D(LimbDark.U2)} AS g4
+           |  FROM best JOIN sall ON sall.ener = best.ener)""".stripMargin
+      s"""${mcmcSamplerSql("SELECT CAST(0 AS BIGINT) AS ener",
+                           t13gFixtureSql, 42L, nW = 50, nSteps = 300,
+                           llqGen = Some(ldLlq),
+                           los = Seq(0.02, -3.5, 0.2, 0.0, -0.3),
+                           his = Seq(0.45, 3.5, 2.0, 1.2, 0.7),
+                           gxBlockSql = Some(gxBlock))}
+         |SELECT * FROM (
+         |  SELECT 'acceptance' AS param, a AS p16, a AS p50, a AS p84 FROM accr
+         |  UNION ALL
+         |  SELECT 'dur', max(CASE WHEN q < 0.3 THEN v END),
+         |      max(CASE WHEN q > 0.3 AND q < 0.7 THEN v END),
+         |      max(CASE WHEN q > 0.7 THEN v END) FROM pc2
+         |  UNION ALL
+         |  SELECT 'epoch', max(CASE WHEN q < 0.3 THEN v END),
+         |      max(CASE WHEN q > 0.3 AND q < 0.7 THEN v END),
+         |      max(CASE WHEN q > 0.7 THEN v END) FROM pc1
+         |  UNION ALL
+         |  SELECT 'rrat', max(CASE WHEN q < 0.3 THEN v END),
+         |      max(CASE WHEN q > 0.3 AND q < 0.7 THEN v END),
+         |      max(CASE WHEN q > 0.7 THEN v END) FROM pc0
+         |  UNION ALL
+         |  SELECT 'u1', max(CASE WHEN q < 0.3 THEN v END),
+         |      max(CASE WHEN q > 0.3 AND q < 0.7 THEN v END),
+         |      max(CASE WHEN q > 0.7 THEN v END) FROM pc3
+         |  UNION ALL
+         |  SELECT 'u2', max(CASE WHEN q < 0.3 THEN v END),
+         |      max(CASE WHEN q > 0.3 AND q < 0.7 THEN v END),
+         |      max(CASE WHEN q > 0.7 THEN v END) FROM pc4
+         |) ORDER BY param""".stripMargin
+    },
+
     // The 4-dimensional two-planet walk replay: the nd-generalized
     // recursive CTE with the additive two-LD-model likelihood and a
     // custom two-window gx block (deepest window = planet a; deepest
@@ -1534,6 +1827,84 @@ rvb AS (SELECT * FROM (VALUES $rvbVals) AS t(b, sq, cq)),""",
          |  SELECT 'gamma', max(CASE WHEN q < 0.3 THEN v END),
          |      max(CASE WHEN q > 0.3 AND q < 0.7 THEN v END),
          |      max(CASE WHEN q > 0.7 THEN v END) FROM pc0
+         |) ORDER BY param""".stripMargin
+    },
+
+    // The eccentric-RV walk replay (r9): the nd sampler with the
+    // Kepler model expanded as NESTED named-layer subqueries (8
+    // Newton steps × 3 layers + the ω-trig/RV close — no textual
+    // explosion; model/Kepler.rvNestedSql) and a gx block that scores
+    // the ω-candidate grid with the same integer llq.
+    "t13h_mcmc_rvecc" -> {
+      import graft.model.Kepler
+      def modelLlq(gamma: String, kAmp: String, e: String, omega: String,
+                   ener: String): String = {
+        // params enter the INNER select as columns (pg/pk/pe/po), so
+        // the correlation is one level deep and every Newton layer
+        // references plain columns — kind to the optimizer
+        val inner = s"SELECT bb.y AS yy, " +
+          s"${Kepler.D(Kepler.TWOPI)} * (bb.tb / 7.0) AS m, " +
+          s"$gamma AS pg, $kAmp AS pk, $e AS pe, $omega AS po " +
+          s"FROM bins bb WHERE bb.ener = $ener"
+        val nested = Kepler.rvNestedSql(inner, "m",
+          Seq("yy", "pg", "pk", "pe", "po"), "pg", "pk", "pe", "po")
+        s"(SELECT CAST(-sum(CAST(round((yy - rv) * (yy - rv) * 7.4e6)" +
+        s" AS BIGINT)) AS BIGINT) FROM ($nested) qq)"
+      }
+      val eccLlq: (String, String) => String = (al, p) =>
+        modelLlq(s"$al.${p}0", s"$al.${p}1", s"$al.${p}2", s"$al.${p}3",
+          s"$al.ener")
+      val wVals = t13hOmegaGrid.map(w => s"(${Kepler.D(w)})").mkString(", ")
+      val gxBlock =
+        s"""sall AS (SELECT ener, CAST(sum(yq) AS BIGINT) AS sa FROM bins GROUP BY 1),
+           |proj AS (SELECT bb.ener AS ener,
+           |    CAST(sum(bb.yq * w.sq) AS BIGINT) AS ps,
+           |    CAST(sum(bb.yq * w.cq) AS BIGINT) AS pc
+           |  FROM bins bb JOIN rvb w ON w.b = bb.b GROUP BY 1),
+           |g0a AS (SELECT sall.ener AS ener,
+           |    CAST(sa AS DOUBLE) / 200 / 1e9 AS gg,
+           |    2.0 * (CAST(pc AS DOUBLE) / 200 / 1e15) AS ac,
+           |    2.0 * (CAST(ps AS DOUBLE) / 200 / 1e15) AS asq
+           |  FROM sall JOIN proj ON proj.ener = sall.ener),
+           |g0k AS (SELECT ener, gg, sqrt(ac * ac + asq * asq) AS kk FROM g0a),
+           |wc AS (SELECT * FROM (VALUES $wVals) AS t(w)),
+           |wll AS (SELECT g.ener AS ener, wc.w AS w,
+           |    ${modelLlq("g.gg", "g.kk", Kepler.D(0.1), "wc.w", "g.ener")} AS ll
+           |  FROM g0k g, wc),
+           |wbest AS (SELECT ener, w FROM (
+           |    SELECT ener, w, ll,
+           |      row_number() OVER (PARTITION BY ener ORDER BY ll DESC, w ASC) AS rw
+           |    FROM wll) WHERE rw = 1),
+           |gx AS (SELECT g.ener AS ener, g.gg AS g0, g.kk AS g1,
+           |    ${Kepler.D(0.1)} AS g2, wbest.w AS g3
+           |  FROM g0k g JOIN wbest ON wbest.ener = g.ener)""".stripMargin
+      s"""${mcmcSamplerSql("SELECT CAST(0 AS BIGINT) AS ener",
+                           t13hFixtureSql, 42L, nW = 50, nSteps = 300,
+                           llqGen = Some(eccLlq),
+                           extraCte = s"""
+rvb AS (SELECT * FROM (VALUES ${rvBasis
+        .map { case (b, sq, cq) => s"($b, $sq, $cq)" }.mkString(", ")}) AS t(b, sq, cq)),""",
+                           los = Seq(0.0, 0.0, 0.0, -Kepler.PI),
+                           his = Seq(25.0, 20.0, 0.6, Kepler.PI),
+                           gxBlockSql = Some(gxBlock))}
+         |SELECT * FROM (
+         |  SELECT 'acceptance' AS param, a AS p16, a AS p50, a AS p84 FROM accr
+         |  UNION ALL
+         |  SELECT 'ecc', max(CASE WHEN q < 0.3 THEN v END),
+         |      max(CASE WHEN q > 0.3 AND q < 0.7 THEN v END),
+         |      max(CASE WHEN q > 0.7 THEN v END) FROM pc2
+         |  UNION ALL
+         |  SELECT 'gamma', max(CASE WHEN q < 0.3 THEN v END),
+         |      max(CASE WHEN q > 0.3 AND q < 0.7 THEN v END),
+         |      max(CASE WHEN q > 0.7 THEN v END) FROM pc0
+         |  UNION ALL
+         |  SELECT 'k_amp', max(CASE WHEN q < 0.3 THEN v END),
+         |      max(CASE WHEN q > 0.3 AND q < 0.7 THEN v END),
+         |      max(CASE WHEN q > 0.7 THEN v END) FROM pc1
+         |  UNION ALL
+         |  SELECT 'omega', max(CASE WHEN q < 0.3 THEN v END),
+         |      max(CASE WHEN q > 0.3 AND q < 0.7 THEN v END),
+         |      max(CASE WHEN q > 0.7 THEN v END) FROM pc3
          |) ORDER BY param""".stripMargin
     },
 

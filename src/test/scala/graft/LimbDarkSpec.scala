@@ -108,6 +108,44 @@ class LimbDarkSpec extends SparkSpec {
     assert(out("acceptance") > 0.1 && out("acceptance") < 0.9)
   }
 
+  test("parametrized-LD Scala mirror is bit-identical to the SQL layer shapes") {
+    // the fluxU/fluxInlineSqlU half of the t13g exactness argument
+    import org.apache.spark.sql.functions._
+    val rows = for (ai <- 0 until 25; ui <- 0 until 4) yield
+      (ai * 0.025, 0.3 + ui * 0.15, 0.35 - ui * 0.1) // aph, u1, u2
+    val df = spark.createDataFrame(rows).toDF("aph", "u1", "u2")
+      .withColumn("pp", expr("CAST(0.15 AS DOUBLE)"))
+      .withColumn("tt", expr("CAST(1.0 AS DOUBLE)"))
+      .withColumn("f", expr(LimbDark.fluxInlineSqlU("aph", "pp", "tt", "u1", "u2")))
+      .select("aph", "u1", "u2", "f").collect()
+    df.foreach { r =>
+      val expect = LimbDark.fluxU(r.getDouble(0), 0.15, 1.0, r.getDouble(1), r.getDouble(2))
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(3)) ==
+             java.lang.Double.doubleToLongBits(expect),
+        s"aph=${r.getDouble(0)} u1=${r.getDouble(1)} u2=${r.getDouble(2)}: " +
+        s"${r.getDouble(3)} vs $expect")
+    }
+  }
+
+  test("declared t13g query: the LD-coefficient walk recovers the injected u1") {
+    // fixture injects (p=0.15, T14=1.0, u1=0.6, u2=0.1); the 5-dim
+    // walk seeds u1/u2 at the mid-prior constants (0.4, 0.25) and
+    // must move them toward the injected profile — the r9 verdict's
+    // done criterion is u1 within ~0.1
+    val out = graft.queries.Advanced.queries("t13g_mcmc_ldfit")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(out("rrat") - 0.15) < 0.03, s"rrat ${out("rrat")}")
+    assert(math.abs(out("epoch")) < 0.1, s"epoch ${out("epoch")}")
+    assert(math.abs(out("dur") - 1.0) < 0.15, s"dur ${out("dur")}")
+    assert(math.abs(out("u1") - 0.6) < 0.1, s"u1 ${out("u1")} vs injected 0.6")
+    // u2 is the weakly-constrained partner (the classic u1/u2
+    // degeneracy): bound it loosely but require it moved off the
+    // wrong-side prior edge
+    assert(math.abs(out("u2") - 0.1) < 0.3, s"u2 ${out("u2")} vs injected 0.1")
+    assert(out("acceptance") > 0.05 && out("acceptance") < 0.9,
+      s"acceptance ${out("acceptance")}")
+  }
+
   test("declared t13f query: RV orbit fit recovers (gamma, A, B) in the harmonic basis") {
     // the t13 family's RV axis (same sampleQ machinery, trig-free walk)
     val out = graft.queries.Advanced.queries("t13f_mcmc_rv")(spark, sf)
