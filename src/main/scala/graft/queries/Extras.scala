@@ -75,8 +75,15 @@ object Extras {
     * carry a `_scale_mult` marker that multiplies the derived FITS/
     * HDF5 fixture FILE COUNTS, so the ingest queries' measured decades
     * scale the real bottleneck (files × decode) with the corpus. The
-    * driver's sf dirs carry no marker → ×1, where the DuckDB oracles'
-    * fixed generate_series bounds hold. */
+    * driver's sf dirs carry no marker → ×1.
+    *
+    * r9: the DuckDB oracles mirror this with
+    * `GREATEST(1, count(events) // 100000)` — events is 100k·mult on
+    * every ScaleFixture corpus and ≤100k on every driver sf dir, so
+    * both sides derive the SAME multiplier on every corpus the suite
+    * runs, and the ingest family is sweepable at ×10/×100 instead of
+    * pinned at ×1. (A hypothetical driver fixture with >200k events
+    * but no marker would row-count-mismatch LOUDLY, not silently.) */
   private def scaleMult(d: String): Int = {
     val f = new java.io.File(d, "_scale_mult")
     if (f.exists())
@@ -877,7 +884,7 @@ object Extras {
     // double expressions both engines) → integer milliday fold → bin
     // floor-means → 5 deepest bins.
     "px_lightcurve_pipeline" ->
-      """WITH ks AS (SELECT unnest(generate_series(1, 8)) AS sector),
+      """WITH ks AS (SELECT unnest(generate_series(1, 8 * (SELECT GREATEST(1, count(*) // 100000) FROM events))) AS sector),
         |idx AS (SELECT unnest(generate_series(0, 999)) AS i),
         |raw AS (SELECT sector, i,
         |    (sector * 2654435761 + i * 1103515245 + 12345)
@@ -919,7 +926,7 @@ object Extras {
     // target×sector grid, per-(target,sector) medians, per-target clip,
     // per-target-period integer fold, rank-1 bins, prior-wins dedup.
     "px2_multi_target" ->
-      """WITH tg AS (SELECT unnest(generate_series(1, 12)) AS target),
+      """WITH tg AS (SELECT unnest(generate_series(1, 12 * (SELECT GREATEST(1, count(*) // 100000) FROM events))) AS target),
         |fs AS (SELECT target,
         |    unnest(generate_series(1, 1 + target % 4)) AS sector FROM tg),
         |idx AS (SELECT unnest(generate_series(0, 999)) AS i),
@@ -980,7 +987,7 @@ object Extras {
     // flux median → divide → round 6 (absorbs the pow libm ulp) →
     // +2457000.
     "s15_hdf5_scan" ->
-      """WITH ks AS (SELECT unnest(generate_series(1, 8)) AS orbit),
+      """WITH ks AS (SELECT unnest(generate_series(1, 8 * (SELECT GREATEST(1, count(*) // 100000) FROM events))) AS orbit),
         |idx AS (SELECT unnest(generate_series(0, 999)) AS i),
         |raw AS (SELECT orbit, i,
         |    (orbit * 2654435761 + i * 1103515245 + 12345)
@@ -1009,7 +1016,7 @@ object Extras {
         |ORDER BY fx.orbit, fx.i""".stripMargin,
 
     "s14_fits_scan" ->
-      """WITH ks AS (SELECT unnest(generate_series(1, 8)) AS sector),
+      """WITH ks AS (SELECT unnest(generate_series(1, 8 * (SELECT GREATEST(1, count(*) // 100000) FROM events))) AS sector),
         |idx AS (SELECT unnest(generate_series(0, 999)) AS i),
         |raw AS (SELECT sector, i,
         |    (sector * 2654435761 + i * 1103515245 + 12345)

@@ -1,0 +1,222 @@
+#!/usr/bin/env python3
+"""Hybrid x10 oracles for the three queries whose full-SQL replay is
+infeasible in DuckDB at the sf1-equivalent corpus (r9 verdict #2).
+
+Usage: hybrid_sweep.py <scaleDir> <outDir> {d15|e3|e6}
+
+Pattern (established by d15 in r8): DuckDB computes the cheap
+DETERMINISTIC prefix of the oracle's own SQL; Python/numpy closes the
+expensive tail with op-for-op mirrored arithmetic; the result is
+compared EXACTLY against the Spark parquet. Every quantized step is
+integer (order-free, engine-independent); the one order-sensitive
+piece — e3's left-associated 64-term L2 fold — is replayed term by
+term in the SQL's association order, so doubles match bit-for-bit.
+
+Exit 0 = verified, 1 = mismatch.
+"""
+import sys, json, glob, os
+import numpy as np
+import duckdb
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from verify_local import canon
+
+
+def round_half_away(v):
+    return np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)).astype(np.int64)
+
+
+def spark_rows(out_dir, name, cols):
+    files = glob.glob(f"{out_dir}/{name}/*.parquet")
+    tab = pq.read_table(files[0])
+    assert sorted(tab.column_names) == sorted(cols), \
+        f"cols spark={sorted(tab.column_names)} expect={sorted(cols)}"
+    order = sorted(cols)
+    return [tuple(r[c] for c in order) for r in tab.to_pylist()], order
+
+
+def compare(name, got_rows, want_rows, order):
+    g, w = canon(got_rows), canon(want_rows)
+    if len(g) != len(w):
+        print(f"FAIL {name}: rows spark={len(g)} hybrid={len(w)}")
+        return 1
+    bad = [(a, b) for a, b in zip(g, w) if a != b]
+    if bad:
+        print(f"FAIL {name}: {len(bad)}/{len(g)} rows differ; first:")
+        print(f"  cols : {order}\n  spark: {bad[0][0]}\n  hybrid: {bad[0][1]}")
+        return 1
+    print(f"PASS {name} ({len(g)} rows, hybrid)")
+    return 0
+
+
+def load_embeddings(sf_dir):
+    src = f"{sf_dir}/embeddings.parquet"
+    pat = f"{src}/*.parquet" if os.path.isdir(src) else src
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM '{pat}' ORDER BY vec_id").fetchall()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    # float32 storage CAST to double exactly, like the oracle's
+    # CAST(x AS DOUBLE)
+    X = np.array([r[1] for r in rows], dtype=np.float32).astype(np.float64)
+    return ids, X
+
+
+def d15(sf_dir, out_dir):
+    # DuckDB computes the oracle's own CTE chain through `edges`
+    # (token minhash signatures -> band buckets -> pair edges); Python
+    # union-find replaces only the recursive label-spread CTE, whose
+    # fixpoint (min doc_id per component) is engine-independent.
+    sql = json.load(open(f"{out_dir}/oracle_sql.json"))["d15_components"]
+    i = sql.index("lab AS (")
+    prefix = sql[:i]
+    docs = f"{sf_dir}/documents.parquet"
+    pat = f"{docs}/*.parquet" if os.path.isdir(docs) else docs
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{pat}'")
+    nodes = [r[0] for r in con.execute(
+        prefix + "sel AS (SELECT doc_id FROM sig) SELECT doc_id FROM sel").fetchall()]
+    edges = con.execute(
+        prefix + "sel AS (SELECT src, dst FROM edges) SELECT src, dst FROM sel"
+    ).fetchall()
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {n: find(n) for n in nodes}
+    sizes = {}
+    for n, c in comp.items():
+        sizes[c] = sizes.get(c, 0) + 1
+    want = [(n, comp[n], sizes[comp[n]]) for n in nodes]
+    got, order = spark_rows(out_dir, "d15_components",
+                            ["doc_id", "comp", "comp_size"])
+    idx = [["comp", "comp_size", "doc_id"].index(c) for c in order]
+    want_rows = [tuple((r[1], r[2], r[0])[i] for i in idx) for r in want]
+    return compare("d15_components", got, want_rows, order)
+
+
+def l2_fold(X, C):
+    """Left-associated 64-term squared-L2 fold, the SQL's association
+    order: acc = t1; acc = acc + t_k. X: (n, 64), C: (m, 64) ->
+    (n, m) doubles bit-identical to the oracle expression."""
+    n, d = X.shape
+    m = C.shape[0]
+    diff0 = X[:, 0:1] - C[None, :, 0]
+    acc = diff0 * diff0
+    for k in range(1, d):
+        t = X[:, k:k + 1] - C[None, :, k]
+        acc = acc + t * t
+    return acc
+
+
+def e3(sf_dir, out_dir):
+    # Prefix (engine-independent): init centroids = first 16 vectors;
+    # every Lloyd update is EXACT integer sums / counts. The tail
+    # (three 20k x 16 assignment rounds + the probe search) is numpy
+    # with the left-associated fold mirroring the SQL's 64-term
+    # expression order, so the double distances are bit-identical.
+    ids, X = load_embeddings(sf_dir)
+    C = X[:16].copy()  # c0: ORDER BY vec_id LIMIT 16 (ids are dense-sorted)
+    Xq6 = round_half_away(X * 1e6)
+
+    def assign(C):
+        dist = l2_fold(X, C)
+        return np.argmin(dist, axis=1)  # ties -> smallest cid (first min)
+
+    cids = list(range(16))  # active cluster ids (SQL: c1 keeps only
+                            # non-empty groups; assignment cross-joins
+                            # whatever cids exist)
+    for _ in range(2):  # two Lloyd rounds: a1/u1/c1, a2/u2/c2
+        a = assign(C)   # indices into `cids`
+        newC, newIds = [], []
+        for k, cid_ in enumerate(cids):
+            sel = Xq6[a == k]
+            if len(sel) == 0:
+                continue
+            # u: sum(round(x*1e6)) as int64; c: (s/1e6)/n per element
+            newC.append((sel.sum(axis=0, dtype=np.int64) / 1e6) / float(len(sel)))
+            newIds.append(cid_)
+        C = np.array(newC)
+        cids = newIds
+    af = assign(C)
+
+    # probes: queries q_id < 5, top-4 cells by (dist, cid)
+    nrm = round_half_away(X * X * 1e12).sum(axis=1, dtype=np.int64)
+    out = []
+    for q in range(5):
+        dq = l2_fold(X[q:q + 1], C)[0]
+        cells = sorted(range(len(cids)), key=lambda c: (dq[c], cids[c]))[:4]
+        cand = np.where(np.isin(af, cells) & (ids != q))[0]
+        dots = round_half_away(X[cand] * X[q] * 1e12).sum(axis=1, dtype=np.int64)
+        qn = np.sqrt(nrm[q] / 1e12)
+        sims = (dots / 1e12) / (qn * np.sqrt(nrm[cand] / 1e12))
+        rk = sorted(range(len(cand)), key=lambda i: (-sims[i], ids[cand[i]]))[:5]
+        for r, i in enumerate(rk):
+            s6 = float(round_half_away(np.array([sims[i] * 1e6]))[0]) / 1e6
+            out.append((int(ids[cand[i]]), int(q), int(r + 1), s6))
+    got, order = spark_rows(out_dir, "e3_ivf_ann",
+                            ["q_id", "rank", "vec_id", "sim"])
+    idx = [["vec_id", "q_id", "rank", "sim"].index(c) for c in order]
+    want_rows = [tuple(r[i] for i in idx) for r in out]
+    return compare("e3_ivf_ann", got, want_rows, order)
+
+
+def e6(sf_dir, out_dir):
+    # Prefix in DuckDB: the oracle's own SQL through `assigned`+`csz`
+    # (exact-integer centroid distances — cheap). Tail in numpy: the
+    # within-cluster pairwise integer dots (the O(cluster^2) piece
+    # that is oracle-infeasible at x10), threshold compare in the
+    # identical double formula.
+    sql = json.load(open(f"{out_dir}/oracle_sql.json"))["e6_semdedup"]
+    i = sql.index("pairs AS (")
+    prefix = sql[:i]
+    emb = f"{sf_dir}/embeddings.parquet"
+    pat = f"{emb}/*.parquet" if os.path.isdir(emb) else emb
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{pat}'")
+    assigned = dict(con.execute(
+        prefix + "sel AS (SELECT vec_id, cid FROM assigned) "
+        "SELECT vec_id, cid FROM sel").fetchall())
+    ids, X = load_embeddings(sf_dir)
+    cid = np.array([assigned[int(v)] for v in ids], dtype=np.int64)
+    nrm = round_half_away(X * X * 1e12).sum(axis=1, dtype=np.int64)
+    csize = {c: int((cid == c).sum()) for c in range(16)}
+    rep = {}
+    for c in range(16):
+        members = np.where(cid == c)[0]
+        for j in range(1, len(members)):
+            bi = members[j]
+            vb = int(ids[bi])
+            nb = np.sqrt(nrm[bi] / 1e12)
+            pre = members[:j]
+            dots = round_half_away(X[pre] * X[bi] * 1e12).sum(
+                axis=1, dtype=np.int64)
+            na = np.sqrt(nrm[pre] / 1e12)
+            ok = (dots / 1e12) / (na * nb) >= 0.45
+            if ok.any():
+                rep[vb] = int(ids[pre][ok].min())
+    want = []
+    for i_, v in enumerate(ids):
+        v = int(v)
+        want.append((v, int(cid[i_]), csize[int(cid[i_])],
+                     v in rep, rep.get(v, v)))
+    got, order = spark_rows(out_dir, "e6_semdedup",
+                            ["vec_id", "cid", "csize", "is_dup", "keep_id"])
+    idx = [["vec_id", "cid", "csize", "is_dup", "keep_id"].index(c)
+           for c in order]
+    want_rows = [tuple(r[i] for i in idx) for r in want]
+    return compare("e6_semdedup", got, want_rows, order)
+
+
+if __name__ == "__main__":
+    sf_dir, out_dir, which = sys.argv[1], sys.argv[2], sys.argv[3]
+    sys.exit({"d15": d15, "e3": e3, "e6": e6}[which](sf_dir, out_dir))
