@@ -674,6 +674,14 @@ object Advanced {
       var sa = 0L; var psu = 0L; var pcu = 0L
       var b = 0
       while (b < 200) { sa += yq(b); psu += yq(b) * sq(b); pcu += yq(b) * cq(b); b += 1 }
+      // bounds (the r9 2^53 audit): |y| ≤ ~25 on the prior box so
+      // |yq| ≤ 2.5e10, |yq·sq| ≤ 2.5e16, |Σ200| ≤ 5e18 < 2^63 (1.8×
+      // headroom — re-derive if the prior box or scales change). The
+      // int64 sums are exact; toDouble of a >2^53 sum rounds to
+      // nearest IDENTICALLY to DuckDB's CAST(ps AS DOUBLE) (IEEE
+      // int64→double is fully specified), and the guess is a
+      // double-valued contract, so no integer exactness is claimed
+      // past this line.
       val gamma0 = sa.toDouble / 200 / 1e9
       val ac = 2.0 * (pcu.toDouble / 200 / 1e15) //  ≈ K·cos ω
       val as0 = 2.0 * (psu.toDouble / 200 / 1e15) // ≈ −K·sin ω
