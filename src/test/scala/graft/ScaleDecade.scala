@@ -55,7 +55,10 @@ object ScaleDecade {
       // min(ts) anchor scan
       "s14_fits_scan", "s15_hdf5_scan", "px_lightcurve_pipeline",
       "px2_multi_target", "m7_scene_cut", "t13c_mcmc_gp",
-      "t13d_mcmc_ld", "t13e_mcmc_ld2")
+      "t13d_mcmc_ld", "t13e_mcmc_ld2",
+      // r9: the LD-coefficient and eccentric-RV fits — driver-fit
+      // O(1) in the corpus like t13d/e (anchor scan only)
+      "t13f_mcmc_rv", "t13g_mcmc_ldfit", "t13h_mcmc_rvecc")
     // optional 2nd arg: comma-separated subset (re-measure selectively)
     val queries = args.lift(1).map(_.split(",").toSeq.filter(all.contains))
       .getOrElse(all)
