@@ -149,6 +149,7 @@ object Explain {
       "s15_hdf5_scan" -> "REAL HDF5 ingest (read_qlop): binaryFile scan of .h5 files, row-local superblock/B-tree/heap walk in mapPartitions; the only shuffles are TWO 8-row per-orbit median aggregates (mag, then flux — both broadcast back) and the output sort; the pow(10,x) chain is pure codegen column math",
       "px2_multi_target" -> "multi-target pipeline fan-out: per-FILE medians and per-TARGET clip stats are broadcast frames; ONE corpus-scale shuffle keyed (target, bin) with map-side combine absorbing the 4x per-target skew; rank-1 window partitions by target; prior-results dedup is a broadcast anti-join",
       "t12d_model_ld" -> "limb-darkened model eval: generated 501-point grid x 3 parameter configs, the whole LD chain (sqrt/min/max arithmetic) as codegen column layers — no shuffle before the output sort, no UDF, no transcendental",
+      "t12e_model_ldx" -> "EXACT quadratic-LD occultation (r9): grid x 3 configs x 256 quadrature nodes (~385k rows) all codegen column layers (literal-table atan, no libm, no UDF); ONE keyed aggregation sums the order-free integer node contributions; no corpus term beyond the anchor agg",
       "t13d_mcmc_ld" -> "LD-likelihood MCMC (driver-fit division like t13): ONE exact-integer phase-bin aggregation feeds the collected 200-bin window; the 100x100 walk under the LD model is driver-side and SQL-replayable; plan is the binning aggregate + LocalTableScan of the posterior",
       "t13e_mcmc_ld2" -> "two-planet joint LD fit: same binning-aggregate + LocalTableScan shape as t13d; the 4-dimensional 50x300 walk runs driver-side over the collected window (corpus cost is the min(ts) anchor scan only)",
       "t13f_mcmc_rv" -> "RV orbit fit in the linear-harmonic basis: the 200-row quantized trig table joins as a BROADCAST literal frame; one fold-bin aggregation feeds the collected window; the trig-free (gamma, A, B) walk is driver-side and SQL-replayable",

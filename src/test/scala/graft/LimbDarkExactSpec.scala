@@ -1,0 +1,139 @@
+package graft
+
+import graft.model.{LimbDark, LimbDarkExact}
+
+/** T12e — the exact quadratic-LD occultation (declared quadrature of
+  * the exact overlap integral) and its cross-engine machinery. */
+class LimbDarkExactSpec extends SparkSpec {
+  import LimbDark.{U1, U2, OM4}
+
+  test("literal-table acos tracks libm to ~1e-11") {
+    var x = -0.9999
+    while (x < 1.0) {
+      assert(math.abs(LimbDarkExact.acosP(x) - math.acos(x)) < 1e-10,
+        s"acosP($x) = ${LimbDarkExact.acosP(x)} vs ${math.acos(x)}")
+      x += 0.00137
+    }
+    assert(LimbDarkExact.acosP(1.0) == 0.0)
+  }
+
+  /** Independent reference: full-range 20 000-node midpoint with
+    * DIRECT libm acos — a genuinely different evaluation of the same
+    * integral (different nodes, different acos, different summation
+    * order, no quantization). */
+  private def refFlux(z: Double, p: Double): Double = {
+    if (z >= 1.0 + p) 1.0
+    else {
+      val n = 20000
+      var s = 0.0
+      var j = 0
+      while (j < n) {
+        val r = (j + 0.5) / n
+        val alpha =
+          if (r <= p - z) math.Pi
+          else if (r <= z - p || r >= z + p) 0.0
+          else math.acos((z * z + r * r - p * p) / (2.0 * z * r))
+        val mu = math.sqrt(math.max(0.0, 1.0 - r * r))
+        val iz = 1.0 - U1 * (1.0 - mu) - U2 * (1.0 - mu) * (1.0 - mu)
+        s += iz * (alpha / math.Pi) * 2.0 * r / n
+        j += 1
+      }
+      1.0 - s / OM4
+    }
+  }
+
+  test("declared quadrature agrees with the independent reference to ~1e-5") {
+    // (z, p) grid spanning center / full-overlap / ingress regimes;
+    // measured worst |Δ| = 1.02e-5 at p = 0.45 (widest band ⇒ largest
+    // node spacing; the bound also absorbs the reference's own ~1e-6
+    // kink error) — 20× below the binned fixture noise and ~800×
+    // below the small-planet error it replaces
+    var worst = 0.0
+    for (p <- Seq(0.08, 0.15, 0.25, 0.45);
+         zi <- 0 to 40) {
+      val z = 0.30 + zi * (1.0 + p + 0.1 - 0.30) / 40
+      val d = math.abs(LimbDarkExact.flux(z, p) - refFlux(z, p))
+      worst = math.max(worst, d)
+      assert(d < 2e-5, s"z=$z p=$p: |declared - ref| = $d")
+    }
+    info(f"worst |declared - reference| = $worst%.2e")
+  }
+
+  test("the small-planet form's error is real and the exact form removes it") {
+    // at p = 0.25 the factorized small-planet model deviates from the
+    // exact integral by ~1e-3 in-transit; the declared quadrature
+    // sits within ~1e-5 of the truth — the fidelity gap t12e closes
+    var worstSp = 0.0
+    for (zi <- 0 to 30) {
+      val z = 0.30 + zi * 0.9 / 30
+      val exact = refFlux(z, 0.25)
+      val sp = {
+        // LimbDark.flux takes (aph, p, t14) — invert the z-chain at
+        // b = 0.3, T14 = 1: z(hu) = sqrt(b² + ((1+p)²-b²)hu²)
+        val hu2 = (z * z - 0.09) / ((1.25 * 1.25) - 0.09)
+        val aph = math.sqrt(math.max(0.0, hu2)) * 0.5
+        LimbDark.flux(aph, 0.25, 1.0)
+      }
+      worstSp = math.max(worstSp, math.abs(sp - exact))
+    }
+    assert(worstSp > 2e-4, s"small-planet error only $worstSp — fixture too easy?")
+    info(f"worst small-planet error at p=0.25: $worstSp%.2e")
+  }
+
+  test("out-of-transit is exactly 1, and the curve is monotone into the dip") {
+    assert(LimbDarkExact.fluxAph(0.51, 0.15, 1.0) == 1.0)
+    assert(LimbDarkExact.fluxAph(3.5, 0.15, 1.0) == 1.0)
+    val fs = (0 to 80).map(k => LimbDarkExact.fluxAph(k * 0.5 / 80, 0.15, 1.0))
+    assert(fs.sliding(2).forall(w => w(0) <= w(1) + 1e-9),
+      "flux must be non-decreasing from center to egress")
+  }
+
+  test("Spark SQL layer chain is bit-identical to the Scala mirror") {
+    import org.apache.spark.sql.functions._
+    val LX = LimbDarkExact
+    val rows = for (zi <- 0 until 30; pi <- 0 until 3) yield
+      (0.3 + zi * 0.045, 0.08 + pi * 0.085) // z ∈ [0.3, 1.6), p ∈ {0.08, 0.165, 0.25}
+    var df = spark.createDataFrame(rows).toDF("z", "pp")
+      .withColumn("hu", expr("CAST(0.5 AS DOUBLE)")) // in-transit marker
+    df = LX.q1Sql.foldLeft(df) { case (acc, (n, sql)) => acc.withColumn(n, expr(sql)) }
+    df = df.withColumn("ain", expr(LX.ainSql))
+      .withColumn("w", expr(LX.wSql))
+      .withColumn("j", explode(sequence(lit(0L), lit(LX.N - 1L))))
+      .withColumn("r", expr(LX.rSql))
+      .withColumn("x", expr(LX.xSql))
+      .withColumn("tq", expr(LX.tqSql))
+      .withColumn("xr", expr(LX.xrSql))
+      .withColumn("flip", expr(LX.flipSql))
+      .withColumn("ai", expr(LX.aiSql))
+      .withColumn("ci", expr(LX.ciSql))
+      .withColumn("d", expr(LX.dSql))
+      .withColumn("atv", expr(LX.atSql))
+      .withColumn("alpha", expr(LX.alphaSql))
+      .withColumn("qj", expr(LX.qjSql))
+    val out = df.groupBy("z", "pp", "hu", "ain")
+      .agg(sum(col("qj")).cast("long").as("sq"))
+      .withColumn("f", expr(LX.fluxSql("hu", "ain", "sq")))
+      .select("z", "pp", "f").collect()
+    assert(out.length == rows.length)
+    out.foreach { r =>
+      val expect = LX.flux(r.getDouble(0), r.getDouble(1))
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ==
+             java.lang.Double.doubleToLongBits(expect),
+        s"z=${r.getDouble(0)} p=${r.getDouble(1)}: ${r.getDouble(2)} vs $expect")
+    }
+  }
+
+  test("declared t12e query: exact and small-planet models agree out of transit, diverge in") {
+    val out = graft.queries.TimeSeries.queries("t12e_model_ldx")(spark, sf)
+      .collect()
+    assert(out.length == 1503)
+    var maxDelta = 0.0
+    out.foreach { r =>
+      val ld = r.getDouble(4); val ldx = r.getDouble(5)
+      if (ld == 1.0) assert(ldx == 1.0, s"out-of-transit mismatch: $ldx")
+      maxDelta = math.max(maxDelta, math.abs(ld - ldx))
+    }
+    // the p = 0.25 config must expose a real small-planet error
+    assert(maxDelta > 2e-4 && maxDelta < 1e-2, s"max |ld - ldx| = $maxDelta")
+  }
+}

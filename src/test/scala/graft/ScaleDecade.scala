@@ -57,8 +57,10 @@ object ScaleDecade {
       "px2_multi_target", "m7_scene_cut", "t13c_mcmc_gp",
       "t13d_mcmc_ld", "t13e_mcmc_ld2",
       // r9: the LD-coefficient and eccentric-RV fits — driver-fit
-      // O(1) in the corpus like t13d/e (anchor scan only)
-      "t13f_mcmc_rv", "t13g_mcmc_ldfit", "t13h_mcmc_rvecc")
+      // O(1) in the corpus like t13d/e (anchor scan only) — and the
+      // exact-occultation eval (generated grid × nodes, anchor only)
+      "t13f_mcmc_rv", "t13g_mcmc_ldfit", "t13h_mcmc_rvecc",
+      "t12e_model_ldx")
     // optional 2nd arg: comma-separated subset (re-measure selectively)
     val queries = args.lift(1).map(_.split(",").toSeq.filter(all.contains))
       .getOrElse(all)
