@@ -27,9 +27,13 @@ package graft.model
   * source of truth, generated per layer and composed by textual
   * substitution, and [[flux]] mirrors it op for op.
   *
-  * b, u1, u2 are fixed model constants here (the reference supports
-  * fixed LD coefficients; fitting them would add two walk dimensions
-  * without changing the replay machinery).
+  * b is a fixed model constant here; u1, u2 are constants in THIS
+  * object's shapes (t12d/t13d/t13e) and walk dimensions in the
+  * parametrized shapes below (t13g fits them — the reference
+  * registers coeflmdklinr/coeflmdkquad via setp_para). The
+  * small-planet factorization itself is closed by t12e
+  * (model/LimbDarkExact.scala), which integrates the exact overlap
+  * integrand and measures this form's error at 8.4e-3 for p = 0.25.
   */
 object LimbDark {
 
