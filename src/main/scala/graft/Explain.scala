@@ -155,6 +155,7 @@ object Explain {
       "t13f_mcmc_rv" -> "RV orbit fit in the linear-harmonic basis: the 200-row quantized trig table joins as a BROADCAST literal frame; one fold-bin aggregation feeds the collected window; the trig-free (gamma, A, B) walk is driver-side and SQL-replayable",
       "t13g_mcmc_ldfit" -> "LD-coefficient fit (r9): t13d's binning-aggregate + LocalTableScan shape with the PARAMETRIZED LD chain as fixture codegen layers; the 5-dimensional 50x300 walk (rrat, epoch, T14, u1, u2) is driver-side and SQL-replayable",
       "t13h_mcmc_rvecc" -> "eccentric Keplerian RV fit (r9): injected-curve literals join as a BROADCAST frame, one fold-bin aggregation feeds the collected window; the (gamma, K, e, omega) walk solves Kepler's equation driver-side with polynomial trig (no libm at proposal time) and replays as nested named-layer SQL",
+      "t13i_mcmc_ldx" -> "fit under the EXACT occultation (r10): injected exact-model curve joins as BROADCAST literals, one fold-bin aggregation feeds the collected window; TWO 50x150 walks (exact 64-node quadrature vs small-planet) run driver-side on the same data and replay as two full recursive-CTE sampler blocks — the posterior shift between them IS the small-planet bias",
       "a1_rebin_time" -> "time rebin: ONE keyed aggregation on (user, bin) with map-side partial combine; bin id is integer div column math below the exchange",
       "t2_phase_bin" -> "phase binning: integer fold (pmod) is row-local column math; ONE (bin)-keyed aggregation with partial combine; no window",
       "a3_percentiles" -> "16/50/84 percentiles: percentile aggregation partitioned by the group key (map-side partial_percentile), one exchange, no global sort",

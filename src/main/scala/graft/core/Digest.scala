@@ -19,6 +19,7 @@ object Digest {
   /** Listing token of every regular file under `f` (recursive,
     * name-sorted): content identity for cache keys. */
   def fileToken(f: java.io.File): String = {
+    require(f.exists(), s"digest source missing: $f")
     def walk(x: java.io.File): Seq[java.io.File] =
       if (x.isDirectory) Option(x.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
       else Seq(x)

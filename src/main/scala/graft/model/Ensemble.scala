@@ -172,6 +172,32 @@ object Ensemble {
     -s
   }
 
+  /** r10: likelihood under the EXACT quadratic-LD occultation
+    * (t12e's declared model — the reference's likelihood evaluates
+    * `ephesos.eval_modl` with typelmdk='quadkipp', main.py:497–528
+    * via retr_llik_mile 735–850, i.e. it FITS under the exact form;
+    * t13d/g fit the small-planet factorization that t12e measures
+    * 8.4e-3 wrong at p = 0.25). [[ldBoxLlq]] with the model swapped
+    * for [[LimbDarkExact.fluxAphN]] at the declared fit node count
+    * `n` — the whole chain stays IEEE ±×÷/√/min/max plus the
+    * literal-table atan, and the node Σ is an order-free integer, so
+    * raw doubles replay in the SQL oracle with no model
+    * quantization. */
+  def ldxLlq(t: Array[Double], y: Array[Double], scale: Double,
+             period: Double, n: Int)(p: Array[Double]): Long = {
+    val half = period / 2
+    var s = 0L; var i = 0
+    while (i < y.length) {
+      val m0 = (t(i) - p(1) + half) % period
+      val m1 = if (m0 < 0) m0 + period else m0
+      val aph = math.abs(m1 - half)
+      val r = y(i) - LimbDarkExact.fluxAphN(aph, p(0), p(2), n)
+      s += graft.expr.VecExprs.roundHalfAway(r * r * scale)
+      i += 1
+    }
+    -s
+  }
+
   /** r9: limb-darkened likelihood with the LD COEFFICIENTS in the
     * walk — p = (rrat, epoch, t14, u1, u2) (the reference fits
     * coeflmdklinr/coeflmdkquad via setp_para, ref main.py:440–447,

@@ -85,17 +85,26 @@ object LimbDarkExact {
   /** The exact-model flux at normalized separation z (planet/star
     * ratio p), by the declared inner-disk + N-node band quadrature.
     * Matches the SQL shapes op for op. */
-  def flux(z: Double, p: Double): Double = {
+  def flux(z: Double, p: Double): Double = fluxN(z, p, N)
+
+  /** [[flux]] with the node count a parameter — t13i's FIT model runs
+    * the same shapes at a declared coarser band (NFit = 64: worst
+    * |Δ| vs the analytic form scales as (256/n)^1.5 off t12e's
+    * measured 1e-5 ⇒ ~8e-5 at 64 — still 5× under the binned fixture
+    * noise and ~100× inside the small-planet error the fit removes)
+    * so the per-proposal quadrature stays oracle-replayable at MCMC
+    * volume. */
+  def fluxN(z: Double, p: Double, n: Int): Double = {
     if (z >= 1.0 + p) 1.0
     else {
       val rin = math.max(0.0, p - z)
       val ain = aInner(rin)
       val rlo = math.abs(z - p)
       val rhi = math.min(1.0, z + p)
-      val w = (rhi - rlo) / N
+      val w = (rhi - rlo) / n
       var sq = 0L
       var j = 0
-      while (j < N) {
+      while (j < n) {
         val r = rlo + (j + 0.5) * w
         val x0 = (z * z + r * r - p * p) / (2.0 * z * r)
         val x = math.min(1.0, math.max(-1.0, x0))
@@ -112,12 +121,16 @@ object LimbDarkExact {
 
   /** Duration-parametrized wrapper (the t12d z-chain): aph in days,
     * p, T14. */
-  def fluxAph(aph: Double, p: Double, t14: Double): Double = {
+  def fluxAph(aph: Double, p: Double, t14: Double): Double =
+    fluxAphN(aph, p, t14, N)
+
+  /** [[fluxAph]] at a parametrized node count (the t13i fit model). */
+  def fluxAphN(aph: Double, p: Double, t14: Double, n: Int): Double = {
     val hu = aph / (t14 * 0.5)
     if (hu >= 1.0) 1.0
     else {
       val z = math.sqrt(B * B + ((1.0 + p) * (1.0 + p) - B * B) * (hu * hu))
-      flux(z, p)
+      fluxN(z, p, n)
     }
   }
 
@@ -137,7 +150,11 @@ object LimbDarkExact {
     "rlo" -> "abs(z - pp)",
     "rhi" -> s"LEAST(${D(1.0)}, z + pp)")
 
-  def wSql: String = s"(rhi - rlo) / ${D(N.toDouble)}"
+  def wSql: String = wSqlN(N)
+
+  /** Band width at a parametrized node count — for n = N this is the
+    * byte-identical t12e string (D(n.toDouble) round-trips). */
+  def wSqlN(n: Int): String = s"(rhi - rlo) / ${D(n.toDouble)}"
 
   def rSql: String = "rlo + (CAST(j AS DOUBLE) + 0.5) * w"
 

@@ -704,6 +704,80 @@ object Advanced {
         .orderBy("param")
     }),
 
+    // T13i — MCMC fit under the EXACT occultation (r10, verdict #1):
+    // t13d/g fit the small-planet factorization while t12e itself
+    // measures that approximation 8.4e-3 wrong at p = 0.25 — the
+    // reference's likelihood calls ephesos.eval_modl (main.py:497–528
+    // via retr_llik_mile 735–850), i.e. it FITS under the exact
+    // quadkipp form. The fixture injects the EXACT model's curve
+    // (t12e's 256-node declared quadrature at p=0.25, T14=1.0 d,
+    // epoch 0 — deep enough that the approximation error is ~20× the
+    // binned noise) as bin-center literals (the t13h "fixture is
+    // data" pattern) plus t13's LCG noise; then TWO walks of the same
+    // (rrat, epoch, T14) geometry run side by side on the same data:
+    // one under the exact fit model (Ensemble.ldxLlq —
+    // LimbDarkExact.fluxAphN at the declared 64-node band, worst
+    // model |Δ| ≈ 8e-5, 5× under the binned noise), one under t13d's
+    // small-planet model. The output rows carry both posteriors
+    // (param suffixes _exact/_approx): the rrat shift IS the
+    // small-planet bias, now measured as a posterior displacement —
+    // the exact fit recovers the injected 0.25, the approx fit sits
+    // several binned-σ below it. Cross-engine exactness: the exact
+    // chain is IEEE ±×÷/√/min/max + the literal-table atan with an
+    // order-free integer node Σ per bin (the t12e argument), so both
+    // walks replay raw-double in the oracle's correlated llq
+    // (nested named layers, the t13h pattern; one 200-bin × 64-node
+    // quadrature per proposal).
+    "t13i_mcmc_ldx" -> ((s, d) => {
+      import s.implicits._
+      import graft.model.{Ensemble, LimbDark}
+      val PDAY = 86400000000L; val P7 = 7L * PDAY
+      val n = 4000L
+      val step = 30L * PDAY / n
+      val bdf = broadcast(t13iTrue.toDF("bb", "fxq"))
+      val bins = base(s, d).agg(min(col("t_us")).as("t0"))
+        .withColumn("i", explode(sequence(lit(0L), lit(n - 1))))
+        .withColumn("g_us", col("t0") + col("i") * step)
+        .withColumn("r", (col("i") % 65536L * 1103515245L + 12345L) % 2147483648L)
+        .withColumn("ph", pmod(col("g_us") - col("t0"), lit(P7)))
+        .withColumn("b", expr(s"(ph * 200) div $P7"))
+        .join(bdf, col("b") === col("bb"))
+        .withColumn("flux", expr("fxq / 1e9")
+          + (col("r").cast("double") / 2147483648.0 - 0.5) * 0.004)
+        .withColumn("fc", round(col("flux") * 1e6).cast("long"))
+        .groupBy("b").agg(count(lit(1)).as("n"), sum(col("fc")).as("sv"))
+        .orderBy("b")
+        .collect()
+      val t = bins.map(r => (r.getLong(0).toDouble + 0.5) * 7.0 / 200)
+      val y = bins.map(r => r.getLong(2).toDouble / r.getLong(1) / 1e6)
+      val yq = y.map(v => graft.expr.VecExprs.roundHalfAway(v * 1e9))
+      val g = Ensemble.boxGuessQ(t, yq, 7.0, 1.0)
+      val guess = Array(
+        math.sqrt(math.max(g(0) * LimbDark.KK, 4e-4)), g(1), g(2))
+      val lo = Array(0.02, -3.5, 0.2); val hi = Array(0.45, 3.5, 2.0)
+      val llqX = Ensemble.ldxLlq(t, y, scale = 3.125e12, period = 7.0,
+        n = t13iNFit) _
+      val llqA = Ensemble.ldBoxLlq(t, y, scale = 3.125e12, period = 7.0) _
+      val (sx, accx) = Ensemble.sampleQ(llqX, lo, hi,
+        nWalkers = 50, nSteps = 150, burnFrac = 0.3, seed = 42L,
+        init = guess, ballFrac = 0.005)
+      val (sa, acca) = Ensemble.sampleQ(llqA, lo, hi,
+        nWalkers = 50, nSteps = 150, burnFrac = 0.3, seed = 42L,
+        init = guess, ballFrac = 0.005)
+      val px = Ensemble.percentiles(sx); val pa = Ensemble.percentiles(sa)
+      Seq(
+        ("acceptance_approx", acca, acca, acca),
+        ("acceptance_exact", accx, accx, accx),
+        ("dur_approx", pa(2)(0), pa(2)(1), pa(2)(2)),
+        ("dur_exact", px(2)(0), px(2)(1), px(2)(2)),
+        ("epoch_approx", pa(1)(0), pa(1)(1), pa(1)(2)),
+        ("epoch_exact", px(1)(0), px(1)(1), px(1)(2)),
+        ("rrat_approx", pa(0)(0), pa(0)(1), pa(0)(2)),
+        ("rrat_exact", px(0)(0), px(0)(1), px(0)(2)))
+        .toDF("param", "p16", "p50", "p84")
+        .orderBy("param")
+    }),
+
     // T13 per-energy-bin fits, SPARK-PARALLEL (ref main.py:12301–12316:
     // typemodlenerfitt='iter' loops the whole fit once per energy bin —
     // here the loop IS the shuffle key): phase-fold each energy bin at
@@ -1110,6 +1184,26 @@ object Advanced {
         graft.model.Kepler.rv(m, 12.5, 9.0, 0.3, 1.0) * 1e6))
     }
 
+  /** t13i's declared FIT-model node count: LimbDarkExact.fluxN at 64
+    * band nodes — worst |Δ| vs the analytic form ≈ (256/64)^1.5 ×
+    * t12e's measured 1e-5 ≈ 8e-5, 5× under the binned fixture noise
+    * (4e-4) and ~100× inside the 8.4e-3 small-planet error the exact
+    * fit removes — chosen so the oracle's per-proposal 200-bin
+    * quadrature stays replayable at MCMC volume. */
+  private[queries] val t13iNFit = 64
+
+  /** t13i's injected TRUE curve: the EXACT occultation (t12e's
+    * 256-node declared model; p=0.25, T14=1.0 d, epoch 0) at the 200
+    * fold-bin centers, quantized at 1e9 and shared as literals by
+    * both engines (the t13hTrue "fixture is data" pattern). */
+  private[queries] lazy val t13iTrue: Seq[(Long, Long)] =
+    (0 until 200).map { b =>
+      val tb = (b + 0.5) * 7.0 / 200
+      val aph = if (tb < 3.5) tb else 7.0 - tb
+      (b.toLong, graft.expr.VecExprs.roundHalfAway(
+        graft.model.LimbDarkExact.fluxAph(aph, 0.25, 1.0) * 1e9))
+    }
+
   /** t13h's ω-candidate grid (8 mid-octant angles): the circular
     * Fourier projection fixes (γ, K) but ω needs atan2, which is libm
     * — instead the guess scores each candidate with the EXACT integer
@@ -1514,6 +1608,30 @@ object Advanced {
        |  FROM bnr)""".stripMargin
   }
 
+  /** t13i's fixture: t13's grid + noise with the injected EXACT-model
+    * curve joined from the t13iTrue literals (the fixture is data —
+    * quantized at 1e9; the FIT models stay raw-double). */
+  private def t13iFixtureSql: String = {
+    val vals = t13iTrue.map { case (b, q) => s"($b, $q)" }.mkString(", ")
+    s"""e0 AS (SELECT min(epoch_us(ts)) AS t0 FROM events),
+       |ftr AS (SELECT * FROM (VALUES $vals) AS t(b, fxq)),
+       |gn AS (SELECT en.ener AS ener, ii.i AS i,
+       |    (i % 65536 * 1103515245 + 12345) % 2147483648 AS r,
+       |    (ii.i * 648000000) % 604800000000 AS ph
+       |  FROM e0, eners en, (SELECT unnest(range(0, 4000)) AS i) ii),
+       |fl AS (SELECT ener, ph,
+       |    w.fxq / 1e9 + (CAST(r AS DOUBLE) / 2147483648.0 - 0.5) * 0.004 AS flux
+       |  FROM gn JOIN ftr w ON w.b = (ph * 200) // 604800000000),
+       |bnr AS (SELECT ener, (ph * 200) // 604800000000 AS b, count(*) AS n,
+       |    CAST(sum(CAST(round(flux * 1e6) AS BIGINT)) AS BIGINT) AS sv
+       |  FROM fl GROUP BY 1, 2),
+       |bins AS MATERIALIZED (SELECT ener, b,
+       |    (CAST(b AS DOUBLE) + 0.5) * 7.0 / 200 AS tb,
+       |    CAST(sv AS DOUBLE) / n / 1e6 AS y,
+       |    CAST(round(CAST(sv AS DOUBLE) / n / 1e6 * 1e9) AS BIGINT) AS yq
+       |  FROM bnr)""".stripMargin
+  }
+
   private def t13FixtureSql(perEner: Boolean): String = {
     val rExpr =
       if (perEner) "((i + ener * 7919) % 65536 * 1103515245 + 12345) % 2147483648"
@@ -1913,6 +2031,86 @@ rvb AS (SELECT * FROM (VALUES ${rvBasis
          |  SELECT 'omega', max(CASE WHEN q < 0.3 THEN v END),
          |      max(CASE WHEN q > 0.3 AND q < 0.7 THEN v END),
          |      max(CASE WHEN q > 0.7 THEN v END) FROM pc3
+         |) ORDER BY param""".stripMargin
+    },
+
+    // The exact-occultation walk replay (r10): TWO complete sampler
+    // blocks over the same data-literal fixture, UNION ALL'd as
+    // derived tables (each carries its own WITH RECURSIVE). The exact
+    // llq expands the t12e layer chain as nested named subqueries
+    // (the t13h pattern): walk params enter the inner select as
+    // columns, each layer is one wrapping SELECT, the 64-node band
+    // arrives by CROSS JOIN on the nodes CTE, and the per-bin node Σ
+    // is an order-free integer GROUP BY — so every proposal's model
+    // is the bit-identical double chain Ensemble.ldxLlq runs on the
+    // driver. The approx block is byte-for-byte t13d's inline llq.
+    "t13i_mcmc_ldx" -> {
+      import graft.model.{LimbDark, LimbDarkExact => LX}
+      val nodesCte = s"""
+nodes AS (SELECT unnest(range(0, $t13iNFit)) AS j),"""
+      val ldxLlq: (String, String) => String = (al, p) => {
+        val inner = s"SELECT bb.b AS bq, bb.y AS yy, bb.tb AS tb, " +
+          s"$al.${p}0 AS pp, $al.${p}1 AS pe, $al.${p}2 AS pt " +
+          s"FROM bins bb WHERE bb.ener = $al.ener"
+        val q1cols = LX.q1Sql.map { case (n2, sql) => s"$sql AS $n2" }.mkString(", ")
+        var q = s"SELECT bq, yy, pp, pt, abs(fmod(tb - pe + 3.5, 7.0) - 3.5) AS aph FROM ($inner) x0"
+        q = s"SELECT bq, yy, pp, ${LimbDark.huSql("aph", "pt")} AS hu FROM ($q) x1"
+        q = s"SELECT bq, yy, pp, hu, ${LimbDark.zSql("hu", "pp")} AS z FROM ($q) x2"
+        q = s"SELECT bq, yy, pp, hu, z, $q1cols FROM ($q) x3"
+        q = s"SELECT bq, yy, pp, hu, z, rlo, ${LX.ainSql} AS ain, ${LX.wSqlN(t13iNFit)} AS w FROM ($q) x4"
+        q = s"SELECT bq, yy, pp, hu, z, rlo, ain, w, nd.j AS j FROM ($q) x5 CROSS JOIN nodes nd"
+        q = s"SELECT bq, yy, pp, hu, z, ain, w, ${LX.rSql} AS r FROM ($q) x6"
+        q = s"SELECT bq, yy, hu, ain, w, r, ${LX.xSql} AS x FROM ($q) x7"
+        q = s"SELECT bq, yy, hu, ain, w, r, ${LX.tqSql} AS tq FROM ($q) x8"
+        q = s"SELECT bq, yy, hu, ain, w, r, ${LX.xrSql} AS xr, ${LX.flipSql} AS flip FROM ($q) x9"
+        q = s"SELECT bq, yy, hu, ain, w, r, xr, flip, ${LX.aiSql} AS ai FROM ($q) x10"
+        q = s"SELECT bq, yy, hu, ain, w, r, flip, ${LX.ciSql} AS ci, ${LX.dSql} AS d FROM ($q) x11"
+        q = s"SELECT bq, yy, hu, ain, w, r, flip, ${LX.atSql} AS atv FROM ($q) x12"
+        q = s"SELECT bq, yy, hu, ain, w, r, ${LX.alphaSql} AS alpha FROM ($q) x13"
+        q = s"SELECT bq, yy, hu, ain, ${LX.qjSql} AS qj FROM ($q) x14"
+        q = s"SELECT yy, hu, ain, CAST(sum(qj) AS BIGINT) AS sq FROM ($q) x15 GROUP BY bq, yy, hu, ain"
+        q = s"SELECT yy, ${LX.fluxSql("hu", "ain", "sq")} AS fx FROM ($q) x16"
+        s"(SELECT CAST(-sum(CAST(round((yy - fx) * (yy - fx) * 3.125e12) AS BIGINT)) AS BIGINT) FROM ($q) x17)"
+      }
+      val ldaLlq: (String, String) => String = (al, p) => {
+        val aph = s"abs(fmod(bb.tb - $al.${p}1 + 3.5, 7.0) - 3.5)"
+        s"(SELECT CAST(-sum(CAST(round((yy - mm) * (yy - mm) * 3.125e12)" +
+        s" AS BIGINT)) AS BIGINT) FROM (SELECT bb.y AS yy, " +
+        LimbDark.fluxInlineSql(aph, s"$al.${p}0", s"$al.${p}2") +
+        s" AS mm FROM bins bb WHERE bb.ener = $al.ener) qq)"
+      }
+      val g0 = s"sqrt(GREATEST($mcmcDepthG0 * ${LimbDark.D(LimbDark.KK)}, " +
+        s"${LimbDark.D(4e-4)}))"
+      def rowsFor(sfx: String) =
+        s"""SELECT 'acceptance_$sfx' AS param, a AS p16, a AS p50, a AS p84 FROM accr
+           |UNION ALL
+           |SELECT 'dur_$sfx', max(CASE WHEN q < 0.3 THEN v END),
+           |    max(CASE WHEN q > 0.3 AND q < 0.7 THEN v END),
+           |    max(CASE WHEN q > 0.7 THEN v END) FROM pc2
+           |UNION ALL
+           |SELECT 'epoch_$sfx', max(CASE WHEN q < 0.3 THEN v END),
+           |    max(CASE WHEN q > 0.3 AND q < 0.7 THEN v END),
+           |    max(CASE WHEN q > 0.7 THEN v END) FROM pc1
+           |UNION ALL
+           |SELECT 'rrat_$sfx', max(CASE WHEN q < 0.3 THEN v END),
+           |    max(CASE WHEN q > 0.3 AND q < 0.7 THEN v END),
+           |    max(CASE WHEN q > 0.7 THEN v END) FROM pc0""".stripMargin
+      def block(llq: (String, String) => String, extra: String, sfx: String) =
+        s"""${mcmcSamplerSql("SELECT CAST(0 AS BIGINT) AS ener",
+                             t13iFixtureSql, 42L, nW = 50, nSteps = 150,
+                             llqGen = Some(llq), extraCte = extra,
+                             los = Seq(0.02, -3.5, 0.2),
+                             his = Seq(0.45, 3.5, 2.0),
+                             g0Sql = Some(g0))}
+           |${rowsFor(sfx)}""".stripMargin
+      s"""SELECT * FROM (
+         |SELECT * FROM (
+         |${block(ldxLlq, nodesCte, "exact")}
+         |) qx
+         |UNION ALL
+         |SELECT * FROM (
+         |${block(ldaLlq, "", "approx")}
+         |) qa
          |) ORDER BY param""".stripMargin
     },
 

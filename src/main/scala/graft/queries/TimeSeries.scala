@@ -1178,14 +1178,15 @@ object TimeSeries {
     // 'quadkipp' is the exact form, main.py:511; t12d's small-planet
     // factorization approximates it to ~1e-3 at p = 0.25). The
     // declared model integrates the exact overlap integrand: the
-    // fully-covered inner disk in closed form + a FIXED 96-node
-    // midpoint quadrature over the partial band, with acos built from
+    // fully-covered inner disk in closed form + a FIXED 256-node
+    // (LimbDarkExact.N) midpoint quadrature over the partial band,
+    // with acos built from
     // a literal-table atan (no libm at eval time) and node
     // contributions 1e-12-quantized so the Σ is an order-free integer
     // (model/LimbDarkExact.scala — validated against an independent
     // 20 000-node integration in spec). Output carries BOTH models'
     // raw doubles; the delta IS the small-planet error, visible per
-    // phase. Scale: generated grid × 96 nodes (145 k rows) — one
+    // phase. Scale: generated grid × 256 nodes (~385 k rows) — one
     // keyed aggregation, no corpus term beyond the anchor agg.
     "t12e_model_ldx" -> ((s, d) => {
       import graft.model.{LimbDark, LimbDarkExact => LX}
@@ -2076,7 +2077,7 @@ object TimeSeries {
       },
 
       // The exact-occultation replay: the same named layers (inner
-      // closed form + 96-node band, literal-table atan) over the
+      // closed form + 256-node band, literal-table atan) over the
       // identical grid; the node Σ is an order-free integer so the
       // grouped sum replays exactly; flux_ld and flux_ldx are raw
       // doubles, no rounding.

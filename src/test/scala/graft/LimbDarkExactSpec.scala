@@ -136,4 +136,36 @@ class LimbDarkExactSpec extends SparkSpec {
     // the p = 0.25 config must expose a real small-planet error
     assert(maxDelta > 2e-4 && maxDelta < 1e-2, s"max |ld - ldx| = $maxDelta")
   }
+
+  test("fluxN at the t13i fit node count stays within ~1e-4 of the 256-node model") {
+    // the declared 64-node fit model: coarser band, same shapes —
+    // must track the t12e contract well under the binned noise (4e-4)
+    var worst = 0.0
+    for (p <- Seq(0.15, 0.25, 0.45); zi <- 0 to 40) {
+      val z = 0.30 + zi * (1.0 + p + 0.1 - 0.30) / 40
+      worst = math.max(worst,
+        math.abs(LimbDarkExact.fluxN(z, p, 64) - LimbDarkExact.flux(z, p)))
+    }
+    assert(worst < 1.5e-4, s"worst |N=64 - N=256| = $worst")
+    info(f"worst |N=64 - N=256| = $worst%.2e")
+  }
+
+  test("declared t13i query: the exact-model fit recovers the injection; the approx posterior is displaced") {
+    // fixture injects the EXACT p=0.25, T14=1.0, epoch 0 curve; the
+    // r9 verdict's done criterion: injection recovery under the exact
+    // model plus a visible posterior shift vs the t13d (small-planet)
+    // fit on the same data
+    val out = graft.queries.Advanced.queries("t13i_mcmc_ldx")(spark, sf)
+      .collect().map(r => (r.getString(0), (r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    def p50(k: String) = out(k)._2
+    assert(math.abs(p50("rrat_exact") - 0.25) < 0.01, s"rrat_exact ${p50("rrat_exact")}")
+    assert(math.abs(p50("epoch_exact")) < 0.05, s"epoch_exact ${p50("epoch_exact")}")
+    assert(math.abs(p50("dur_exact") - 1.0) < 0.05, s"dur_exact ${p50("dur_exact")}")
+    // the small-planet model absorbs its shape error into T14: the
+    // approx duration posterior must sit clearly below the exact one
+    // (measured: dur_approx p84 0.954 < dur_exact p16 0.972)
+    assert(out("dur_approx")._3 < out("dur_exact")._1,
+      s"approx p84 ${out("dur_approx")._3} vs exact p16 ${out("dur_exact")._1}")
+    assert(out("acceptance_exact")._2 > 0.1 && out("acceptance_exact")._2 < 0.9)
+  }
 }

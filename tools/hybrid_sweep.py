@@ -29,7 +29,7 @@ def round_half_away(v):
 
 def spark_rows(out_dir, name, cols):
     files = glob.glob(f"{out_dir}/{name}/*.parquet")
-    tab = pq.read_table(files[0])
+    tab = pq.read_table(files)  # all parts — a multi-part output must not drop rows
     assert sorted(tab.column_names) == sorted(cols), \
         f"cols spark={sorted(tab.column_names)} expect={sorted(cols)}"
     order = sorted(cols)
