@@ -219,6 +219,31 @@ object Ensemble {
     -s
   }
 
+  /** r10: StarFlaring model-fit likelihood — p = (A, t0, τ) under
+    * F(t) = 1 + A·exp(−(t−t0)/τ) for t ≥ t0 (ref: flare model
+    * component main.py:362–382, registry main.py:4231, 4517–4518;
+    * the engine evaluates this model in t12 and detects flares in
+    * t8/t9/st10 but t13k is the first FIT). exp on the walked
+    * argument goes through [[Flare.expNegCore]] (range reduction +
+    * fixed Taylor + 6 squarings — IEEE-only, the Kepler.scala
+    * discipline), with dt < 0 / x > 40 declared 0 by explicit
+    * branches both engines share. */
+  def flareLlq(t: Array[Double], y: Array[Double], scale: Double)
+              (p: Array[Double]): Long = {
+    var s = 0L; var i = 0
+    while (i < y.length) {
+      val dt = t(i) - p(1)
+      val xx = dt / p(2)
+      val g = if (dt < 0.0) 0.0
+              else if (xx > 40.0) 0.0
+              else p(0) * Flare.expNegCore(xx)
+      val r = y(i) - (1.0 + g)
+      s += graft.expr.VecExprs.roundHalfAway(r * r * scale)
+      i += 1
+    }
+    -s
+  }
+
   /** Radial-velocity orbit likelihood in the LINEAR-HARMONIC
     * parametrization (ref: the RV model branch of eval_modl /
     * typemodl 'rvel' — a circular-orbit RV curve K·sin(2πφ+φ0) + γ,
@@ -405,6 +430,94 @@ object Ensemble {
       if (step >= burn) walkers.foreach(w => out += w.clone)
     }
     (out.result(), accepted.toDouble / proposed)
+  }
+
+  /** r10: the OPTIMIZER inference mode (typeinfe='opti' — the
+    * reference offers maximum-likelihood optimization as a peer of
+    * sampling, declared main.py:7870–7875, Nelder–Mead branch
+    * main.py:4071–4110 minimizing `retr_lliknega_mile` main.py:853;
+    * the t13 family covers only 'samp'). A FIXED-ITERATION,
+    * deterministic Nelder–Mead ascent of the integer micro-nat
+    * likelihood with the standard coefficients α=1 (reflect), γ=2
+    * (expand), ρ=0.5 (contract), σ=0.5 (shrink):
+    *
+    *  - initial simplex: the guess + one vertex per coordinate
+    *    displaced by δ·(hi−lo), δ = 0.05, clamped to the prior box;
+    *  - each iteration evaluates reflect/expand/outside/inside
+    *    candidates (reflections clamped to the box) and replaces the
+    *    worst vertex, or shrinks toward the best;
+    *  - vertices are kept best-first under the total order
+    *    (llq DESC, position ASC) — ties (possible on likelihood
+    *    plateaus) break deterministically.
+    *
+    * Every float op is IEEE ±×÷/min/max over the same expression
+    * shapes the SQL replay spells (centroid = left-associated sum of
+    * the best nd vertices / nd), and every comparison is on integer
+    * llq — so the whole simplex walk replays in a recursive CTE
+    * bit-for-bit, exactly like the MCMC walks. Returns the best
+    * vertex and its llq after `nIter` iterations. */
+  def nelderMeadQ(llq: Array[Double] => Long,
+                  lo: Array[Double], hi: Array[Double],
+                  init: Array[Double], nIter: Int = 120,
+                  deltaFrac: Double = 0.05): (Array[Double], Long) = {
+    require(lo.length == hi.length && init.length == lo.length)
+    val nd = lo.length
+    def clamp(v: Double, d: Int): Double = math.min(hi(d), math.max(lo(d), v))
+    // initial simplex, then best-first stable order
+    var verts: Array[Array[Double]] = Array.tabulate(nd + 1) { k =>
+      Array.tabulate(nd) { d =>
+        if (k == d + 1) clamp(init(d) + deltaFrac * (hi(d) - lo(d)), d)
+        else init(d)
+      }
+    }
+    var lls: Array[Long] = verts.map(llq)
+    def sortBestFirst(): Unit = {
+      val order = (0 to nd).sortBy(i => (-lls(i), i))
+      verts = order.map(verts).toArray
+      lls = order.map(lls).toArray
+    }
+    sortBestFirst()
+    var iter = 0
+    while (iter < nIter) {
+      val wv = verts(nd)
+      // centroid of the best nd vertices, left-associated in list order
+      val c = Array.tabulate(nd) { d =>
+        var s = verts(0)(d); var i = 1
+        while (i < nd) { s = s + verts(i)(d); i += 1 }
+        s / nd
+      }
+      val xr = Array.tabulate(nd)(d => clamp(c(d) + (c(d) - wv(d)), d))
+      val llr = llq(xr)
+      var shrink = false
+      if (llr > lls(0)) {
+        val xe = Array.tabulate(nd)(d => clamp(c(d) + 2.0 * (c(d) - wv(d)), d))
+        val lle = llq(xe)
+        if (lle > llr) { verts(nd) = xe; lls(nd) = lle }
+        else { verts(nd) = xr; lls(nd) = llr }
+      } else if (llr > lls(nd - 1)) {
+        verts(nd) = xr; lls(nd) = llr
+      } else if (llr > lls(nd)) {
+        val xco = Array.tabulate(nd)(d => clamp(c(d) + 0.5 * (c(d) - wv(d)), d))
+        val llco = llq(xco)
+        if (llco >= llr) { verts(nd) = xco; lls(nd) = llco } else shrink = true
+      } else {
+        val xci = Array.tabulate(nd)(d => clamp(c(d) - 0.5 * (c(d) - wv(d)), d))
+        val llci = llq(xci)
+        if (llci > lls(nd)) { verts(nd) = xci; lls(nd) = llci } else shrink = true
+      }
+      if (shrink) {
+        val b1 = verts(0)
+        var k = 1
+        while (k <= nd) {
+          verts(k) = Array.tabulate(nd)(d => b1(d) + 0.5 * (verts(k)(d) - b1(d)))
+          lls(k) = llq(verts(k))
+          k += 1
+        }
+      }
+      sortBestFirst()
+      iter += 1
+    }
+    (verts(0), lls(0))
   }
 
   /** Walker-ball center for a box fit on a phase-binned curve: slide a

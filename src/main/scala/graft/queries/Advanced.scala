@@ -778,6 +778,126 @@ object Advanced {
         .orderBy("param")
     }),
 
+    // T13j — the OPTIMIZER inference mode (r10, verdict #2): the
+    // reference offers maximum-likelihood optimization as a peer of
+    // sampling (typeinfe='opti', declared main.py:7870–7875; the
+    // Nelder–Mead branch main.py:4071–4110 minimizes
+    // retr_lliknega_mile main.py:853) — the t13 family implements
+    // only 'samp'. Same fixture, guess, and LD likelihood as t13d;
+    // the inference is a FIXED 120-iteration deterministic
+    // Nelder–Mead ascent (Ensemble.nelderMeadQ: α=1, γ=2, ρ=0.5,
+    // σ=0.5, initial simplex = guess + 0.05·(hi−lo) per coordinate)
+    // — every float op IEEE, every comparison on integer micro-nat
+    // llq, so the whole simplex walk replays in a recursive CTE
+    // exactly like the MCMC walks (one row of state per iteration —
+    // cheaper than the ensemble: ~8 200-bin likelihood evaluations
+    // per round). Output: the ML point (vs t13d's posterior median —
+    // the cheap mode lands on the same optimum), the final llq, and
+    // the declared iteration count.
+    "t13j_opti" -> ((s, d) => {
+      import s.implicits._
+      import graft.model.{Ensemble, LimbDark}
+      val PDAY = 86400000000L; val P7 = 7L * PDAY
+      val n = 4000L
+      val step = 30L * PDAY / n
+      val PT = LimbDark.D(0.15); val TT = LimbDark.D(1.0)
+      val bins = base(s, d).agg(min(col("t_us")).as("t0"))
+        .withColumn("i", explode(sequence(lit(0L), lit(n - 1))))
+        .withColumn("g_us", col("t0") + col("i") * step)
+        .withColumn("r", (col("i") % 65536L * 1103515245L + 12345L) % 2147483648L)
+        .withColumn("ph", pmod(col("g_us") - col("t0"), lit(P7)))
+        .withColumn("phd", expr("CAST(ph AS DOUBLE) / 86400e6"))
+        .withColumn("aph", expr("CASE WHEN phd < 3.5 THEN phd ELSE 7.0 - phd END"))
+        .withColumn("hu", expr(LimbDark.huSql("aph", TT)))
+        .withColumn("z", expr(LimbDark.zSql("hu", PT)))
+        .withColumn("lam", expr(LimbDark.lamSql("z", PT)))
+        .withColumn("mu", expr(LimbDark.muSql("z", PT)))
+        .withColumn("iz", expr(LimbDark.izSql("mu")))
+        .withColumn("ldf", expr(LimbDark.fluxSql("hu", PT, "iz", "lam")))
+        .withColumn("noise", (col("r").cast("double") / 2147483648.0 - 0.5) * 0.004)
+        .withColumn("flux", col("ldf") + col("noise"))
+        .withColumn("fc", round(col("flux") * 1e6).cast("long"))
+        .withColumn("b", expr(s"(ph * 200) div $P7"))
+        .groupBy("b").agg(count(lit(1)).as("n"), sum(col("fc")).as("sv"))
+        .orderBy("b")
+        .collect()
+      val t = bins.map(r => (r.getLong(0).toDouble + 0.5) * 7.0 / 200)
+      val y = bins.map(r => r.getLong(2).toDouble / r.getLong(1) / 1e6)
+      val llq = Ensemble.ldBoxLlq(t, y, scale = 3.125e12, period = 7.0) _
+      val yq = y.map(v => graft.expr.VecExprs.roundHalfAway(v * 1e9))
+      val g = Ensemble.boxGuessQ(t, yq, 7.0, 1.0)
+      val guess = Array(
+        math.sqrt(math.max(g(0) * LimbDark.KK, 4e-4)), g(1), g(2))
+      val (bestV, bestLl) = Ensemble.nelderMeadQ(llq,
+        lo = Array(0.02, -3.5, 0.2), hi = Array(0.45, 3.5, 2.0),
+        init = guess, nIter = 120)
+      Seq(
+        ("dur", bestV(2)),
+        ("epoch", bestV(1)),
+        ("iters", 120.0),
+        ("llq", bestLl.toDouble),
+        ("rrat", bestV(0)))
+        .toDF("param", "value")
+        .orderBy("param")
+    }),
+
+    // T13k — StarFlaring model fit (r10, verdict #3): fit (A, t0, τ)
+    // of the exponential-decay flare the reference registers through
+    // the same proc_modl machinery as the transits (model component
+    // main.py:362–382, registry main.py:4231, 4517–4518) — the last
+    // fitted-model family the reference has that the engine didn't.
+    // The fixture injects F = 1 + 0.04·exp(−(t−2.0)/0.3) through the
+    // DECLARED model (bin-center literals, the t13h pattern) plus
+    // t13's LCG noise; sampleQ walks (A, t0, τ) with exp(−x) via
+    // Flare.expNegCore (range reduction + fixed Taylor + 6 squarings
+    // — IEEE-only, no libm at proposal time, so raw doubles replay).
+    // The guess: peak-bin argmax (integer, first-wins) for t0, its
+    // excess over the global mean for A, mid-prior for τ.
+    "t13k_mcmc_flare" -> ((s, d) => {
+      import s.implicits._
+      import graft.model.Ensemble
+      val PDAY = 86400000000L; val P7 = 7L * PDAY
+      val n = 4000L
+      val step = 30L * PDAY / n
+      val bdf = broadcast(t13kTrue.toDF("bb", "fxq"))
+      val bins = base(s, d).agg(min(col("t_us")).as("t0"))
+        .withColumn("i", explode(sequence(lit(0L), lit(n - 1))))
+        .withColumn("g_us", col("t0") + col("i") * step)
+        .withColumn("r", (col("i") % 65536L * 1103515245L + 12345L) % 2147483648L)
+        .withColumn("ph", pmod(col("g_us") - col("t0"), lit(P7)))
+        .withColumn("b", expr(s"(ph * 200) div $P7"))
+        .join(bdf, col("b") === col("bb"))
+        .withColumn("flux", expr("fxq / 1e9")
+          + (col("r").cast("double") / 2147483648.0 - 0.5) * 0.004)
+        .withColumn("fc", round(col("flux") * 1e6).cast("long"))
+        .groupBy("b").agg(count(lit(1)).as("n"), sum(col("fc")).as("sv"))
+        .orderBy("b")
+        .collect()
+      val t = bins.map(r => (r.getLong(0).toDouble + 0.5) * 7.0 / 200)
+      val y = bins.map(r => r.getLong(2).toDouble / r.getLong(1) / 1e6)
+      val yq = y.map(v => graft.expr.VecExprs.roundHalfAway(v * 1e9))
+      // peak-bin guess: integer argmax (yq DESC, b ASC first-wins)
+      val bmax = (0 until 200).minBy(b => (-yq(b), b))
+      var sa = 0L; yq.foreach(sa += _)
+      val guess = Array(
+        (yq(bmax).toDouble - sa.toDouble / 200) / 1e9,
+        (bmax + 0.5) * 7.0 / 200,
+        0.3)
+      val llq = Ensemble.flareLlq(t, y, scale = 3.125e12) _
+      val (samples, acc) = Ensemble.sampleQ(llq,
+        lo = Array(0.005, 0.5, 0.05), hi = Array(0.15, 6.0, 1.0),
+        nWalkers = 100, nSteps = 100, burnFrac = 0.3, seed = 42L,
+        init = guess, ballFrac = 0.005)
+      val pct = Ensemble.percentiles(samples)
+      Seq(
+        ("acceptance", acc, acc, acc),
+        ("amp", pct(0)(0), pct(0)(1), pct(0)(2)),
+        ("t0", pct(1)(0), pct(1)(1), pct(1)(2)),
+        ("tau", pct(2)(0), pct(2)(1), pct(2)(2)))
+        .toDF("param", "p16", "p50", "p84")
+        .orderBy("param")
+    }),
+
     // T13 per-energy-bin fits, SPARK-PARALLEL (ref main.py:12301–12316:
     // typemodlenerfitt='iter' loops the whole fit once per energy bin —
     // here the loop IS the shuffle key): phase-fold each energy bin at
@@ -1204,6 +1324,17 @@ object Advanced {
         graft.model.LimbDarkExact.fluxAph(aph, 0.25, 1.0) * 1e9))
     }
 
+  /** t13k's injected TRUE curve: the DECLARED flare model
+    * (A=0.04, t0=2.0, τ=0.3 through Flare.flux — i.e. the same
+    * reduction+squaring exp both engines fit with) at the 200
+    * fold-bin centers, quantized at 1e9 (fixture is data). */
+  private[queries] lazy val t13kTrue: Seq[(Long, Long)] =
+    (0 until 200).map { b =>
+      val tb = (b + 0.5) * 7.0 / 200
+      (b.toLong, graft.expr.VecExprs.roundHalfAway(
+        graft.model.Flare.flux(tb, 0.04, 2.0, 0.3) * 1e9))
+    }
+
   /** t13h's ω-candidate grid (8 mid-octant angles): the circular
     * Fourier projection fixes (γ, K) but ω needs atan2, which is libm
     * — instead the guess scores each candidate with the EXACT integer
@@ -1611,8 +1742,17 @@ object Advanced {
   /** t13i's fixture: t13's grid + noise with the injected EXACT-model
     * curve joined from the t13iTrue literals (the fixture is data —
     * quantized at 1e9; the FIT models stay raw-double). */
-  private def t13iFixtureSql: String = {
-    val vals = t13iTrue.map { case (b, q) => s"($b, $q)" }.mkString(", ")
+  private def t13iFixtureSql: String = literalCurveFixtureSql(t13iTrue)
+
+  /** t13k's fixture: same data-literal shape over the injected flare
+    * curve. */
+  private def t13kFixtureSql: String = literalCurveFixtureSql(t13kTrue)
+
+  /** Shared "fixture is data" flux fixture: a 1e9-quantized true
+    * curve at the 200 fold-bin centers joined onto t13's grid + LCG
+    * noise, binned with t13's 1e6 flux quantization. */
+  private def literalCurveFixtureSql(trueVals: Seq[(Long, Long)]): String = {
+    val vals = trueVals.map { case (b, q) => s"($b, $q)" }.mkString(", ")
     s"""e0 AS (SELECT min(epoch_us(ts)) AS t0 FROM events),
        |ftr AS (SELECT * FROM (VALUES $vals) AS t(b, fxq)),
        |gn AS (SELECT en.ener AS ener, ii.i AS i,
@@ -2111,6 +2251,196 @@ nodes AS (SELECT unnest(range(0, $t13iNFit)) AS j),"""
          |SELECT * FROM (
          |${block(ldaLlq, "", "approx")}
          |) qa
+         |) ORDER BY param""".stripMargin
+    },
+
+    // The Nelder–Mead replay (r10): one row of simplex state per
+    // recursion round — lists of 4 vertices (best-first under
+    // ll DESC, pos ASC) per dimension plus their integer llqs. Each
+    // round names the sorted vertices, the left-associated centroid,
+    // the four clamped candidates, their correlated LD llqs, the
+    // accept/shrink CASE (pure integer comparisons), and rebuilds the
+    // sorted lists from 4 per-position rows — op-for-op
+    // Ensemble.nelderMeadQ.
+    "t13j_opti" -> {
+      import graft.model.LimbDark
+      val dims = 0 until 3
+      val los = Seq(0.02, -3.5, 0.2); val his = Seq(0.45, 3.5, 2.0)
+      val nIter = 120
+      def D(x: Double) = s"CAST($x AS DOUBLE)"
+      def clampD(d: Int, v: String) =
+        s"LEAST(${D(his(d))}, GREATEST(${D(los(d))}, $v))"
+      def llqAt(a: String, c0: String, c1: String, c2: String) = {
+        val aph = s"abs(fmod(bb.tb - $a.$c1 + 3.5, 7.0) - 3.5)"
+        s"(SELECT CAST(-sum(CAST(round((yy - mm) * (yy - mm) * 3.125e12)" +
+        s" AS BIGINT)) AS BIGINT) FROM (SELECT bb.y AS yy, " +
+        LimbDark.fluxInlineSql(aph, s"$a.$c0", s"$a.$c2") +
+        s" AS mm FROM bins bb WHERE bb.ener = $a.ener) qq)"
+      }
+      val g0 = s"sqrt(GREATEST($mcmcDepthG0 * ${LimbDark.D(LimbDark.KK)}, " +
+        s"${LimbDark.D(4e-4)}))"
+      // initial simplex: vertex k displaces coordinate k−1 by
+      // 0.05·(hi−lo), clamped; others sit at the guess
+      def v0(d: Int) =
+        s"CASE WHEN p.k = ${d + 1} THEN ${clampD(d,
+          s"g$d + ${D(0.05)} * (${D(his(d))} - ${D(los(d))})")} ELSE g$d END"
+      val l1cols = dims.map(d =>
+        s"e.w${d}s[1] AS b1$d, e.w${d}s[2] AS b2$d, e.w${d}s[3] AS b3$d, e.w${d}s[4] AS wv$d")
+        .mkString(",\n            ")
+      val l2cols = dims.map(d => s"((b1$d + b2$d) + b3$d) / 3.0 AS c$d").mkString(", ")
+      val l3cols = dims.map(d =>
+        s"${clampD(d, s"c$d + (c$d - wv$d)")} AS xr$d, " +
+        s"${clampD(d, s"c$d + 2.0 * (c$d - wv$d)")} AS xe$d, " +
+        s"${clampD(d, s"c$d + 0.5 * (c$d - wv$d)")} AS xco$d, " +
+        s"${clampD(d, s"c$d - 0.5 * (c$d - wv$d)")} AS xci$d")
+        .mkString(",\n            ")
+      def nvCase(d: Int) =
+        s"CASE WHEN llr > ll1 AND lle > llr THEN xe$d WHEN llr > ll1 THEN xr$d" +
+        s" WHEN llr > ll3 THEN xr$d WHEN llr > llw THEN xco$d ELSE xci$d END AS nv$d"
+      val l6sv = dims.map(d =>
+        s"CASE WHEN pp.k = 1 THEN l5.b1$d ELSE l5.b1$d + 0.5 * (l5.w${d}s[pp.k] - l5.b1$d) END AS sv$d")
+        .mkString(",\n            ")
+      def outPos(d: Int) =
+        s"CASE WHEN l7.shrink THEN l7.sv$d" +
+        s" WHEN l7.npos <= 3 THEN l7.w${d}s[l7.npos] ELSE l7.nv$d END AS o$d"
+      s"""WITH RECURSIVE
+         |eners AS (SELECT CAST(0 AS BIGINT) AS ener),
+         |${t13dFixtureSql},
+         |gw AS (SELECT c.ener AS ener, c.b AS c, CAST(sum(b2.yq) AS BIGINT) AS w
+         |  FROM bins c
+         |  CROSS JOIN (SELECT unnest(range(-14, 15)) AS kk) o
+         |  JOIN bins b2 ON b2.ener = c.ener
+         |    AND b2.b = ((c.b + o.kk) % 200 + 200) % 200
+         |  GROUP BY 1, 2),
+         |best AS (SELECT ener, c, w FROM (
+         |    SELECT ener, c, w,
+         |      row_number() OVER (PARTITION BY ener ORDER BY w ASC, c ASC) AS rw
+         |    FROM gw) WHERE rw = 1),
+         |sall AS (SELECT ener, CAST(sum(yq) AS BIGINT) AS sa FROM bins GROUP BY 1),
+         |gx AS (SELECT best.ener AS ener,
+         |    $g0 AS g0,
+         |    CASE WHEN (CAST(c AS DOUBLE) + 0.5) * 7.0 / 200 >= 3.5
+         |         THEN (CAST(c AS DOUBLE) + 0.5) * 7.0 / 200 - 7.0
+         |         ELSE (CAST(c AS DOUBLE) + 0.5) * 7.0 / 200 END AS g1,
+         |    ${D(1.0)} AS g2
+         |  FROM best JOIN sall ON sall.ener = best.ener),
+         |sim0 AS (SELECT gx.ener AS ener, p.k AS pos,
+         |    ${dims.map(d => s"${v0(d)} AS v$d").mkString(",\n    ")}
+         |  FROM gx CROSS JOIN (SELECT unnest(range(0, 4)) AS k) p),
+         |sim0l AS (SELECT ener, pos, v0, v1, v2,
+         |    ${llqAt("s0", "v0", "v1", "v2")} AS ll
+         |  FROM sim0 s0),
+         |nm AS (
+         |  SELECT ener, 0 AS step,
+         |      ${dims.map(d => s"list(v$d ORDER BY ll DESC, pos ASC) AS w${d}s").mkString(", ")},
+         |      list(ll ORDER BY ll DESC, pos ASC) AS lls
+         |  FROM sim0l GROUP BY ener
+         |  UNION ALL
+         |  SELECT ener, step + 1,
+         |      ${dims.map(d => s"list(o$d ORDER BY oll DESC, npos ASC)").mkString(", ")},
+         |      list(oll ORDER BY oll DESC, npos ASC)
+         |  FROM (
+         |    SELECT l7.ener AS ener, l7.step AS step, l7.npos AS npos,
+         |        ${dims.map(outPos).mkString(",\n        ")},
+         |        CASE WHEN l7.shrink THEN (CASE WHEN l7.npos = 1 THEN l7.ll1 ELSE l7.sll END)
+         |             WHEN l7.npos <= 3 THEN l7.lls[l7.npos] ELSE l7.nll END AS oll
+         |    FROM (
+         |      SELECT l6.*, ${llqAt("l6", "sv0", "sv1", "sv2")} AS sll
+         |      FROM (
+         |        SELECT l5.ener AS ener, l5.step AS step, pp.k AS npos,
+         |            ${dims.map(d => s"l5.w${d}s AS w${d}s").mkString(", ")}, l5.lls AS lls,
+         |            l5.ll1 AS ll1, l5.shrink AS shrink,
+         |            ${dims.map(d => s"l5.nv$d AS nv$d").mkString(", ")}, l5.nll AS nll,
+         |            $l6sv
+         |        FROM (
+         |          SELECT l4.*,
+         |              CASE WHEN llr > ll1 THEN FALSE WHEN llr > ll3 THEN FALSE
+         |                   WHEN llr > llw THEN llco < llr ELSE llci <= llw END AS shrink,
+         |              ${dims.map(nvCase).mkString(",\n              ")},
+         |              CASE WHEN llr > ll1 AND lle > llr THEN lle WHEN llr > ll1 THEN llr
+         |                   WHEN llr > ll3 THEN llr WHEN llr > llw THEN llco ELSE llci END AS nll
+         |          FROM (
+         |            SELECT l3.*, ${llqAt("l3", "xr0", "xr1", "xr2")} AS llr,
+         |                ${llqAt("l3", "xe0", "xe1", "xe2")} AS lle,
+         |                ${llqAt("l3", "xco0", "xco1", "xco2")} AS llco,
+         |                ${llqAt("l3", "xci0", "xci1", "xci2")} AS llci
+         |            FROM (
+         |              SELECT l2.*,
+         |                  $l3cols
+         |              FROM (
+         |                SELECT l1.*, $l2cols
+         |                FROM (
+         |                  SELECT e.ener AS ener, e.step AS step,
+         |                      ${dims.map(d => s"e.w${d}s AS w${d}s").mkString(", ")}, e.lls AS lls,
+         |                      $l1cols,
+         |                      e.lls[1] AS ll1, e.lls[3] AS ll3, e.lls[4] AS llw
+         |                  FROM nm e WHERE e.step < $nIter
+         |                ) l1
+         |              ) l2
+         |            ) l3
+         |          ) l4
+         |        ) l5 CROSS JOIN (SELECT unnest(range(1, 5)) AS k) pp
+         |      ) l6
+         |    ) l7
+         |  ) l8 GROUP BY ener, step
+         |),
+         |res AS (SELECT * FROM nm WHERE step = $nIter)
+         |SELECT * FROM (
+         |  SELECT 'dur' AS param, w2s[1] AS value FROM res
+         |  UNION ALL SELECT 'epoch', w1s[1] FROM res
+         |  UNION ALL SELECT 'iters', ${D(120.0)} FROM res
+         |  UNION ALL SELECT 'llq', CAST(lls[1] AS DOUBLE) FROM res
+         |  UNION ALL SELECT 'rrat', w0s[1] FROM res
+         |) ORDER BY param""".stripMargin
+    },
+
+    // The flare-fit walk replay (r10): the nd sampler with the
+    // reduction+squaring exp expanded as nested named layers
+    // (Flare.expNegNestedSql — walk params enter the inner select as
+    // columns) and a gx block seeding (A, t0) from the integer
+    // peak-bin argmax and τ at the mid-prior.
+    "t13k_mcmc_flare" -> {
+      import graft.model.Flare
+      val flareLlq: (String, String) => String = (al, p) => {
+        val inner = s"SELECT bb.y AS yy, (bb.tb - $al.${p}1) AS dt, " +
+          s"((bb.tb - $al.${p}1) / $al.${p}2) AS xx, $al.${p}0 AS pa " +
+          s"FROM bins bb WHERE bb.ener = $al.ener"
+        val nested = Flare.expNegNestedSql(inner, "xx", Seq("yy", "dt", "pa"))
+        s"(SELECT CAST(-sum(CAST(round((yy - mm) * (yy - mm) * 3.125e12)" +
+        s" AS BIGINT)) AS BIGINT) FROM (SELECT yy, 1.0 + (CASE WHEN dt < 0.0 THEN 0.0" +
+        s" WHEN xx > 40.0 THEN 0.0 ELSE pa * g END) AS mm FROM ($nested) qn) qq)"
+      }
+      val gxBlock =
+        s"""mx AS (SELECT ener, b, yq,
+           |    row_number() OVER (PARTITION BY ener ORDER BY yq DESC, b ASC) AS rw
+           |  FROM bins),
+           |pk AS (SELECT ener, b, yq FROM mx WHERE rw = 1),
+           |sall AS (SELECT ener, CAST(sum(yq) AS BIGINT) AS sa FROM bins GROUP BY 1),
+           |gx AS (SELECT pk.ener AS ener,
+           |    (CAST(pk.yq AS DOUBLE) - CAST(sa AS DOUBLE) / 200) / 1e9 AS g0,
+           |    (CAST(pk.b AS DOUBLE) + 0.5) * 7.0 / 200 AS g1,
+           |    CAST(0.3 AS DOUBLE) AS g2
+           |  FROM pk JOIN sall ON sall.ener = pk.ener)""".stripMargin
+      s"""${mcmcSamplerSql("SELECT CAST(0 AS BIGINT) AS ener",
+                           t13kFixtureSql, 42L, nW = 100, nSteps = 100,
+                           llqGen = Some(flareLlq),
+                           los = Seq(0.005, 0.5, 0.05),
+                           his = Seq(0.15, 6.0, 1.0),
+                           gxBlockSql = Some(gxBlock))}
+         |SELECT * FROM (
+         |  SELECT 'acceptance' AS param, a AS p16, a AS p50, a AS p84 FROM accr
+         |  UNION ALL
+         |  SELECT 'amp', max(CASE WHEN q < 0.3 THEN v END),
+         |      max(CASE WHEN q > 0.3 AND q < 0.7 THEN v END),
+         |      max(CASE WHEN q > 0.7 THEN v END) FROM pc0
+         |  UNION ALL
+         |  SELECT 't0', max(CASE WHEN q < 0.3 THEN v END),
+         |      max(CASE WHEN q > 0.3 AND q < 0.7 THEN v END),
+         |      max(CASE WHEN q > 0.7 THEN v END) FROM pc1
+         |  UNION ALL
+         |  SELECT 'tau', max(CASE WHEN q < 0.3 THEN v END),
+         |      max(CASE WHEN q > 0.3 AND q < 0.7 THEN v END),
+         |      max(CASE WHEN q > 0.7 THEN v END) FROM pc2
          |) ORDER BY param""".stripMargin
     },
 

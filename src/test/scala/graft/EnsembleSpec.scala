@@ -199,4 +199,36 @@ class EnsembleSpec extends AnyFunSuite {
     assert(math.abs(pct(1)(1)) < 0.1, s"epoch p50 ${pct(1)(1)}")
     assert(math.abs(pct(2)(1) - 1.0) < 0.15, s"dur p50 ${pct(2)(1)}")
   }
+
+  test("r10: the declared exp reduction tracks libm exp to ~1e-4 relative on [0, 40]") {
+    var x = 0.0
+    while (x <= 40.0) {
+      val got = graft.model.Flare.expNegCore(x)
+      val want = math.exp(-x)
+      val rel = math.abs(got - want) / want
+      assert(rel < 1.5e-4, s"expNegCore($x) = $got vs $want (rel $rel)")
+      x += 0.0137
+    }
+  }
+
+  test("r10: nelderMeadQ climbs a smooth integer likelihood to its optimum deterministically") {
+    // quadratic bowl with optimum at (0.3, -1.2, 5.0), integer llq
+    def llq(p: Array[Double]): Long = {
+      val d0 = p(0) - 0.3; val d1 = p(1) + 1.2; val d2 = p(2) - 5.0
+      -graft.expr.VecExprs.roundHalfAway(
+        (d0 * d0 + d1 * d1 * 0.1 + d2 * d2 * 0.01) * 1e12)
+    }
+    val (v1, l1) = Ensemble.nelderMeadQ(llq,
+      lo = Array(0.0, -3.0, 0.0), hi = Array(1.0, 3.0, 10.0),
+      init = Array(0.5, 0.0, 2.0), nIter = 200)
+    assert(math.abs(v1(0) - 0.3) < 1e-4, s"x0 ${v1(0)}")
+    assert(math.abs(v1(1) + 1.2) < 1e-3, s"x1 ${v1(1)}")
+    assert(math.abs(v1(2) - 5.0) < 1e-2, s"x2 ${v1(2)}")
+    // determinism: a second run is bit-identical
+    val (v2, l2) = Ensemble.nelderMeadQ(llq,
+      lo = Array(0.0, -3.0, 0.0), hi = Array(1.0, 3.0, 10.0),
+      init = Array(0.5, 0.0, 2.0), nIter = 200)
+    assert(l1 == l2 && v1.zip(v2).forall { case (a, b) =>
+      java.lang.Double.doubleToLongBits(a) == java.lang.Double.doubleToLongBits(b) })
+  }
 }

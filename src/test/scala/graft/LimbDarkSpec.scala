@@ -146,6 +146,29 @@ class LimbDarkSpec extends SparkSpec {
       s"acceptance ${out("acceptance")}")
   }
 
+  test("declared t13j query: the optimizer mode lands on the injected ML point") {
+    // typeinfe='opti' (r10): deterministic 120-iteration Nelder-Mead
+    // under t13d's LD likelihood must land on the injected
+    // (rrat=0.15, epoch=0, T14=1.0) to optimizer precision
+    val out = graft.queries.Advanced.queries("t13j_opti")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out("rrat") - 0.15) < 0.005, s"rrat ${out("rrat")}")
+    assert(math.abs(out("epoch")) < 0.02, s"epoch ${out("epoch")}")
+    assert(math.abs(out("dur") - 1.0) < 0.02, s"dur ${out("dur")}")
+    assert(out("iters") == 120.0)
+    assert(out("llq") < 0.0, s"llq ${out("llq")}")
+  }
+
+  test("declared t13k query: the flare fit recovers (A, t0, tau)") {
+    // the StarFlaring model fit (r10): injected A=0.04, t0=2.0, tau=0.3
+    val out = graft.queries.Advanced.queries("t13k_mcmc_flare")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(out("amp") - 0.04) < 0.01, s"amp ${out("amp")}")
+    assert(math.abs(out("t0") - 2.0) < 0.1, s"t0 ${out("t0")}")
+    assert(math.abs(out("tau") - 0.3) < 0.05, s"tau ${out("tau")}")
+    assert(out("acceptance") > 0.1 && out("acceptance") < 0.9)
+  }
+
   test("declared t13f query: RV orbit fit recovers (gamma, A, B) in the harmonic basis") {
     // the t13 family's RV axis (same sampleQ machinery, trig-free walk)
     val out = graft.queries.Advanced.queries("t13f_mcmc_rv")(spark, sf)
