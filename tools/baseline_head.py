@@ -1,0 +1,56 @@
+#!/usr/bin/env python3
+"""Regenerate the HEAD gate-reference table in BASELINE.md (r10,
+verdict #7): one table of current per-query cold seconds from
+BENCH_SELF.json, marked as THE 2x-gate reference, spliced between
+the HEAD-TABLE-START/END markers. Historical batches below stay as
+archive. Run after refreshing BENCH_SELF.json at round close:
+
+    python3 tools/baseline_head.py
+"""
+import json, re, datetime
+
+bench = json.load(open("/root/repo/BENCH_SELF.json"))
+qs = bench["queries"]
+names = sorted(qs)
+ncol = 3  # (query, s) pairs per row
+rows = []
+per = (len(names) + ncol - 1) // ncol
+for i in range(per):
+    cells = []
+    for c in range(ncol):
+        j = i + c * per
+        if j < len(names):
+            cells.append(f"{names[j]} | {qs[names[j]]:.2f}")
+        else:
+            cells.append(" | ")
+    rows.append("| " + " | ".join(cells) + " |")
+
+today = datetime.date.today().isoformat()
+header = (
+    f"## HEAD gate reference (generated {today} — THE 2x-gate table)\n\n"
+    f"Single-shot cold seconds per query from `graft.Bench` under the\n"
+    f"driver's config (local[32], sf0.1), {len(names)} queries,\n"
+    f"total **{bench['value']:.1f} s**. This table is the regression\n"
+    f"reference: a query exceeding 2x its value here is a regression\n"
+    f"(single-shot numbers carry +-40% JIT noise — confirm with a\n"
+    f"`graft.TimeOne <query>` 3-run median before acting). Everything\n"
+    f"below this section is historical archive.\n\n"
+    + "| query | s | query | s | query | s |\n"
+    + "|---|---|---|---|---|---|\n"
+)
+table = header + "\n".join(rows) + "\n"
+
+path = "/root/repo/BASELINE.md"
+text = open(path).read()
+START, END = "<!-- HEAD-TABLE-START -->", "<!-- HEAD-TABLE-END -->"
+block = f"{START}\n{table}{END}"
+if START in text:
+    text = re.sub(re.escape(START) + r".*?" + re.escape(END), block,
+                  text, flags=re.S)
+else:
+    # insert after the driver-defined-targets section (before the
+    # first measured-baseline archive section)
+    anchor = "## Measured Spark baseline (round 1"
+    text = text.replace(anchor, block + "\n" + anchor, 1)
+open(path, "w").write(text)
+print(f"wrote HEAD table: {len(names)} queries, total {bench['value']:.1f} s")
