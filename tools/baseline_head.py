@@ -28,13 +28,15 @@ for i in range(per):
 today = datetime.date.today().isoformat()
 header = (
     f"## HEAD gate reference (generated {today} — THE 2x-gate table)\n\n"
-    f"Single-shot cold seconds per query from `graft.Bench` under the\n"
-    f"driver's config (local[32], sf0.1), {len(names)} queries,\n"
-    f"total **{bench['value']:.1f} s**. This table is the regression\n"
-    f"reference: a query exceeding 2x its value here is a regression\n"
-    f"(single-shot numbers carry +-40% JIT noise — confirm with a\n"
-    f"`graft.TimeOne <query>` 3-run median before acting). Everything\n"
-    f"below this section is historical archive.\n\n"
+    f"Cold seconds per query from `graft.Bench` under the driver's\n"
+    f"config (local[32], sf0.1), {len(names)} queries, total\n"
+    f"**{bench['value']:.1f} s**"
+    + (f" ({bench['note']})" if bench.get('note') else "") + f".\n"
+    f"This table is the regression reference: a query exceeding 2x\n"
+    f"its value here is a regression (single-shot numbers carry\n"
+    f"+-40% JIT/box noise — confirm with a `graft.TimeOne <query>`\n"
+    f"3-run median before acting). Everything below this section is\n"
+    f"historical archive.\n\n"
     + "| query | s | query | s | query | s |\n"
     + "|---|---|---|---|---|---|\n"
 )
