@@ -26,7 +26,7 @@ package graft.model
   */
 object Flare {
 
-  def D(x: Double): String = s"CAST($x AS DOUBLE)"
+  def D(x: Double): String = Sql.D(x)
 
   // degree-7 Taylor coefficients of e^{-t} (literals shared by the
   // Scala mirror and both SQL dialects)

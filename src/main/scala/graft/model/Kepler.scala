@@ -30,7 +30,7 @@ package graft.model
   */
 object Kepler {
 
-  def D(x: Double): String = s"CAST($x AS DOUBLE)"
+  def D(x: Double): String = Sql.D(x)
 
   val PI: Double = 3.141592653589793
   val TWOPI: Double = 6.283185307179586

@@ -55,7 +55,7 @@ object LimbDark {
 
   /** Double literal, explicit CAST so neither engine parses it as
     * DECIMAL (Scala's Double.toString round-trips exactly). */
-  def D(x: Double): String = s"CAST($x AS DOUBLE)"
+  def D(x: Double): String = Sql.D(x)
 
   // ---------------------------------------------------------------
   // per-layer SQL shapes — valid in BOTH the Spark and DuckDB

@@ -60,7 +60,11 @@ object ScaleDecade {
       // O(1) in the corpus like t13d/e (anchor scan only) — and the
       // exact-occultation eval (generated grid × nodes, anchor only)
       "t13f_mcmc_rv", "t13g_mcmc_ldfit", "t13h_mcmc_rvecc",
-      "t12e_model_ldx")
+      "t12e_model_ldx",
+      // r11: the GP-hyperparameter joint fit — driver-fit O(1) in the
+      // corpus like the rest of the t13 family (anchor scan only; the
+      // per-proposal Riccati/lag-weight rebuild is pure driver math)
+      "t13l_mcmc_gphyper")
     // optional 2nd arg: comma-separated subset (re-measure selectively)
     val queries = args.lift(1).map(_.split(",").toSeq.filter(all.contains))
       .getOrElse(all)

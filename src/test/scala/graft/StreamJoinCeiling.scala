@@ -80,10 +80,18 @@ object StreamJoinCeiling {
 
     var runId = 0
     def run(label: String, partitions: Int, provider: String,
-            mfpt: Int, wmDelay: String, joined: Boolean): Unit = {
+            mfpt: Int, wmDelay: String, joined: Boolean): Long = {
       runId += 1
       val ss = spark.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+      // r11 (ADVICE): recentProgress is capped at
+      // numRecentProgressUpdates (default 100) — at mfpt=1 with a
+      // bigger n the summed output-row count would silently
+      // undercount. Retain every batch's progress (24-file fixture ⇒
+      // ≤ 24 batches + idle ticks, far under 10000), and the matrix
+      // asserts the same-count invariant below instead of just
+      // printing it.
+      ss.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
       if (provider == "rocksdb")
         ss.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
@@ -120,6 +128,7 @@ object StreamJoinCeiling {
       println(f"[joinceil] $label%-36s partitions=$partitions%-3d provider=$provider%-7s " +
         f"mfpt=$mfpt%-2d wm=$wmDelay%-7s  $rows%9d rows  $dt%7.2f s  ${n / dt / 1e3}%7.0f krows-in/s")
       System.gc()
+      rows
     }
 
     // JIT warm-up outside the comparison
@@ -127,14 +136,21 @@ object StreamJoinCeiling {
     run("warmup-join", 32, "default", 8, "1 hour", joined = true)
     println("== matrix ==")
     run("stateless-baseline (clicks only)", 32, "default", 8, "1 hour", joined = false)
-    run("declared-shape (st7 config)", 32, "default", 8, "1 hour", joined = true)
-    run("partitions-8", 8, "default", 8, "1 hour", joined = true)
-    run("rocksdb-32", 32, "rocksdb", 8, "1 hour", joined = true)
-    run("rocksdb-8", 8, "rocksdb", 8, "1 hour", joined = true)
-    run("batch-ladder mfpt=1 (24 batches)", 32, "default", 1, "1 hour", joined = true)
-    run("batch-ladder mfpt=4 (6 batches)", 32, "default", 4, "1 hour", joined = true)
-    run("batch-ladder mfpt=24 (1 batch: buffer-all)", 32, "default", 24, "1 hour", joined = true)
-    run("watermark-10min", 32, "default", 8, "10 minutes", joined = true)
+    val joinedRows = Seq(
+      run("declared-shape (st7 config)", 32, "default", 8, "1 hour", joined = true),
+      run("partitions-8", 8, "default", 8, "1 hour", joined = true),
+      run("rocksdb-32", 32, "rocksdb", 8, "1 hour", joined = true),
+      run("rocksdb-8", 8, "rocksdb", 8, "1 hour", joined = true),
+      run("batch-ladder mfpt=1 (24 batches)", 32, "default", 1, "1 hour", joined = true),
+      run("batch-ladder mfpt=4 (6 batches)", 32, "default", 4, "1 hour", joined = true),
+      run("batch-ladder mfpt=24 (1 batch: buffer-all)", 32, "default", 24, "1 hour", joined = true),
+      run("watermark-10min", 32, "default", 8, "10 minutes", joined = true))
+    // the scaladoc invariant, ENFORCED: in-order arrival ⇒ no late
+    // data ⇒ every joined config must emit the identical pair count
+    require(joinedRows.distinct.size == 1,
+      s"joined configs disagree on output rows: $joinedRows")
+    println(s"[joinceil] invariant OK: all ${joinedRows.size} joined configs " +
+      s"emitted ${joinedRows.head} rows")
     spark.stop()
   }
 }

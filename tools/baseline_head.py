@@ -1,15 +1,20 @@
 #!/usr/bin/env python3
 """Regenerate the HEAD gate-reference table in BASELINE.md (r10,
-verdict #7): one table of current per-query cold seconds from
+verdict #7): one table of current per-query seconds from
 BENCH_SELF.json, marked as THE 2x-gate reference, spliced between
 the HEAD-TABLE-START/END markers. Historical batches below stay as
-archive. Run after refreshing BENCH_SELF.json at round close:
+archive. The measurement-protocol sentence is derived from the
+json's own `note` field (r11 advice: the prose used to hardcode
+"cold single-shot" while the json had moved to min-of-3). Run after
+refreshing BENCH_SELF.json at round close:
 
     python3 tools/baseline_head.py
 """
-import json, re, datetime
+import json, os, re, datetime
 
-bench = json.load(open("/root/repo/BENCH_SELF.json"))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+bench = json.load(open(os.path.join(REPO, "BENCH_SELF.json")))
 qs = bench["queries"]
 names = sorted(qs)
 ncol = 3  # (query, s) pairs per row
@@ -26,15 +31,16 @@ for i in range(per):
     rows.append("| " + " | ".join(cells) + " |")
 
 today = datetime.date.today().isoformat()
+# methodology comes from the json itself, not hardcoded prose
+protocol = bench.get("note") or "single-shot run (protocol unrecorded)"
 header = (
     f"## HEAD gate reference (generated {today} — THE 2x-gate table)\n\n"
-    f"Cold seconds per query from `graft.Bench` under the driver's\n"
+    f"Seconds per query from `graft.Bench` under the driver's\n"
     f"config (local[32], sf0.1), {len(names)} queries, total\n"
-    f"**{bench['value']:.1f} s**"
-    + (f" ({bench['note']})" if bench.get('note') else "") + f".\n"
+    f"**{bench['value']:.1f} s**. Protocol: {protocol}.\n"
     f"This table is the regression reference: a query exceeding 2x\n"
-    f"its value here is a regression (single-shot numbers carry\n"
-    f"+-40% JIT/box noise — confirm with a `graft.TimeOne <query>`\n"
+    f"its value here is a regression (individual runs carry\n"
+    f"+-15-40% JIT/box noise — confirm with a `graft.TimeOne <query>`\n"
     f"3-run median before acting). Everything below this section is\n"
     f"historical archive.\n\n"
     + "| query | s | query | s | query | s |\n"
@@ -42,7 +48,7 @@ header = (
 )
 table = header + "\n".join(rows) + "\n"
 
-path = "/root/repo/BASELINE.md"
+path = os.path.join(REPO, "BASELINE.md")
 text = open(path).read()
 START, END = "<!-- HEAD-TABLE-START -->", "<!-- HEAD-TABLE-END -->"
 block = f"{START}\n{table}{END}"

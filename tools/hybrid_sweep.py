@@ -217,6 +217,103 @@ def e6(sf_dir, out_dir):
     return compare("e6_semdedup", got, want_rows, order)
 
 
+def j11(sf_dir, out_dir):
+    # r11: the full-SQL oracle (brute-force all-pairs NN,
+    # customer x supplier = 1.5M x 100k at x100) spills >66 GB in
+    # DuckDB even solo — the same disk wall as e5/d31. Independent
+    # numpy replay: grid-bucketed exact NN (cells of W=5000, 3x3
+    # neighborhood, escalate the tail to a ring that covers the
+    # oracle's own d2 <= 1e10 radius cap). All distances exact int64;
+    # ties resolved (d2 ASC, cat_id ASC) like the oracle's window.
+    # The algorithm is INDEPENDENT of the engine's zone join (1-D
+    # zones + per-probe rank there; 2-D cells + global lexsort here).
+    def keys(table, col):
+        src = f"{sf_dir}/{table}.parquet"
+        pat = f"{src}/*.parquet" if os.path.isdir(src) else src
+        con = duckdb.connect()
+        return np.array([r[0] for r in con.execute(
+            f"SELECT {col} FROM '{pat}'").fetchall()], dtype=np.int64)
+
+    def xy(k):
+        return (k * 2654435761) % 1000000, (k * 40503) % 1000000
+
+    cat_id = keys("supplier", "s_suppkey")
+    p_id = keys("customer", "c_custkey")
+    cx, cy = xy(cat_id); px, py = xy(p_id)
+    W = 5000
+    NC = 1000000 // W  # cells per axis
+    ccell = (cx // W) * NC + (cy // W)
+    order_c = np.argsort(ccell, kind="stable")
+    ccell_s = ccell[order_c]
+    # CSR over cells
+    starts = np.searchsorted(ccell_s, np.arange(NC * NC))
+    ends = np.searchsorted(ccell_s, np.arange(NC * NC), side="right")
+
+    def ring(idx, r):
+        """candidate pairs (probe row, catalog row) for probes `idx`
+        over the (2r+1)x(2r+1) cell neighborhood; returns per-probe
+        best (d2, cat_id) with oracle tie order, np.iinfo max if no
+        candidate."""
+        pcx = px[idx] // W; pcy = py[idx] // W
+        bd2 = np.full(len(idx), np.iinfo(np.int64).max, dtype=np.int64)
+        bct = np.full(len(idx), np.iinfo(np.int64).max, dtype=np.int64)
+        for dx in range(-r, r + 1):
+            gx = pcx + dx
+            okx = (gx >= 0) & (gx < NC)
+            for dy in range(-r, r + 1):
+                gy = pcy + dy
+                ok = okx & (gy >= 0) & (gy < NC)
+                if not ok.any():
+                    continue
+                cell = gx[ok] * NC + gy[ok]
+                s = starts[cell]; e = ends[cell]
+                cnt = e - s
+                has = cnt > 0
+                if not has.any():
+                    continue
+                rows = np.where(ok)[0][has]
+                s = s[has]; cnt = cnt[has]
+                pr = np.repeat(rows, cnt)
+                tot = int(cnt.sum())
+                flat = (np.repeat(s, cnt) +
+                        (np.arange(tot) -
+                         np.repeat(np.cumsum(cnt) - cnt, cnt)))
+                ci = order_c[flat]
+                dxv = px[idx][pr] - cx[ci]
+                dyv = py[idx][pr] - cy[ci]
+                d2 = dxv * dxv + dyv * dyv
+                # per-offset reduce: (d2, cat_id) lexicographic min
+                o = np.lexsort((cat_id[ci], d2, pr))
+                pr_s, first = np.unique(pr[o], return_index=True)
+                d2m = d2[o][first]; ctm = cat_id[ci][o][first]
+                upd = (d2m < bd2[pr_s]) | ((d2m == bd2[pr_s]) &
+                                           (ctm < bct[pr_s]))
+                bd2[pr_s[upd]] = d2m[upd]
+                bct[pr_s[upd]] = ctm[upd]
+        return bd2, bct
+
+    all_idx = np.arange(len(p_id))
+    bd2, bct = ring(all_idx, 1)
+    # a 3x3 hit at d < W is provably global-NN (a point at exactly W
+    # can land in the NEXT cell, outside the block — so strict);
+    # everything else re-searches a 43x43 ring whose 21*W = 105000
+    # guarantee covers the oracle's 1e5 radius cap: any NN missed by
+    # the ring is > 105000 away, hence already outside d2 <= 1e10
+    unsure = np.where(bd2 >= np.int64(W) * W)[0]
+    if len(unsure):
+        bd2u, bctu = ring(unsure, 21)
+        bd2[unsure] = bd2u; bct[unsure] = bctu
+    keep = bd2 <= 10000000000
+    want = list(zip(p_id[keep].tolist(), bct[keep].tolist(),
+                    bd2[keep].tolist()))
+    got, order = spark_rows(out_dir, "j11_zone_crossmatch",
+                            ["p_id", "cat_id", "d2"])
+    idx2 = [["p_id", "cat_id", "d2"].index(c) for c in order]
+    want_rows = [tuple(r[i] for i in idx2) for r in want]
+    return compare("j11_zone_crossmatch", got, want_rows, order)
+
+
 if __name__ == "__main__":
     sf_dir, out_dir, which = sys.argv[1], sys.argv[2], sys.argv[3]
-    sys.exit({"d15": d15, "e3": e3, "e6": e6}[which](sf_dir, out_dir))
+    sys.exit({"d15": d15, "e3": e3, "e6": e6,
+              "j11": j11}[which](sf_dir, out_dir))
