@@ -313,7 +313,73 @@ def j11(sf_dir, out_dir):
     return compare("j11_zone_crossmatch", got, want_rows, order)
 
 
+def st14(sf_dir, out_dir):
+    # r11 fallback for the solo full-SQL sweep: the recursive-CTE
+    # replay walks 10M rows one rank per recursion round in DuckDB.
+    # Independent numpy replay: the same integer fixed-point EWMA
+    #   efp_1 = vc*2^20;  efp_n = (efp_{n-1} + vc_n*2^20) // 2
+    # vectorized ACROSS users per rank step (max rank ~ events/user).
+    # NOTE DuckDB's // TRUNCATES toward zero (numpy's floors) — all
+    # observed vc are nonnegative, but mirror truncation explicitly.
+    # Compare stays inside DuckDB (EXCEPT ALL, the bigcompare trick —
+    # 10M-row Python tuple materialization is the d9 bottleneck).
+    src = f"{sf_dir}/events.parquet"
+    pat = f"{src}/*.parquet" if os.path.isdir(src) else src
+    con = duckdb.connect()
+    kind = dict((r[0], r[1]) for r in
+                con.execute(f"DESCRIBE SELECT * FROM '{pat}'").fetchall())
+    t_us = ("ts // 1000" if kind.get("ts") == "BIGINT"
+            else "epoch_us(ts)")
+    rows = con.execute(
+        f"SELECT user_id, event_id, {t_us} AS t_us, "
+        f"CAST(round(value * 100) AS BIGINT) AS vc FROM '{pat}'"
+    ).fetch_arrow_table()
+    uid = rows["user_id"].to_numpy().astype(np.int64)
+    eid = rows["event_id"].to_numpy().astype(np.int64)
+    tus = rows["t_us"].to_numpy().astype(np.int64)
+    vc = rows["vc"].to_numpy().astype(np.int64)
+    o = np.lexsort((eid, tus, uid))
+    uid, eid, tus, vc = uid[o], eid[o], tus[o], vc[o]
+    n = len(uid)
+    newu = np.empty(n, dtype=bool)
+    newu[0] = True
+    newu[1:] = uid[1:] != uid[:-1]
+    starts = np.where(newu)[0]
+    counts = np.diff(np.append(starts, n))
+    efp = np.empty(n, dtype=np.int64)
+    efp[starts] = vc[starts] * 1048576
+    maxc = int(counts.max())
+    for r in range(1, maxc):
+        live = starts[counts > r] + r
+        s = efp[live - 1] + vc[live] * 1048576
+        efp[live] = np.where(s >= 0, s // 2, -((-s) // 2))  # truncate
+    ewma = efp.astype(np.float64) / 1048576.0 / 100.0
+    import pyarrow as pa
+    want = pa.table({"user_id": uid, "event_id": eid, "t_us": tus,
+                     "vc": vc, "efp": efp, "ewma": ewma})
+    files = glob.glob(f"{out_dir}/st14_stream_ewma/*.parquet")
+    con.register("want", want)
+    con.execute(f"CREATE TEMP TABLE got AS SELECT user_id, event_id, "
+                f"t_us, vc, efp, ewma FROM read_parquet({files!r})")
+    nw = con.execute("SELECT count(*) FROM want").fetchone()[0]
+    ng = con.execute("SELECT count(*) FROM got").fetchone()[0]
+    if nw != ng:
+        print(f"FAIL st14_stream_ewma: rows spark={ng} hybrid={nw}")
+        return 1
+    d1 = con.execute("SELECT count(*) FROM (SELECT * FROM want "
+                     "EXCEPT ALL SELECT * FROM got)").fetchone()[0]
+    d2 = con.execute("SELECT count(*) FROM (SELECT * FROM got "
+                     "EXCEPT ALL SELECT * FROM want)").fetchone()[0]
+    if d1 or d2:
+        print(f"FAIL st14_stream_ewma: {d1} hybrid-only / {d2} "
+              f"spark-only rows of {nw}")
+        return 1
+    print(f"PASS st14_stream_ewma ({nw} rows, hybrid + duckdb "
+          f"set-difference)")
+    return 0
+
+
 if __name__ == "__main__":
     sf_dir, out_dir, which = sys.argv[1], sys.argv[2], sys.argv[3]
     sys.exit({"d15": d15, "e3": e3, "e6": e6,
-              "j11": j11}[which](sf_dir, out_dir))
+              "j11": j11, "st14": st14}[which](sf_dir, out_dir))
