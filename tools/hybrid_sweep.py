@@ -379,7 +379,197 @@ def st14(sf_dir, out_dir):
     return 0
 
 
+def e5(sf_dir, out_dir):
+    # r11: the full-SQL replay (PQ training + ADC over 200k vectors)
+    # spills past the free disk even solo — numpy mirror of the
+    # oracle's own SQL, op-for-op: 16 seed centroids (vec_id<16) per
+    # 8-dim subspace, ONE k-means step with the REAL-truncated mean
+    # (CAST(sum(round(x*1e6))/1e6/count AS REAL) back to DOUBLE),
+    # reassign, integer ADC LUT for the 5 query vectors, top-50
+    # shortlist, exact integer rerank to top-5. Every distance is a
+    # per-element round(..*1e12) int64 sum — order-free.
+    ids, X = load_embeddings(sf_dir)
+    n, dim = X.shape
+    M = dim // 8
+    Xs = X.reshape(n, M, 8)
+    idx_of = {int(v): i for i, v in enumerate(ids)}
+
+    def q12(a):  # round(a*1e12) as int64
+        return round_half_away(a * 1e12)
+
+    snorm = q12(Xs * Xs).sum(axis=2, dtype=np.int64)       # (n, M)
+    fnorm = snorm.sum(axis=1, dtype=np.int64)              # (n,)
+
+    def assign(cb):
+        # cb: (16, M, 8) float64 -> codes (n, M) int: argmin
+        # (nrm_s - 2*dot + nrmc), tie c ASC
+        cn = q12(cb * cb).sum(axis=2, dtype=np.int64)      # (16, M)
+        best_d = None; best_c = None
+        for c in range(16):
+            dot = q12(Xs * cb[c][None, :, :]).sum(axis=2, dtype=np.int64)
+            d = snorm - 2 * dot + cn[c][None, :]
+            if best_d is None:
+                best_d = d.copy(); best_c = np.zeros((n, M), np.int64)
+            else:
+                upd = d < best_d
+                best_d[upd] = d[upd]; best_c[upd] = c
+        return best_c
+
+    cb0 = np.stack([Xs[idx_of[c]] for c in range(16)])     # seed codebook
+    a1 = assign(cb0)
+    # one k-means step with the oracle's REAL-truncated mean; empty
+    # cells drop out of the codebook (JOIN semantics) — keep a mask
+    x6 = round_half_away(Xs * 1e6)                         # (n, M, 8) int
+    cb1 = np.zeros((16, M, 8))
+    alive = np.zeros((16, M), dtype=bool)
+    for c in range(16):
+        for m in range(M):
+            mem = a1[:, m] == c
+            k = int(mem.sum())
+            if k == 0:
+                continue
+            alive[c, m] = True
+            s = x6[mem, m, :].sum(axis=0, dtype=np.int64)
+            cb1[c, m, :] = (s.astype(np.float64) / 1e6 / float(k)) \
+                .astype(np.float32).astype(np.float64)
+    # reassign against the updated codebook (dead cells unreachable:
+    # give them +inf distance)
+    cn1 = q12(cb1 * cb1).sum(axis=2, dtype=np.int64)
+    BIG = np.int64(2**62)
+    best_d = None; codes = None
+    for c in range(16):
+        dot = q12(Xs * cb1[c][None, :, :]).sum(axis=2, dtype=np.int64)
+        d = snorm - 2 * dot + cn1[c][None, :]
+        d = np.where(alive[c][None, :], d, BIG)
+        if best_d is None:
+            best_d = d.copy(); codes = np.zeros((n, M), np.int64)
+        else:
+            upd = d < best_d
+            best_d[upd] = d[upd]; codes[upd] = c
+    want = []
+    qrows = np.where(ids < 5)[0]
+    for qi in sorted(qrows, key=lambda i: int(ids[i])):
+        q_id = int(ids[qi])
+        # LUT qdist[m, c] for this query (dead cells never indexed:
+        # codes only contains alive cells)
+        lut = np.zeros((M, 16), dtype=np.int64)
+        for c in range(16):
+            dot = q12(Xs[qi] * cb1[c]).sum(axis=1, dtype=np.int64)
+            lut[:, c] = snorm[qi] - 2 * dot + cn1[c]
+        adist = lut[np.arange(M)[None, :], codes].sum(axis=1,
+                                                      dtype=np.int64)
+        mask = np.arange(n) != qi
+        cand = np.where(mask)[0]
+        o = np.lexsort((ids[cand], adist[cand]))[:50]
+        short = cand[o]
+        # exact integer rerank
+        dote = q12(X[short] * X[qi][None, :]).sum(axis=1, dtype=np.int64)
+        edist = fnorm[qi] - 2 * dote + fnorm[short]
+        o2 = np.lexsort((ids[short], edist))[:5]
+        for r, j in enumerate(o2, start=1):
+            want.append((q_id, r, int(ids[short][j]),
+                         int(adist[short][j]), int(edist[j])))
+    got, order = spark_rows(out_dir, "e5_pq_adc",
+                            ["q_id", "rank", "vec_id", "adist", "edist"])
+    idx2 = [["q_id", "rank", "vec_id", "adist", "edist"].index(c)
+            for c in order]
+    want_rows = [tuple(r[i] for i in idx2) for r in want]
+    return compare("e5_pq_adc", got, want_rows, order)
+
+
+def d31(sf_dir, out_dir):
+    # r11: the full-SQL replay (within-cell all-pairs candidate join
+    # feeding a window) spills past the free disk even solo — numpy
+    # mirror of the oracle's own SQL: sign buckets on the first nbits
+    # dims, md5(vec_id)-salted sub-cells of <=128 members, exact
+    # integer pair dots within (bucket, sub), per-node top-3 by
+    # (sim DESC NULLS LAST, v ASC), mutual edges, triangles, and the
+    # integer clustering coefficient.
+    import hashlib, math
+    ids, X = load_embeddings(sf_dir)
+    n, dim = X.shape
+    nbits = min(16, max(8, math.ceil(math.log2(n / 4.0))))
+    pows = (np.int64(1) << np.arange(nbits, dtype=np.int64))
+    bucket = ((X[:, :nbits] > 0.0) * pows[None, :]).sum(
+        axis=1, dtype=np.int64)
+    ub, inv, cnt = np.unique(bucket, return_inverse=True,
+                             return_counts=True)
+    nsub = (cnt + 127) // 128
+    md5v = np.array([int(hashlib.md5(str(int(v)).encode())
+                         .hexdigest()[:8], 16) for v in ids],
+                    dtype=np.int64)
+    sub = md5v % nsub[inv]
+    nrm = round_half_away(X * X * 1e12).sum(axis=1, dtype=np.int64)
+    # group by (bucket, sub); within each, all pairs
+    gkey = inv * 1024 + sub  # nsub <= ceil(cnt/128) < 1024 at x100
+    assert int(nsub.max()) < 1024
+    order = np.lexsort((ids, gkey))
+    gs = gkey[order]
+    starts = np.concatenate(([0], np.where(gs[1:] != gs[:-1])[0] + 1,
+                             [len(gs)]))
+    # directed candidate edges with sims
+    eu, ev, es = [], [], []
+    for a, b in zip(starts[:-1], starts[1:]):
+        g = order[a:b]
+        if len(g) < 2:
+            continue
+        Xg = X[g]
+        dots = np.empty((len(g), len(g)), dtype=np.int64)
+        for i in range(len(g)):
+            dots[i] = round_half_away(Xg * Xg[i][None, :] * 1e12).sum(
+                axis=1, dtype=np.int64)
+        na = np.sqrt(nrm[g] / 1e12)
+        den = na[:, None] * na[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sim = (dots / 1e12) / den
+        iu, iv = np.triu_indices(len(g), k=1)
+        # ids within a group are not sorted by construction order of
+        # `order` (lexsort secondary key IS ids) — a < b holds
+        ga, gb = g[iu], g[iv]
+        s = sim[iu, iv]
+        nullmask = den[iu, iv] == 0.0
+        s = np.where(nullmask, np.nan, s)
+        eu.append(ids[ga]); ev.append(ids[gb]); es.append(s)
+        eu.append(ids[gb]); ev.append(ids[ga]); es.append(s)
+    eu = np.concatenate(eu); ev = np.concatenate(ev)
+    es = np.concatenate(es)
+    # top-3 per u: (sim DESC NULLS LAST, v ASC)
+    isnull = np.isnan(es)
+    skey = np.where(isnull, -np.inf, es)
+    o = np.lexsort((ev, -skey, isnull, eu))
+    eu, ev = eu[o], ev[o]
+    first = np.concatenate(([True], eu[1:] != eu[:-1]))
+    gstart = np.where(first)[0]
+    rank = np.arange(len(eu)) - np.repeat(gstart, np.diff(
+        np.append(gstart, len(eu))))
+    keep = rank < 3
+    dir_edges = set(zip(eu[keep].tolist(), ev[keep].tolist()))
+    mutual = sorted((u, v) for (u, v) in dir_edges
+                    if u < v and (v, u) in dir_edges)
+    adj = {}
+    for u, v in mutual:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    ntri = {}
+    for u, v in mutual:
+        for w in adj[u]:
+            if w > v and w in adj[v]:
+                for x_ in (u, v, w):
+                    ntri[x_] = ntri.get(x_, 0) + 1
+    want = []
+    for u in sorted(adj):
+        deg = len(adj[u])
+        nt = ntri.get(u, 0)
+        cc = (nt * 1000000) // ((deg * (deg - 1)) // 2) if deg >= 2 else 0
+        want.append((u, deg, nt, cc))
+    got, order_ = spark_rows(out_dir, "d31_knn_triangles",
+                             ["vec_id", "deg", "n_tri", "cc_q6"])
+    idx2 = [["vec_id", "deg", "n_tri", "cc_q6"].index(c) for c in order_]
+    want_rows = [tuple(r[i] for i in idx2) for r in want]
+    return compare("d31_knn_triangles", got, want_rows, order_)
+
+
 if __name__ == "__main__":
     sf_dir, out_dir, which = sys.argv[1], sys.argv[2], sys.argv[3]
-    sys.exit({"d15": d15, "e3": e3, "e6": e6,
-              "j11": j11, "st14": st14}[which](sf_dir, out_dir))
+    sys.exit({"d15": d15, "e3": e3, "e6": e6, "j11": j11,
+              "st14": st14, "e5": e5, "d31": d31}[which](sf_dir, out_dir))
