@@ -17,9 +17,17 @@ import org.apache.spark.sql.SparkSession
 object ScaleDecade {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // r11: the ×1000 corpus (600 M lineitem / 100 M events / 5 M
+    // docs) exceeds single-node EXECUTION memory at 32 partitions —
+    // per-task hash state must shrink, i.e. partitions must scale
+    // with the data, which is exactly the knob a cluster deployment
+    // scales. SPARK_GRAFT_PARTS overrides for the ×1000 column
+    // (recorded per-table in BASELINE.md); the ×1/×10/×100 ladder
+    // stays at the same-config default.
+    val parts = sys.env.getOrElse("SPARK_GRAFT_PARTS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
