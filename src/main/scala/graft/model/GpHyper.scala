@@ -187,12 +187,19 @@ object GpHyper {
       s"a10 - k1 * a00 AS at10, a11 - k1 * a01 AS at11, " +
       s"k0 AS v0, k1 AS v1 FROM ($q) ghv"
     val wbase = Seq("a00", "a01", "at00", "at01", "at10", "at11", "sinn")
+    // Alternate (v0,v1)/(u0,u1) write aliases so no layer's SELECT
+    // list shadows a column it also reads — both engines resolved
+    // the shadowed form to the FROM column, but that's dialect luck,
+    // not SQL semantics (mirrors the Scala nv0/nv1 temporaries).
+    var c0 = "v0"; var c1 = "v1"
     var l = 1
     while (l <= NLags) {
       val ws = (1 until l).map(j => s"w$j")
-      q = s"SELECT ${ks(wbase ++ ws: _*)}, a00 * v0 + a01 * v1 AS w$l, " +
-        s"at00 * v0 + at01 * v1 AS v0, at10 * v0 + at11 * v1 AS v1 " +
+      val (n0, n1) = if (c0 == "v0") ("u0", "u1") else ("v0", "v1")
+      q = s"SELECT ${ks(wbase ++ ws: _*)}, a00 * $c0 + a01 * $c1 AS w$l, " +
+        s"at00 * $c0 + at01 * $c1 AS $n0, at10 * $c0 + at11 * $c1 AS $n1 " +
         s"FROM ($q) wl$l"
+      c0 = n0; c1 = n1
       l += 1
     }
     s"SELECT ${ks(("sinn" +: (1 to NLags).map(j => s"w$j")): _*)} FROM ($q) ghw"

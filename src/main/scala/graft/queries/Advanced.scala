@@ -916,9 +916,10 @@ object Advanced {
     // and distorts the injected covariance); the 200 bin values ship
     // to both engines as quantized literals (the t13h/t13i "fixture
     // is data" pattern). The box is BIN-ALIGNED (dur = 1.05 d = 30
-    // bins): a partially-dipped edge bin leaves a ~4σ_wig one-bin
-    // spike that maximum likelihood explains as ρ→0 (both measured
-    // in GpHyperSpec).
+    // bins) on purpose: a NON-aligned box would leave a partially-
+    // dipped edge bin — a ~4σ_wig one-bin residual spike that maximum
+    // likelihood explains as ρ→0 (measured in GpHyperSpec; alignment
+    // avoids it).
     //
     // Cross-engine exactness: per proposal BOTH engines rebuild the
     // steady-state innovation filter from the WALKED (σ, ρ) —

@@ -67,6 +67,22 @@ object TextQueries {
       case _ => ()
     }
 
+  /** localCheckpoint that also RESETS plan statistics. A checkpoint
+    * truncates LINEAGE but copies the estimated sizeInBytes into the
+    * checkpointed LogicalRDD (`rewriteStatsAndConstraints`), so in an
+    * iterative loop the size-only join estimate COMPOUNDS
+    * multiplicatively across rounds — the exponent grows geometrically
+    * until `SizeInBytesOnlyStatsPlanVisitor` overflows BigInteger
+    * ("BigInteger would overflow supported range"; measured: d15 at
+    * the ×1000 corpus, ~20 propagation rounds). Rebuilding the frame
+    * from the checkpointed RDD gives a leaf with DEFAULT stats each
+    * round — bounded per-round products, identical rows (the rebuild
+    * only re-wraps the same materialized blocks). */
+  private def checkpointReset(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint(true)
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
+
   /** Drop (and free) every cached graph of `s` — call when a session's
     * run completes or its fixture dirs are about to regenerate. */
   def clearSimGraph(s: SparkSession): Unit =
@@ -1243,18 +1259,20 @@ object TextQueries {
           .select(col("dst").as("node2"), col("nl"))
         // cand is checkpointed: the label-of-label shortcut reads it
         // from BOTH sides of a self-join — otherwise the propagation
-        // join would execute twice per round and double the plan
-        val cand = labels.hint("shuffle_hash")
+        // join would execute twice per round and double the plan.
+        // checkpointReset, not bare localCheckpoint: the per-round
+        // checkpoint must reset STATS along with lineage or the
+        // size-only join estimate compounds into BigInteger overflow
+        // at the ×1000 corpus (see checkpointReset's doc)
+        val cand = checkpointReset(labels.hint("shuffle_hash")
           .join(prop, col("node") === col("node2"), "left")
           .select(col("node"),
-            least(col("label"), coalesce(col("nl"), col("label"))).as("l1"))
-          .localCheckpoint(true)
-        val next = cand.hint("shuffle_hash").join(
+            least(col("label"), coalesce(col("nl"), col("label"))).as("l1")))
+        val next = checkpointReset(cand.hint("shuffle_hash").join(
             cand.select(col("node").as("pn"), col("l1").as("pl")),
             col("l1") === col("pn"), "left")
           .select(col("node"),
-            least(col("l1"), coalesce(col("pl"), col("l1"))).as("label"))
-          .localCheckpoint(true)
+            least(col("l1"), coalesce(col("pl"), col("l1"))).as("label")))
         // DECIMAL(38,0) sum, not long: at extreme doc_id×count scale a
         // long sum can overflow and alias a non-fixpoint as converged
         val sd = next.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)

@@ -102,6 +102,7 @@ class GpHyperSpec extends SparkSpec {
     // ρ posterior covers the injected correlation length and rejects
     // the t13c literal 0.15 from above... the interval is data-tight
     assert(pct(4)(0) < RhoInj && RhoInj < pct(4)(2))
+    assert(0.15 < pct(4)(0))
     // the transit parameters stay centered under the joint fit
     assert(math.abs(pct(0)(1) - 0.03) < 0.01)
     assert(math.abs(pct(2)(1) - DurInj) < 0.1)

@@ -9,6 +9,9 @@ Usage: bench_min.py out.json note "..." in1.json in2.json [...]
 import json, sys
 
 out, _note_kw, note = sys.argv[1], sys.argv[2], sys.argv[3]
+assert _note_kw == "note", (
+    f"usage: bench_min.py out.json note '...' in1.json in2.json [...] "
+    f"(got {_note_kw!r} where 'note' expected)")
 ins = [json.load(open(p)) for p in sys.argv[4:]]
 assert len(ins) >= 2
 names = set(ins[0]["queries"])
