@@ -159,6 +159,7 @@ object Explain {
       "t13j_opti" -> "the OPTIMIZER inference mode typeinfe='opti' (r10): t13d's fixture/guess/LD likelihood with a FIXED 120-iteration deterministic Nelder-Mead (integer-llq comparisons, IEEE simplex arithmetic) instead of the walk — one row of simplex state per recursion round in the replay, ~8 200-bin likelihood evals per iteration, driver-side after the one binning aggregate",
       "t13k_mcmc_flare" -> "StarFlaring model fit (r10): injected declared-model flare curve joins as BROADCAST literals, one fold-bin aggregation feeds the collected window; the (A, t0, tau) walk evaluates exp(-x) by range reduction + fixed Taylor + 6 squarings (IEEE-only, no libm at proposal time) and replays as nested named-layer SQL",
       "t13l_mcmc_gphyper" -> "GP HYPERPARAMETERS join the walk (r11): injected Matern-3/2 wiggle joins as BROADCAST literals (truncated-MA over Ensemble.draw), one bin-aligned fold-bin aggregation feeds the collected window; the 5-dim (depth, epoch, dur, sigma_gp, rho_gp) 50x150 walk REBUILDS the innovation filter per proposal — expNegCore + fixed 48-iter Riccati + 40 lag weights as IEEE layers, log-det via lnQ6 — and replays as one recursive-CTE sampler whose llq subquery carries the whole per-proposal GpHyper.chainSql; corpus term is the min(ts) anchor scan only, flat across decades",
+      "t13m_mcmc_ttv" -> "the TTV FIT mode (r12, PlanetarySystemWithTTVs typemodlttvr='indilineuser' main.py:12284-12316 — one fit per transit, mid-time free): one generated-grid aggregation bins 4 per-transit windows (500 bins each), repartitionByRange(4, k) fans each 100x100 ensemble fit into its own task (the t13b per-energy shuffle pattern applied per TRANSIT); corpus term is the min(ts) anchor scan only — at 10^4 targets the fan-out IS the partitioning; replays as one recursive-CTE sampler over 4 groups",
       "a1_rebin_time" -> "time rebin: ONE keyed aggregation on (user, bin) with map-side partial combine; bin id is integer div column math below the exchange",
       "t2_phase_bin" -> "phase binning: integer fold (pmod) is row-local column math; ONE (bin)-keyed aggregation with partial combine; no window",
       "a3_percentiles" -> "16/50/84 percentiles: percentile aggregation partitioned by the group key (map-side partial_percentile), one exchange, no global sort",

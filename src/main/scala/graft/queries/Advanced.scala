@@ -1053,6 +1053,79 @@ object Advanced {
         .orderBy("ener")
     }),
 
+    // T13m — the TTV FIT mode (PlanetarySystemWithTTVs with
+    // typemodlttvr='indilineuser', ref main.py:12284–12316:
+    // numbiterfitt = gdat.numbtran at 12286–12290 — the reference runs
+    // the fit ONCE PER TRANSIT with that transit's mid-time free; t21
+    // MEASURES per-transit O−C, this FITS it). Fixture: a 31.5-d
+    // uniform grid (4500 points at 0.007 d), a 3%-deep 1-d box each
+    // 7-d period with a SINUSOIDAL timing variation injected as
+    // integer-µs literals — ttv_k = A·sin(2πk/5), A = 63 min
+    // ([[TtvInjUs]]; driver-side libm constants shipped verbatim to
+    // both engines, the t12e literal discipline). Per-transit windows
+    // k = 1..4 (window k = off ∈ [−3.5 d, 3.5 d) around the linear
+    // center k·P; k = 0's window is only half-sampled and excluded),
+    // each folded so the transit sits at phase 1.75 d — interior of
+    // the epoch prior, away from the gxDefault ±3.5 wrap, and keeping
+    // tb − e + 3.5 ≥ 0 so the SQL fmod needs no negative-operand
+    // branch — then binned to 500 bins (exactly 2 grid points each).
+    // The t13b fan-out applies per TRANSIT instead of per energy:
+    // repartitionByRange(4, k) gives each 100×100 ensemble fit its own
+    // task; fitted epoch → O−C minutes. Likelihood scale is MATCHED to
+    // the 2-point bins: var = (0.004²/12)/2 ⇒ scale = 1e6/(2·var) =
+    // 7.5e11 exactly. ORACLE-EXACT: the sampleQ chain replays per
+    // transit in the recursive CTE (one recursion, 4 groups), like
+    // t13b. Epoch resolution is bin-quantized (~20 min — the box model
+    // is evaluated at bin centers, so the likelihood is a step
+    // function of epoch); the injected amplitude (±3 bins) is resolved
+    // with margin, asserted in TtvFitSpec together with the
+    // depth-weighted t21-style measurement on the same fixture.
+    "t13m_mcmc_ttv" -> ((s, d) => {
+      import s.implicits._
+      val PDAY = 86400000000L; val P7 = 7L * PDAY; val HP = P7 / 2
+      val nb = 500; val n = 4500L; val step = 604800000L // 0.007 d
+      val bins = base(s, d).agg(min(col("t_us")).as("t0"))
+        .withColumn("i", explode(sequence(lit(0L), lit(n - 1))))
+        .withColumn("tl", col("i") * step)
+        .withColumn("k", expr(s"(tl + $HP) div $P7"))
+        .filter(col("k").between(1L, 4L))
+        .withColumn("off", col("tl") - col("k") * P7)
+        .withColumn("ttv", when(col("k") === 1L, TtvInjUs(0))
+          .when(col("k") === 2L, TtvInjUs(1))
+          .when(col("k") === 3L, TtvInjUs(2)).otherwise(TtvInjUs(3)))
+        .withColumn("r", (col("i") % 65536L * 1103515245L + 12345L) % 2147483648L)
+        .withColumn("noise", (col("r").cast("double") / 2147483648.0 - 0.5) * 0.004)
+        .withColumn("flux", lit(1.0)
+          - when(abs(col("off") - col("ttv")) < PDAY / 2, 0.03).otherwise(0.0)
+          + col("noise"))
+        .withColumn("fc", round(col("flux") * 1e6).cast("long"))
+        .withColumn("phus", (col("off") + lit(P7 + P7 / 4)) % P7)
+        .withColumn("b", expr(s"(phus * $nb) div $P7"))
+        .groupBy("k", "b")
+        .agg(count(lit(1)).as("n"), sum(col("fc")).as("sv"))
+        .as[(Long, Long, Long, Long)]
+      bins.repartitionByRange(4, col("k"))
+        .mapPartitions(_.toArray.groupBy(_._1).toSeq.sortBy(_._1).iterator
+          .map { case (k, rs0) =>
+            val rs = rs0.sortBy(_._2)
+            val t = rs.map(r => (r._2.toDouble + 0.5) * 7.0 / nb)
+            val y = rs.map(r => r._4.toDouble / r._3 / 1e6)
+            val llq = graft.model.Ensemble.boxLlq(t, y, scale = 7.5e11, period = 7.0) _
+            val yq = y.map(v => graft.expr.VecExprs.roundHalfAway(v * 1e9))
+            val guess = graft.model.Ensemble.boxGuessQ(t, yq, 7.0, 1.0)
+            val (samples, acc) = graft.model.Ensemble.sampleQ(llq,
+              lo = Array(-0.2, -3.5, 0.2), hi = Array(0.2, 3.5, 2.0),
+              nWalkers = 100, nSteps = 100, burnFrac = 0.3, seed = 42L + k,
+              init = guess, ballFrac = 0.005)
+            val pct = graft.model.Ensemble.percentiles(samples)
+            (k, pct(1)(0), pct(1)(1), pct(1)(2),
+              (pct(1)(1) - 1.75) * 1440.0, acc)
+          })
+        .toDF("tran", "epoch_p16", "epoch_p50", "epoch_p84",
+          "oc_min", "acceptance")
+        .orderBy("tran")
+    }),
+
     // P1 — posterior derived-feature column math (calc_feat_alle, ref
     // main.py:1231–1585: depth 1391, sini 1402, omeg 1403, rs2a 1404,
     // durations/blend 1425–1432; the transit-geometry helpers are the
@@ -1924,6 +1997,48 @@ object Advanced {
        |  FROM bnr)""".stripMargin
   }
 
+  /** t13m's injected per-transit timing offsets (µs), k = 1..4:
+    * round(A·sin(2πk/5)) with A = 3 780 000 000 µs = 63 min — one
+    * driver-side libm evaluation shipped verbatim to both engines
+    * (the t12e literal-table discipline; values asserted against
+    * math.sin in TtvFitSpec). */
+  private[graft] val TtvInjUs =
+    Seq(3594993632L, 2221828254L, -2221828254L, -3594993632L)
+
+  /** t13m's fixture CTEs: the 31.5-d grid, per-transit TTV box and
+    * phase-1.75 fold, binned to 500 — mirrors the declared query's
+    * Spark fixture bit-for-bit (same integer µs arithmetic, same
+    * literal expression shapes). Ends in bins(ener, b, tb, y, yq)
+    * with ener ≡ transit index 1..4. */
+  private def t13mFixtureSql: String = {
+    val ttvCase = s"CASE en.ener WHEN 1 THEN ${TtvInjUs(0)} " +
+      s"WHEN 2 THEN ${TtvInjUs(1)} WHEN 3 THEN ${TtvInjUs(2)} " +
+      s"ELSE ${TtvInjUs(3)} END"
+    s"""e0 AS (SELECT min(epoch_us(ts)) AS t0 FROM events),
+       |gn AS (SELECT en.ener AS ener, ii.i AS i,
+       |    (ii.i % 65536 * 1103515245 + 12345) % 2147483648 AS r,
+       |    ii.i * 604800000 - en.ener * 604800000000 AS off,
+       |    $ttvCase AS ttv
+       |  FROM e0, eners en,
+       |    (SELECT unnest(range(0, 4500)) AS i) ii
+       |  WHERE (ii.i * 604800000 + 302400000000) // 604800000000 = en.ener),
+       |fl AS (SELECT ener, off,
+       |    1.0 - (CASE WHEN abs(off - ttv) < 43200000000
+       |                THEN CAST(0.03 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+       |        + (CAST(r AS DOUBLE) / 2147483648.0 - 0.5) * 0.004 AS flux
+       |  FROM gn),
+       |bnr AS (SELECT ener,
+       |    ((off + 756000000000) % 604800000000 * 500) // 604800000000 AS b,
+       |    count(*) AS n,
+       |    CAST(sum(CAST(round(flux * 1e6) AS BIGINT)) AS BIGINT) AS sv
+       |  FROM fl GROUP BY 1, 2),
+       |bins AS MATERIALIZED (SELECT ener, b,
+       |    (CAST(b AS DOUBLE) + 0.5) * 7.0 / 500 AS tb,
+       |    CAST(sv AS DOUBLE) / n / 1e6 AS y,
+       |    CAST(round(CAST(sv AS DOUBLE) / n / 1e6 * 1e9) AS BIGINT) AS yq
+       |  FROM bnr)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "t13_mcmc_fit" ->
       s"""${mcmcSamplerSql("SELECT CAST(0 AS BIGINT) AS ener",
@@ -2665,6 +2780,52 @@ nodes AS (SELECT unnest(range(0, $t13iNFit)) AS j),"""
          |    max(a) AS acceptance
          |FROM pc0 p JOIN accr ON accr.ener = p.ener
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // t13m: the t13b replay shape per TRANSIT — 4 groups through one
+    // recursive-CTE sampler. gxBlock = gxDefault re-derived for 500
+    // bins (window half-width h = round(500·1/7)/2 = 35, width 71 —
+    // the same integer arithmetic boxGuessQ runs); llq = the default
+    // white-noise box llq at the matched 2-point-bin scale 7.5e11.
+    "t13m_mcmc_ttv" -> {
+      val gxBlock =
+        s"""gw AS (SELECT c.ener AS ener, c.b AS c, CAST(sum(b2.yq) AS BIGINT) AS w
+           |  FROM bins c
+           |  CROSS JOIN (SELECT unnest(range(-35, 36)) AS kk) o
+           |  JOIN bins b2 ON b2.ener = c.ener
+           |    AND b2.b = ((c.b + o.kk) % 500 + 500) % 500
+           |  GROUP BY 1, 2),
+           |best AS (SELECT ener, c, w FROM (
+           |    SELECT ener, c, w,
+           |      row_number() OVER (PARTITION BY ener ORDER BY w ASC, c ASC) AS rw
+           |    FROM gw) WHERE rw = 1),
+           |sall AS (SELECT ener, CAST(sum(yq) AS BIGINT) AS sa FROM bins GROUP BY 1),
+           |gx AS (SELECT best.ener AS ener,
+           |    (CAST(sa AS DOUBLE) / 500 - CAST(w AS DOUBLE) / 71) / 1e9 AS g0,
+           |    CASE WHEN (CAST(c AS DOUBLE) + 0.5) * 7.0 / 500 >= 3.5
+           |         THEN (CAST(c AS DOUBLE) + 0.5) * 7.0 / 500 - 7.0
+           |         ELSE (CAST(c AS DOUBLE) + 0.5) * 7.0 / 500 END AS g1,
+           |    CAST(1.0 AS DOUBLE) AS g2
+           |  FROM best JOIN sall ON sall.ener = best.ener)""".stripMargin
+      def mdlT(al: String, p: String) =
+        s"(1.0 - $al.${p}0 * (CASE WHEN abs(fmod(bb.tb - $al.${p}1 + 3.5, 7.0) - 3.5) < $al.${p}2 / 2" +
+        s" THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END))"
+      val llqT = (al: String, p: String) =>
+        s"(SELECT CAST(-sum(CAST(round((bb.y - ${mdlT(al, p)}) * (bb.y - ${mdlT(al, p)}) * 7.5e11)" +
+        s" AS BIGINT)) AS BIGINT) FROM bins bb WHERE bb.ener = $al.ener)"
+      s"""${mcmcSamplerSql("SELECT unnest(range(1, 5)) AS ener",
+                           t13mFixtureSql, 42L,
+                           llqGen = Some(llqT),
+                           gxBlockSql = Some(gxBlock))}
+         |SELECT p.ener AS tran,
+         |    max(CASE WHEN q < 0.3 THEN v END) AS epoch_p16,
+         |    max(CASE WHEN q > 0.3 AND q < 0.7 THEN v END) AS epoch_p50,
+         |    max(CASE WHEN q > 0.7 THEN v END) AS epoch_p84,
+         |    (max(CASE WHEN q > 0.3 AND q < 0.7 THEN v END)
+         |      - CAST(1.75 AS DOUBLE)) * CAST(1440 AS DOUBLE) AS oc_min,
+         |    max(a) AS acceptance
+         |FROM pc1 p JOIN accr ON accr.ener = p.ener
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     // The oracle recomputes what the kernel DECODES from the real
     // PNG/WAV/AVI payloads, from the same closed-form generation

@@ -72,7 +72,10 @@ object ScaleDecade {
       // r11: the GP-hyperparameter joint fit — driver-fit O(1) in the
       // corpus like the rest of the t13 family (anchor scan only; the
       // per-proposal Riccati/lag-weight rebuild is pure driver math)
-      "t13l_mcmc_gphyper")
+      "t13l_mcmc_gphyper",
+      // r12: the TTV fit — driver-fit O(1) in the corpus (anchor scan
+      // only; 4 per-transit fits fan out as 4 tasks)
+      "t13m_mcmc_ttv")
     // optional 2nd arg: comma-separated subset (re-measure selectively)
     val queries = args.lift(1).map(_.split(",").toSeq.filter(all.contains))
       .getOrElse(all)
