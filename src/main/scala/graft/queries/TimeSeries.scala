@@ -527,13 +527,8 @@ object TimeSeries {
         .as[graft.streaming.StreamOps.Ev]
       val hits = graft.streaming.StreamOps.flareTrigger(
         stream, thr = 0.45, horizonUs = 4L * PDAY)
-      val q = hits.writeStream
-        .format("memory").queryName("st10_sink")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      ss.table("st10_sink")
+      // drain: see st14 — file-sink twin for the ≥×1000 decade runs
+      graft.streaming.StreamOps.drain(ss, hits.toDF(), "st10")
         .select(col("user_id"), col("event_id"), col("tUs").as("t_us"),
           col("z"))
         .orderBy("user_id", "event_id")
@@ -565,13 +560,11 @@ object TimeSeries {
           expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
         .as[graft.streaming.StreamOps.EvC]
       val out = graft.streaming.StreamOps.streamEwma(stream)
-      val q = out.writeStream
-        .format("memory").queryName("st14_sink")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      ss.table("st14_sink")
+      // drain: memory sink at the driver gate; the parquet file-sink
+      // twin under SPARK_GRAFT_STREAM_SINK=file for the ≥×1000 decade
+      // runs (the memory sink's driver maxResultSize is the measured
+      // ×1000 wall — 100 M OUTPUT rows; engine state stays 1 500 rows)
+      graft.streaming.StreamOps.drain(ss, out.toDF(), "st14")
         .withColumn("ewma", col("efp") / lit(1048576.0) / lit(100.0))
         .select(col("user_id"), col("event_id"), col("tUs").as("t_us"),
           col("vc"), col("efp"), col("ewma"))
@@ -770,13 +763,8 @@ object TimeSeries {
         col("user_id") === col("b_user") &&
         col("b_ts") >= col("c_ts") &&
         col("b_ts") <= col("c_ts") + expr("INTERVAL 6 HOURS"))
-      val q = joined.writeStream
-        .format("memory").queryName("st7_sink")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      ss.table("st7_sink")
+      // drain: see st14 — file-sink twin for the ≥×1000 decade runs
+      graft.streaming.StreamOps.drain(ss, joined, "st7")
         .select(col("user_id"), col("click_id"), col("buy_id"),
           (unix_micros(col("b_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
         .orderBy("user_id", "click_id", "buy_id")
