@@ -78,7 +78,7 @@ object TextQueries {
     * from the checkpointed RDD gives a leaf with DEFAULT stats each
     * round — bounded per-round products, identical rows (the rebuild
     * only re-wraps the same materialized blocks). */
-  private def checkpointReset(df: DataFrame): DataFrame = {
+  private[graft] def checkpointReset(df: DataFrame): DataFrame = {
     val ck = df.localCheckpoint(true)
     ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
   }
@@ -1242,12 +1242,33 @@ object TextQueries {
       // Round cap scales with the corpus: ScaleSweepSpec's generated
       // 5k-doc corpus (chained band buckets, near-path components)
       // needed >12 rounds — the old fixed cap, tuned on the driver
-      // fixture, was a latent scale bug. Propagate+jump is O(log d)
-      // with a small constant; 8 + 2·log2(n) bounds any component the
-      // corpus can contain, and the sum-fixpoint check still exits
-      // early (driver fixture: ~5 rounds).
+      // fixture, was a latent scale bug. With RANDOM id placement
+      // along a near-path component the single label-of-label jump
+      // compresses by ~1.5–2× per round, not the textbook 2×
+      // (the window-min node can sit anywhere in the reached ball),
+      // so the r11 cap 8 + 2·log2(n) was EXCEEDED at the ×1000 corpus
+      // (5 M nodes: 54 rounds, no fixpoint — the engine's second
+      // measured ×1000 wall). r12: the jump is applied TWICE per
+      // round (~4× compression — one extra tiny self-join per round,
+      // rounds roughly halve) and the backstop widens to
+      // 8 + 3·log2(n); the fixpoint (component min per node) is
+      // schedule-independent, so results are bit-identical. The
+      // sum-fixpoint check still exits early (driver fixture:
+      // ~4 rounds).
       val nNodes = labels.count()
-      val maxIter = 8 + 2 * (64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, nNodes)))
+      val maxIter = 8 + 3 * (64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, nNodes)))
+      val dbg = sys.env.contains("SPARK_GRAFT_D15_DEBUG")
+      // one pointer jump: label := min(label, label-of-label). The
+      // input is checkpointReset-ed, so the self-join reads the
+      // materialized blocks from both sides (no double compute) and
+      // per-round stats reset instead of compounding into BigInteger
+      // overflow at the ×1000 corpus (see checkpointReset's doc).
+      def jump(df: DataFrame): DataFrame =
+        df.hint("shuffle_hash").join(
+            df.select(col("node").as("pn"), col("label").as("pl")),
+            col("label") === col("pn"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("pl"), col("label"))).as("label"))
       var prevSum: java.math.BigDecimal = null; var iter = 0; var converged = false
       while (!converged && iter < maxIter) {
         // shuffle_hash everywhere in the round: every broadcast join
@@ -1257,27 +1278,17 @@ object TextQueries {
           .join(labels, col("src") === col("node"))
           .groupBy(col("dst")).agg(min(col("label")).as("nl"))
           .select(col("dst").as("node2"), col("nl"))
-        // cand is checkpointed: the label-of-label shortcut reads it
-        // from BOTH sides of a self-join — otherwise the propagation
-        // join would execute twice per round and double the plan.
-        // checkpointReset, not bare localCheckpoint: the per-round
-        // checkpoint must reset STATS along with lineage or the
-        // size-only join estimate compounds into BigInteger overflow
-        // at the ×1000 corpus (see checkpointReset's doc)
-        val cand = checkpointReset(labels.hint("shuffle_hash")
+        val merged = checkpointReset(labels.hint("shuffle_hash")
           .join(prop, col("node") === col("node2"), "left")
           .select(col("node"),
-            least(col("label"), coalesce(col("nl"), col("label"))).as("l1")))
-        val next = checkpointReset(cand.hint("shuffle_hash").join(
-            cand.select(col("node").as("pn"), col("l1").as("pl")),
-            col("l1") === col("pn"), "left")
-          .select(col("node"),
-            least(col("l1"), coalesce(col("pl"), col("l1"))).as("label")))
+            least(col("label"), coalesce(col("nl"), col("label"))).as("label")))
+        val next = checkpointReset(jump(checkpointReset(jump(merged))))
         // DECIMAL(38,0) sum, not long: at extreme doc_id×count scale a
         // long sum can overflow and alias a non-fixpoint as converged
         val sd = next.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
         labels = next; iter += 1
         converged = prevSum != null && sd.compareTo(prevSum) == 0; prevSum = sd
+        if (dbg) System.err.println(s"[d15] round $iter sum $sd")
       }
       // the cap is a runaway backstop, not an accepted outcome:
       // hitting it without a fixpoint is a bug

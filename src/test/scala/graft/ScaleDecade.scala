@@ -74,8 +74,10 @@ object ScaleDecade {
       // per-proposal Riccati/lag-weight rebuild is pure driver math)
       "t13l_mcmc_gphyper",
       // r12: the TTV fit — driver-fit O(1) in the corpus (anchor scan
-      // only; 4 per-transit fits fan out as 4 tasks)
-      "t13m_mcmc_ttv")
+      // only; 4 per-transit fits fan out as 4 tasks) — and d23, which
+      // shares d15's checkpointed band-star graph (the ×1000 column
+      // exercises the checkpointReset stats fix through both consumers)
+      "t13m_mcmc_ttv", "d23_pagerank")
     // optional 2nd arg: comma-separated subset (re-measure selectively)
     val queries = args.lift(1).map(_.split(",").toSeq.filter(all.contains))
       .getOrElse(all)
