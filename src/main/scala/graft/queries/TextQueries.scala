@@ -1216,84 +1216,101 @@ object TextQueries {
     // near-dup PAIRS into dedup GROUPS (keep one doc per component).
     // Edges are STAR edges within single-band minhash buckets (bands
     // 0 and 1): doc ↔ bucket-min doc — sufficient for connectivity
-    // and O(corpus) edges, never O(pairs²). Components by iterative
-    // min-label propagation to the fixpoint: the driver loop holds
-    // ONE changed-count scalar per round; labels/edges live in Spark
-    // (at cluster scale add periodic checkpoint() to truncate the
-    // iteration lineage). Oracle = DuckDB recursive CTE over the same
-    // edges — label-propagation fixpoint ≡ reachability min.
+    // and O(corpus) edges, never O(pairs²). Components by the
+    // ALTERNATING LARGE-STAR / SMALL-STAR algorithm (the public
+    // two-phase MapReduce connected-components formulation, Kiveris
+    // et al., SoCC'14):
+    //   large-star: each node re-attaches its LARGER neighbors to the
+    //     min of its closed neighborhood;
+    //   small-star: each larger endpoint re-attaches its smaller
+    //     neighbors (and itself) to the min of the smaller ones.
+    // Each phase is one keyed aggregation + one join over the edge
+    // set; edge count never grows; connectivity is invariant; the
+    // fixpoint is per-component STARS rooted at the component min —
+    // the same fixpoint the oracle's reachability-min CTE computes,
+    // so the oracle is unchanged. HISTORY: r11 shipped min-label
+    // propagation with a label-of-label pointer jump; measured at the
+    // ×1000 corpus (5 M docs) that DEGRADES to ~one local-min hop per
+    // round — once label trees collapse into stars around LOCAL
+    // minima, label(label(v)) = label(v) and the jump gains nothing
+    // (77 rounds, sum still falling by ~1e-7 of total per round).
+    // Star-alternation is the provably-logarithmic fix; the driver
+    // corpus converges in ~3 rounds.
     "d15_components" -> ((s, d) => {
       // shared with d23: build-once symmetrized band-star edges + the
       // signature node list, eagerly checkpointed (see simGraph)
       val (sym, sigNodes) = simGraph(s, d)
-      // a projection over a checkpointed frame: constant-size plan,
-      // no further checkpoint needed for the initial labels
-      var labels = sigNodes
-        .select(col("doc_id").as("node"), col("doc_id").as("label"))
-      // Min-label propagation with POINTER JUMPING: each round takes
-      // the neighbor min AND the label-of-label shortcut (label
-      // doubling), so convergence is O(log diameter) rounds instead of
-      // O(diameter) — on long bucket chains that is ~5 rounds, not ~20,
-      // and round count is what dominates wall-clock (each round is a
-      // fixed number of tiny-shuffle jobs). Convergence is detected by
-      // the sum of labels: labels only ever decrease, so the sum is
-      // strictly monotone until the fixpoint — one scalar aggregate per
-      // round, no change-count join.
-      // Round cap scales with the corpus: ScaleSweepSpec's generated
-      // 5k-doc corpus (chained band buckets, near-path components)
-      // needed >12 rounds — the old fixed cap, tuned on the driver
-      // fixture, was a latent scale bug. With RANDOM id placement
-      // along a near-path component the single label-of-label jump
-      // compresses by ~1.5–2× per round, not the textbook 2×
-      // (the window-min node can sit anywhere in the reached ball),
-      // so the r11 cap 8 + 2·log2(n) was EXCEEDED at the ×1000 corpus
-      // (5 M nodes: 54 rounds, no fixpoint — the engine's second
-      // measured ×1000 wall). r12: the jump is applied TWICE per
-      // round (~4× compression — one extra tiny self-join per round,
-      // rounds roughly halve) and the backstop widens to
-      // 8 + 3·log2(n); the fixpoint (component min per node) is
-      // schedule-independent, so results are bit-identical. The
-      // sum-fixpoint check still exits early (driver fixture:
-      // ~4 rounds).
-      val nNodes = labels.count()
-      val maxIter = 8 + 3 * (64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, nNodes)))
       val dbg = sys.env.contains("SPARK_GRAFT_D15_DEBUG")
-      // one pointer jump: label := min(label, label-of-label). The
-      // input is checkpointReset-ed, so the self-join reads the
-      // materialized blocks from both sides (no double compute) and
-      // per-round stats reset instead of compounding into BigInteger
+      // canonical undirected edges (a > b), deduped.
+      // checkpointReset per round, not bare localCheckpoint: the
+      // per-round checkpoint must reset STATS along with lineage or
+      // the size-only join estimate compounds into BigInteger
       // overflow at the ×1000 corpus (see checkpointReset's doc).
-      def jump(df: DataFrame): DataFrame =
-        df.hint("shuffle_hash").join(
-            df.select(col("node").as("pn"), col("label").as("pl")),
-            col("label") === col("pn"), "left")
-          .select(col("node"),
-            least(col("label"), coalesce(col("pl"), col("label"))).as("label"))
-      var prevSum: java.math.BigDecimal = null; var iter = 0; var converged = false
-      while (!converged && iter < maxIter) {
-        // shuffle_hash everywhere in the round: every broadcast join
-        // would spend a separate collect-to-driver job per round —
-        // on a frame this small the job overhead IS the runtime
-        val prop = sym.hint("shuffle_hash")
-          .join(labels, col("src") === col("node"))
-          .groupBy(col("dst")).agg(min(col("label")).as("nl"))
-          .select(col("dst").as("node2"), col("nl"))
-        val merged = checkpointReset(labels.hint("shuffle_hash")
-          .join(prop, col("node") === col("node2"), "left")
-          .select(col("node"),
-            least(col("label"), coalesce(col("nl"), col("label"))).as("label")))
-        val next = checkpointReset(jump(checkpointReset(jump(merged))))
-        // DECIMAL(38,0) sum, not long: at extreme doc_id×count scale a
-        // long sum can overflow and alias a non-fixpoint as converged
-        val sd = next.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
-        labels = next; iter += 1
-        converged = prevSum != null && sd.compareTo(prevSum) == 0; prevSum = sd
-        if (dbg) System.err.println(s"[d15] round $iter sum $sd")
+      var edges = checkpointReset(sym.filter(col("src") > col("dst"))
+        .select(col("src").as("a"), col("dst").as("b")).distinct())
+      // large-star: per node x over the FULL neighborhood,
+      // m = min(N(x) ∪ {x}); larger neighbors re-attach to m. Output
+      // rows are canonical by construction (y > x ≥ m) and each input
+      // edge yields at most one output edge (only its smaller
+      // endpoint's reduce emits it).
+      def largeStar(e: DataFrame): DataFrame = {
+        val nbrs = e.select(col("a").as("x"), col("b").as("y"))
+          .unionAll(e.select(col("b").as("x"), col("a").as("y")))
+        val mins = nbrs.groupBy("x").agg(min(col("y")).as("my"))
+          .select(col("x").as("mx"), least(col("my"), col("x")).as("m"))
+        nbrs.filter(col("y") > col("x")).hint("shuffle_hash")
+          .join(mins, col("x") === col("mx"))
+          .select(col("y").as("a"), col("m").as("b")).distinct()
       }
-      // the cap is a runaway backstop, not an accepted outcome:
-      // hitting it without a fixpoint is a bug
+      // small-star: per larger endpoint a with smaller neighbors
+      // Γ⁻(a), m = min(Γ⁻(a)); every s ∈ Γ⁻(a) \ {m} and a itself
+      // re-attach to m. Canonical again (s > m, a > m).
+      def smallStar(e: DataFrame): DataFrame = {
+        val mins = e.groupBy("a").agg(min(col("b")).as("m"))
+          .select(col("a").as("ma"), col("m"))
+        val re = e.hint("shuffle_hash").join(mins, col("a") === col("ma"))
+        re.filter(col("b") =!= col("m"))
+          .select(col("b").as("a"), col("m").as("b"))
+          .unionAll(mins.select(col("ma").as("a"), col("m").as("b")))
+          .distinct()
+      }
+      val nNodes = sigNodes.count()
+      // backstop only — two-phase is O(log n) rounds in practice
+      // (O(log² n) worst case); hitting the cap is a bug, not an
+      // accepted outcome
+      val maxIter = 16 + 4 * (64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, nNodes)))
+      var iter = 0; var converged = false
+      // fixpoint ⇔ one full large+small round is a set-level no-op.
+      // Cheap per-round signature (count + order-free keyed checksum
+      // in exact decimal) gates the exact except-based equality check,
+      // so the two extra set-difference shuffles run only on candidate
+      // rounds — a signature match alone never declares convergence.
+      def sig(e: DataFrame): (Long, java.math.BigDecimal) = {
+        val r = e.agg(count(lit(1)),
+          sum((col("a") * 2654435761L + col("b")).cast("decimal(38,0)"))).head
+        (r.getLong(0), r.getDecimal(1))
+      }
+      var prevSig = sig(edges)
+      while (!converged && iter < maxIter) {
+        val next = checkpointReset(smallStar(checkpointReset(largeStar(edges))))
+        val nextSig = sig(next)
+        converged = nextSig._1 == prevSig._1 &&
+          ((nextSig._2 == null && prevSig._2 == null) ||
+            (nextSig._2 != null && prevSig._2 != null &&
+              nextSig._2.compareTo(prevSig._2) == 0)) &&
+          next.except(edges).isEmpty
+        edges = next; prevSig = nextSig; iter += 1
+        if (dbg) System.err.println(
+          s"[d15] round $iter edges ${nextSig._1} converged $converged")
+      }
       if (!converged) throw new IllegalStateException(
-        s"d15_components: label propagation did not converge in $iter rounds ($nNodes nodes)")
+        s"d15_components: star alternation did not converge in $iter rounds ($nNodes nodes)")
+      // at the star fixpoint every non-center node carries exactly its
+      // (node, center) edge; centers/singletons label themselves
+      val centers = edges.groupBy(col("a").as("node")).agg(min(col("b")).as("comp0"))
+      val labels = sigNodes.select(col("doc_id").as("node"))
+        .join(centers, Seq("node"), "left")
+        .select(col("node"), coalesce(col("comp0"), col("node")).as("label"))
       val sz = labels.groupBy("label").agg(count(lit(1)).as("comp_size"))
       labels.join(sz, "label")
         .select(col("node").as("doc_id"), col("label").as("comp"), col("comp_size"))
