@@ -736,19 +736,32 @@ object TimeSeries {
     "st7_stream_join" -> ((s, d) => {
       val ss = streamSession(s)
       val schema = ss.read.parquet(s"$d/events.parquet").schema
+      // bounded batches: with ONE AvailableNow batch the watermark
+      // never advances mid-batch, so a stream-stream join buffers
+      // BOTH full streams in the state store before any eviction —
+      // the 100× sweep measured 281 s of exactly that. Capping files
+      // per trigger lets the watermark advance between batches and
+      // keeps join state at ~rate × (join window + delay). r12: the
+      // cap must hold the batch volume constant in ROWS, not files —
+      // a fixed 8 files/batch was tuned at ~300 k-row files (×100:
+      // 2.5 M rows/batch, the r10 state-matrix optimum); the ×1000
+      // corpus keeps the same 32-file layout with 3.1 M-row files, so
+      // 8 files/batch = 25 M rows buffered under a frozen watermark
+      // and the per-key state probe goes quadratic (measured: one
+      // stage pinned >30 min). mfpt = targetRows / rowsPerFile; the
+      // row count is a parquet footer read. Results are unchanged at
+      // any batching: the file stream is time-ordered, so nothing
+      // arrives later than the watermark (driver fixture = 1 file =
+      // 1 batch, bit-identical).
+      val evDir = new java.io.File(d, "events.parquet")
+      val nFiles = if (evDir.isDirectory)
+        evDir.listFiles().count(_.getName.endsWith(".parquet")) else 1
+      val totalRows = ss.read.parquet(s"$d/events*.parquet").count()
+      val rowsPerFile = math.max(1L, totalRows / math.max(1, nFiles))
+      val mfpt = math.max(1L, 2500000L / rowsPerFile)
       def src = ss.readStream.schema(schema)
         .option("basePath", d)
-        // bounded batches: with ONE AvailableNow batch the watermark
-        // never advances mid-batch, so a stream-stream join buffers
-        // BOTH full streams in the state store before any eviction —
-        // the 100× sweep measured 281 s of exactly that. Capping files
-        // per trigger lets the watermark advance between batches and
-        // keeps join state at ~rate × (join window + delay) — the
-        // bounded-state shape a real continuous run has. Results are
-        // unchanged: the file stream is time-ordered, so nothing
-        // arrives later than the watermark (driver fixture = 1 file =
-        // 1 batch, bit-identical).
-        .option("maxFilesPerTrigger", 8)
+        .option("maxFilesPerTrigger", mfpt.toString)
         .parquet(s"$d/events*.parquet")
         .transform(graft.core.Tables.normalizeTs)
       val clicks = src.filter(col("event_type") === "click")
