@@ -77,7 +77,12 @@ object ScaleDecade {
       // only; 4 per-transit fits fan out as 4 tasks) — and d23, which
       // shares d15's checkpointed band-star graph (the ×1000 column
       // exercises the checkpointReset stats fix through both consumers)
-      "t13m_mcmc_ttv", "d23_pagerank")
+      "t13m_mcmc_ttv", "d23_pagerank",
+      // r12 tail: the families still missing a fourth-decade row —
+      // streaming sketches (bounded register/cell/quantile state),
+      // the in-plan IVF, the FastSS edit-distance join, SCD2
+      "st11_stream_hll", "st12_stream_cms", "st13_stream_quantile",
+      "e3_ivf_ann", "j10_fuzzy_ed1", "j9_salted_join", "u6_scd2")
     // optional 2nd arg: comma-separated subset (re-measure selectively)
     val queries = args.lift(1).map(_.split(",").toSeq.filter(all.contains))
       .getOrElse(all)
