@@ -161,6 +161,8 @@ object Explain {
       "t13l_mcmc_gphyper" -> "GP HYPERPARAMETERS join the walk (r11): injected Matern-3/2 wiggle joins as BROADCAST literals (truncated-MA over Ensemble.draw), one bin-aligned fold-bin aggregation feeds the collected window; the 5-dim (depth, epoch, dur, sigma_gp, rho_gp) 50x150 walk REBUILDS the innovation filter per proposal — expNegCore + fixed 48-iter Riccati + 40 lag weights as IEEE layers, log-det via lnQ6 — and replays as one recursive-CTE sampler whose llq subquery carries the whole per-proposal GpHyper.chainSql; corpus term is the min(ts) anchor scan only, flat across decades",
       "t13m_mcmc_ttv" -> "the TTV FIT mode (r12, PlanetarySystemWithTTVs typemodlttvr='indilineuser' main.py:12284-12316 — one fit per transit, mid-time free): one generated-grid aggregation bins 4 per-transit windows (500 bins each), repartitionByRange(4, k) fans each 100x100 ensemble fit into its own task (the t13b per-energy shuffle pattern applied per TRANSIT); corpus term is the min(ts) anchor scan only — at 10^4 targets the fan-out IS the partitioning; replays as one recursive-CTE sampler over 4 groups",
       "a1_rebin_time" -> "time rebin: ONE keyed aggregation on (user, bin) with map-side partial combine; bin id is integer div column math below the exchange",
+      "a1b_rebin_edges" -> "explicit-edge rebin (blimxdat branch): broadcast nested-loop range join against the tiny edge table (strictly-inside membership), ONE keyed aggregation, then a broadcast left join re-attaches the empty bins — the scan side never shuffles",
+      "w2b_disc_segment" -> "disc segmentation (retr_timeedge default mode): lag, the ±frame guard sums, the whole-partition diff stats and the cumulative region sum are ALL windows sharing the series-key partitioning — one exchange, no joins, no collect",
       "t2_phase_bin" -> "phase binning: integer fold (pmod) is row-local column math; ONE (bin)-keyed aggregation with partial combine; no window",
       "a3_percentiles" -> "16/50/84 percentiles: percentile aggregation partitioned by the group key (map-side partial_percentile), one exchange, no global sort",
       "a12_conditional_agg" -> "conditional aggregates: CASE-gated sums share ONE keyed aggregation pass — no per-condition re-scan, no join",

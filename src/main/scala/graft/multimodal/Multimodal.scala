@@ -550,4 +550,84 @@ object Multimodal {
         }
       }(enc)
   }
+  /** m6's 4×4-cell aHash over the REAL PNG decode (see the m6 query
+    * doc for the full derivation): per-pixel stream from pooledImages
+    * at pool=1, cell-vs-image mean as an exact integer cross-multiply
+    * (no division), 16-bit hash via the shared pow2 ladder. Input: a
+    * media frame (image rows); output (media_id, ahash). */
+  def aHashes(media: DataFrame): DataFrame = {
+    import graft.text.TextOps
+    val px = pooledImages(media, pool = 1)
+      .select(col("media_id"), col("bx").as("x"), col("by").as("y"),
+        col("sum_gray").as("g"))
+    val dims = px.groupBy("media_id").agg(
+      (max(col("x")) + 1).as("w"), (max(col("y")) + 1).as("h"),
+      sum(col("g")).cast("long").as("tot"),
+      count(lit(1)).cast("long").as("npx"))
+    val cells = px.join(dims, "media_id")
+      .withColumn("cx", expr("(x * 4) div w"))
+      .withColumn("cy", expr("(y * 4) div h"))
+      .groupBy("media_id", "cx", "cy")
+      .agg(sum(col("g")).cast("long").as("cs"),
+        count(lit(1)).cast("long").as("cn"),
+        max(col("tot")).as("tot"), max(col("npx")).as("npx"))
+    cells
+      .withColumn("bit",
+        (col("cs") * col("npx") > col("tot") * col("cn")).cast("long"))
+      .groupBy("media_id")
+      .agg(sum(col("bit") * expr(TextOps.pow2("cy * 4 + cx")))
+        .cast("long").as("ahash"))
+  }
+
+  /** m6's pair machinery, shared with the recall/density audits
+    * (M6RecallSpec, M6Density): 3-band pigeonhole over the 16-bit
+    * aHash (6/5/5 bits — any hamming≤2 pair keeps ≥1 band intact) with
+    * the d31 bucket-population sub-cell salt: a (band, value) bucket of
+    * population bc splits into ceil(bc/128) md5-keyed sub-cells, so
+    * candidate pairs are ≤ ~381·n at ANY saturation of the 64+32+32-key
+    * band space — the O(n) bound that keeps image dedup linear at
+    * corpus scale. The trade (documented in the m6 query contract): a
+    * true ≤2-hamming pair whose every intact band lands in different
+    * sub-cells is missed once the salt activates (bc > 128);
+    * M6RecallSpec quantifies that loss against all-pairs truth.
+    * Input: (media_id: long, ahash: long in [0, 65536)). */
+  def phashCandidates(hashes: DataFrame): DataFrame = {
+    import graft.text.TextOps
+    val bands = hashes.select(col("media_id"), col("ahash"),
+      explode(array(
+        struct(lit(0).as("bi"), expr("ahash % 64").as("bv")),
+        struct(lit(1).as("bi"), expr("(ahash div 64) % 32").as("bv")),
+        struct(lit(2).as("bi"), expr("ahash div 2048").as("bv")))).as("b"))
+      .select(col("media_id"), col("ahash"), col("b.bi").as("bi"),
+        col("b.bv").as("bv"))
+    // bucket-population sub-cell salt (d31): bcnt has ≤128 rows
+    val bcnt = bands.groupBy("bi", "bv").agg(count(lit(1)).as("bc"))
+    val bandsS = bands.join(broadcast(bcnt), Seq("bi", "bv"))
+      .withColumn("nsub", expr("(bc + 127) div 128"))
+      .withColumn("sub",
+        expr(TextOps.md5Hash32Fast("CAST(media_id AS STRING)")) % col("nsub"))
+    val lhs = bandsS.select(col("bi"), col("bv"), col("sub"),
+      col("media_id").as("a_id"), col("ahash").as("ha"))
+    val rhs = bandsS.select(col("bi"), col("bv"), col("sub"),
+      col("media_id").as("b_id"), col("ahash").as("hb"))
+    lhs.join(rhs, Seq("bi", "bv", "sub")).filter(col("a_id") < col("b_id"))
+  }
+
+  /** Per-image BEST hamming≤2 near-duplicate over [[phashCandidates]]
+    * (rank by (hamm, match_id)) — the m6 declared output shape:
+    * ≤1 row per image. */
+  def phashBestMatch(hashes: DataFrame): DataFrame = {
+    val pairs = phashCandidates(hashes)
+      .select("a_id", "b_id", "ha", "hb").distinct()
+      .withColumn("hamm", expr("bit_count(ha ^ hb)"))
+      .filter(col("hamm") <= 2)
+    val sym = pairs.select(col("a_id").as("media_id"),
+        col("b_id").as("match_id"), col("hamm"), col("ha").as("ahash"))
+      .unionByName(pairs.select(col("b_id").as("media_id"),
+        col("a_id").as("match_id"), col("hamm"), col("hb").as("ahash")))
+    val wbest = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy(asc("hamm"), asc("match_id"))
+    sym.withColumn("rn", row_number().over(wbest)).filter(col("rn") === 1)
+      .select("media_id", "match_id", "hamm", "ahash")
+  }
 }

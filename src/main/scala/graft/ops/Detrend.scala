@@ -293,15 +293,29 @@ object Detrend {
     Array.tabulate(n)(j => ms(j)(0))
   }
 
-  /** Distributed detrend: regions via TsOps.withRegion, then one
+  /** Distributed detrend: regions via TsOps.withRegion(+Disc), then one
     * spline/GP kernel per (parts..., region) group. Input columns:
     * parts ++ (tUs: long, id: long, value: double, err: double).
-    * Output: input rows + baseline + detr (value − baseline + 1). */
+    * Output: input rows + baseline + detr (value − baseline + 1).
+    *
+    * `discBreaks` defaults ON, matching the reference: `bdtr_tser`
+    * passes `booladdddiscbdtr=True` by default (main.py:6683, used at
+    * 6739), so the baseline is re-fit on each side of a 20σ flux
+    * glitch instead of bridging it (TsOps.withRegionDisc has the full
+    * break semantics). The value column is quantized at 1e6 for the
+    * break statistics — the engine's standard reproducibility
+    * quantum (splineBaseline's basis, meanQ/stddevQ), far below any
+    * glitch the 20σ gate can see. */
   def detrend(df: DataFrame, parts: Seq[String], tUs: String, id: String,
               value: String, err: String, gapUs: Long, mode: String,
-              timescaleDays: Double): DataFrame = {
+              timescaleDays: Double, discBreaks: Boolean = true): DataFrame = {
     val spark = df.sparkSession
-    val withReg = TsOps.withRegion(df, parts, tUs, id, gapUs)
+    val withReg =
+      if (discBreaks)
+        TsOps.withRegionDisc(
+          df.withColumn("_vq", round(col(value) * 1e6).cast("long")),
+          parts, tUs, id, "_vq", gapUs).drop("_vq")
+      else TsOps.withRegion(df, parts, tUs, id, gapUs)
     val keyCols = parts :+ "region"
     val schema = StructType(
       keyCols.map(c => withReg.schema(c)) ++ Seq(

@@ -54,6 +54,64 @@ object TsOps {
       .drop("_brk")
   }
 
+  /** W2 full segmentation — gap breaks PLUS discontinuity breaks (ref
+    * retr_timeedge main.py:6590–6630 with `booladdddiscbdtr=True`, the
+    * `bdtr_tser` DEFAULT at main.py:6683): a region break is added
+    * between consecutive samples k, k+1 when either
+    *  - the time gap exceeds `gapUs` (same as [[withRegion]]), or
+    *  - dif1[k] = v[k] − v[k+1] > 20·std(dif1) — ONE-SIDED, so only
+    *    downward flux jumps qualify; std is the POPULATION std over the
+    *    partition's full consecutive-diff series, gap-spanning diffs
+    *    included (main.py:6601) — gated by the 3-point local-mean
+    *    guard mean(v[k−3:k]) − mean(v[k:k+3]) < std(v[k−3:k] ∪
+    *    v[k:k+3]) (main.py:6604). Noise-free algebra of the guard:
+    *    a single-sample spike gives |Δmean| = J/3 < J·√5/6 = std
+    *    (break ACCEPTED) while a persistent level shift gives
+    *    2J/3 > J·√2/3 (break REJECTED) — the reference breaks on
+    *    sharp glitches, not sustained shifts, and k < 3 is vacuously
+    *    excluded (numpy's empty-slice mean is NaN there).
+    *
+    * `vq` is an integer-quantized value column: every statistic is
+    * derived from exact integer window sums and the two comparisons
+    * are the same fixed IEEE-double expression tree in any engine
+    * (the a4/t4b oracle contract). Overflow envelope: Σ(Δvq²) per
+    * partition must fit int64 — flux-like vq ~ 1e6 ± 1e5 holds to
+    * ~1e8 rows per partition. */
+  def withRegionDisc(df: DataFrame, parts: Seq[String], tUs: String, id: String,
+                     vq: String, gapUs: Long, out: String = "region"): DataFrame = {
+    val w = Window.partitionBy(parts.map(col): _*).orderBy(col(tUs), col(id))
+    val wAll = Window.partitionBy(parts.map(col): _*)
+    val left = w.rowsBetween(-4, -2)   // v[k−3 .. k−1] seen from row k+1
+    val right = w.rowsBetween(-1, 1)   // v[k .. k+2]   seen from row k+1
+    val v = col(vq)
+    val d = col("_d")
+    val st = df
+      .withColumn("_gap", col(tUs) - lag(col(tUs), 1).over(w))
+      .withColumn("_d", lag(v, 1).over(w) - v)
+      .withColumn("_nd", count(d).over(wAll))
+      .withColumn("_sd", sum(d).over(wAll))
+      .withColumn("_qd", sum(d * d).over(wAll))
+      .withColumn("_nl", count(v).over(left))
+      .withColumn("_sl", sum(v).over(left))
+      .withColumn("_ql", sum(v * v).over(left))
+      .withColumn("_nr", count(v).over(right))
+      .withColumn("_sr", sum(v).over(right))
+      .withColumn("_qr", sum(v * v).over(right))
+      .withColumn("_n6", col("_nl") + col("_nr"))
+      .withColumn("_s6", col("_sl") + col("_sr"))
+      .withColumn("_q6", col("_ql") + col("_qr"))
+    val thr = d.cast("double") > lit(20.0) *
+      sqrt((col("_qd") - col("_sd").cast("double") * col("_sd") / col("_nd")) / col("_nd"))
+    val guard = col("_nl") === 3 &&
+      (col("_sl").cast("double") / col("_nl") - col("_sr").cast("double") / col("_nr")) <
+        sqrt((col("_q6") - col("_s6").cast("double") * col("_s6") / col("_n6")) / col("_n6"))
+    st.withColumn("_brk",
+        when(col("_gap") > gapUs || (coalesce(thr, lit(false)) && guard), 1).otherwise(0))
+      .withColumn(out, sum(col("_brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("_gap", "_d", "_nd", "_sd", "_qd", "_nl", "_sl", "_ql",
+        "_nr", "_sr", "_qr", "_n6", "_s6", "_q6", "_brk")
+  }
+
   /** A10 sessionization ("gaps and islands", ref main.py:6347–6368):
     * per-partition session aggregates with inactivity threshold. */
   def sessionize(df: DataFrame, parts: Seq[String], tUs: String, id: String,

@@ -46,7 +46,7 @@ object Advanced {
     * 30-min cadence anchored at the events epoch (one gap-region per
     * part — the events fixture's own regions are all ≤4 rows at its
     * 7 h cadence, which would never exercise the detrend kernels). */
-  private def t3Sim(s: SparkSession, d: String, err: Double): DataFrame =
+  private[graft] def t3Sim(s: SparkSession, d: String, err: Double): DataFrame =
     base(s, d).agg(min(col("t_us")).as("t0"))
       .withColumn("p", explode(sequence(lit(0), lit(7))))
       .withColumn("i", explode(sequence(lit(0L), lit(499L))))
@@ -1311,60 +1311,14 @@ object Advanced {
     // 16-bit hash space — and scale runs can audit activation by
     // checking max bucket population (the `bcnt` frame) against 128.
     "m6_image_phash" -> ((s, d) => {
-      import graft.text.TextOps
       val media = graft.multimodal.Multimodal.fromDocuments(
         documents(s, d).filter(col("doc_id") % 3 === 0))
-      val px = graft.multimodal.Multimodal.pooledImages(media, pool = 1)
-        .select(col("media_id"), col("bx").as("x"), col("by").as("y"),
-          col("sum_gray").as("g"))
-      val dims = px.groupBy("media_id").agg(
-        (max(col("x")) + 1).as("w"), (max(col("y")) + 1).as("h"),
-        sum(col("g")).cast("long").as("tot"),
-        count(lit(1)).cast("long").as("npx"))
-      val cells = px.join(dims, "media_id")
-        .withColumn("cx", expr("(x * 4) div w"))
-        .withColumn("cy", expr("(y * 4) div h"))
-        .groupBy("media_id", "cx", "cy")
-        .agg(sum(col("g")).cast("long").as("cs"),
-          count(lit(1)).cast("long").as("cn"),
-          max(col("tot")).as("tot"), max(col("npx")).as("npx"))
-      val hashes = cells
-        .withColumn("bit",
-          (col("cs") * col("npx") > col("tot") * col("cn")).cast("long"))
-        .groupBy("media_id")
-        .agg(sum(col("bit") * expr(TextOps.pow2("cy * 4 + cx")))
-          .cast("long").as("ahash"))
-      val bands = hashes.select(col("media_id"), col("ahash"),
-        explode(array(
-          struct(lit(0).as("bi"), expr("ahash % 64").as("bv")),
-          struct(lit(1).as("bi"), expr("(ahash div 64) % 32").as("bv")),
-          struct(lit(2).as("bi"), expr("ahash div 2048").as("bv")))).as("b"))
-        .select(col("media_id"), col("ahash"), col("b.bi").as("bi"),
-          col("b.bv").as("bv"))
-      // bucket-population sub-cell salt (d31): bcnt has ≤128 rows
-      val bcnt = bands.groupBy("bi", "bv").agg(count(lit(1)).as("bc"))
-      val bandsS = bands.join(broadcast(bcnt), Seq("bi", "bv"))
-        .withColumn("nsub", expr("(bc + 127) div 128"))
-        .withColumn("sub",
-          expr(TextOps.md5Hash32Fast("CAST(media_id AS STRING)")) % col("nsub"))
-      val lhs = bandsS.select(col("bi"), col("bv"), col("sub"),
-        col("media_id").as("a_id"), col("ahash").as("ha"))
-      val rhs = bandsS.select(col("bi"), col("bv"), col("sub"),
-        col("media_id").as("b_id"), col("ahash").as("hb"))
-      val pairs = lhs.join(rhs, Seq("bi", "bv", "sub"))
-        .filter(col("a_id") < col("b_id"))
-        .select("a_id", "b_id", "ha", "hb").distinct()
-        .withColumn("hamm", expr("bit_count(ha ^ hb)"))
-        .filter(col("hamm") <= 2)
-      // per-image best match, both directions of each a<b pair
-      val sym = pairs.select(col("a_id").as("media_id"),
-          col("b_id").as("match_id"), col("hamm"), col("ha").as("ahash"))
-        .unionByName(pairs.select(col("b_id").as("media_id"),
-          col("a_id").as("match_id"), col("hamm"), col("hb").as("ahash")))
-      val wbest = org.apache.spark.sql.expressions.Window
-        .partitionBy("media_id").orderBy(asc("hamm"), asc("match_id"))
-      sym.withColumn("rn", row_number().over(wbest)).filter(col("rn") === 1)
-        .select("media_id", "match_id", "hamm", "ahash")
+      val hashes = graft.multimodal.Multimodal.aHashes(media)
+      // banding + sub-cell salt + per-image best match: the shared
+      // kernel (Multimodal.phashBestMatch) — also driven standalone by
+      // M6RecallSpec (salt recall loss vs all-pairs truth) and
+      // M6Density (the O(n) candidate bound past hash-space saturation)
+      graft.multimodal.Multimodal.phashBestMatch(hashes)
         .orderBy("media_id")
     }),
 

@@ -60,12 +60,22 @@ object TextQueries {
   /** Free the storage blocks behind a localCheckpoint-ed frame: the
     * blocks belong to the materialized RDD inside the plan's
     * LogicalRDD leaf (a plain unpersist() only touches CacheManager
-    * entries, which a checkpoint never registers). */
-  private def unpersistCheckpointed(df: DataFrame): Unit =
+    * entries, which a checkpoint never registers). For a
+    * [[checkpointReset]] frame the persisted RDD sits a couple of
+    * row-conversion hops ABOVE the leaf's rdd, so walk the (bounded —
+    * checkpointing truncates it) RDD lineage and unpersist every
+    * persisted ancestor. */
+  private def unpersistCheckpointed(df: DataFrame): Unit = {
+    def walk(r: org.apache.spark.rdd.RDD[_]): Unit = {
+      if (r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+        r.unpersist(false)
+      r.dependencies.foreach(dep => walk(dep.rdd))
+    }
     df.queryExecution.analyzed.foreach {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case l: org.apache.spark.sql.execution.LogicalRDD => walk(l.rdd)
       case _ => ()
     }
+  }
 
   /** localCheckpoint that also RESETS plan statistics. A checkpoint
     * truncates LINEAGE but copies the estimated sizeInBytes into the
@@ -1292,13 +1302,23 @@ object TextQueries {
       }
       var prevSig = sig(edges)
       while (!converged && iter < maxIter) {
-        val next = checkpointReset(smallStar(checkpointReset(largeStar(edges))))
+        val mid = checkpointReset(largeStar(edges))
+        val next = checkpointReset(smallStar(mid))
+        // next is materialized (localCheckpoint(true) is eager): the
+        // intermediate large-star frame is consumed — free its blocks
+        // now rather than pinning ~2 checkpoints/round for the session
+        // lifetime (r12 advice; ~9 rounds × 2 at the ×1000 corpus)
+        unpersistCheckpointed(mid)
         val nextSig = sig(next)
         converged = nextSig._1 == prevSig._1 &&
           ((nextSig._2 == null && prevSig._2 == null) ||
             (nextSig._2 != null && prevSig._2 != null &&
               nextSig._2.compareTo(prevSig._2) == 0)) &&
           next.except(edges).isEmpty
+        // the previous round's edge set is superseded once the except
+        // gate above has read it; the FINAL frame stays persisted (the
+        // returned plan reads it lazily after this builder returns)
+        unpersistCheckpointed(edges)
         edges = next; prevSig = nextSig; iter += 1
         if (dbg) System.err.println(
           s"[d15] round $iter edges ${nextSig._1} converged $converged")

@@ -22,6 +22,18 @@ object TimeSeries {
   private val P7 = 7L * PDAY
   private val DUR = PDAY
 
+  /** a1b's caller-supplied IRREGULAR bin edges (hours from E; the
+    * events fixture spans ~720 h, so the last bin (721 h, 2000 h) is
+    * deliberately EMPTY — exercising the reference's prefilled-NaN
+    * row). Derived (bin, lo_us, hi_us) triples feed both the Spark
+    * broadcast table and the oracle's VALUES list. */
+  private[queries] val a1bEdgeHours = Seq(0L, 5L, 7L, 19L, 40L, 77L, 100L,
+    241L, 300L, 500L, 721L, 2000L)
+  private[queries] val a1bBins: Seq[(Long, Long, Long)] =
+    a1bEdgeHours.sliding(2).zipWithIndex.map { case (Seq(lo, hi), k) =>
+      (k.toLong, E + lo * 3600000000L, E + hi * 3600000000L)
+    }.toSeq
+
   /** events + (t_us, vc) — shared prep; mirrors the SQL `base` CTE. */
   private def base(s: SparkSession, d: String): DataFrame =
     events(s, d).select(
@@ -45,6 +57,40 @@ object TimeSeries {
     """base AS (SELECT event_id, user_id, event_type, value,
       |  epoch_us(ts) AS t_us, CAST(round(value*100) AS BIGINT) AS vc
       |  FROM events)""".stripMargin
+
+  /** w2b's synthetic lightcurve in integer MICRO-units — ONE expression
+    * string shared verbatim between the Spark builder and the DuckDB
+    * oracle (the t3bSimValue technique). Quadratic-LCG noise at ±0.005
+    * (the i² term breaks the pure-affine chain whose consecutive diffs
+    * would be a two-valued constant), plus the two injected features
+    * the discontinuity detector must separate:
+    *  - a single-sample −0.3 SPIKE at i=500 → dif1[499] ≈ +3e5 clears
+    *    20σ (σ(dif1) ≈ 1.23e4 with the three big diffs included) and
+    *    the local-mean guard holds (J/3 = 1e5 < J√5/6 ≈ 1.12e5, noise
+    *    margin ~12k vs ±5k) → BREAK;
+    *  - a persistent −0.3 STEP at i≥1200 → dif1[1199] clears 20σ but
+    *    the guard rejects it (2J/3 = 2e5 > J√2/3 ≈ 1.41e5) → NO break,
+    * exactly the reference's glitch-vs-shift asymmetry. */
+  private[queries] val w2bSimValue: String =
+    "1000000 + ((i*i % 65536) * 1103515245 + i * 12345 + p * 999331) % 10000 - 5000" +
+      " - (CASE WHEN i = 500 THEN 300000 ELSE 0 END)" +
+      " - (CASE WHEN i >= 1200 THEN 300000 ELSE 0 END)"
+
+  /** The w2b fixture: 2 parts × 2000 samples at 30-min cadence anchored
+    * at the events epoch (the dense series the events fixture's 7 h
+    * cadence can't provide), a 2-day time GAP opening at i=1600 on top
+    * of [[w2bSimValue]]'s spike + step — so one partition exercises
+    * all three boundary kinds (disc break, gap break, guarded non-break). */
+  private def w2bSim(s: SparkSession, d: String): DataFrame =
+    base(s, d).agg(min(col("t_us")).as("t0"))
+      .withColumn("p", explode(sequence(lit(0L), lit(1L))))
+      .withColumn("i", explode(sequence(lit(0L), lit(1999L))))
+      .withColumn("t_us", col("t0") + col("i") * 1800000000L +
+        when(col("i") >= 1600, 172800000000L).otherwise(0L))
+      .withColumn("vq", expr(w2bSimValue))
+      .select(col("p").cast("string").as("part"),
+        (col("p") * 10000L + col("i")).as("id"),
+        col("t_us"), col("vq"))
 
   /** Three-micro-batch arrival fixture shared by the append-mode
     * streaming queries (st4/st5): batch files [E, E+10d), [E+10d,
@@ -230,6 +276,47 @@ object TimeSeries {
       TsOps.withRegion(base(s, d), Seq("user_id"), "t_us", "event_id", 3600000000L)
         .select("user_id", "event_id", "region")
         .orderBy("user_id", "event_id")
+    }),
+
+    // W2 full mode — gap breaks PLUS the reference's default-ON 20σ
+    // discontinuity break (retr_timeedge `booladdddiscbdtr=True`,
+    // main.py:6599–6605, default at 6683): the spike at i=500 breaks,
+    // the persistent step at i=1200 is guard-rejected, the 2-day gap
+    // at i=1600 breaks → regions {0,1,2} per part.
+    "w2b_disc_segment" -> ((s, d) => {
+      TsOps.withRegionDisc(w2bSim(s, d), Seq("part"), "t_us", "id", "vq",
+          3600000000L)
+        .select("part", "id", "region")
+        .orderBy("part", "id")
+    }),
+
+    // A1 explicit-edge rebin (`rebn_tser` blimxdat branch,
+    // main.py:3755–3759, 3805–3817): caller-supplied IRREGULAR bin
+    // edges; membership is STRICTLY inside (lo < x < hi — a point on
+    // an edge belongs to neither bin); EMPTY bins are still emitted
+    // (the reference pre-fills NaN rows, centers always set). Same
+    // error model as a1/t2. Broadcast range join: the edge table is
+    // tiny, the scan side streams through it.
+    "a1b_rebin_edges" -> ((s, d) => {
+      val binsDf = s.createDataFrame(a1bBins).toDF("bin", "lo_us", "hi_us")
+      val agg = base(s, d)
+        .join(broadcast(binsDf),
+          col("t_us") > col("lo_us") && col("t_us") < col("hi_us"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum(col("vc")).as("_s"),
+          sum(col("vc") * col("vc")).as("_q"))
+      binsDf.join(agg, Seq("bin"), "left")
+        .withColumn("bctr_us", (col("lo_us") + col("hi_us")) / lit(2.0))
+        .withColumn("n", coalesce(col("n"), lit(0L)))
+        // n=0 bins stay NULL (the reference's prefilled NaN row) — the
+        // when() keeps the divisions off the n=0 path entirely
+        .withColumn("vmean", when(col("n") > 0, col("_s") / 100.0 / col("n")))
+        .withColumn("vvar", when(col("n") > 0,
+          (col("_q") - col("_s").cast("double") * col("_s") / col("n")) / col("n") / 10000.0))
+        .withColumn("verr", when(col("n") > 0,
+          sqrt(lit(1.0) / col("n") + greatest(col("vvar"), lit(0.0)))))
+        .select("bin", "bctr_us", "n", "vmean", "verr")
+        .orderBy("bin")
     }),
 
     // §2.10 — Spark's native session_window in batch mode: the same
@@ -753,11 +840,14 @@ object TimeSeries {
       // any batching: the file stream is time-ordered, so nothing
       // arrives later than the watermark (driver fixture = 1 file =
       // 1 batch, bit-identical).
-      val evDir = new java.io.File(d, "events.parquet")
-      val nFiles = if (evDir.isDirectory)
-        evDir.listFiles().count(_.getName.endsWith(".parquet")) else 1
-      val totalRows = ss.read.parquet(s"$d/events*.parquet").count()
-      val rowsPerFile = math.max(1L, totalRows / math.max(1, nFiles))
+      // file count and row count from the SAME frame (r12 advice: a
+      // directory listing vs the glob can silently diverge if the glob
+      // ever matches extra datasets) — inputFiles enumerates exactly
+      // the files the stream will read, count() reads their footers
+      val evFrame = ss.read.parquet(s"$d/events*.parquet")
+      val nFiles = math.max(1, evFrame.inputFiles.length)
+      val totalRows = evFrame.count()
+      val rowsPerFile = math.max(1L, totalRows / nFiles)
       val mfpt = math.max(1L, 2500000L / rowsPerFile)
       def src = ss.readStream.schema(schema)
         .option("basePath", d)
@@ -1522,6 +1612,67 @@ object TimeSeries {
            |                                  ORDER BY t_us, event_id) AS gap
            |      FROM base)
            |ORDER BY user_id, event_id""".stripMargin,
+
+      // w2b: the sim + the full break logic restated layer by layer —
+      // every statistic from exact integer window sums, the two
+      // double comparisons the same expression tree as the engine's.
+      "w2b_disc_segment" ->
+        s"""WITH e0 AS (SELECT min(epoch_us(ts)) AS t0 FROM events),
+           |sim AS (SELECT part, id, t_us, $w2bSimValue AS vq
+           |  FROM (SELECT p, i, CAST(p AS VARCHAR) AS part, p*10000 + i AS id,
+           |      t0 + i*1800000000
+           |        + (CASE WHEN i >= 1600 THEN 172800000000 ELSE 0 END) AS t_us
+           |    FROM e0, (SELECT unnest(generate_series(0, 1)) AS p),
+           |         (SELECT unnest(generate_series(0, 1999)) AS i))),
+           |s1 AS (SELECT part, id, t_us, vq,
+           |    t_us - lag(t_us) OVER (PARTITION BY part ORDER BY t_us, id) AS _gap,
+           |    lag(vq) OVER (PARTITION BY part ORDER BY t_us, id) - vq AS _d,
+           |    count(vq) OVER (PARTITION BY part ORDER BY t_us, id
+           |      ROWS BETWEEN 4 PRECEDING AND 2 PRECEDING) AS _nl,
+           |    sum(vq) OVER (PARTITION BY part ORDER BY t_us, id
+           |      ROWS BETWEEN 4 PRECEDING AND 2 PRECEDING) AS _sl,
+           |    count(vq) OVER (PARTITION BY part ORDER BY t_us, id
+           |      ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS _nr,
+           |    sum(vq) OVER (PARTITION BY part ORDER BY t_us, id
+           |      ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS _sr,
+           |    sum(vq*vq) OVER (PARTITION BY part ORDER BY t_us, id
+           |      ROWS BETWEEN 4 PRECEDING AND 2 PRECEDING) AS _ql,
+           |    sum(vq*vq) OVER (PARTITION BY part ORDER BY t_us, id
+           |      ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS _qr
+           |  FROM sim),
+           |s2 AS (SELECT *,
+           |    count(_d) OVER (PARTITION BY part) AS _nd,
+           |    sum(_d) OVER (PARTITION BY part) AS _sd,
+           |    sum(_d*_d) OVER (PARTITION BY part) AS _qd,
+           |    _nl + _nr AS _n6, _sl + _sr AS _s6, _ql + _qr AS _q6
+           |  FROM s1),
+           |s3 AS (SELECT part, id, t_us,
+           |    CASE WHEN _gap > 3600000000 OR (
+           |      coalesce(CAST(_d AS DOUBLE) >
+           |        20.0 * sqrt((_qd - CAST(_sd AS DOUBLE)*_sd/_nd)/_nd), false)
+           |      AND _nl = 3
+           |      AND (CAST(_sl AS DOUBLE)/_nl - CAST(_sr AS DOUBLE)/_nr) <
+           |        sqrt((_q6 - CAST(_s6 AS DOUBLE)*_s6/_n6)/_n6))
+           |    THEN 1 ELSE 0 END AS _brk
+           |  FROM s2)
+           |SELECT part, id,
+           |  CAST(sum(_brk) OVER (PARTITION BY part ORDER BY t_us, id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS region
+           |FROM s3 ORDER BY part, id""".stripMargin,
+
+      "a1b_rebin_edges" ->
+        s"""WITH $baseSql,
+           |bins(bin, lo_us, hi_us) AS (VALUES ${
+             a1bBins.map { case (k, lo, hi) => s"($k, $lo, $hi)" }.mkString(", ")}),
+           |g AS (SELECT bin, $refErr
+           |      FROM base JOIN bins ON t_us > lo_us AND t_us < hi_us GROUP BY 1)
+           |SELECT bins.bin, (lo_us + hi_us) / 2.0 AS bctr_us,
+           |  coalesce(g.n, 0) AS n,
+           |  CASE WHEN g.n > 0 THEN _s/100.0/g.n END AS vmean,
+           |  CASE WHEN g.n > 0 THEN sqrt(1.0/g.n +
+           |    greatest((_q - CAST(_s AS DOUBLE)*_s/g.n)/g.n/10000.0, 0.0)) END AS verr
+           |FROM bins LEFT JOIN g ON bins.bin = g.bin
+           |ORDER BY bins.bin""".stripMargin,
 
       "st6_stream_dedup" ->
         """SELECT DISTINCT user_id, event_type FROM events

@@ -167,7 +167,13 @@ object StreamOps {
     val trig = org.apache.spark.sql.streaming.Trigger.AvailableNow()
     if (sys.env.get("SPARK_GRAFT_STREAM_SINK").contains("file")) {
       val dir = java.nio.file.Files.createTempDirectory(s"graft_fsink_$name")
-      dir.toFile.deleteOnExit()
+      // deleteOnExit removes only EMPTY directories — the parquet
+      // output (up to 100 M rows at ×1000) and the checkpoint dir
+      // would leak per run (r12 advice). The read-back frame below is
+      // consumed lazily by the caller, so deletion must wait for JVM
+      // exit: recursive delete in a shutdown hook.
+      java.lang.Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile): Unit))
       val q = out.writeStream.format("parquet")
         .option("path", s"$dir/out")
         .option("checkpointLocation", s"$dir/ckpt")
