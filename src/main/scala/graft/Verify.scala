@@ -10,9 +10,13 @@ object Verify {
     // the driver passes none → full dump.
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // ×1000-corpus dumps need shuffle partitions scaled past the core
+    // count so per-task hash state fits executor memory (the r11
+    // ScaleDecade lesson) — same knob a cluster deployment scales.
+    val parts = sys.env.getOrElse("SPARK_GRAFT_PARTS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -175,7 +175,12 @@ object TimeSeries {
     * sizing decision per stream — this helper is where it lives.) */
   private def streamSession(s: SparkSession): SparkSession = {
     val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    // SPARK_GRAFT_STREAM_PARTS: the state-partition sizing knob a
+    // deployment sets per stream (r10 rule: ∝ per-batch row volume;
+    // r13 StreamKnobSweep measures the ×100/×1000 curve). Default 8 =
+    // the gate-fixture optimum.
+    ss.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8"))
     ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // StreamingQueryManager is per-session: carry the caller's
     // listeners over so progress observers (metrics assertions,
@@ -805,13 +810,25 @@ object TimeSeries {
         .withColumn("est", (col("qbin") + 1) * lit(250L) / lit(100.0))
       val ev = graft.core.Tables.events(ss, d)
         .withColumn("vc", expr("CAST(round(value * 100) AS BIGINT)"))
-      val exact = ev
-        .withColumn("r", row_number().over(
-          Window.partitionBy("event_type").orderBy("vc", "event_id")))
-        .withColumn("n2", count(lit(1)).over(Window.partitionBy("event_type")))
+      // exact grounding WITHOUT a global sort (r13; the r12 ×1000
+      // mechanism hunt): the k-th smallest vc needs only the value
+      // FREQUENCY table — one map-combined aggregation collapses the
+      // corpus to ≤ types × |distinct vc| rows (vc is cent-quantized:
+      // ~20 k values) and the cumulative walk reads the order
+      // statistic off it. The previous row_number() form sorted the
+      // FULL corpus per event_type (100 M rows through 8 partitions at
+      // ×1000 — 5.5× the whole query's remaining cost; measured by
+      // StreamKnobSweep, recorded in BASELINE §r13).
+      val freq = ev.groupBy("event_type", "vc").agg(count(lit(1)).as("c"))
+      val wV = Window.partitionBy("event_type").orderBy("vc")
+      val exact = freq
+        .withColumn("cum", sum(col("c")).over(wV))
+        .withColumn("n2", sum(col("c")).over(Window.partitionBy("event_type")))
         .crossJoin(qs2)
-        .filter(col("r") === expr("(n2 * q + 99) div 100"))
-        .select(col("event_type"), col("q"), (col("vc") / lit(100.0)).as("exact"))
+        .filter(col("cum") >= expr("(n2 * q + 99) div 100"))
+        .groupBy("event_type", "q")
+        .agg(min(col("vc")).as("kv"))
+        .select(col("event_type"), col("q"), (col("kv") / lit(100.0)).as("exact"))
       est.join(exact, Seq("event_type", "q"))
         .select("event_type", "q", "qbin", "est", "exact")
         .orderBy("event_type", "q")

@@ -82,7 +82,11 @@ object ScaleDecade {
       // streaming sketches (bounded register/cell/quantile state),
       // the in-plan IVF, the FastSS edit-distance join, SCD2
       "st11_stream_hll", "st12_stream_cms", "st13_stream_quantile",
-      "e3_ivf_ann", "j10_fuzzy_ed1", "j9_salted_join", "u6_scd2")
+      "e3_ivf_ann", "j10_fuzzy_ed1", "j9_salted_join", "u6_scd2",
+      // r13: the disc-break segmentation (fixed-size sim + one anchor
+      // scan — the decade rows PROVE corpus-O(1)) and the explicit-edge
+      // rebin (events-proportional: one broadcast range join + agg)
+      "w2b_disc_segment", "a1b_rebin_edges")
     // optional 2nd arg: comma-separated subset (re-measure selectively)
     val queries = args.lift(1).map(_.split(",").toSeq.filter(all.contains))
       .getOrElse(all)

@@ -18,6 +18,12 @@ from verify_local import TABLES
 def main():
     sf_dir, out_dir, name = sys.argv[1], sys.argv[2], sys.argv[3]
     con = duckdb.connect()
+    # cap the allocator and give it a spill dir: the r13 x1000 sweep
+    # saw the OS OOM-kill un-capped runs (DuckDB only spills blocking
+    # operators when a limit is set). Override via BIGCOMPARE_MEM.
+    con.execute(f"PRAGMA memory_limit='{os.environ.get('BIGCOMPARE_MEM', '48GB')}'")
+    os.makedirs("/tmp/duck_spill", exist_ok=True)
+    con.execute("PRAGMA temp_directory='/tmp/duck_spill'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         src = f"'{p}/*.parquet'" if os.path.isdir(p) else (

@@ -23,6 +23,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from verify_local import canon
 
 
+
+def connect():
+    # capped + spill-enabled connection (r13): without a memory_limit
+    # DuckDB never spills blocking operators; the x1000 sweep was
+    # OOM-killed under concurrent load. Override via BIGCOMPARE_MEM.
+    con = connect()
+    con.execute("PRAGMA memory_limit='%s'" % os.environ.get("BIGCOMPARE_MEM", "48GB"))
+    os.makedirs("/tmp/duck_spill", exist_ok=True)
+    con.execute("PRAGMA temp_directory='/tmp/duck_spill'")
+    return con
+
 def round_half_away(v):
     return np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)).astype(np.int64)
 
@@ -53,7 +64,7 @@ def compare(name, got_rows, want_rows, order):
 def load_embeddings(sf_dir):
     src = f"{sf_dir}/embeddings.parquet"
     pat = f"{src}/*.parquet" if os.path.isdir(src) else src
-    con = duckdb.connect()
+    con = connect()
     rows = con.execute(
         f"SELECT vec_id, embedding FROM '{pat}' ORDER BY vec_id").fetchall()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
@@ -73,7 +84,7 @@ def d15(sf_dir, out_dir):
     prefix = sql[:i]
     docs = f"{sf_dir}/documents.parquet"
     pat = f"{docs}/*.parquet" if os.path.isdir(docs) else docs
-    con = duckdb.connect()
+    con = connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM '{pat}'")
     nodes = [r[0] for r in con.execute(
         prefix + "sel AS (SELECT doc_id FROM sig) SELECT doc_id FROM sel").fetchall()]
@@ -181,7 +192,7 @@ def e6(sf_dir, out_dir):
     prefix = sql[:i]
     emb = f"{sf_dir}/embeddings.parquet"
     pat = f"{emb}/*.parquet" if os.path.isdir(emb) else emb
-    con = duckdb.connect()
+    con = connect()
     con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{pat}'")
     assigned = dict(con.execute(
         prefix + "sel AS (SELECT vec_id, cid FROM assigned) "
@@ -230,7 +241,7 @@ def j11(sf_dir, out_dir):
     def keys(table, col):
         src = f"{sf_dir}/{table}.parquet"
         pat = f"{src}/*.parquet" if os.path.isdir(src) else src
-        con = duckdb.connect()
+        con = connect()
         return np.array([r[0] for r in con.execute(
             f"SELECT {col} FROM '{pat}'").fetchall()], dtype=np.int64)
 
@@ -325,7 +336,7 @@ def st14(sf_dir, out_dir):
     # 10M-row Python tuple materialization is the d9 bottleneck).
     src = f"{sf_dir}/events.parquet"
     pat = f"{src}/*.parquet" if os.path.isdir(src) else src
-    con = duckdb.connect()
+    con = connect()
     kind = dict((r[0], r[1]) for r in
                 con.execute(f"DESCRIBE SELECT * FROM '{pat}'").fetchall())
     t_us = ("ts // 1000" if kind.get("ts") == "BIGINT"

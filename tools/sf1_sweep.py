@@ -21,6 +21,12 @@ from verify_local import canon, TABLES
 def main():
     sf_dir, out_dir, name = sys.argv[1], sys.argv[2], sys.argv[3]
     con = duckdb.connect()
+    # cap + spill dir (r13): without a limit DuckDB never spills its
+    # blocking operators and the OS OOM-kills the sweep under
+    # concurrent load. Override via BIGCOMPARE_MEM.
+    con.execute(f"PRAGMA memory_limit='{os.environ.get('BIGCOMPARE_MEM', '48GB')}'")
+    os.makedirs("/tmp/duck_spill", exist_ok=True)
+    con.execute("PRAGMA temp_directory='/tmp/duck_spill'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         src = f"'{p}/*.parquet'" if os.path.isdir(p) else (

@@ -1,0 +1,29 @@
+#!/bin/bash
+# ×1000 bit-verification sweep (r13, verdict #2): one query per family,
+# method per the ×100 playbook — full-SQL DuckDB replay (sf1_sweep) for
+# small outputs, DuckDB EXCEPT-ALL set-difference (bigcompare) for
+# answer-volume-bound outputs, validated numpy/union-find mirrors
+# (hybrid_sweep) where the monolithic SQL replay is disk/volume-bound.
+# Engine dumps come from `graft.Verify /tmp/graft_scale_x1000 /tmp/vx1000`.
+# Results recorded in COVERAGE.md §×1000 + BASELINE.md.
+set -u
+SD=${1:-/tmp/graft_scale_x1000}
+OD=${2:-/tmp/vx1000}
+cd /root/repo
+SMALL="d1_exact_dedup d4b_simhash_pairs d28_bigram_lm d30_hll_cardinality
+       d38_classifier_auc j9_salted_join j10_fuzzy_ed1 p3_exact_quantiles
+       t6_bls st11_stream_hll"
+BIG="d5_langid e7_random_projection o9_global_index s14_fits_scan
+     st2_stream_tumbling u6_scd2"
+HYB="d15 e3 st14 j11"
+rc=0
+for q in $SMALL; do
+  timeout 7200 python3 tools/sf1_sweep.py "$SD" "$OD" "$q" || rc=1
+done
+for q in $BIG; do
+  timeout 7200 python3 tools/bigcompare.py "$SD" "$OD" "$q" || rc=1
+done
+for q in $HYB; do
+  timeout 10800 python3 tools/hybrid_sweep.py "$SD" "$OD" "$q" || rc=1
+done
+exit $rc
