@@ -28,7 +28,7 @@ def connect():
     # capped + spill-enabled connection (r13): without a memory_limit
     # DuckDB never spills blocking operators; the x1000 sweep was
     # OOM-killed under concurrent load. Override via BIGCOMPARE_MEM.
-    con = connect()
+    con = duckdb.connect()
     con.execute("PRAGMA memory_limit='%s'" % os.environ.get("BIGCOMPARE_MEM", "48GB"))
     os.makedirs("/tmp/duck_spill", exist_ok=True)
     con.execute("PRAGMA temp_directory='/tmp/duck_spill'")
@@ -74,23 +74,64 @@ def load_embeddings(sf_dir):
     return ids, X
 
 
-def d15(sf_dir, out_dir):
+def d15(sf_dir, out_dir, chunks=1):
     # DuckDB computes the oracle's own CTE chain through `edges`
     # (token minhash signatures -> band buckets -> pair edges); Python
     # union-find replaces only the recursive label-spread CTE, whose
     # fixpoint (min doc_id per component) is engine-independent.
+    # chunks > 1 (the x1000 path, mode "d15big"): the monolithic replay
+    # of the ~300M-token md5 stream exceeds this box's spill disk, but
+    # the SIGNATURE computation is per-doc, so DuckDB runs the
+    # oracle's own sig CTE per doc_id%chunks slice (bounded spill) and
+    # numpy rebuilds the band-star edges (min doc_id per band bucket —
+    # the oracle's e0/e1 window, order-free) from the 5M signatures.
     sql = json.load(open(f"{out_dir}/oracle_sql.json"))["d15_components"]
     i = sql.index("lab AS (")
     prefix = sql[:i]
     docs = f"{sf_dir}/documents.parquet"
     pat = f"{docs}/*.parquet" if os.path.isdir(docs) else docs
     con = connect()
-    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{pat}'")
-    nodes = [r[0] for r in con.execute(
-        prefix + "sel AS (SELECT doc_id FROM sig) SELECT doc_id FROM sel").fetchall()]
-    edges = con.execute(
-        prefix + "sel AS (SELECT src, dst FROM edges) SELECT src, dst FROM sel"
-    ).fetchall()
+    if chunks == 1:
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM '{pat}'")
+        nodes = [r[0] for r in con.execute(
+            prefix + "sel AS (SELECT doc_id FROM sig) SELECT doc_id FROM sel").fetchall()]
+        edges = con.execute(
+            prefix + "sel AS (SELECT src, dst FROM edges) SELECT src, dst FROM sel"
+        ).fetchall()
+    else:
+        sig_prefix = sql[:sql.index("e0 AS (")]
+        did = []
+        m0 = []
+        m1 = []
+        for c in range(chunks):
+            con.execute("CREATE OR REPLACE VIEW documents AS "
+                        f"SELECT * FROM '{pat}' WHERE doc_id % {chunks} = {c}")
+            t = con.execute(
+                sig_prefix + "sel AS (SELECT doc_id, m0, m1 FROM sig) "
+                "SELECT doc_id, m0, m1 FROM sel").fetch_arrow_table()
+            did.append(t["doc_id"].to_numpy().astype(np.int64))
+            m0.append(t["m0"].to_numpy().astype(np.int64))
+            m1.append(t["m1"].to_numpy().astype(np.int64))
+            print(f"  [d15big] sig chunk {c + 1}/{chunks}: {len(did[-1])} docs", flush=True)
+        did = np.concatenate(did)
+        m0 = np.concatenate(m0)
+        m1 = np.concatenate(m1)
+        nodes = did.tolist()
+        # band-star edges: src <-> min(doc_id) within each band bucket,
+        # exactly the oracle's e0/e1 window min + symmetrization
+        pairs = []
+        for m in (m0, m1):
+            o = np.lexsort((did, m))
+            ms, ds = m[o], did[o]
+            grp_start = np.empty(len(ms), dtype=bool)
+            grp_start[0] = True
+            grp_start[1:] = ms[1:] != ms[:-1]
+            root = ds[np.maximum.accumulate(np.where(grp_start,
+                np.arange(len(ds)), 0))]
+            keep = ds != root
+            pairs.append(np.stack([ds[keep], root[keep]], axis=1))
+        ep = np.concatenate(pairs)
+        edges = [tuple(r) for r in ep.tolist()]
     parent = {n: n for n in nodes}
 
     def find(x):
@@ -582,5 +623,6 @@ def d31(sf_dir, out_dir):
 
 if __name__ == "__main__":
     sf_dir, out_dir, which = sys.argv[1], sys.argv[2], sys.argv[3]
-    sys.exit({"d15": d15, "e3": e3, "e6": e6, "j11": j11,
+    sys.exit({"d15": d15, "d15big": lambda a, b: d15(a, b, chunks=16),
+              "e3": e3, "e6": e6, "j11": j11,
               "st14": st14, "e5": e5, "d31": d31}[which](sf_dir, out_dir))
