@@ -10,12 +10,17 @@ set -u
 SD=${1:-/tmp/graft_scale_x1000}
 OD=${2:-/tmp/vx1000}
 cd /root/repo
-SMALL="d1_exact_dedup d4b_simhash_pairs d28_bigram_lm d30_hll_cardinality
-       d38_classifier_auc j9_salted_join j10_fuzzy_ed1 p3_exact_quantiles
-       t6_bls st11_stream_hll"
-BIG="d5_langid e7_random_projection o9_global_index s14_fits_scan
+# Final r13 method map (COVERAGE.md §×1000). Excluded with reasons:
+#  - d5_langid: vacuous at scale (0 rows — no stopword tokens in the
+#    synthetic corpus); d17_token_entropy carries the family instead.
+#  - d30_hll_cardinality / d4b_simhash_pairs: oracle-side walls
+#    (exact-distinct grounding resp. structurally all-pairs SQL) —
+#    named in COVERAGE with fix directions; both ×100-total.
+SMALL="d1_exact_dedup d28_bigram_lm d38_classifier_auc j9_salted_join
+       j10_fuzzy_ed1 p3_exact_quantiles t6_bls st11_stream_hll"
+BIG="d17_token_entropy e7_random_projection o9_global_index s14_fits_scan
      st2_stream_tumbling u6_scd2"
-HYB="d15 e3 st14 j11"
+HYB="d15big e3 st14 j11"
 rc=0
 for q in $SMALL; do
   timeout 7200 python3 tools/sf1_sweep.py "$SD" "$OD" "$q" || rc=1
