@@ -76,7 +76,11 @@ object TsOps {
     * are the same fixed IEEE-double expression tree in any engine
     * (the a4/t4b oracle contract). Overflow envelope: Σ(Δvq²) per
     * partition must fit int64 — flux-like vq ~ 1e6 ± 1e5 holds to
-    * ~1e8 rows per partition. */
+    * ~1e8 rows per partition. The envelope is ENFORCED (r13 advice):
+    * two extra window maxes over the same partition exchange check
+    * max|Δvq|²·n ≤ Long.MaxValue (the Σ(Δvq²) bound — conservative,
+    * exact) and max|vq| ≤ 1.2e9 (the 6-row v² frames), and a violation
+    * raises instead of silently wrapping the 20σ threshold. */
   def withRegionDisc(df: DataFrame, parts: Seq[String], tUs: String, id: String,
                      vq: String, gapUs: Long, out: String = "region"): DataFrame = {
     val w = Window.partitionBy(parts.map(col): _*).orderBy(col(tUs), col(id))
@@ -91,6 +95,8 @@ object TsOps {
       .withColumn("_nd", count(d).over(wAll))
       .withColumn("_sd", sum(d).over(wAll))
       .withColumn("_qd", sum(d * d).over(wAll))
+      .withColumn("_ma", max(abs(d)).over(wAll))
+      .withColumn("_mv", max(abs(v)).over(wAll))
       .withColumn("_nl", count(v).over(left))
       .withColumn("_sl", sum(v).over(left))
       .withColumn("_ql", sum(v * v).over(left))
@@ -105,10 +111,21 @@ object TsOps {
     val guard = col("_nl") === 3 &&
       (col("_sl").cast("double") / col("_nl") - col("_sr").cast("double") / col("_nr")) <
         sqrt((col("_q6") - col("_s6").cast("double") * col("_s6") / col("_n6")) / col("_n6"))
+    // Envelope guard: 3037000499 = isqrt(Long.MaxValue), so under the
+    // first conjunct every Δvq² term is exact and max(Δvq)²·n bounds
+    // Σ(Δvq²); 1.2e9 (conservative isqrt(Long.MaxValue/6)) bounds the
+    // 6-row Σ(vq²) frames. NULL maxes (degenerate partitions) pass.
+    val dSafe = col("_ma").isNull || (col("_ma") <= lit(3037000499L) &&
+      col("_ma") * col("_ma") <= lit(Long.MaxValue) / col("_nd"))
+    val vSafe = col("_mv") <= lit(1200000000L)
     st.withColumn("_brk",
-        when(col("_gap") > gapUs || (coalesce(thr, lit(false)) && guard), 1).otherwise(0))
+        when(!coalesce(dSafe && vSafe, lit(true)),
+          raise_error(concat(lit("withRegionDisc int64 overflow envelope "
+            + "exceeded: max|dvq|="), col("_ma"), lit(" n="), col("_nd"),
+            lit(" max|vq|="), col("_mv"))).cast("int"))
+        .when(col("_gap") > gapUs || (coalesce(thr, lit(false)) && guard), 1).otherwise(0))
       .withColumn(out, sum(col("_brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
-      .drop("_gap", "_d", "_nd", "_sd", "_qd", "_nl", "_sl", "_ql",
+      .drop("_gap", "_d", "_nd", "_sd", "_qd", "_ma", "_mv", "_nl", "_sl", "_ql",
         "_nr", "_sr", "_qr", "_n6", "_s6", "_q6", "_brk")
   }
 

@@ -30,6 +30,41 @@ object TextQueries {
     documents(s, d).select(col("doc_id"),
       explode(array_distinct(split(col("text"), " "))).as("tok"))
 
+  /** d31's directed top-3 kNN graph: sign-LSH buckets with the
+    * population-128 sub-cell salt (the r6 quadratic fix — candidate
+    * volume ≤ n·128 at any clusteredness), exact-integer dots, ranked
+    * (sim DESC NULLS LAST, v ASC). Extracted from the d31 block (the
+    * m6 machinery move, r14) so D31RecallSpec audits the PRODUCTION
+    * candidate path against all-pairs truth. Returns (u, v) edges,
+    * eagerly localCheckpoint-ed — d31 feeds it to six self-join arms
+    * (the d3 lifecycle); without the cut each arm re-runs the bucket
+    * join. */
+  private[graft] def knnDirected(emb: DataFrame): DataFrame = {
+    val nv = emb.agg(count(lit(1)).as("n_vec"))
+    val wb0 = emb.crossJoin(broadcast(nv))
+      .withColumn("nbits", least(lit(16), greatest(lit(8),
+        ceil(log2(col("n_vec").cast("double") / 4.0)).cast("int"))))
+      .withColumn("bucket", sign_bucket(col("embedding"), col("nbits")))
+      .withColumn("nrm", dot_i12(col("embedding"), col("embedding")))
+      .select("vec_id", "bucket", "embedding", "nrm")
+    // bucket-population salt: ≤|distinct buckets| rows, broadcast
+    val bc = wb0.groupBy("bucket").agg(count(lit(1)).as("bc"))
+    val wb = wb0.join(broadcast(bc), "bucket")
+      .withColumn("nsub", expr("(bc + 127) div 128"))
+      .withColumn("sub",
+        expr(TextOps.md5Hash32Fast("CAST(vec_id AS STRING)")) % col("nsub"))
+    val cand = wb.as("a").join(wb.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.sub") === col("b.sub") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .withColumn("dot", dot_i12(col("a.embedding"), col("b.embedding")))
+      .withColumn("sim", (col("dot") / 1e12) /
+        nullif(sqrt(col("a.nrm") / 1e12) * sqrt(col("b.nrm") / 1e12), lit(0.0)))
+      .select(col("a.vec_id").as("u"), col("b.vec_id").as("v"), col("sim"))
+    val wr = Window.partitionBy("u").orderBy(desc_nulls_last("sim"), asc("v"))
+    cand.withColumn("rn", row_number().over(wr)).filter(col("rn") <= 3)
+      .select("u", "v").localCheckpoint()
+  }
+
   /** Corpus similarity graph shared by d15 (components) and d23
     * (PageRank): symmetrized, deduplicated minhash-band star edges,
     * plus the node list (doc_ids that produced a signature). Built
@@ -1854,32 +1889,7 @@ object TextQueries {
     // All arithmetic (sub-cell salt included) is the exact-integer
     // d9 contract, ranked with explicit NULLS LAST on both sides.
     "d31_knn_triangles" -> ((s, d) => {
-      val nv = embeddings(s, d).agg(count(lit(1)).as("n_vec"))
-      val wb0 = embeddings(s, d).crossJoin(broadcast(nv))
-        .withColumn("nbits", least(lit(16), greatest(lit(8),
-          ceil(log2(col("n_vec").cast("double") / 4.0)).cast("int"))))
-        .withColumn("bucket", sign_bucket(col("embedding"), col("nbits")))
-        .withColumn("nrm", dot_i12(col("embedding"), col("embedding")))
-        .select("vec_id", "bucket", "embedding", "nrm")
-      // bucket-population salt: ≤|distinct buckets| rows, broadcast
-      val bc = wb0.groupBy("bucket").agg(count(lit(1)).as("bc"))
-      val wb = wb0.join(broadcast(bc), "bucket")
-        .withColumn("nsub", expr("(bc + 127) div 128"))
-        .withColumn("sub",
-          expr(TextOps.md5Hash32Fast("CAST(vec_id AS STRING)")) % col("nsub"))
-      val cand = wb.as("a").join(wb.as("b"),
-          col("a.bucket") === col("b.bucket") && col("a.sub") === col("b.sub") &&
-            col("a.vec_id") =!= col("b.vec_id"))
-        .withColumn("dot", dot_i12(col("a.embedding"), col("b.embedding")))
-        .withColumn("sim", (col("dot") / 1e12) /
-          nullif(sqrt(col("a.nrm") / 1e12) * sqrt(col("b.nrm") / 1e12), lit(0.0)))
-        .select(col("a.vec_id").as("u"), col("b.vec_id").as("v"), col("sim"))
-      val wr = Window.partitionBy("u").orderBy(desc_nulls_last("sim"), asc("v"))
-      // localCheckpoint (the d3 lifecycle): dir is ≤3 rows per vector
-      // and feeds SIX self-join arms below — without the cut, each arm
-      // would re-run the bucket join.
-      val dir = cand.withColumn("rn", row_number().over(wr)).filter(col("rn") <= 3)
-        .select("u", "v").localCheckpoint()
+      val dir = knnDirected(embeddings(s, d))
       val mutual = dir.as("e1").join(dir.as("e2"),
           col("e1.u") === col("e2.v") && col("e1.v") === col("e2.u") &&
             col("e1.u") < col("e1.v"))

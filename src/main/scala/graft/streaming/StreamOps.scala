@@ -166,14 +166,17 @@ object StreamOps {
   def drain(ss: SparkSession, out: DataFrame, name: String): DataFrame = {
     val trig = org.apache.spark.sql.streaming.Trigger.AvailableNow()
     if (sys.env.get("SPARK_GRAFT_STREAM_SINK").contains("file")) {
-      val dir = java.nio.file.Files.createTempDirectory(s"graft_fsink_$name")
       // deleteOnExit removes only EMPTY directories — the parquet
       // output (up to 100 M rows at ×1000) and the checkpoint dir
       // would leak per run (r12 advice). The read-back frame below is
-      // consumed lazily by the caller, so deletion must wait for JVM
-      // exit: recursive delete in a shutdown hook.
-      java.lang.Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile): Unit))
+      // consumed lazily by the caller, so the CURRENT run's dir must
+      // survive until JVM exit — but a long-lived sbt/sweep session
+      // re-draining the same query must not accumulate one dir (and
+      // one shutdown hook) per run (r13 advice): a single static hook
+      // sweeps whatever remains, and a re-drain of the same `name`
+      // eagerly deletes that name's PREVIOUS dir, whose read-back
+      // frame it supersedes.
+      val dir = FileSinkDirs.replace(name)
       val q = out.writeStream.format("parquet")
         .option("path", s"$dir/out")
         .option("checkpointLocation", s"$dir/ckpt")
@@ -186,5 +189,31 @@ object StreamOps {
       q.awaitTermination()
       ss.table(s"${name}_sink")
     }
+  }
+}
+
+/** File-sink temp-dir registry (r13 advice): one JVM-wide shutdown
+  * hook instead of one per drain, plus eager reclamation — when a
+  * query name drains again, its previous run's output+checkpoint dir
+  * (up to ~100 M rows at ×1000) is deleted immediately rather than
+  * held until JVM exit, so a long sweep session's /tmp usage is
+  * bounded by the set of DISTINCT query names, not the run count. */
+private[streaming] object FileSinkDirs {
+  private val dirs = scala.collection.mutable.LinkedHashMap.empty[String, java.nio.file.Path]
+  java.lang.Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    dirs.synchronized {
+      dirs.valuesIterator.foreach(d =>
+        org.apache.commons.io.FileUtils.deleteQuietly(d.toFile): Unit)
+      dirs.clear()
+    }))
+
+  /** Delete `name`'s previous sink dir (its read-back frame is
+    * superseded by the run being started) and register a fresh one. */
+  def replace(name: String): java.nio.file.Path = dirs.synchronized {
+    dirs.remove(name).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(d.toFile): Unit)
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_fsink_$name")
+    dirs.put(name, dir)
+    dir
   }
 }

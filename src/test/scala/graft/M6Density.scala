@@ -34,8 +34,14 @@ object M6Density {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = ScaleFixture.dir(spark, 1000)
-    // one-time decode: the real ×1000 aHash population, parqueted
-    val hdir = new java.io.File(sys.props("java.io.tmpdir"), "graft_m6_hashes_x1000")
+    // one-time decode: the real ×1000 aHash population, parqueted.
+    // The cache dir is keyed on the fixture's _manifest token (r13
+    // advice): a ScaleFixture regeneration under a new Version bumps
+    // the token, so stale hashes are rebuilt instead of silently
+    // reused against different content.
+    val token = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(d, "_manifest")), "UTF-8").replace('|', '_')
+    val hdir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_m6_hashes_x1000_$token")
     if (!new java.io.File(hdir, "_SUCCESS").exists()) {
       val media = graft.multimodal.Multimodal.fromDocuments(
         graft.core.Tables.documents(spark, d).filter(col("doc_id") % 3 === 0))

@@ -22,8 +22,9 @@ def main():
     # saw the OS OOM-kill un-capped runs (DuckDB only spills blocking
     # operators when a limit is set). Override via BIGCOMPARE_MEM.
     con.execute(f"PRAGMA memory_limit='{os.environ.get('BIGCOMPARE_MEM', '48GB')}'")
-    os.makedirs("/tmp/duck_spill", exist_ok=True)
-    con.execute("PRAGMA temp_directory='/tmp/duck_spill'")
+    spill = os.environ.get("BIGCOMPARE_SPILL", "/tmp/duck_spill")
+    os.makedirs(spill, exist_ok=True)
+    con.execute(f"PRAGMA temp_directory='{spill}'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         src = f"'{p}/*.parquet'" if os.path.isdir(p) else (

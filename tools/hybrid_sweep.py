@@ -30,8 +30,9 @@ def connect():
     # OOM-killed under concurrent load. Override via BIGCOMPARE_MEM.
     con = duckdb.connect()
     con.execute("PRAGMA memory_limit='%s'" % os.environ.get("BIGCOMPARE_MEM", "48GB"))
-    os.makedirs("/tmp/duck_spill", exist_ok=True)
-    con.execute("PRAGMA temp_directory='/tmp/duck_spill'")
+    spill = os.environ.get("BIGCOMPARE_SPILL", "/tmp/duck_spill")
+    os.makedirs(spill, exist_ok=True)
+    con.execute(f"PRAGMA temp_directory='{spill}'")
     return con
 
 def round_half_away(v):
@@ -621,8 +622,267 @@ def d31(sf_dir, out_dir):
     return compare("d31_knn_triangles", got, want_rows, order_)
 
 
+def d30(sf_dir, out_dir, chunks=16):
+    """×1000 oracle for d30_hll_cardinality (r13 verdict #1): the
+    monolithic replay materializes the ~600M-item tokenized stream
+    twice (register side + exact-distinct grounding) — >57 GB of
+    DuckDB spill. Chunked replay instead; every arithmetic step is
+    the ORACLE'S OWN SQL text (sliced from oracle_sql.json):
+
+      pass 1, per doc_id%chunks slice (the bigram window partitions
+      by doc_id, so doc-chunking is EXACT and bounds the window
+      sort): materialize the oracle's `items` CTE once per chunk,
+      then (a) register maxes via the oracle's hashed/rho text — HLL
+      registers merge across chunks by MAX by construction; and
+      (b) dump DISTINCT (kind, source, item), hive-partitioned by an
+      item-hash slice. The slice key is MIRROR-internal partitioning
+      only: equal items land in the same slice, so per-slice distinct
+      counts ADD exactly across slices — this is the item-hash-
+      partitioned grounding the r13 COVERAGE note called for, without
+      re-tokenizing per slice.
+
+      pass 2, per item slice: count(DISTINCT item) across all chunk
+      dumps of that slice (bounded hash table); sum over slices =
+      the exact grounding column.
+
+      tail: the oracle's own est/est2 CTE text over the merged
+      register grid (registered as `fullgrid`) — the estimator
+      constants never leave the oracle string."""
+    sql = json.load(open(f"{out_dir}/oracle_sql.json"))["d30_hll_cardinality"]
+    items_prefix = sql[:sql.index("hashed AS (")]
+    hashed_block = sql[sql.index("hashed AS ("):sql.index("regs AS (")]
+    est_blocks = sql[sql.index("est AS ("):sql.index("exact AS (")]
+    est_blocks = est_blocks.rstrip().rstrip(",")
+    docs = f"{sf_dir}/documents.parquet"
+    pat = f"{docs}/*.parquet" if os.path.isdir(docs) else docs
+    con = connect()
+    import shutil
+    dump = os.environ.get("D30_DUMP", "/tmp/d30_distinct_dump")
+    shutil.rmtree(dump, ignore_errors=True)
+    regs = {}  # (kind, source, reg) -> max rho over chunks
+    for c in range(chunks):
+        con.execute("CREATE OR REPLACE VIEW documents AS "
+                    f"SELECT * FROM '{pat}' WHERE doc_id % {chunks} = {c}")
+        con.execute("DROP TABLE IF EXISTS items_mat")
+        con.execute("CREATE TEMP TABLE items_mat AS " + items_prefix +
+                    "sel AS (SELECT kind, source, item FROM items) "
+                    "SELECT * FROM sel")
+        for k, s, r, m in con.execute(
+                "WITH items AS (SELECT * FROM items_mat), " + hashed_block +
+                "regs AS (SELECT kind, source, reg, max(rho) AS m "
+                "FROM hashed GROUP BY 1, 2, 3) "
+                "SELECT kind, source, reg, m FROM regs").fetchall():
+            key = (k, s, int(r))
+            if int(m) > regs.get(key, -1):
+                regs[key] = int(m)
+        os.makedirs(f"{dump}/chunk{c}", exist_ok=True)
+        con.execute(
+            f"COPY (SELECT kind, source, item, hash(item) % {chunks} AS slice"
+            f" FROM (SELECT DISTINCT kind, source, item FROM items_mat))"
+            f" TO '{dump}/chunk{c}' (FORMAT parquet, PARTITION_BY (slice))")
+        n = con.execute("SELECT count(*) FROM items_mat").fetchone()[0]
+        print(f"  [d30big] chunk {c + 1}/{chunks}: {n} items", flush=True)
+    con.execute("DROP TABLE IF EXISTS items_mat")
+    groups = sorted(set((k, s) for (k, s, _r) in regs))
+    exact = {g: 0 for g in groups}
+    for s_ in range(chunks):
+        files = glob.glob(f"{dump}/chunk*/slice={s_}/*.parquet")
+        if not files:
+            continue
+        for k, sr, n in con.execute(
+                f"SELECT kind, source, count(DISTINCT item) "
+                f"FROM read_parquet({files!r}) GROUP BY 1, 2").fetchall():
+            exact[(k, sr)] += int(n)
+        print(f"  [d30big] slice {s_ + 1}/{chunks} counted", flush=True)
+    shutil.rmtree(dump, ignore_errors=True)
+    import pyarrow as pa
+    kk, ss, mm = [], [], []
+    for (k, s2) in groups:
+        for r in range(64):
+            kk.append(k)
+            ss.append(s2)
+            mm.append(regs.get((k, s2, r), 0))
+    con.register("fullgrid", pa.table(
+        {"kind": kk, "source": ss, "m": pa.array(mm, type=pa.int64())}))
+    est_rows = con.execute(
+        "WITH " + est_blocks +
+        " SELECT kind, source, n_zero, z, est_hll FROM est2").fetchall()
+    want = [(k, s2, int(nz), int(z), int(eh), exact[(k, s2)])
+            for (k, s2, nz, z, eh) in est_rows]
+    got, order = spark_rows(out_dir, "d30_hll_cardinality",
+                            ["kind", "source", "n_zero", "z", "est_hll",
+                             "exact"])
+    idx = [["kind", "source", "n_zero", "z", "est_hll", "exact"].index(c)
+           for c in order]
+    want_rows = [tuple(r[i] for i in idx) for r in want]
+    return compare("d30_hll_cardinality", got, want_rows, order)
+
+
+def _popcount32(x):
+    # numpy<2.0 has no bitwise_count; SWAR popcount, valid for
+    # 0 <= x < 2^32 held in int64
+    x = x - ((x >> 1) & 0x55555555)
+    x = (x & 0x33333333) + ((x >> 2) & 0x33333333)
+    x = (x + (x >> 4)) & 0x0F0F0F0F
+    return ((x * 0x01010101) >> 24) & 0x3F
+
+
+def d4b(sf_dir, out_dir, chunks=16):
+    """×1000 oracle for d4b_simhash_pairs (r13 verdict #2): the oracle
+    SQL is structurally all-pairs (`sh a JOIN sh b ON a.doc_id <
+    b.doc_id` — 1.25e13 comparisons at 5M docs) on top of the d30
+    token-stream wall. Mirror (the d15big / M6RecallSpec shape):
+
+      1. per doc_id%chunks slice, DuckDB runs the oracle's OWN
+         toks/th prefix (DISTINCT (doc_id, tok) → md5 h — per-doc, so
+         doc-chunking is exact) and hands (doc_id, h) to numpy;
+      2. numpy replays the vote arithmetic op-for-op: per doc,
+         sj = Σ (2·((h>>j)&1) − 1) — an order-free integer sum —
+         simhash = Σ_j (sj>0)·2^j, identical to the oracle's bits/sh
+         CTEs (h is a nonnegative 32-bit value, so >>j&1 ≡ //2^j %2);
+      3. pairs by 4×8-bit pigeonhole banding over DISTINCT simhash
+         VALUES (exact for Hamming ≤ 3: ≤3 differing bits touch ≤3 of
+         the 4 bands, so at least one band agrees — Manku et al.
+         WWW'07, the engine's own argument at the value level), then
+         expand value pairs to doc pairs; equal-value groups expand to
+         within-group pairs (hamming 0, 4 shared bands).
+
+      Compare: numpy lexsort on both sides, column-exact equality
+      (the 18M-row output makes tuple canon the bottleneck)."""
+    sql = json.load(open(f"{out_dir}/oracle_sql.json"))["d4b_simhash_pairs"]
+    prefix = sql[:sql.index("bits AS (")]
+    docs = f"{sf_dir}/documents.parquet"
+    pat = f"{docs}/*.parquet" if os.path.isdir(docs) else docs
+    con = connect()
+    dids, hs = [], []
+    for c in range(chunks):
+        con.execute("CREATE OR REPLACE VIEW documents AS "
+                    f"SELECT * FROM '{pat}' WHERE doc_id % {chunks} = {c}")
+        t = con.execute(prefix + "sel AS (SELECT doc_id, h FROM th) "
+                        "SELECT doc_id, h FROM sel").fetch_arrow_table()
+        dids.append(t["doc_id"].to_numpy().astype(np.int64))
+        hs.append(t["h"].to_numpy().astype(np.int64))
+        print(f"  [d4bbig] th chunk {c + 1}/{chunks}: "
+              f"{len(dids[-1])} rows", flush=True)
+    did = np.concatenate(dids)
+    h = np.concatenate(hs)
+    del dids, hs
+    o = np.argsort(did, kind="stable")
+    did, h = did[o], h[o]
+    starts = np.empty(len(did), dtype=bool)
+    starts[0] = True
+    starts[1:] = did[1:] != did[:-1]
+    idx = np.flatnonzero(starts)
+    doc = did[idx]
+    sh = np.zeros(len(doc), dtype=np.int64)
+    for j in range(32):
+        bit = ((h >> j) & 1) * 2 - 1
+        sj = np.add.reduceat(bit, idx)
+        sh |= (sj > 0).astype(np.int64) << j
+    del did, h
+    vals, inv, cnts = np.unique(sh, return_inverse=True, return_counts=True)
+    print(f"  [d4bbig] docs={len(doc)} distinct simhash values={len(vals)}",
+          flush=True)
+    # doc lists per value, CSR over vals
+    o3 = np.lexsort((doc, inv))
+    dsort = doc[o3]
+    vstart = np.searchsorted(inv[o3], np.arange(len(vals)))
+    # candidate value pairs from the 4 band buckets (memory-bounded:
+    # per-bucket triangles emitted through the popcount gate per block)
+    cand = []
+    for b in range(4):
+        bv = (vals >> (8 * b)) & 255
+        o2 = np.argsort(bv, kind="stable")
+        bs = bv[o2]
+        gstart = np.flatnonzero(np.r_[True, bs[1:] != bs[:-1]])
+        gend = np.r_[gstart[1:], len(bs)]
+        for s0, e0 in zip(gstart, gend):
+            g = np.sort(o2[s0:e0])
+            if len(g) < 2:
+                continue
+            # row blocks keep the (row × rest) candidate matrix small
+            blk = max(1, 20_000_000 // max(1, len(g)))
+            for r0 in range(0, len(g) - 1, blk):
+                rows = g[r0:r0 + blk]
+                rest = g[r0 + 1:]
+                x = vals[rows][:, None] ^ vals[rest][None, :]
+                okm = (_popcount32(x) <= 3) & (rows[:, None] < rest[None, :])
+                ri, ci = np.nonzero(okm)
+                if len(ri):
+                    cand.append(np.stack([rows[ri], rest[ci]], axis=1))
+    if cand:
+        vp = np.unique(np.concatenate(cand), axis=0)
+    else:
+        vp = np.empty((0, 2), dtype=np.int64)
+    del cand
+    u, v = vp[:, 0], vp[:, 1]
+    xor = vals[u] ^ vals[v]
+    vham = _popcount32(xor)
+    vnsb = np.zeros(len(u), dtype=np.int64)
+    for b in range(4):
+        vnsb += ((xor >> (8 * b)) & 255) == 0
+    print(f"  [d4bbig] value pairs (hamming<=3): {len(u)}", flush=True)
+    out_a, out_b, out_h, out_n = [], [], [], []
+    # equal-value groups: batch by group size c — all groups of one
+    # size expand through one triu_indices call
+    for c in np.unique(cnts[cnts > 1]):
+        gsel = np.flatnonzero(cnts == c)
+        mat = dsort[vstart[gsel][:, None] + np.arange(c)[None, :]]
+        iu, ju = np.triu_indices(int(c), k=1)
+        a = mat[:, iu].ravel()
+        bb = mat[:, ju].ravel()
+        out_a.append(np.minimum(a, bb))
+        out_b.append(np.maximum(a, bb))
+        out_h.append(np.zeros(a.size, dtype=np.int64))
+        out_n.append(np.full(a.size, 4, dtype=np.int64))
+    # cross-value pairs: flat enumeration of docs(u) × docs(v)
+    if len(u):
+        na, nb = cnts[u], cnts[v]
+        tot = na * nb
+        csum = np.cumsum(tot)
+        rid = np.repeat(np.arange(len(u)), tot)
+        k = np.arange(int(csum[-1])) - np.repeat(csum - tot, tot)
+        a = dsort[vstart[u][rid] + k // nb[rid]]
+        bb = dsort[vstart[v][rid] + k % nb[rid]]
+        out_a.append(np.minimum(a, bb))
+        out_b.append(np.maximum(a, bb))
+        out_h.append(vham[rid])
+        out_n.append(vnsb[rid])
+    a = np.concatenate(out_a) if out_a else np.empty(0, dtype=np.int64)
+    bpair = np.concatenate(out_b) if out_b else np.empty(0, dtype=np.int64)
+    hham = np.concatenate(out_h) if out_h else np.empty(0, dtype=np.int64)
+    nsb = np.concatenate(out_n) if out_n else np.empty(0, dtype=np.int64)
+    o4 = np.lexsort((nsb, hham, bpair, a))
+    a, bpair, hham, nsb = a[o4], bpair[o4], hham[o4], nsb[o4]
+    files = glob.glob(f"{out_dir}/d4b_simhash_pairs/*.parquet")
+    tab = pq.read_table(files, columns=["a_id", "b_id", "hamming",
+                                        "n_shared_bands"])
+    ga = tab["a_id"].to_numpy().astype(np.int64)
+    gb = tab["b_id"].to_numpy().astype(np.int64)
+    gh = tab["hamming"].to_numpy().astype(np.int64)
+    gn = tab["n_shared_bands"].to_numpy().astype(np.int64)
+    o5 = np.lexsort((gn, gh, gb, ga))
+    ga, gb, gh, gn = ga[o5], gb[o5], gh[o5], gn[o5]
+    if len(ga) != len(a):
+        print(f"FAIL d4b_simhash_pairs: rows spark={len(ga)} hybrid={len(a)}")
+        return 1
+    for name, gcol, wcol in (("a_id", ga, a), ("b_id", gb, bpair),
+                             ("hamming", gh, hham),
+                             ("n_shared_bands", gn, nsb)):
+        if not np.array_equal(gcol, wcol):
+            i_ = int(np.flatnonzero(gcol != wcol)[0])
+            print(f"FAIL d4b_simhash_pairs: col {name} differs at sorted "
+                  f"row {i_}: spark={gcol[i_]} hybrid={wcol[i_]}")
+            return 1
+    print(f"PASS d4b_simhash_pairs ({len(a)} rows, hybrid)")
+    return 0
+
+
 if __name__ == "__main__":
     sf_dir, out_dir, which = sys.argv[1], sys.argv[2], sys.argv[3]
     sys.exit({"d15": d15, "d15big": lambda a, b: d15(a, b, chunks=16),
               "e3": e3, "e6": e6, "j11": j11,
-              "st14": st14, "e5": e5, "d31": d31}[which](sf_dir, out_dir))
+              "st14": st14, "e5": e5, "d31": d31,
+              "d30big": lambda a, b: d30(a, b, chunks=16),
+              "d4bbig": lambda a, b: d4b(a, b, chunks=16),
+              }[which](sf_dir, out_dir))
