@@ -10,17 +10,19 @@ set -u
 SD=${1:-/tmp/graft_scale_x1000}
 OD=${2:-/tmp/vx1000}
 cd /root/repo
-# Final r13 method map (COVERAGE.md §×1000). Excluded with reasons:
+# Final r14 method map (COVERAGE.md §×1000). Excluded with reasons:
 #  - d5_langid: vacuous at scale (0 rows — no stopword tokens in the
 #    synthetic corpus); d17_token_entropy carries the family instead.
-#  - d30_hll_cardinality / d4b_simhash_pairs: oracle-side walls
-#    (exact-distinct grounding resp. structurally all-pairs SQL) —
-#    named in COVERAGE with fix directions; both ×100-total.
+# r14 closes the two r13 oracle walls: d30big (chunked register
+# max-merge + item-hash-sliced exact-distinct grounding) and d4bbig
+# (chunked sig replay + numpy banding mirror), and adds st7 (the
+# stream-stream join, dumped at SPARK_GRAFT_STREAM_PARTS=64) via
+# set-difference.
 SMALL="d1_exact_dedup d28_bigram_lm d38_classifier_auc j9_salted_join
        j10_fuzzy_ed1 p3_exact_quantiles t6_bls st11_stream_hll"
 BIG="d17_token_entropy e7_random_projection o9_global_index s14_fits_scan
-     st2_stream_tumbling u6_scd2"
-HYB="d15big e3 st14 j11"
+     st2_stream_tumbling u6_scd2 st7_stream_join"
+HYB="d15big e3 st14 j11 d30big d4bbig"
 rc=0
 for q in $SMALL; do
   timeout 7200 python3 tools/sf1_sweep.py "$SD" "$OD" "$q" || rc=1
