@@ -150,11 +150,16 @@ object Advanced {
       def round1(df: DataFrame): DataFrame = {
         val wR = Window.partitionBy("user_id").orderBy("t_us").rangeBetween(-W, W)
         val wU = Window.partitionBy("user_id")
-        df.withColumn("m2", (expr("percentile(vq, 0.5)").over(wR) * 2).cast("long"))
+        // one select per window spec (the r14 disc-break lesson):
+        // same-spec expressions issued together collapse into ONE
+        // multi-function WindowExec; the withColumn-per-stat chain
+        // planned one operator (and one partition re-buffer) each
+        val d2 = df.withColumn("m2", (expr("percentile(vq, 0.5)").over(wR) * 2).cast("long"))
           .withColumn("d2", col("vq") * 2 - col("m2"))
-          .withColumn("n", count(lit(1)).over(wU))
-          .withColumn("sv", sum(col("d2")).over(wU))
-          .withColumn("q", sum(col("d2") * col("d2")).over(wU))
+        d2.select(col("*") +: Seq(
+            count(lit(1)).over(wU).as("n"),
+            sum(col("d2")).over(wU).as("sv"),
+            sum(col("d2") * col("d2")).over(wU).as("q")): _*)
           .withColumn("mean", col("sv").cast("double") / col("n"))
           .withColumn("sd", sqrt((col("q") - col("sv").cast("double") * col("sv") / col("n")) / col("n")))
           .filter(col("d2") > col("mean") - lit(3) * col("sd") &&

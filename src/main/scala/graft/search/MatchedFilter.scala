@@ -70,9 +70,10 @@ object MatchedFilter {
       .filter(col("n_grid") >= 1 && col("n_samp") >= 2 &&
         col("n_samp") >= lit(fillFrac) * col("n_grid"))
     val wseg = Window.partitionBy(prc: _*).orderBy(col(tUs), col(id))
+    // one select: both leads share the spec → one WindowExec (r14)
     val seg = reg
-      .withColumn("_t1", lead(col(tUs), 1).over(wseg))
-      .withColumn("_v1", lead(col(vc), 1).over(wseg))
+      .select(col("*"), lead(col(tUs), 1).over(wseg).as("_t1"),
+        lead(col(vc), 1).over(wseg).as("_v1"))
       .filter(col("_t1").isNotNull)
     // Grid slots are GENERATED from their unique covering segment
     // instead of range-joined to it: every grid point g = t0r + i·step
@@ -98,13 +99,24 @@ object MatchedFilter {
           .cast("long").as("vi")): _*)
     val wg = Window.partitionBy(prc: _*).orderBy(col("i"))
     val weights = multiKernelWeights(tauSteps)
-    val kerns = weights.zipWithIndex.map { case (wd, k) =>
-      interp.withColumn("kern", lit(k))
-        .withColumn("corr", wd.zipWithIndex.map { case (c, j) =>
-          lit(c) * lead(col("vi"), j).over(wg)
-        }.reduce(_ + _))
-        .filter(col("corr").isNotNull)
-    }.reduce(_ unionByName _)
+    // ALL kernels correlate in ONE window pass (r14): the per-kernel
+    // branch form recomputed the whole interp chain (join + slot
+    // explode + its windows) once per kernel and planned one
+    // WindowExec each; here the shared leads evaluate once and the
+    // (kern, corr) pairs explode row-locally — output-identical
+    // (null corr rows, i.e. leads past the partition end, are dropped
+    // either way).
+    val corrCols = weights.zipWithIndex.map { case (wd, k) =>
+      wd.zipWithIndex.map { case (c, j) =>
+        lit(c) * lead(col("vi"), j).over(wg)
+      }.reduce(_ + _).as(s"_corr$k")
+    }
+    val kerns = interp.select(col("*") +: corrCols: _*)
+      .withColumn("_kc", explode(array(weights.indices.map(k =>
+        struct(lit(k).as("kern"), col(s"_corr$k").as("corr"))): _*)))
+      .select((prc :+ col("i")) ++ Seq(col("vi"),
+        col("_kc.kern").as("kern"), col("_kc.corr").as("corr")): _*)
+      .filter(col("corr").isNotNull)
     val wthr = Window.partitionBy((parts :+ "kern").map(col): _*)
     val trig = kerns
       .withColumn("thr", expr(s"percentile(corr, $q)").over(wthr))
@@ -113,9 +125,13 @@ object MatchedFilter {
     val isl = trig.withColumn("grp", col("i") - row_number().over(wisl))
     val grpPart = (pr ++ Seq("kern", "grp")).map(col)
     val wpk = Window.partitionBy(grpPart: _*).orderBy(col("corr").desc, col("i").asc)
+    // count over the SAME ordered spec with an unbounded frame ==
+    // count over the unordered partition, and the two then share one
+    // WindowExec (r14)
     isl
-      .withColumn("prn", row_number().over(wpk))
-      .withColumn("n_trig", count(lit(1)).over(Window.partitionBy(grpPart: _*)))
+      .select(col("*"), row_number().over(wpk).as("prn"),
+        count(lit(1)).over(wpk.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)).as("n_trig"))
       .filter(col("prn") === 1)
       .select(pc ++ Seq(col("kern"), col("region"), col("i").as("peak_i"),
         col("n_trig"), round(col("corr").cast("double") / 1e12, 6).as("corr")): _*)
