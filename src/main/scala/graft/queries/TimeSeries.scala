@@ -911,12 +911,14 @@ object TimeSeries {
     "a4_peakcut_std" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
       val fr = w.rowsBetween(-5, 5)
-      val st = base(s, d)
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(fr))
-        .withColumn("sv", sum(col("vc")).over(fr))
-        .withColumn("q", sum(col("vc") * col("vc")).over(fr))
-        .withColumn("m", max(col("vc")).over(fr))
+      // one select: rank + the four frame aggregates share the
+      // (partition, order) spec → ONE WindowExec, one buffer (r14)
+      val st = base(s, d).select(col("*"),
+        row_number().over(w).as("rn"),
+        count(lit(1)).over(fr).as("n"),
+        sum(col("vc")).over(fr).as("sv"),
+        sum(col("vc") * col("vc")).over(fr).as("q"),
+        max(col("vc")).over(fr).as("m"))
       val rn = st.select(col("user_id").as("b_user"), col("rn").as("brn"), col("vc").as("bvc"))
         .withColumn("crn", explode(array((-5 to 5).map(j => col("brn") + lit(j)): _*)))
       val cnt = st.join(rn,
@@ -951,9 +953,12 @@ object TimeSeries {
       val fr = Window.partitionBy("user_id").orderBy("t_us")
         .rangeBetween(-3600000000L, 3600000000L)
       base(s, d)
-        .withColumn("med", expr("percentile(vc, 0.5)").over(fr) / 100.0)
-        .withColumn("p05", expr("percentile(vc, 0.05)").over(fr) / 100.0)
-        .withColumn("p95", expr("percentile(vc, 0.95)").over(fr) / 100.0)
+        // one select: the three envelope percentiles share the frame →
+        // one WindowExec, one buffer, one percentile sort reused (r14)
+        .select(col("*"),
+          (expr("percentile(vc, 0.5)").over(fr) / 100.0).as("med"),
+          (expr("percentile(vc, 0.05)").over(fr) / 100.0).as("p05"),
+          (expr("percentile(vc, 0.95)").over(fr) / 100.0).as("p95"))
         // round the envelope width BEFORE the degenerate-window nullif
         // (r8, sf1-sweep find): Spark percentile interpolates
         // lo + h*(hi-lo) (exact when hi == lo) but DuckDB quantile_cont
