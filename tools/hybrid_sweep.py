@@ -727,7 +727,19 @@ def _popcount32(x):
     return ((x * 0x01010101) >> 24) & 0x3F
 
 
-def d4b(sf_dir, out_dir, chunks=16):
+def _d4b_rem24(vals, b):
+    """The 24 non-band bits of each 32-bit simhash, packed contiguously,
+    for band b (bytes other than byte b)."""
+    if b == 0:
+        return vals >> 8
+    if b == 1:
+        return (vals & 0xff) | ((vals >> 16) << 8)
+    if b == 2:
+        return (vals & 0xffff) | ((vals >> 24) << 16)
+    return vals & 0xffffff
+
+
+def d4b(sf_dir, out_dir, chunks=16, refine=False):
     """×1000 oracle for d4b_simhash_pairs (r13 verdict #2): the oracle
     SQL is structurally all-pairs (`sh a JOIN sh b ON a.doc_id <
     b.doc_id` — 1.25e13 comparisons at 5M docs) on top of the d30
@@ -754,32 +766,41 @@ def d4b(sf_dir, out_dir, chunks=16):
     docs = f"{sf_dir}/documents.parquet"
     pat = f"{docs}/*.parquet" if os.path.isdir(docs) else docs
     con = connect()
-    dids, hs = [], []
-    for c in range(chunks):
-        con.execute("CREATE OR REPLACE VIEW documents AS "
-                    f"SELECT * FROM '{pat}' WHERE doc_id % {chunks} = {c}")
-        t = con.execute(prefix + "sel AS (SELECT doc_id, h FROM th) "
-                        "SELECT doc_id, h FROM sel").fetch_arrow_table()
-        dids.append(t["doc_id"].to_numpy().astype(np.int64))
-        hs.append(t["h"].to_numpy().astype(np.int64))
-        print(f"  [d4bbig] th chunk {c + 1}/{chunks}: "
-              f"{len(dids[-1])} rows", flush=True)
-    did = np.concatenate(dids)
-    h = np.concatenate(hs)
-    del dids, hs
-    o = np.argsort(did, kind="stable")
-    did, h = did[o], h[o]
-    starts = np.empty(len(did), dtype=bool)
-    starts[0] = True
-    starts[1:] = did[1:] != did[:-1]
-    idx = np.flatnonzero(starts)
-    doc = did[idx]
-    sh = np.zeros(len(doc), dtype=np.int64)
-    for j in range(32):
-        bit = ((h >> j) & 1) * 2 - 1
-        sj = np.add.reduceat(bit, idx)
-        sh |= (sj > 0).astype(np.int64) << j
-    del did, h
+    # sig cache: the chunked DuckDB replay is deterministic in the
+    # corpus, so a re-run (e.g. after tuning the pair stage) skips it
+    cache = "/tmp/d4b_sig_%s.npz" % sf_dir.strip("/").replace("/", "_")
+    if os.path.exists(cache):
+        z = np.load(cache)
+        doc, sh = z["doc"], z["sh"]
+        print(f"  [d4bbig] sig cache hit: {len(doc)} docs", flush=True)
+    else:
+        dids, hs = [], []
+        for c in range(chunks):
+            con.execute("CREATE OR REPLACE VIEW documents AS "
+                        f"SELECT * FROM '{pat}' WHERE doc_id % {chunks} = {c}")
+            t = con.execute(prefix + "sel AS (SELECT doc_id, h FROM th) "
+                            "SELECT doc_id, h FROM sel").fetch_arrow_table()
+            dids.append(t["doc_id"].to_numpy().astype(np.int64))
+            hs.append(t["h"].to_numpy().astype(np.int64))
+            print(f"  [d4bbig] th chunk {c + 1}/{chunks}: "
+                  f"{len(dids[-1])} rows", flush=True)
+        did = np.concatenate(dids)
+        h = np.concatenate(hs)
+        del dids, hs
+        o = np.argsort(did, kind="stable")
+        did, h = did[o], h[o]
+        starts = np.empty(len(did), dtype=bool)
+        starts[0] = True
+        starts[1:] = did[1:] != did[:-1]
+        idx = np.flatnonzero(starts)
+        doc = did[idx]
+        sh = np.zeros(len(doc), dtype=np.int64)
+        for j in range(32):
+            bit = ((h >> j) & 1) * 2 - 1
+            sj = np.add.reduceat(bit, idx)
+            sh |= (sj > 0).astype(np.int64) << j
+        del did, h
+        np.savez_compressed(cache, doc=doc, sh=sh)
     vals, inv, cnts = np.unique(sh, return_inverse=True, return_counts=True)
     print(f"  [d4bbig] docs={len(doc)} distinct simhash values={len(vals)}",
           flush=True)
@@ -789,13 +810,13 @@ def d4b(sf_dir, out_dir, chunks=16):
     vstart = np.searchsorted(inv[o3], np.arange(len(vals)))
     # candidate value pairs from the 4 band buckets (memory-bounded:
     # per-bucket triangles emitted through the popcount gate per block)
-    cand = []
-    for b in range(4):
-        bv = (vals >> (8 * b)) & 255
-        o2 = np.argsort(bv, kind="stable")
-        bs = bv[o2]
-        gstart = np.flatnonzero(np.r_[True, bs[1:] != bs[:-1]])
-        gend = np.r_[gstart[1:], len(bs)]
+    def group_pairs(keys):
+        """survivor (u_idx, v_idx) pairs within equal-key groups."""
+        out = []
+        o2 = np.argsort(keys, kind="stable")
+        ks = keys[o2]
+        gstart = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        gend = np.r_[gstart[1:], len(ks)]
         for s0, e0 in zip(gstart, gend):
             g = np.sort(o2[s0:e0])
             if len(g) < 2:
@@ -809,7 +830,26 @@ def d4b(sf_dir, out_dir, chunks=16):
                 okm = (_popcount32(x) <= 3) & (rows[:, None] < rest[None, :])
                 ri, ci = np.nonzero(okm)
                 if len(ri):
-                    cand.append(np.stack([rows[ri], rest[ci]], axis=1))
+                    out.append(np.stack([rows[ri], rest[ci]], axis=1))
+        return out
+
+    cand = []
+    for b in range(4):
+        bv = (vals >> (8 * b)) & 255
+        if not refine:
+            cand += group_pairs(bv)
+        else:
+            # recursive pigeonhole (the x1000 path): a Hamming<=3 pair
+            # agreeing on band b has <=3 differing bits among the OTHER
+            # 24, so it also agrees on >=1 of that remainder's four
+            # 6-bit sub-bands — grouping by (byte, sub-band value)
+            # shrinks Σ C(pop, 2) by ~the sub-bucket fanout (exact,
+            # duplicates removed by the np.unique below)
+            rem = _d4b_rem24(vals, b)
+            for j in range(4):
+                cand += group_pairs(bv * 64 + ((rem >> (6 * j)) & 63))
+        print(f"  [d4bbig] band {b + 1}/4 candidates "
+              f"{sum(len(c) for c in cand)}", flush=True)
     if cand:
         vp = np.unique(np.concatenate(cand), axis=0)
     else:
@@ -885,4 +925,5 @@ if __name__ == "__main__":
               "st14": st14, "e5": e5, "d31": d31,
               "d30big": lambda a, b: d30(a, b, chunks=16),
               "d4bbig": lambda a, b: d4b(a, b, chunks=16),
+              "d4bfast": lambda a, b: d4b(a, b, chunks=16, refine=True),
               }[which](sf_dir, out_dir))
