@@ -114,7 +114,7 @@ object MatchedFilter {
     val kerns = interp.select(col("*") +: corrCols: _*)
       .withColumn("_kc", explode(array(weights.indices.map(k =>
         struct(lit(k).as("kern"), col(s"_corr$k").as("corr"))): _*)))
-      .select((prc :+ col("i")) ++ Seq(col("vi"),
+      .select((prc :+ col("i")) ++ Seq(
         col("_kc.kern").as("kern"), col("_kc.corr").as("corr")): _*)
       .filter(col("corr").isNotNull)
     val wthr = Window.partitionBy((parts :+ "kern").map(col): _*)
