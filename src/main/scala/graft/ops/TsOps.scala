@@ -80,7 +80,20 @@ object TsOps {
     * two extra window maxes over the same partition exchange check
     * max|Δvq|²·n ≤ Long.MaxValue (the Σ(Δvq²) bound — conservative,
     * exact) and max|vq| ≤ 1.2e9 (the 6-row v² frames), and a violation
-    * raises instead of silently wrapping the 20σ threshold. */
+    * raises instead of silently wrapping the 20σ threshold. Layering
+    * under Spark 4's default ANSI mode (measured, OverflowGuardSpec):
+    * GROSS overflow raises ARITHMETIC_OVERFLOW from the window sums
+    * first; the envelope owns the conservative-margin region (bound
+    * tripped, sums still fit — where the σ algebra's exactness proof
+    * no longer holds) and is the sole guard under ansi.enabled=false,
+    * where Σ ≤ max²·n makes it sound against every genuine wrap.
+    * Production response at 100 TB (decided r15, OverflowGuardSpec):
+    * the raise IS the contract — callers quantize so vq ≤ 1.2e9
+    * (e.g. the /200 cents→micro scaling the declared events queries
+    * apply; raw events values genuinely trip the guard at ~6 600
+    * rows/user, BASELINE.md §r14). Widening to decimal/float would
+    * silently trade the exact-integer oracle contract for rounding;
+    * a loud raise with the offending maxima is the correct failure. */
   def withRegionDisc(df: DataFrame, parts: Seq[String], tUs: String, id: String,
                      vq: String, gapUs: Long, out: String = "region"): DataFrame = {
     val w = Window.partitionBy(parts.map(col): _*).orderBy(col(tUs), col(id))

@@ -194,24 +194,37 @@ object StreamOps {
 
 /** File-sink temp-dir registry (r13 advice): one JVM-wide shutdown
   * hook instead of one per drain, plus eager reclamation — when a
-  * query name drains again, its previous run's output+checkpoint dir
-  * (up to ~100 M rows at ×1000) is deleted immediately rather than
-  * held until JVM exit, so a long sweep session's /tmp usage is
-  * bounded by the set of DISTINCT query names, not the run count. */
+  * query name drains again, its GRANDPARENT run's output+checkpoint
+  * dir (up to ~100 M rows at ×1000) is deleted rather than held until
+  * JVM exit, so a long sweep session's /tmp usage is bounded by 2× the
+  * set of DISTINCT query names, not the run count.
+  *
+  * Two-generation retention (r14 advice): the immediately preceding
+  * dir is kept alive because (a) the drain's read-back DataFrame is
+  * LAZY — a caller may still hold and re-trigger it when the next
+  * drain of the same name starts, and (b) an overlapping second drain
+  * of the same name must not delete a live query's output/checkpoint
+  * dir mid-run. Deletion is deferred one replace() cycle, which is by
+  * construction after the previous query terminated (drains block on
+  * awaitTermination before returning). Contract: at most ONE in-flight
+  * drain per query name — a third concurrent drain of the same name
+  * would reclaim the first's dir while it may still be live. */
 private[streaming] object FileSinkDirs {
   private val dirs = scala.collection.mutable.LinkedHashMap.empty[String, java.nio.file.Path]
+  private val prev = scala.collection.mutable.LinkedHashMap.empty[String, java.nio.file.Path]
   java.lang.Runtime.getRuntime.addShutdownHook(new Thread(() =>
     dirs.synchronized {
-      dirs.valuesIterator.foreach(d =>
+      (dirs.valuesIterator ++ prev.valuesIterator).foreach(d =>
         org.apache.commons.io.FileUtils.deleteQuietly(d.toFile): Unit)
-      dirs.clear()
+      dirs.clear(); prev.clear()
     }))
 
-  /** Delete `name`'s previous sink dir (its read-back frame is
-    * superseded by the run being started) and register a fresh one. */
+  /** Register a fresh sink dir for `name`; reclaim its two-runs-ago
+    * dir (whose read-back frame is now two generations superseded). */
   def replace(name: String): java.nio.file.Path = dirs.synchronized {
-    dirs.remove(name).foreach(d =>
+    prev.remove(name).foreach(d =>
       org.apache.commons.io.FileUtils.deleteQuietly(d.toFile): Unit)
+    dirs.remove(name).foreach(d => prev.put(name, d))
     val dir = java.nio.file.Files.createTempDirectory(s"graft_fsink_$name")
     dirs.put(name, dir)
     dir

@@ -176,13 +176,15 @@ class ScaleSweepSpec extends SparkSpec {
   }
 
   test("(d) disc-break scan: relative cost does not grow with the corpus (r13 verdict #3)") {
-    // the at-scale defense of the default-ON break scan, asserted:
-    // one extra WindowExec sharing the series exchange AND sort
-    // (DiscPlanCheck: 3 vs 2 windows, 2 = 2 shuffles/sorts), so the
-    // on/off ratio must be flat-or-falling corpus-to-corpus — a
-    // second shuffle or a super-linear scan would grow it. Measured
-    // ladder (DetrendDiscDecade, r14): 1.73× → 1.61× → 1.57× at
-    // ×1/×10/×100.
+    // the at-scale defense of the default-ON break scan: one extra
+    // WindowExec sharing the series exchange AND sort — the STRUCTURAL
+    // invariant is asserted unconditionally in DiscPlanSpec (plan
+    // shape, no timing flake); this test measures the on/off ratio
+    // corpus-to-corpus and reports it info-only unless
+    // SPARK_GRAFT_TIMING_ASSERTS=1 (r14 advice: a wall-clock ratio
+    // assert inside `sbt test` is load-sensitive even with the
+    // GC-spike re-measure). Measured ladder (DetrendDiscDecade, r14):
+    // 1.73× → 1.61× → 1.57× at ×1/×10/×100.
     def ratio(d: String): Double = {
       val (_, on) = DetrendDiscDecade.run(spark, d, discBreaks = true)
       val (_, off) = DetrendDiscDecade.run(spark, d, discBreaks = false)
@@ -195,8 +197,12 @@ class ScaleSweepSpec extends SparkSpec {
       r1 = math.min(r1, ratio(x1)); r10 = math.min(r10, ratio(x10))
     }
     info(f"disc on/off ratio x1 $r1%.2f -> x10 $r10%.2f")
-    assert(r10 < r1 * 1.25 && r10 < 2.5,
-      f"disc-break relative cost grew with the corpus: x1 $r1%.2f -> x10 $r10%.2f")
+    if (sys.env.get("SPARK_GRAFT_TIMING_ASSERTS").contains("1"))
+      assert(r10 < r1 * 1.25 && r10 < 2.5,
+        f"disc-break relative cost grew with the corpus: x1 $r1%.2f -> x10 $r10%.2f")
+    else if (!(r10 < r1 * 1.25 && r10 < 2.5))
+      info(f"RATIO GREW (info-only; set SPARK_GRAFT_TIMING_ASSERTS=1 to enforce): " +
+        f"x1 $r1%.2f -> x10 $r10%.2f")
   }
 
   test("(c) j9's 16-way salt splits the hot key under 10x skew") {

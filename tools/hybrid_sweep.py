@@ -767,8 +767,18 @@ def d4b(sf_dir, out_dir, chunks=16, refine=False):
     pat = f"{docs}/*.parquet" if os.path.isdir(docs) else docs
     con = connect()
     # sig cache: the chunked DuckDB replay is deterministic in the
-    # corpus, so a re-run (e.g. after tuning the pair stage) skips it
-    cache = "/tmp/d4b_sig_%s.npz" % sf_dir.strip("/").replace("/", "_")
+    # corpus, so a re-run (e.g. after tuning the pair stage) skips it.
+    # Keyed on the fixture's _manifest token (falling back to the
+    # corpus dir mtime) in addition to the path, mirroring the
+    # M6Density fix (r14 advice): a regenerated fixture at the same
+    # path must NOT silently reuse stale simhashes.
+    mf = os.path.join(sf_dir, "_manifest")
+    if os.path.exists(mf):
+        token = open(mf).read().strip().replace("|", "_").replace("/", "_")
+    else:
+        token = "mt%d" % int(os.path.getmtime(docs))
+    cache = "/tmp/d4b_sig_%s_%s.npz" % (
+        sf_dir.strip("/").replace("/", "_"), token)
     if os.path.exists(cache):
         z = np.load(cache)
         doc, sh = z["doc"], z["sh"]
