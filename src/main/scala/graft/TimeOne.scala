@@ -4,7 +4,16 @@ import org.apache.spark.sql.SparkSession
 
 /** Single-query timing under Bench conditions (same session config and
   * warmup), for iterating on one query's plan without a full bench
-  * run: `runMain graft.TimeOne <query> [reps] [sfDir]`. */
+  * run: `runMain graft.TimeOne <query> [reps] [sfDir]`.
+  *
+  * The warmup mirrors Bench's EXACTLY — tables plus the same 8-query
+  * JIT pass (r15: it used to warm only tables, so the first rep of any
+  * streaming query carried the ~3 s micro-batch-runtime JIT that
+  * Bench's st2 warmup hoists — st9's "9.3 s first run" in the r14
+  * triage was exactly this gap, not a per-query cost; with the warmup
+  * aligned, rep1 is comparable to a driver-bench measurement). Set
+  * SPARK_GRAFT_NOWARM=1 to skip the query warmup for quick plan
+  * iteration where absolute floors don't matter. */
 object TimeOne {
   def main(args: Array[String]): Unit = {
     val name = args(0)
@@ -23,6 +32,14 @@ object TimeOne {
     Seq("lineitem", "orders", "customer", "documents", "embeddings")
       .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
     graft.core.Tables.events(spark, sfDir).count()
+    if (!sys.env.get("SPARK_GRAFT_NOWARM").contains("1"))
+      Seq("t1_fold", "a12_conditional_agg", "j1_equi_join_agg", "w1_lag_diff",
+          "d1_exact_dedup", "e2_lsh_ann", "d4_simhash", "st2_stream_tumbling")
+        .foreach { q =>
+          try SparkEntry.queries(q)(spark, sfDir).count()
+          catch { case _: Throwable => () }
+          spark.catalog.clearCache()
+        }
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, sfDir).count()

@@ -21,7 +21,7 @@ cd /root/repo
 SMALL="d1_exact_dedup d28_bigram_lm d38_classifier_auc j9_salted_join
        j10_fuzzy_ed1 p3_exact_quantiles t6_bls st11_stream_hll"
 BIG="d17_token_entropy e7_random_projection o9_global_index s14_fits_scan
-     st2_stream_tumbling u6_scd2 st7_stream_join"
+     st2_stream_tumbling u6_scd2 st7_stream_join t3_detrend_median"
 HYB="d15big e3 st14 j11 d30big d4bfast"
 rc=0
 for q in $SMALL; do
