@@ -42,14 +42,14 @@ object Bench {
     Seq("t1_fold", "a12_conditional_agg", "j1_equi_join_agg", "w1_lag_diff",
         "d1_exact_dedup", "e2_lsh_ann", "d4_simhash", "st2_stream_tumbling")
       .foreach { q =>
-        try SparkEntry.queries(q)(spark, sfDir).count()
+        try graft.core.Exec.runCount(SparkEntry.queries(q)(spark, sfDir))
         catch { case _: Throwable => () }
         spark.catalog.clearCache()
       }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
+      val ok = try { graft.core.Exec.runCount(fn(spark, sfDir)); true }
                catch { case _: Throwable => false }
       val sec = (System.nanoTime() - t0) / 1e9
       // Release per-query persisted intermediates so one query's cache

@@ -36,13 +36,13 @@ object TimeOne {
       Seq("t1_fold", "a12_conditional_agg", "j1_equi_join_agg", "w1_lag_diff",
           "d1_exact_dedup", "e2_lsh_ann", "d4_simhash", "st2_stream_tumbling")
         .foreach { q =>
-          try SparkEntry.queries(q)(spark, sfDir).count()
+          try graft.core.Exec.runCount(SparkEntry.queries(q)(spark, sfDir))
           catch { case _: Throwable => () }
           spark.catalog.clearCache()
         }
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, sfDir).count()
+      val n = graft.core.Exec.runCount(SparkEntry.queries(name)(spark, sfDir))
       println(f"[timeone] $name rep$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
       spark.catalog.clearCache(); System.gc()
     }

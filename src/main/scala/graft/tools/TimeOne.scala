@@ -22,7 +22,7 @@ object TimeOne {
     qs.foreach { q =>
       val times = (1 to runs).map { i =>
         val t0 = System.nanoTime()
-        graft.SparkEntry.queries(q)(spark, sfDir).count()
+        graft.core.Exec.runCount(graft.SparkEntry.queries(q)(spark, sfDir))
         spark.catalog.clearCache(); System.gc()
         val s = (System.nanoTime() - t0) / 1e9
         println(f"$q run $i: $s%.2f s")

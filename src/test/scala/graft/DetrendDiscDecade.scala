@@ -40,7 +40,7 @@ object DetrendDiscDecade {
     val n = graft.ops.Detrend.detrend(series(spark, d), Seq("part"),
       "t_us", "id", "value", "err", gapUs = 86400000000L,
       mode = "GaussianProcess", timescaleDays = 2.0,
-      discBreaks = discBreaks).count()
+      discBreaks = discBreaks).queryExecution.toRdd.count()
     (n, (System.nanoTime() - t0) / 1e9)
   }
 

@@ -86,16 +86,21 @@ object ScaleDecade {
       // r13: the disc-break segmentation (fixed-size sim + one anchor
       // scan — the decade rows PROVE corpus-O(1)) and the explicit-edge
       // rebin (events-proportional: one broadcast range join + agg)
-      "w2b_disc_segment", "a1b_rebin_edges")
+      "w2b_disc_segment", "a1b_rebin_edges",
+      // r15: the rolling-median detrend — events-proportional
+      // (user-keyed ±5-row window, one exchange + sort); added when it
+      // joined the ×1000 bit-verified subset so the family's timing
+      // and bit evidence travel together
+      "t3_detrend_median")
     // optional 2nd arg: comma-separated subset (re-measure selectively)
     val queries = args.lift(1).map(_.split(",").toSeq.filter(all.contains))
       .getOrElse(all)
     // JIT warmup outside the timed section (Bench rationale)
     Seq("d1_exact_dedup", "d4_simhash").foreach(q =>
-      SparkEntry.queries(q)(spark, dirs(mults.head)).count())
+      graft.core.Exec.runCount(SparkEntry.queries(q)(spark, dirs(mults.head))))
     for (q <- queries; m <- mults) {
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(q)(spark, dirs(m)).count()
+      val n = graft.core.Exec.runCount(SparkEntry.queries(q)(spark, dirs(m)))
       printf("[decade] %-22s x%-3d rows %9d  %7.2f s%n",
         q, m, n, (System.nanoTime() - t0) / 1e9)
       spark.catalog.clearCache(); System.gc()

@@ -42,13 +42,16 @@ class ScaleSweepSpec extends SparkSpec {
 
   private def timeQ(name: String, d: String): Double = {
     val t0 = System.nanoTime()
-    SparkEntry.queries(name)(spark, d).count()
+    // full-plan action, NOT count() — Catalyst prunes windows/sorts
+    // (and whole row-preserving join chains) below a count, so a
+    // count-timed ratio can compare two scan-counts (r15, Exec.scala)
+    graft.core.Exec.runCount(SparkEntry.queries(name)(spark, d))
     spark.catalog.clearCache()
     (System.nanoTime() - t0) / 1e9
   }
 
   private def rowsQ(name: String, d: String): Long = {
-    val n = SparkEntry.queries(name)(spark, d).count()
+    val n = graft.core.Exec.runCount(SparkEntry.queries(name)(spark, d))
     spark.catalog.clearCache()
     n
   }
