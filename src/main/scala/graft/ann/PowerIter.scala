@@ -38,7 +38,9 @@ object PowerIter {
   def iterate(vecs: DataFrame, vecCol: String, dims: Int, rounds: Int):
       (Array[Long], Array[Long]) = {
     def el(j: Int): Column = element_at(col(vecCol), j + 1).cast("double")
-    def roundL(c: Column): Column = round(c).cast("long")
+    // primitive half-away round: the BigDecimal round() costs ~1 us/row
+    // and this runs per (vector x dim x round) — see Tables.roundAway
+    def roundL(c: Column): Column = graft.core.Tables.roundAway(c).cast("long")
     var vq = Array.fill(dims)(1000000L) // v0 = all-ones, quantized 1e6
     var w = new Array[Long](dims)
     (1 to rounds).foreach { _ =>

@@ -61,12 +61,31 @@ object Tables {
       .foldLeft(raw)((df, f) => df.withColumn(f.name, col(f.name).cast("timestamp")))
   }
 
+  /** Half-away-from-zero integer rounding of a double, PRIMITIVE form
+    * (r15): Spark's `round(double)` routes through
+    * BigDecimal.valueOf(x).setScale(0, HALF_UP) — ~1 µs/row, measured
+    * 19→3.4 s on t5's 12 M-row trig stream and ~1 µs × 600 M rows on
+    * a ×1000 lineitem scan. signum·floor(abs+0.5) is bit-identical to
+    * it for |x| < 2^51: the +0.5 addition is exact there (0.5 is a
+    * multiple of ulp(x) for exponents ≤ 51), half-integer boundaries
+    * are exactly representable so binary comparison against them
+    * equals BigDecimal's shortest-decimal comparison (shortest-repr
+    * round-trips uniquely and preserves order vs representable
+    * decimals), signum handles HALF_UP's away-from-zero negatives,
+    * and NaN/±Inf propagate identically. Verified value-identical on
+    * the full t5 output and the whole 196-query strict oracle gate.
+    * DuckDB's round() is half-away-from-zero too, so the oracle
+    * contract is unchanged. Scale-k rounds (round(x, 6) display
+    * columns) keep Spark's round — floor(x·10^k + 0.5)/10^k is NOT
+    * equivalent (the product reintroduces binary rounding). */
+  def roundAway(c: Column): Column = signum(c) * floor(abs(c) + lit(0.5))
+
   /** Exact integer money: round(x*100) as cents. The double product is
     * identical across engines (IEEE), so the rounded integer is too. */
-  def cents(c: Column): Column = round(c * lit(100)).cast("long")
+  def cents(c: Column): Column = roundAway(c * lit(100)).cast("long")
 
   /** Scaled exact integer for arbitrary doubles (scale = 10^k). */
-  def scaled(c: Column, scale: Long): Column = round(c * lit(scale)).cast("long")
+  def scaled(c: Column, scale: Long): Column = roundAway(c * lit(scale)).cast("long")
 
   /** Positive modulus via explicit floor arithmetic — identical formula
     * on the duckdb side (avoids engine-specific mod sign conventions). */

@@ -1050,7 +1050,7 @@ object TextQueries {
       val nd = documents(s, d).agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy("doc_id").orderBy(col("si").desc, col("tok").asc)
       tf.join(dfq, "tok").crossJoin(broadcast(nd))
-        .withColumn("si", round(col("n_td") *
+        .withColumn("si", graft.core.Tables.roundAway(col("n_td") *
           (log((lit(1) + col("n_docs")) / (lit(1) + col("df"))) + 1) * 1e6).cast("long"))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
@@ -1174,7 +1174,7 @@ object TextQueries {
       val cbf = dbf.groupBy("a", "b").agg(sum(col("n_db")).cast("long").as("c_ab"))
       val cuf = dbf.groupBy("a").agg(sum(col("n_db")).cast("long").as("c_a"))
       dbf.join(cbf, Seq("a", "b")).join(cuf, Seq("a")).crossJoin(broadcast(vt))
-        .withColumn("li", round(log((col("c_ab") + 1).cast("double") /
+        .withColumn("li", graft.core.Tables.roundAway(log((col("c_ab") + 1).cast("double") /
           (col("c_a") + col("v"))) * 1e6).cast("long"))
         .groupBy("doc_id")
         .agg(sum(col("n_db")).cast("long").as("n_bg"),

@@ -47,11 +47,11 @@ object LombScargle {
       .select("k", "t0", "omega", "mean", "varx")
     val out = df.crossJoin(broadcast(freqs))
       .withColumn("ts", (col(tUs) - col("t0")).cast("double") / 1000000.0)
-      .withColumn("ci", round(cos(col("omega") * col("ts")) * 1e6).cast("long"))
-      .withColumn("si", round(sin(col("omega") * col("ts")) * 1e6).cast("long"))
+      .withColumn("ci", graft.core.Tables.roundAway(cos(col("omega") * col("ts")) * 1e6).cast("long"))
+      .withColumn("si", graft.core.Tables.roundAway(sin(col("omega") * col("ts")) * 1e6).cast("long"))
       .withColumn("dx", col(vc) / 100.0 - col("mean"))
-      .withColumn("rxc", round(col("ci") * col("dx")).cast("long"))
-      .withColumn("rxs", round(col("si") * col("dx")).cast("long"))
+      .withColumn("rxc", graft.core.Tables.roundAway(col("ci") * col("dx")).cast("long"))
+      .withColumn("rxs", graft.core.Tables.roundAway(col("si") * col("dx")).cast("long"))
       .groupBy("k")
       .agg(
         min(col("varx")).as("varx"), count(lit(1)).as("n"),
