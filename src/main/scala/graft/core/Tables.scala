@@ -62,23 +62,39 @@ object Tables {
   }
 
   /** Half-away-from-zero integer rounding of a double, PRIMITIVE form
-    * (r15): Spark's `round(double)` routes through
-    * BigDecimal.valueOf(x).setScale(0, HALF_UP) — ~1 µs/row, measured
-    * 19→3.4 s on t5's 12 M-row trig stream and ~1 µs × 600 M rows on
-    * a ×1000 lineitem scan. signum·floor(abs+0.5) is bit-identical to
-    * it for |x| < 2^51: the +0.5 addition is exact there (0.5 is a
-    * multiple of ulp(x) for exponents ≤ 51), half-integer boundaries
-    * are exactly representable so binary comparison against them
+    * (r15, comparison form r16): Spark's `round(double)` routes
+    * through BigDecimal.valueOf(x).setScale(0, HALF_UP) — ~1 µs/row,
+    * measured 19→3.4 s on t5's 12 M-row trig stream and ~1 µs × 600 M
+    * rows on a ×1000 lineitem scan. floor(|x|) plus a direct
+    * `frac >= 0.5` comparison is bit-identical to it for ALL doubles
+    * (r16, closing the r15 advice note on the +0.5-addition form):
+    * |x| − floor(|x|) is exact (Sterbenz for |x| ≥ 1, trivially below),
+    * half-integer boundaries are exactly representable up to 2^52 —
+    * beyond which frac is identically 0 — so the binary comparison
     * equals BigDecimal's shortest-decimal comparison (shortest-repr
     * round-trips uniquely and preserves order vs representable
-    * decimals), signum handles HALF_UP's away-from-zero negatives,
-    * and NaN/±Inf propagate identically. Verified value-identical on
-    * the full t5 output and the whole 196-query strict oracle gate.
-    * DuckDB's round() is half-away-from-zero too, so the oracle
-    * contract is unchanged. Scale-k rounds (round(x, 6) display
-    * columns) keep Spark's round — floor(x·10^k + 0.5)/10^k is NOT
-    * equivalent (the product reintroduces binary rounding). */
-  def roundAway(c: Column): Column = signum(c) * floor(abs(c) + lit(0.5))
+    * decimals); unlike +0.5-and-floor there is no double-rounding at
+    * x = ±0.49999999999999994 and no tie-to-even drift at 2^52 odd
+    * integers. The negate-if branch handles HALF_UP's away-from-zero
+    * negatives AND pins the zero cell to +0.0 (BigDecimal never
+    * returns −0.0); NaN/±Inf propagate identically. Bit-verified
+    * against Spark round() in RoundHalfUpSpec and by the full
+    * 196-query strict oracle gate. DuckDB's round() is
+    * half-away-from-zero too, so the oracle contract is unchanged.
+    * Scale-k rounds (round(x, 6) display columns) use the codegen
+    * [[graft.expr.RoundHalfUpK]] — floor(x·10^k + 0.5)/10^k is NOT
+    * equivalent (the product reintroduces binary rounding).
+    * Packaging: a single codegen'd static call ([[graft.expr.RoundAwayD]])
+    * rather than a Column when-chain — the formula form expanded to
+    * ~25 generated lines per call site and pushed mega-expression
+    * plans (e9's 64-dim power iteration) past janino's method limits,
+    * silently dropping them to interpreted eval. */
+  def roundAway(c: Column): Column = graft.expr.RoundAwayD.round_away(c)
+
+  /** Drop-in for round(x, 6) on doubles — bit-identical codegen
+    * [[graft.expr.RoundHalfUpK]], avoiding the per-row BigDecimal on
+    * scale-k output rounds (r16, closing the r15 named tax). */
+  def round6(c: Column): Column = graft.expr.RoundHalfUpK.rhu(c, 6)
 
   /** Exact integer money: round(x*100) as cents. The double product is
     * identical across engines (IEEE), so the rounded integer is too. */

@@ -98,7 +98,7 @@ object Advanced {
       val st = spec
         .withColumn("med", expr("percentile(dc, 0.5)").over(fr))
         .withColumn("sgnl", col("dc") - col("med"))
-        .withColumn("sgnl_i", round(col("sgnl")).cast("long"))
+        .withColumn("sgnl_i", roundAway(col("sgnl")).cast("long"))
       val st2 = st
         .withColumn("n", count(lit(1)).over(fr))
         .withColumn("sv", sum(col("sgnl_i")).over(fr))
@@ -107,8 +107,8 @@ object Advanced {
         .withColumn("noise",
           sqrt((col("q") - col("sv").cast("double") * col("sv") / col("n")) / col("n")))
         .withColumn("snr", col("sgnl") / nullif(col("noise"), lit(0.0)))
-        .select(col("p_us"), col("sgnl"), round(col("noise"), 6).as("noise"),
-          round(col("snr"), 6).as("snr"))
+        .select(col("p_us"), col("sgnl"), round6(col("noise")).as("noise"),
+          round6(col("snr")).as("snr"))
         .orderBy("p_us")
     }),
 
@@ -176,7 +176,7 @@ object Advanced {
       flagged
         .withColumn("tr2", coalesce((keptMed.over(wR) * 2).cast("long"),
           (keptMed.over(wU) * 2).cast("long")))
-        .withColumn("trend", round(col("tr2") / 800.0, 6))
+        .withColumn("trend", round6(col("tr2") / 800.0))
         .withColumn("detr", round(lit(1.0) + (col("vq") * 2 - col("tr2")) / 800.0, 6))
         .select("user_id", "event_id", "kept", "trend", "detr")
         .orderBy("user_id", "event_id")
@@ -1190,8 +1190,8 @@ object Advanced {
           (expr("percentile(vi, 0.16)") / 1e4).as("p16"),
           (expr("percentile(vi, 0.5)") / 1e4).as("p50"),
           (expr("percentile(vi, 0.84)") / 1e4).as("p84"))
-        .select(col("feat"), col("n"), round(col("p16"), 6).as("p16"),
-          round(col("p50"), 6).as("p50"), round(col("p84"), 6).as("p84"))
+        .select(col("feat"), col("n"), round6(col("p16")).as("p16"),
+          round6(col("p50")).as("p50"), round6(col("p84")).as("p84"))
         .orderBy("feat")
     }),
 

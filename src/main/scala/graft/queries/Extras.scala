@@ -220,7 +220,7 @@ object Extras {
       fx.join(broadcast(medf), "orbit")
         .select(col("orbit"), col("i"),
           (col("bjd") + lit(2457000.0)).as("time_bjd"),
-          round(col("flux") / col("mf"), 6).as("flux_norm"),
+          round6(col("flux") / col("mf")).as("flux_norm"),
           lit(1e-3).as("err"))
         .orderBy("orbit", "i")
     }),
@@ -278,7 +278,7 @@ object Extras {
       // per-sector second moments stay inside int64
       val nrm = good.join(broadcast(med), "sector")
         .withColumn("q9",
-          expr("CAST(round(flux / m * 1e9) AS BIGINT) - 1000000000"))
+          scaled(col("flux") / col("m"), 1000000000L) - lit(1000000000L))
       val stats = nrm.groupBy("sector").agg(
         count(lit(1)).as("n"),
         sum(col("q9")).cast("long").as("sq"),
@@ -360,7 +360,7 @@ object Extras {
         .agg(expr("percentile(flux, 0.5)").as("m"))
       val nrm = good.join(broadcast(med), Seq("target", "sector"))
         .withColumn("q9",
-          expr("CAST(round(flux / m * 1e9) AS BIGINT) - 1000000000"))
+          scaled(col("flux") / col("m"), 1000000000L) - lit(1000000000L))
       val stats = nrm.groupBy("target").agg(
         count(lit(1)).as("n"),
         sum(col("q9")).cast("long").as("sq"),
@@ -422,7 +422,7 @@ object Extras {
           sin(radians(col("dec_deg"))) * math.sin(math.toRadians(lat)) +
             cos(radians(col("dec_deg"))) * math.cos(math.toRadians(lat)) *
             cos(radians(col("lst_deg") - col("ra_deg"))))
-        .withColumn("alt4", round(degrees(asin(col("sinalt"))), 4))
+        .withColumn("alt4", graft.expr.RoundHalfUpK.rhu(degrees(asin(col("sinalt"))), 4))
         .withColumn("is_up", col("alt4") > 20.0)
         .select("target", "k", "t_us", "alt4", "is_up")
         .orderBy("target", "k")
@@ -513,7 +513,7 @@ object Extras {
         .filter(col("chunk") >= 48 && col("chunk") < 56)
         .groupBy("chunk").agg(count(lit(1)).as("n"),
           min(col("t_us")).as("t_min"), max(col("t_us")).as("t_max"),
-          sum(expr("CAST(round(flux * 1000000) AS BIGINT)")).as("flux6_sum"))
+          sum(scaled(col("flux"), 1000000L)).as("flux6_sum"))
         .orderBy("chunk")
     }),
 
@@ -750,9 +750,9 @@ object Extras {
           / count(lit(1))).as("x"))
         .select(lit(-1L).as("id"), col("x"), lit(25.0).as("y"))
       cat.union(target)
-        .withColumn("feat", round(col("x") * col("y"), 6))
-        .withColumn("sigma", round(abs(col("x") * col("y")) *
-          sqrt(lit(1.0) / (col("x") * col("x")) + lit(0.04) / (col("y") * col("y"))), 6))
+        .withColumn("feat", round6(col("x") * col("y")))
+        .withColumn("sigma", round6(abs(col("x") * col("y")) *
+          sqrt(lit(1.0) / (col("x") * col("x")) + lit(0.04) / (col("y") * col("y")))))
         .select("id", "feat", "sigma")
         .orderBy("id")
     }),
@@ -763,8 +763,8 @@ object Extras {
       val med = base(s, d).groupBy("user_id")
         .agg(expr("percentile(vc, 0.5)").as("medc"))
       base(s, d).join(broadcast(med), "user_id")
-        .withColumn("flux", round(
-          pow(lit(10.0), -(col("value") / 100.0 - col("medc") / 10000.0) / 2.5), 6))
+        .withColumn("flux", round6(
+          pow(lit(10.0), -(col("value") / 100.0 - col("medc") / 10000.0) / 2.5)))
         .withColumn("err", coalesce(lit(null).cast("double"), lit(1e-4)))
         .select("event_id", "user_id", "flux", "err")
         .orderBy("event_id")
@@ -796,7 +796,7 @@ object Extras {
         .withColumn("r",
           ((col("s_suppkey") % 32768L * nd + col("i")) * 1103515245L + 12345L) % 2147483648L)
         // draw = acctbal·(1 + 0.1·u), u ∈ [−0.5, 0.5); integerized once.
-        .withColumn("xc", round(col("bc") *
+        .withColumn("xc", roundAway(col("bc") *
           (lit(1.0) + (col("r").cast("double") / 2147483648.0 - 0.5) * 0.1)).cast("long"))
         .groupBy("s_suppkey")
         .agg(count(lit(1)).as("n_draws"),
@@ -837,8 +837,8 @@ object Extras {
           col("s_out").cast("double") / col("n_out") / 100.0 -
           col("s_in").cast("double") / col("n_in") / 100.0)
         .select(col("ener"), col("b"), col("n"),
-          round(col("bin_mean"), 6).as("bin_mean"), col("intr"),
-          round(col("depth"), 6).as("depth"))
+          round6(col("bin_mean")).as("bin_mean"), col("intr"),
+          round6(col("depth")).as("depth"))
         .orderBy("ener", "b")
     }),
 
@@ -858,7 +858,7 @@ object Extras {
         .withColumn("flux",
           lit(1.0) - when(abs(col("ph")) < PDAY / 2, 0.02).otherwise(0.0) + col("noise"))
       sim
-        .withColumn("fc", round(col("flux") * 1e6).cast("long"))
+        .withColumn("fc", roundAway(col("flux") * 1e6).cast("long"))
         .withColumn("bin", expr(s"((ph + ${P7 / 2}) * 20) div ${P7}"))
         .groupBy("bin")
         .agg(count(lit(1)).as("np"), sum(col("fc")).as("sfc"))

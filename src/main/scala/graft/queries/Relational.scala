@@ -654,7 +654,7 @@ object Relational {
     "p6_psi_drift" -> ((s, d) => {
       val mid = 1704067200000000L + 15L * 86400000000L
       val g = events(s, d)
-        .select(expr("CAST(round(value * 100) AS BIGINT)").as("vc"),
+        .select(cents(col("value")).as("vc"),
           (unix_micros(col("ts")) < mid).as("ha"))
         .withColumn("bin",
           least(greatest(expr("vc div 250"), lit(0L)), lit(255L)))
@@ -807,11 +807,11 @@ object Relational {
         .withColumn("x", abs(col("s_acctbal")) / 10000.0 + 1e-3)
         .select(
           col("s_suppkey"),
-          round(log10(col("x")), 6).as("lg"),
-          round(sqrt(col("x")), 6).as("sq"),
-          round(pow(col("x"), 1.5), 6).as("pw"),
-          round(atan2(col("x"), lit(1.0)), 6).as("at2"),
-          round(sin(col("x")), 6).as("sn"))
+          round6(log10(col("x"))).as("lg"),
+          round6(sqrt(col("x"))).as("sq"),
+          round6(pow(col("x"), 1.5)).as("pw"),
+          round6(atan2(col("x"), lit(1.0))).as("at2"),
+          round6(sin(col("x"))).as("sn"))
         .orderBy("s_suppkey")
     }),
 

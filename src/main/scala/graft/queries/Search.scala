@@ -86,7 +86,7 @@ object Search {
           - when(col("ph1") < P3 / 10, 0.03).otherwise(0.0)
           - when(col("ph2") < P5 / 10, 0.025).otherwise(0.0)
           + col("noise"))
-        .withColumn("vc", round(col("flux") * 10000).cast("long"))
+        .withColumn("vc", roundAway(col("flux") * 10000).cast("long"))
         .select("g_us", "vc")
       val found = Bls.companions(sim, "g_us", "vc", 280, Seq(20, 40),
         maxCompanions = 4, minSnr = 7.1, osamp = 10)

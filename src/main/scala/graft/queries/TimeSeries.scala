@@ -649,7 +649,7 @@ object TimeSeries {
         .parquet(s"$dataDir/*.parquet")
         .select(col("user_id"), col("event_id"),
           unix_micros(col("ts")).as("tUs"),
-          expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+          cents(col("value")).as("vc"))
         .as[graft.streaming.StreamOps.EvC]
       val out = graft.streaming.StreamOps.streamEwma(stream)
       // drain: memory sink at the driver gate; the parquet file-sink
@@ -784,7 +784,7 @@ object TimeSeries {
       val stream = ss.readStream.schema(schema)
         .option("basePath", d)
         .parquet(s"$d/events*.parquet")
-        .withColumn("vc", expr("CAST(round(value * 100) AS BIGINT)"))
+        .withColumn("vc", cents(col("value")))
         .withColumn("bin", least(greatest(expr("vc div 250"), lit(0L)), lit(255L)))
         .groupBy(col("event_type"), col("bin"))
         .agg(count(lit(1)).as("cnt"))
@@ -809,7 +809,7 @@ object TimeSeries {
         .agg(min(col("bin")).as("qbin"))
         .withColumn("est", (col("qbin") + 1) * lit(250L) / lit(100.0))
       val ev = graft.core.Tables.events(ss, d)
-        .withColumn("vc", expr("CAST(round(value * 100) AS BIGINT)"))
+        .withColumn("vc", cents(col("value")))
       // exact grounding WITHOUT a global sort (r13; the r12 ×1000
       // mechanism hunt): the k-th smallest vc needs only the value
       // FREQUENCY table — one map-combined aggregation collapses the
@@ -965,8 +965,10 @@ object TimeSeries {
         // computes (1-h)*lo + h*hi, which is ~1 ulp off for h = 0.05 -
         // without the rounding, a 3.6e-12 width flips NULL vs 0.0
         // between engines on two-equal-value windows
-        .withColumn("z", round((col("value") - col("med")) /
-          nullif(round(col("p95") - col("p05"), 6), lit(0.0)), 6))
+        // round6 = codegen RoundHalfUpK, bit-identical to round(x, 6)
+        // (r16: this was ~2×100 M BigDecimal ops at ×1000)
+        .withColumn("z", round6((col("value") - col("med")) /
+          nullif(round6(col("p95") - col("p05")), lit(0.0))))
         .withColumn("is_flare", col("z") > 2.5)
         .select("event_id", "z", "is_flare")
         .orderBy("event_id")
@@ -1112,9 +1114,9 @@ object TimeSeries {
         .groupBy("k")
         .agg(aggs.head, aggs.tail: _*)
         .withColumn("frac_ingr",
-          when(col("n0") > 0 && col("n1") > 0, round(col("m0") / col("m1"), 6)))
+          when(col("n0") > 0 && col("n1") > 0, round6(col("m0") / col("m1"))))
         .withColumn("frac_eggr",
-          when(col("n2") > 0 && col("n3") > 0, round(col("m2") / col("m3"), 6)))
+          when(col("n2") > 0 && col("n3") > 0, round6(col("m2") / col("m3"))))
       val sec = base(s, d)
         .withColumn("pm2", ((col("t_us") - E) % P7 + P7) % P7)
         .withColumn("k", expr(s"(t_us - $E - pm2) div $P7"))
@@ -1197,7 +1199,7 @@ object TimeSeries {
         .withColumn("bin", expr(s"(t_us - ${E}) div width_us"))
         .groupBy("width_us", "bin")
         .agg((sum(col("vc")).cast("double") / 100.0 / count(lit(1))).as("m"))
-        .withColumn("mi", round(col("m") * 1e6).cast("long"))
+        .withColumn("mi", roundAway(col("m") * 1e6).cast("long"))
         .groupBy("width_us")
         .agg(count(lit(1)).as("n_bins"), sum(col("mi")).as("_s"),
           // DECIMAL(38,0) accumulator (r8, the t21 discipline — found
@@ -1211,9 +1213,9 @@ object TimeSeries {
           // decimal→double rounds to the same double HUGEINT→double
           // does, so rms stays bit-identical.
           sum(expr("CAST(mi AS DECIMAL(38,0)) * mi")).as("_q"))
-        .withColumn("rms", round(
+        .withColumn("rms", round6(
           sqrt((col("_q") - col("_s").cast("double") * col("_s") / col("n_bins")) /
-            col("n_bins")) / 1e6, 6))
+            col("n_bins")) / 1e6))
         .select("width_us", "n_bins", "rms")
         .orderBy("width_us")
     }),
@@ -1238,12 +1240,12 @@ object TimeSeries {
         .withColumn("i", explode(sequence(lit(0L), lit(500L))))
         .withColumn("g_us", col("t0") + col("i") * col("step"))
         .withColumn("ph", TsOps.phaseCenteredUs(col("g_us"), lit(E), lit(P7)))
-        .withColumn("flux", round(
+        .withColumn("flux", round6(
           lit(1.0) - when(abs(col("ph")) < DUR / 2, 0.01).otherwise(0.0) +
             lit(0.02) * exp(-TsOps.phaseUs(col("g_us"), lit(E), lit(PDAY))
-              .cast("double") / 7200000000.0), 6))
-        .withColumn("rv", round(lit(5.0) *
-          sin(lit(2.0 * math.Pi) * (col("g_us") - E).cast("double") / P7), 6))
+              .cast("double") / 7200000000.0)))
+        .withColumn("rv", round6(lit(5.0) *
+          sin(lit(2.0 * math.Pi) * (col("g_us") - E).cast("double") / P7)))
         .select("i", "g_us", "flux", "rv")
         .orderBy("i")
     }),
@@ -1590,8 +1592,8 @@ object TimeSeries {
       pairs
         .withColumn("rank", row_number().over(w))
         .withColumn("prev", lag(col("dt_us"), 1).over(w))
-        .withColumn("frac", round((col("dt_us") - col("prev")).cast("double") /
-          col("prev"), 6))
+        .withColumn("frac", round6((col("dt_us") - col("prev")).cast("double") /
+          col("prev")))
         .select("rank", "dt_us", "frac")
         .orderBy("rank")
     })

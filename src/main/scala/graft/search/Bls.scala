@@ -101,7 +101,7 @@ object Bls {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("p_us"), col("m_steps"), col("m"), col("n_in"),
-        round(col("box_mean"), 6).as("box_mean"), round(col("depth"), 6).as("depth"))
+        graft.core.Tables.round6(col("box_mean")).as("box_mean"), graft.core.Tables.round6(col("depth")).as("depth"))
   }
 
   /** Multi-resolution pre-binning (the reference's load-bearing perf
@@ -156,7 +156,7 @@ object Bls {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("p_us"), col("m_steps"), col("m"), col("n_in"),
-        round(col("box_mean"), 6).as("box_mean"), round(col("depth"), 6).as("depth"))
+        graft.core.Tables.round6(col("box_mean")).as("box_mean"), graft.core.Tables.round6(col("depth")).as("depth"))
   }
 
   /** Reference-density trial grid (srch_boxsperi defaults

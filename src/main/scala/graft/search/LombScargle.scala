@@ -63,16 +63,17 @@ object LombScargle {
       .withColumn("acs", col("cs").cast("double") / 1e12)
       .withColumn("axc", col("xc").cast("double") / 1e6)
       .withColumn("axs", col("xs").cast("double") / 1e6)
-      .withColumn("power", round(
+      .withColumn("power", graft.core.Tables.round6(
         (col("ass") * col("axc") * col("axc")
           - lit(2.0) * col("acs") * col("axc") * col("axs")
           + col("acc") * col("axs") * col("axs"))
           / nullif(col("acc") * col("ass") - col("acs") * col("acs"), lit(0.0))
-          / nullif(lit(2.0) * col("varx") * col("n"), lit(0.0)), 6))
+          / nullif(lit(2.0) * col("varx") * col("n"), lit(0.0))))
     fapProb match {
       case Some(p) =>
-        out.withColumn("fap", expr(
-          s"round(1 - pow(1 - pow(${1 - p}, 1.0/$nFreq), 2.0/(n - 3)), 6)"))
+        out.withColumn("fap", graft.core.Tables.round6(
+          lit(1.0) - pow(lit(1.0) - pow(lit(1 - p), lit(1.0 / nFreq)),
+            lit(2.0) / (col("n") - lit(3)))))
           .select("k", "n", "power", "fap")
       case None => out.select("k", "n", "power")
     }

@@ -134,7 +134,7 @@ object MatchedFilter {
           Window.unboundedPreceding, Window.unboundedFollowing)).as("n_trig"))
       .filter(col("prn") === 1)
       .select(pc ++ Seq(col("kern"), col("region"), col("i").as("peak_i"),
-        col("n_trig"), round(col("corr").cast("double") / 1e12, 6).as("corr")): _*)
+        col("n_trig"), graft.core.Tables.round6(col("corr").cast("double") / 1e12).as("corr")): _*)
   }
 
   /** df: parts ++ (tUs, id, vc). Returns per-island flare peaks:

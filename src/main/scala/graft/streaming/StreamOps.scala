@@ -30,7 +30,7 @@ object StreamOps {
       .withWatermark("ts", watermark)
       .groupBy(win.as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        (sum(round(col("value") * 100).cast("long")).cast("long") / 100.0).as("sum_value"))
+        (sum(graft.core.Tables.cents(col("value"))).cast("long") / 100.0).as("sum_value"))
       .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
         col("event_type"), col("n"), col("sum_value"))
   }
@@ -43,7 +43,7 @@ object StreamOps {
       .withWatermark("ts", watermark)
       .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
       .agg(count(lit(1)).as("n"),
-        (sum(round(col("value") * 100).cast("long")).cast("long") / 100.0).as("sum_value"))
+        (sum(graft.core.Tables.cents(col("value"))).cast("long") / 100.0).as("sum_value"))
       .select(col("w.start").as("s_start"), col("w.end").as("s_end"),
         col("user_id"), col("n"), col("sum_value"))
 
@@ -162,7 +162,17 @@ object StreamOps {
     * sink is executor-side and scales with the cluster, which is the
     * sink a production deployment uses. The transform chain, trigger
     * and state path are IDENTICAL either way — only the sink differs,
-    * and the read-back frame carries the same rows. */
+    * and the read-back frame carries the same rows.
+    *
+    * Concurrency contract (r16, making the FileSinkDirs invariant
+    * explicit at the public entry point): at most ONE in-flight drain
+    * per query `name`. Under the file sink, a re-drain of the same
+    * name reclaims that name's GRANDPARENT output/checkpoint dir —
+    * safe for sequential re-drains (each blocks on awaitTermination,
+    * and the parent dir survives one more cycle for the lazy
+    * read-back frame), but a THIRD concurrent drain of one name would
+    * delete the first's dir while it may still be live. Distinct
+    * names never interact. */
   def drain(ss: SparkSession, out: DataFrame, name: String): DataFrame = {
     val trig = org.apache.spark.sql.streaming.Trigger.AvailableNow()
     if (sys.env.get("SPARK_GRAFT_STREAM_SINK").contains("file")) {
