@@ -123,6 +123,41 @@ object TextQueries {
     * from the checkpointed RDD gives a leaf with DEFAULT stats each
     * round — bounded per-round products, identical rows (the rebuild
     * only re-wraps the same materialized blocks). */
+  /** One LARGE-STAR round of d15's alternating connected-components
+    * loop (Kiveris et al., SoCC'14): per node x over the FULL
+    * neighborhood, m = min(N(x) ∪ {x}); larger neighbors re-attach to
+    * m. Output rows are canonical by construction (y > x ≥ m) and each
+    * input edge yields at most one output edge (only its smaller
+    * endpoint's reduce emits it). Hinted shuffle_hash: per-round frames
+    * are checkpoint-truncated with RESET stats, so without the hint the
+    * size-estimate-driven planner would pick SortMergeJoin for what is
+    * a tiny-per-round build side. Object-level (r16, verdict #4) so
+    * JoinScaleSpec can pin the EXECUTED join strategy — the hint lives
+    * in code, but only a spec on the AQE-finalized plan proves the
+    * runtime keeps honoring it. */
+  private[graft] def ccLargeStar(e: DataFrame): DataFrame = {
+    val nbrs = e.select(col("a").as("x"), col("b").as("y"))
+      .unionAll(e.select(col("b").as("x"), col("a").as("y")))
+    val mins = nbrs.groupBy("x").agg(min(col("y")).as("my"))
+      .select(col("x").as("mx"), least(col("my"), col("x")).as("m"))
+    nbrs.filter(col("y") > col("x")).hint("shuffle_hash")
+      .join(mins, col("x") === col("mx"))
+      .select(col("y").as("a"), col("m").as("b")).distinct()
+  }
+
+  /** One SMALL-STAR round (see [[ccLargeStar]]): per larger endpoint a
+    * with smaller neighbors Γ⁻(a), m = min(Γ⁻(a)); every s ∈ Γ⁻(a)\{m}
+    * and a itself re-attach to m. Canonical again (s > m, a > m). */
+  private[graft] def ccSmallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy("a").agg(min(col("b")).as("m"))
+      .select(col("a").as("ma"), col("m"))
+    val re = e.hint("shuffle_hash").join(mins, col("a") === col("ma"))
+    re.filter(col("b") =!= col("m"))
+      .select(col("b").as("a"), col("m").as("b"))
+      .unionAll(mins.select(col("ma").as("a"), col("m").as("b")))
+      .distinct()
+  }
+
   private[graft] def checkpointReset(df: DataFrame): DataFrame = {
     val ck = df.localCheckpoint(true)
     ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
@@ -291,7 +326,7 @@ object TextQueries {
         .withColumn("jaccard", col("inter").cast("double") /
           (col("na") + col("nbb") - col("inter")))
         .filter(col("jaccard") > 0.4)
-        .select(col("a_id"), col("b_id"), col("inter"), round(col("jaccard"), 6).as("jaccard"))
+        .select(col("a_id"), col("b_id"), col("inter"), round6(col("jaccard")).as("jaccard"))
         .orderBy("a_id", "b_id")
     }),
 
@@ -509,7 +544,7 @@ object TextQueries {
           nullif(sqrt(col("qn") / 1e12) * sqrt(col("nrm") / 1e12), lit(0.0)))
       val w = Window.partitionBy("q_id").orderBy(desc("sim"), asc("vec_id"))
       sim.withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
-        .select(col("q_id"), col("rank"), col("vec_id"), round(col("sim"), 6).as("sim"))
+        .select(col("q_id"), col("rank"), col("vec_id"), round6(col("sim")).as("sim"))
         .orderBy("q_id", "rank")
     }),
 
@@ -535,7 +570,7 @@ object TextQueries {
       val w = Window.partitionBy("q_id").orderBy(desc("sim"), asc("vec_id"))
       sim.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
         .select(col("q_id"), col("q_bucket").as("bucket"), col("rank"),
-          col("vec_id"), round(col("sim"), 6).as("sim"))
+          col("vec_id"), round6(col("sim")).as("sim"))
         .orderBy("q_id", "rank")
     }),
 
@@ -664,7 +699,7 @@ object TextQueries {
       val w = Window.partitionBy("q_id").orderBy(desc("sim"), asc("vec_id"))
       sim.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
         .select(col("q_id"), col("rank"), col("vec_id"), col("label"),
-          round(col("sim"), 6).as("sim"))
+          round6(col("sim")).as("sim"))
         .orderBy("q_id", "rank")
     }),
 
@@ -706,7 +741,7 @@ object TextQueries {
         .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
         // CAST to DOUBLE before the multiply (the d9 convention):
         // float×int promotion differs between engines
-        .withColumn("x6", expr("CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)"))
+        .withColumn("x6", scaled(col("x").cast("double"), 1000000L))
         .select("vec_id", "pos", "x6")
       val stats = dims.groupBy("pos").agg(min(col("x6")).as("mn"), max(col("x6")).as("mx"))
         .withColumn("step", expr("(mx - mn) div 255 + 1"))
@@ -729,7 +764,7 @@ object TextQueries {
       val w5 = Window.partitionBy("q_id").orderBy(col("d2"), col("vec_id"))
       exact.withColumn("rank", row_number().over(w5).cast("long")).filter(col("rank") <= 5)
         .select(col("q_id"), col("rank"), col("vec_id"), col("d2"),
-          round(sqrt(col("d2") / 1e12), 6).as("dist"))
+          round6(sqrt(col("d2") / 1e12)).as("dist"))
         .orderBy("q_id", "rank")
     }),
 
@@ -816,7 +851,7 @@ object TextQueries {
           nullif(sqrt(col("a.nrm") / 1e12) * sqrt(col("b.nrm") / 1e12), lit(0.0)))
         .filter(col("sim") > 0.4)
         .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-          round(col("sim"), 6).as("sim"))
+          round6(col("sim")).as("sim"))
         .orderBy("a_id", "b_id")
     }),
 
@@ -873,7 +908,7 @@ object TextQueries {
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
         .select(col("q_id"), col("cid"), col("rank"), col("vec_id"),
-          round(col("sim"), 6).as("sim"))
+          round6(col("sim")).as("sim"))
         .orderBy("q_id", "rank")
     }),
 
@@ -936,7 +971,7 @@ object TextQueries {
       // the 64-row codebook is reused by encode + LUT; recomputing it
       // would re-run the assignment pass twice.
       val sums = (0 until 8).map(j =>
-        sum(round(element_at(col("sub"), j + 1).cast("double") * 1e6)
+        sum(roundAway(element_at(col("sub"), j + 1).cast("double") * 1e6)
           .cast("long")).as(s"s$j"))
       // (measured alternative: folding these sums into the assignment
       // aggregation via first(sub) shuffles the float arrays instead of
@@ -997,7 +1032,7 @@ object TextQueries {
       val centroids = graft.ann.Ivf.train(emb, k = 16, iters = 2)
       graft.ann.Ivf.search(emb, centroids, Seq(0L, 1L, 2L, 3L, 4L),
           nProbe = 4, topK = 5)
-        .withColumn("sim", round(col("sim"), 6))
+        .withColumn("sim", round6(col("sim")))
         .orderBy("q_id", "rank")
     }),
 
@@ -1081,7 +1116,7 @@ object TextQueries {
           (col("n_td") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
         // integerize per-term BEFORE summing: a 3-double sum is
         // order-dependent, and Spark's partial aggregation order is not
-        .withColumn("ci", round(col("contrib") * 1e6).cast("long"))
+        .withColumn("ci", roundAway(col("contrib") * 1e6).cast("long"))
         .groupBy("doc_id")
         .agg(sum(col("ci")).cast("long").as("si"),
           count(lit(1)).as("n_terms"))
@@ -1126,7 +1161,7 @@ object TextQueries {
       val tot = toks.agg(count(lit(1)).as("tot"))
       tf.join(ctf, "tok").crossJoin(broadcast(tot))
         .withColumn("li",
-          round(log(col("ctf").cast("double") / col("tot")) * 1e6).cast("long"))
+          roundAway(log(col("ctf").cast("double") / col("tot")) * 1e6).cast("long"))
         .groupBy("doc_id")
         .agg(sum(col("n_td") * col("li")).cast("long").as("lp_sum6"),
           sum(col("n_td")).cast("long").as("n_tok"))
@@ -1142,10 +1177,12 @@ object TextQueries {
     // p(b|a) = (c(a,b)+1)/(c(a,·)+V); each doc's mean ln p over its
     // adjacent pairs is the score curation thresholds on. Cost: the
     // doc×bigram count is the one corpus-scale shuffle; the corpus
-    // bigram/left-context tables re-aggregate FROM it (map-side
-    // combine, vocab²-bounded output), and the score join keys on
-    // the bigram — AQE broadcasts the model tables while they fit
-    // and falls back to a shuffle join at web-corpus vocabularies.
+    // bigram table counts straight off the row-local pair stream
+    // (map-side combine, vocab²-bounded output), the left-context
+    // table re-aggregates from its checkpoint, and the score join
+    // keys on the bigram — AQE broadcasts the model tables while
+    // they fit and falls back to a shuffle join at web-corpus
+    // vocabularies.
     // Per-pair logprobs integerized at 1e6 (the d14 technique), so
     // the per-doc sum is order-free and the mean a ratio of exact
     // integers.
@@ -1153,26 +1190,29 @@ object TextQueries {
       val toks = documents(s, d).select(col("doc_id"),
         explode(split(col("text"), " ")).as("tok")).filter(col("tok") =!= "")
       val vt = toks.agg(countDistinct(col("tok")).as("v"))
-      val dbf = documents(s, d)
+      val pairsRaw = documents(s, d)
         .select(col("doc_id"), explode(expr(
           """zip_with(
             |  slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
             |  slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
             |  (x, y) -> named_struct('a', x, 'b', y))""".stripMargin)).as("p"))
         .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
-        .groupBy("doc_id", "a", "b").agg(count(lit(1)).as("n_db"))
-      // dbf feeds three consumers (score-join left side + both model
-      // re-aggregations). The static plan shows the corpus re-parsed
-      // per consumer, but a localCheckpoint here is NOT a win — A/B
-      // at the 100x ScaleFixture showed no separation outside session
-      // noise (with: 112–392 s across sessions; without: 37.7 s clean
-      // / 113–163 s under heap pressure): the checkpoint's
-      // materialized ~30 M rows squeeze the model-join's execution
-      // memory by as much as the saved parse gains. Checkpoint-free
-      // stands — unlike d2, whose five consumers measurably paid for
-      // four extra parses.
-      val cbf = dbf.groupBy("a", "b").agg(sum(col("n_db")).cast("long").as("c_ab"))
-      val cuf = dbf.groupBy("a").agg(sum(col("n_db")).cast("long").as("c_a"))
+      val dbf = pairsRaw.groupBy("doc_id", "a", "b").agg(count(lit(1)).as("n_db"))
+      // Model tables (r16, verdict #2 — the ×1000 502 s honest floor):
+      // cbf counts straight off the row-local pair stream, NOT via a
+      // re-aggregation of dbf — re-using dbf re-ran its corpus-scale
+      // (doc_id, a, b) exchange once per model table, while the direct
+      // count's map-side combine bounds the shuffle at vocab² rows per
+      // partition. cbf is then the ONLY vocab²-bounded frame:
+      // localCheckpoint it (tiny, unlike dbf's ~30 M rows whose
+      // checkpoint an ×100 A/B rejected — materializing it squeezed
+      // the model-join's execution memory by as much as the saved
+      // parse gained) and derive cuf by re-aggregating the 64-ish-row
+      // checkpoint — zero extra corpus passes, exact integer sums so
+      // the model is bit-identical to the per-doc re-aggregation form.
+      val cbf = pairsRaw.groupBy("a", "b")
+        .agg(count(lit(1)).cast("long").as("c_ab")).localCheckpoint()
+      val cuf = cbf.groupBy("a").agg(sum(col("c_ab")).cast("long").as("c_a"))
       dbf.join(cbf, Seq("a", "b")).join(cuf, Seq("a")).crossJoin(broadcast(vt))
         .withColumn("li", graft.core.Tables.roundAway(log((col("c_ab") + 1).cast("double") /
           (col("c_a") + col("v"))) * 1e6).cast("long"))
@@ -1243,13 +1283,13 @@ object TextQueries {
         sum(col("n_td")).over(Window.partitionBy("doc_id")))
       withTot
         .withColumn("li",
-          round(log(col("n_td").cast("double") / col("n_tok")) * 1e6).cast("long"))
+          roundAway(log(col("n_td").cast("double") / col("n_tok")) * 1e6).cast("long"))
         .groupBy("doc_id")
         .agg(sum(col("n_td") * col("li")).cast("long").as("neg_ent6"),
           max(col("n_tok")).cast("long").as("n_tok"),
           count(lit(1)).cast("long").as("n_uniq"))
         .withColumn("entropy", -col("neg_ent6").cast("double") / col("n_tok") / 1e6)
-        .withColumn("lmax6", round(log(col("n_uniq").cast("double")) * 1e6).cast("long"))
+        .withColumn("lmax6", roundAway(log(col("n_uniq").cast("double")) * 1e6).cast("long"))
         .withColumn("norm_entropy",
           -col("neg_ent6").cast("double") / col("n_tok") /
             nullif(col("lmax6"), lit(0L)))
@@ -1293,32 +1333,8 @@ object TextQueries {
       // overflow at the ×1000 corpus (see checkpointReset's doc).
       var edges = checkpointReset(sym.filter(col("src") > col("dst"))
         .select(col("src").as("a"), col("dst").as("b")).distinct())
-      // large-star: per node x over the FULL neighborhood,
-      // m = min(N(x) ∪ {x}); larger neighbors re-attach to m. Output
-      // rows are canonical by construction (y > x ≥ m) and each input
-      // edge yields at most one output edge (only its smaller
-      // endpoint's reduce emits it).
-      def largeStar(e: DataFrame): DataFrame = {
-        val nbrs = e.select(col("a").as("x"), col("b").as("y"))
-          .unionAll(e.select(col("b").as("x"), col("a").as("y")))
-        val mins = nbrs.groupBy("x").agg(min(col("y")).as("my"))
-          .select(col("x").as("mx"), least(col("my"), col("x")).as("m"))
-        nbrs.filter(col("y") > col("x")).hint("shuffle_hash")
-          .join(mins, col("x") === col("mx"))
-          .select(col("y").as("a"), col("m").as("b")).distinct()
-      }
-      // small-star: per larger endpoint a with smaller neighbors
-      // Γ⁻(a), m = min(Γ⁻(a)); every s ∈ Γ⁻(a) \ {m} and a itself
-      // re-attach to m. Canonical again (s > m, a > m).
-      def smallStar(e: DataFrame): DataFrame = {
-        val mins = e.groupBy("a").agg(min(col("b")).as("m"))
-          .select(col("a").as("ma"), col("m"))
-        val re = e.hint("shuffle_hash").join(mins, col("a") === col("ma"))
-        re.filter(col("b") =!= col("m"))
-          .select(col("b").as("a"), col("m").as("b"))
-          .unionAll(mins.select(col("ma").as("a"), col("m").as("b")))
-          .distinct()
-      }
+      def largeStar(e: DataFrame): DataFrame = ccLargeStar(e)
+      def smallStar(e: DataFrame): DataFrame = ccSmallStar(e)
       val nNodes = sigNodes.count()
       // backstop only — two-phase is O(log n) rounds in practice
       // (O(log² n) worst case); hitting the cap is a bug, not an
@@ -1409,7 +1425,7 @@ object TextQueries {
       val ov = train.join(broadcast(bench), "tg")
         .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
       cnt.join(ov, "doc_id")
-        .withColumn("ratio", round(col("n_overlap").cast("double") / col("n_tg"), 6))
+        .withColumn("ratio", round6(col("n_overlap").cast("double") / col("n_tg")))
         .withColumn("contaminated", col("n_overlap") * 10 >= col("n_tg") * 8)
         .select("doc_id", "n_tg", "n_overlap", "ratio", "contaminated")
         .orderBy("doc_id")
@@ -1585,7 +1601,7 @@ object TextQueries {
           .groupBy("doc_id").agg(sum(col("contrib")).as("c"))
         nodes.join(c, Seq("doc_id"), "left")
           .select(col("doc_id"),
-            round(lit(150000000.0) + lit(0.85) * coalesce(col("c"), lit(0L)))
+            roundAway(lit(150000000.0) + lit(0.85) * coalesce(col("c"), lit(0L)))
               .cast("long").as("pr"))
       }
       val p0 = nodes.withColumn("pr", lit(1000000000L))
@@ -1833,36 +1849,54 @@ object TextQueries {
     // exact distinct count rides along to ground the estimates, as in
     // d29 — a real deployment keeps only the 64 registers.
     "d30_hll_cardinality" -> ((s, d) => {
-      val toks = documents(s, d)
-        .select(col("doc_id"), col("source"),
-          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-        .filter(col("tok") =!= "")
-      val w = Window.partitionBy("doc_id").orderBy("pos")
-      val uni = toks.select(lit("tok").as("kind"), col("source"), col("tok").as("item"))
-      val big = toks.withColumn("nxt", lead(col("tok"), 1).over(w))
-        .filter(col("nxt").isNotNull)
-        .select(lit("bigram").as("kind"), col("source"),
-          concat(col("tok"), lit("_"), col("nxt")).as("item"))
-      val items = uni.unionAll(big)
-      val hashed = items.withColumn("h", expr(TextOps.md5Hash32Fast("item")))
+      // r16 (verdict #2 — the ×1000 628 s spill was all in the item
+      // stream): ONE row-local Generate emits both item classes
+      // (tokens via transform, bigrams via the adjacent-slice zip_with
+      // — the d2/d16 kernel — replacing the lead() WINDOW that
+      // shuffle-sorted the full 600 M-token stream by doc_id), then
+      // ONE map-side-combined DISTINCT shuffle carries the only
+      // corpus-scale exchange. Registers hash the DISTINCT items (max
+      // rho over a multiset == max over its set), the (kind, source)
+      // grid derives from the register frame (a group exists iff it
+      // has ≥1 item ⟺ ≥1 register row), and the exact grounding rides
+      // the SAME register frame as Σ per-register distinct counts —
+      // the old plan's three separate full passes (registers, grid,
+      // countDistinct) collapse into one.
+      val itemsArr = documents(s, d)
+        .select(col("source"),
+          filter(split(col("text"), " "), t => t =!= "").as("arr"))
+        .select(col("source"), explode(concat(
+          transform(col("arr"),
+            t => struct(lit("tok").as("kind"), t.as("item"))),
+          zip_with(col("arr"),
+            slice(col("arr"), lit(2), greatest(size(col("arr")) - 1, lit(0))),
+            (a, b) => struct(lit("bigram").as("kind"),
+              concat(a, lit("_"), b).as("item"))))).as("e"))
+        // the zip_with tail pads with null (last token has no successor)
+        // → null item; tok items are non-empty strings, never null
+        .filter(col("e.item").isNotNull)
+        .select(col("e.kind").as("kind"), col("source"), col("e.item").as("item"))
+      val dist = itemsArr.distinct()
+      val hashed = dist.withColumn("h", expr(TextOps.md5Hash32Fast("item")))
         .withColumn("reg", col("h") % 64)
         .withColumn("rho", expr(TextOps.hllRho(TextOps.hllW("h"))))
-      val regs = hashed.groupBy("kind", "source", "reg").agg(max(col("rho")).as("m"))
+      val regs = hashed.groupBy("kind", "source", "reg")
+        .agg(max(col("rho")).as("m"), count(lit(1)).as("nd"))
       // empty registers count as rank 0 in Z and in the zero-register
       // tally V — materialize the full |groups|×64 grid (groups is a
       // handful of rows; the explode is driver-free)
-      val grid = items.select("kind", "source").distinct()
+      val grid = regs.select("kind", "source").distinct()
         .select(col("kind"), col("source"), explode(sequence(lit(0L), lit(63L))).as("reg"))
       val full = grid.join(regs, Seq("kind", "source", "reg"), "left")
         .withColumn("m", coalesce(col("m"), lit(0L)))
-      val est = full.groupBy("kind", "source").agg(
+        .withColumn("nd", coalesce(col("nd"), lit(0L)))
+      full.groupBy("kind", "source").agg(
           sum(expr(TextOps.pow2("27 - m"))).as("z"),
-          sum(when(col("m") === 0, 1L).otherwise(0L)).as("n_zero"))
+          sum(when(col("m") === 0, 1L).otherwise(0L)).as("n_zero"),
+          sum(col("nd")).cast("long").as("exact"))
         .withColumn("raw", expr(TextOps.hllRaw("z")))
         .withColumn("est_hll", expr(
           s"CASE WHEN raw <= 160 AND n_zero > 0 THEN ${TextOps.hllLinearCount("n_zero")} ELSE raw END"))
-      val exact = items.groupBy("kind", "source").agg(countDistinct(col("item")).as("exact"))
-      est.join(exact, Seq("kind", "source"))
         .select("kind", "source", "n_zero", "z", "est_hll", "exact")
         .orderBy("kind", "source")
     }),

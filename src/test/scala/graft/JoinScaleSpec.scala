@@ -101,6 +101,31 @@ class JoinScaleSpec extends SparkSpec {
       s"expected 2 of 5 partitions, got ${scans.head.selectedPartitions.partitionCount}")
   }
 
+  test("d15: pointer-jump rounds EXECUTE as shuffle_hash joins (r16, verdict #4)") {
+    // The shuffle_hash hints live in ccLargeStar/ccSmallStar, and
+    // PLANS.md's d15 snapshot prints the INITIAL AdaptiveSparkPlan
+    // (whose static guess is SortMergeJoin) — only the AQE-finalized
+    // executed plan proves the runtime claim in Explain.scala. The
+    // round inputs in d15 are checkpoint-truncated frames with reset
+    // stats, reproduced here by checkpointReset over a generated edge
+    // set; if AQE ever demotes the hinted join back to SMJ, this fails.
+    import spark.implicits._
+    val edges = graft.queries.TextQueries.checkpointReset(
+      (1L to 2000L).map(i => (i * 7 % 4099, i % 97)).toDF("a", "b")
+        .filter(org.apache.spark.sql.functions.col("a") >
+          org.apache.spark.sql.functions.col("b")).distinct())
+    for ((name, round) <- Seq(
+        ("largeStar", graft.queries.TextQueries.ccLargeStar(edges)),
+        ("smallStar", graft.queries.TextQueries.ccSmallStar(edges)))) {
+      round.collect()
+      val plan = round.queryExecution.executedPlan
+      val shjs = collectAll(plan) { case j: ShuffledHashJoinExec => j }
+      val smjs = collectAll(plan) { case j: SortMergeJoinExec => j }
+      assert(shjs.nonEmpty, s"$name: expected a ShuffledHashJoin in\n$plan")
+      assert(smjs.isEmpty, s"$name: AQE demoted the hinted join to SortMergeJoin:\n$plan")
+    }
+  }
+
   test("j9: shuffle join keys include the salt column") {
     val plan = executed("j9_salted_join")
     val shjs = collectAll(plan) { case j: ShuffledHashJoinExec => j }
