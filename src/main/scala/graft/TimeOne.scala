@@ -29,17 +29,12 @@ object TimeOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    Seq("lineitem", "orders", "customer", "documents", "embeddings")
-      .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
-    graft.core.Tables.events(spark, sfDir).count()
-    if (!sys.env.get("SPARK_GRAFT_NOWARM").contains("1"))
-      Seq("t1_fold", "a12_conditional_agg", "j1_equi_join_agg", "w1_lag_diff",
-          "d1_exact_dedup", "e2_lsh_ann", "d4_simhash", "st2_stream_tumbling")
-        .foreach { q =>
-          try graft.core.Exec.runCount(SparkEntry.queries(q)(spark, sfDir))
-          catch { case _: Throwable => () }
-          spark.catalog.clearCache()
-        }
+    // Bench.warmup is THE shared definition (r16, advice #3): the
+    // warmup sequence used to be a duplicated literal here and in
+    // Bench — an independent edit would have silently broken rep1
+    // comparability.
+    Bench.warmup(spark, sfDir,
+      queries = !sys.env.get("SPARK_GRAFT_NOWARM").contains("1"))
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
       val n = graft.core.Exec.runCount(SparkEntry.queries(name)(spark, sfDir))

@@ -62,3 +62,11 @@ else:
     text = text.replace(anchor, block + "\n" + anchor, 1)
 open(path, "w").write(text)
 print(f"wrote HEAD table: {len(names)} queries, total {bench['value']:.1f} s")
+
+# Flat machine-readable twin of the HEAD table (r16, verdict #5):
+# graft.Bench reads this at the end of a run and re-runs any >2x query
+# 3x in-session, emitting a `triage` block in BENCH_SELF.json so the
+# gate check is self-contained (no manual TimeOne passes).
+floors_path = os.path.join(REPO, "BASELINE_FLOORS.json")
+json.dump({q: round(qs[q], 2) for q in names}, open(floors_path, "w"))
+print(f"wrote {floors_path}: {len(names)} floors")

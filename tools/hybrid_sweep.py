@@ -772,9 +772,17 @@ def d4b(sf_dir, out_dir, chunks=16, refine=False):
     # corpus dir mtime) in addition to the path, mirroring the
     # M6Density fix (r14 advice): a regenerated fixture at the same
     # path must NOT silently reuse stale simhashes.
+    # r16 (advice #4): key on a SHORT DIGEST of the manifest contents —
+    # embedding the raw token produced broken/over-length /tmp paths
+    # for whitespace- or newline-bearing manifests. The mtime fallback
+    # stays distinct from the digest namespace ("mt" prefix), so a
+    # fixture that GAINS a _manifest can never collide with a stale
+    # mtime-keyed entry (and vice versa).
+    import hashlib
     mf = os.path.join(sf_dir, "_manifest")
     if os.path.exists(mf):
-        token = open(mf).read().strip().replace("|", "_").replace("/", "_")
+        token = "mf" + hashlib.sha1(
+            open(mf, "rb").read()).hexdigest()[:12]
     else:
         token = "mt%d" % int(os.path.getmtime(docs))
     cache = "/tmp/d4b_sig_%s_%s.npz" % (

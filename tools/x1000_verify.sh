@@ -33,4 +33,11 @@ done
 for q in $HYB; do
   timeout 10800 python3 tools/hybrid_sweep.py "$SD" "$OD" "$q" || rc=1
 done
+# r16 (advice #2): the disc-break corpus-scaling ratio assert is
+# info-only under default `sbt test` (wall-clock ratios are
+# load-sensitive); ENFORCE it here, where the box is dedicated to
+# verification — so a plan-shape-preserving timing regression still
+# fails a routine gate (DiscPlanSpec pins shape only).
+SPARK_GRAFT_TIMING_ASSERTS=1 timeout 3600 \
+  sbt -batch "testOnly graft.ScaleSweepSpec" || rc=1
 exit $rc
