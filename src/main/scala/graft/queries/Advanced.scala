@@ -1318,7 +1318,14 @@ object Advanced {
     "m6_image_phash" -> ((s, d) => {
       val media = graft.multimodal.Multimodal.fromDocuments(
         documents(s, d).filter(col("doc_id") % 3 === 0))
-      val hashes = graft.multimodal.Multimodal.aHashes(media)
+      // localCheckpoint (r16, the d31 edge-list lifecycle): the hash
+      // frame feeds 8 decode chains through phashBestMatch's self-join
+      // arms (bands×2 via the population count, ×2 via lhs/rhs, ×2 via
+      // the symmetrizing union) — without the cut the REAL PNG decode
+      // re-runs per arm (16 scans / 32 kernel nodes in the plan; one
+      // scan + one kernel after). The checkpointed frame is
+      // (media_id, ahash): two longs per image.
+      val hashes = graft.multimodal.Multimodal.aHashes(media).localCheckpoint()
       // banding + sub-cell salt + per-image best match: the shared
       // kernel (Multimodal.phashBestMatch) — also driven standalone by
       // M6RecallSpec (salt recall loss vs all-pairs truth) and

@@ -38,7 +38,18 @@ object FuzzyJoin {
           |       ELSE concat(substr(tok, 1, i - 1), substr(tok, i + 1)) END AS v))"""
           .stripMargin)))
       .select(col("tok"), col("vr.pos").as("pos"), col("vr.v").as("v"))
-    vars.as("a").join(vars.as("b"),
+    // SHUFFLE_HASH self-join (r16): the planner's default broadcasts
+    // one side, which computes the exploded-variant subtree TWICE
+    // (stream + broadcast build — no reuse across distributions) and
+    // pays the broadcast materialization. Hinted shuffled-hash, both
+    // sides hash-partition on v and the two identical subtrees
+    // collapse into ONE Exchange + ReusedExchange — the explode runs
+    // once and nothing broadcasts. Measured at sf0.1: 5.2-6.8 s →
+    // 2.0-2.7 s for the whole query. This is also the only shape that
+    // survives deep scale (a corpus-sized neighborhood table cannot
+    // broadcast); per-v buckets are alphabet-bounded, so the per-
+    // partition build side stays a bounded fraction of its partition.
+    vars.as("a").hint("shuffle_hash").join(vars.as("b"),
         col("a.v") === col("b.v") && col("a.tok") < col("b.tok") &&
           ((length(col("a.tok")) === length(col("b.tok")) &&
             col("a.pos") === col("b.pos") && col("a.pos") > 0) ||

@@ -137,6 +137,32 @@ class JoinScaleSpec extends SparkSpec {
       s"skey must be part of the join partitioning keys, got $keyNames")
   }
 
+  test("j10: variant self-join executes shuffled-hash with the exploded subtree computed once") {
+    // The r16 FuzzyJoin change: the planner's default broadcast form
+    // computed the exploded-variant subtree TWICE (no reuse across a
+    // broadcast and a stream distribution); the shuffle_hash hint makes
+    // both sides hash-partition on v so the identical subtrees collapse
+    // into one Exchange + ReusedExchange. Measured 5.2-6.8 s -> 2.0-2.7 s
+    // at sf0.1. If AQE ever demotes the hint (back to broadcast or SMJ)
+    // or the reuse stops firing, this fails.
+    val plan = executed("j10_fuzzy_ed1")
+    val shjs = collectAll(plan) { case j: ShuffledHashJoinExec => j }
+    assert(shjs.nonEmpty, s"expected a ShuffledHashJoin in\n$plan")
+    // collectAll walks THROUGH ReusedExchangeExec nodes, so count reuse
+    // markers directly on the raw tree walk instead
+    def rawCollect(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(rawCollect)
+    }
+    val reused = rawCollect(plan).collect { case r: ReusedExchangeExec => r }
+    assert(reused.nonEmpty,
+      s"expected the variant subtree's Exchange to be reused (one explode, not two):\n$plan")
+  }
+
   test("s8: ORC scan pushes the status filter and prunes to 3 columns") {
     val plan = executed("s8_orc_roundtrip")
     val scans = collectAll(plan) {
