@@ -1,6 +1,6 @@
 package graft.ann
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.expr.VecExprs.{dot_i12, l2sq_fd}
@@ -22,51 +22,74 @@ import graft.expr.VecExprs.{dot_i12, l2sq_fd}
   * Deterministic: centroids seed from the lowest vec_ids; the centroid
   * update accumulates Σ round(x·1e6) per dim as LONG (order-independent
   * across partitions); assignment ties break on lowest cid via a
-  * lexicographic min(struct(dist, cid)) — no windows anywhere in the
-  * per-vector path.
+  * lexicographic least() over (dist, cid) structs — no windows
+  * anywhere in the per-vector path.
+  *
+  * r16 (guide §2.3/§2.4): assignment is ROW-LOCAL. The centroid set is
+  * driver-held model state by contract, so the per-vector argmin is one
+  * codegen projection over the embedding array — the earlier
+  * crossJoin(k×) + per-vector min-aggregation + join-back shape paid a
+  * k× row blowup, an aggregation exchange, AND a full shuffle of the
+  * embedding payload per Lloyd round, all to recompute information
+  * that never left the row.
   */
 object Ivf {
 
   /** Materialize driver-side centroids as a broadcastable (cid, cvec)
-    * DataFrame — k·dim doubles, tiny by contract. */
+    * DataFrame — k·dim doubles, tiny by contract. (Probe routing still
+    * joins this frame; per-vector assignment uses [[nearestCid]].) */
   private def centroidDF(spark: SparkSession,
                          cents: Array[(Int, Array[Double])]): DataFrame = {
     import spark.implicits._
     cents.toSeq.map { case (cid, v) => (cid, v.toSeq) }.toDF("cid", "cvec")
   }
 
+  /** Nearest-centroid id as a single row-local expression: least() over
+    * k (dist, cid) structs compares lexicographically — exactly the
+    * retired min(struct(dist, cid)) aggregation semantics (ties to the
+    * lowest cid; every centroid present; no nulls) with zero exchanges
+    * and no k× intermediate rows. Distances go through the same L2SqFD
+    * kernel against the same double centroid arrays, so the assignment
+    * is bit-identical to the aggregated form. */
+  private def nearestCid(cents: Array[(Int, Array[Double])]): Column =
+    if (cents.length == 1) lit(cents.head._1)
+    else least(cents.map { case (cid, v) =>
+      struct(l2sq_fd(col("embedding"), typedLit(v.toSeq)).as("d"),
+        lit(cid).as("c"))
+    }.toIndexedSeq: _*).getField("c")
+
   /** Assign every vector to its nearest centroid (squared L2, ties to
-    * the lowest cid). One narrow crossJoin against the broadcast
-    * centroid set + one map-side-combined aggregation — no window, no
-    * explode. Returns (vec_id, cid). */
-  def assign(emb: DataFrame, centroids: DataFrame): DataFrame =
-    emb.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("dist", l2sq_fd(col("embedding"), col("cvec")))
-      .groupBy("vec_id")
-      .agg(min(struct(col("dist"), col("cid"))).as("m"))
-      .select(col("vec_id"), col("m.cid").as("cid"))
+    * the lowest cid). Pure projection — no shuffle. Returns
+    * (vec_id, cid). */
+  def assign(emb: DataFrame, cents: Array[(Int, Array[Double])]): DataFrame =
+    emb.select(col("vec_id"), nearestCid(cents).as("cid"))
 
   /** Train k centroids with `iters` Lloyd rounds. `dim` is the
     * embedding dimensionality (IVF config, like k). The per-round
     * centroid update is dim parallel integer sums — codegen'd,
-    * map-side combined, order-independent. The k×dim result is
-    * collected to the driver each round (by design: it is the
-    * broadcast model state, not data). */
+    * map-side combined, order-independent — over the row-local
+    * assignment, so each round is ONE map-side-combined aggregation
+    * job (k groups) with no embedding-payload shuffle. The k×dim
+    * result is collected to the driver each round (by design: it is
+    * the broadcast model state, not data). */
   def train(emb: DataFrame, k: Int, iters: Int = 2, dim: Int = 64):
       Array[(Int, Array[Double])] = {
-    val spark = emb.sparkSession
     var cents: Array[(Int, Array[Double])] =
       emb.select(col("vec_id"), col("embedding")).orderBy("vec_id").limit(k)
         .collect().zipWithIndex.map { case (r, i) =>
           (i, r.getSeq[Float](1).map(_.toDouble).toArray)
         }
+    // RoundAwayD, not functions.round: bit-identical HALF_UP in this
+    // envelope (|x·1e6| ≪ 2^52) without the per-row-per-dim BigDecimal
+    // allocation (the r15/r16 rounding-tax lesson, applied to the one
+    // engine-side round() site that remained).
     val sums = (0 until dim).map(j =>
-      sum(round(element_at(col("embedding"), j + 1).cast("double") * 1e6)
+      sum(graft.core.Tables.roundAway(
+        element_at(col("embedding"), j + 1).cast("double") * 1e6)
         .cast("long")).as(s"s$j"))
     for (_ <- 1 to iters) {
-      val a = assign(emb, centroidDF(spark, cents))
-      val upd = emb.join(a, "vec_id")
+      val upd = emb
+        .withColumn("cid", nearestCid(cents))
         .groupBy("cid")
         .agg(count(lit(1)).as("n"), sums: _*)
         .collect()
@@ -86,7 +109,7 @@ object Ivf {
              queryIds: Seq[Long], nProbe: Int, topK: Int): DataFrame = {
     val spark = emb.sparkSession
     val cdf = centroidDF(spark, cents)
-    val assigned = assign(emb, cdf)
+    val assigned = assign(emb, cents)
     val withNorm = emb.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", dot_i12(col("embedding"), col("embedding")))
     val q = withNorm.filter(col("vec_id").isin(queryIds: _*))

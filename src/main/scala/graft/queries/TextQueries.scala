@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.Tables._
@@ -29,6 +29,37 @@ object TextQueries {
   private def distinctToks(s: SparkSession, d: String): DataFrame =
     documents(s, d).select(col("doc_id"),
       explode(array_distinct(split(col("text"), " "))).as("tok"))
+
+  /** e4/e6/e13's shared fixed codebook: 16 deterministic 64-dim
+    * dyadic-float centroids + exact integer norms (one definition —
+    * the three queries used to carry identical literals). */
+  private lazy val fixedCode: Seq[(Int, Seq[Float], Long)] =
+    (0 until 16).map { cid =>
+      val arr = Array.tabulate(64) { j =>
+        val u = ((cid * 64 + j).toLong * 2654435761L) % 2147483648L
+        ((u % 1025) - 512).toFloat / 1024.0f
+      }
+      val nrmc = arr.map(x =>
+        graft.expr.VecExprs.roundHalfAway(x.toDouble * x.toDouble * 1e12)).sum
+      (cid, arr.toSeq, nrmc)
+    }
+
+  /** Row-local nearest-cell id against [[fixedCode]] (r16, guide
+    * §2.3/§2.4): the codebook is a compile-time literal, so the
+    * per-vector argmin is ONE codegen projection — least() over
+    * (dist, cid) structs compares lexicographically, i.e. exactly the
+    * retired crossJoin(16×) + min(struct(dist, cid)) aggregation
+    * (ties to the lowest cid, every centroid present, no nulls),
+    * without the 16× row blowup or the per-vector aggregation
+    * exchange that shuffled the embedding payload. Distances go
+    * through the same DotI12 kernel against the same float arrays, so
+    * the assignment is bit-identical. Requires columns
+    * `embedding` + `nrm`. */
+  private def fixedCid: Column =
+    least(fixedCode.map { case (cid, arr, nrmc) =>
+      struct((col("nrm") - lit(2) * dot_i12(col("embedding"), typedLit(arr))
+        + lit(nrmc)).as("d"), lit(cid).as("c"))
+    }: _*).getField("c")
 
   /** d31's directed top-3 kNN graph: sign-LSH buckets with the
     * population-128 sub-cell salt (the r6 quadratic fix — candidate
@@ -644,31 +675,18 @@ object TextQueries {
     // (deterministic tie-break: smallest label), and the cell's
     // remaining vectors inherit it; the query reports per-cell seed
     // counts and pseudo-label accuracy against the held-out true
-    // labels as an exact ppm. Scale shape: one broadcast codebook
-    // crossJoin + argmin agg (e4's audited shape), a 16-row majority
+    // labels as an exact ppm. Scale shape: a row-local literal-codebook
+    // argmin projection (e4's audited shape), a 16-row majority
     // table, and one keyed rollup — the corpus shuffles once on cid.
     "e13_pseudo_label" -> ((s, d) => {
-      val dim = 64; val k = 16
-      val code = (0 until k).map { cid =>
-        val arr = Array.tabulate(dim) { j =>
-          val u = ((cid * 64 + j).toLong * 2654435761L) % 2147483648L
-          ((u % 1025) - 512).toFloat / 1024.0f
-        }
-        val nrmc = arr.map(x =>
-          graft.expr.VecExprs.roundHalfAway(x.toDouble * x.toDouble * 1e12)).sum
-        (cid, arr.toSeq, nrmc)
-      }
-      val codeDf = s.createDataFrame(code).toDF("cid", "cvec", "nrmc")
+      // fixedCid: row-local argmin (r16) — the assignment is a pure
+      // projection; the only shuffles left are the two tiny
+      // cell-keyed rollups below.
       val assigned = embeddings(s, d)
         .select(col("vec_id"), col("embedding"), col("label"))
         .withColumn("nrm", dot_i12(col("embedding"), col("embedding")))
-        .crossJoin(broadcast(codeDf))
-        .withColumn("dist",
-          col("nrm") - lit(2) * dot_i12(col("embedding"), col("cvec")) + col("nrmc"))
-        .groupBy("vec_id")
-        .agg(min(struct(col("dist"), col("cid"))).as("m"),
-          first(col("label")).as("label"))
-        .select(col("vec_id"), col("m.cid").as("cid"), col("label"))
+        .withColumn("cid", fixedCid)
+        .select(col("vec_id"), col("cid"), col("label"))
       val wm = Window.partitionBy("cid")
         .orderBy(desc("n_seed_lab"), asc("label"))
       val cellLab = assigned.filter(col("vec_id") % 7 === 0)
@@ -879,29 +897,18 @@ object TextQueries {
     // top-5 inside the probed lists. Complements e3 (whose k-means
     // TRAINING chain is itself oracle-exact since r3) with a
     // fixed-codebook check of the search half alone.
-    // Assignment is a broadcast of 16 codebook rows —
-    // the 100 TB shape (posting-list id is the shuffle key).
+    // Assignment is a row-local argmin against the 16 literal
+    // codebook rows — the 100 TB shape (posting-list id is the
+    // shuffle key; the payload never shuffles for the argmin).
     "e4_ivf_fixed" -> ((s, d) => {
-      val dim = 64; val k = 16
-      val code = (0 until k).map { cid =>
-        val arr = Array.tabulate(dim) { j =>
-          val u = ((cid * 64 + j).toLong * 2654435761L) % 2147483648L
-          ((u % 1025) - 512).toFloat / 1024.0f
-        }
-        val nrmc = arr.map(x =>
-          graft.expr.VecExprs.roundHalfAway(x.toDouble * x.toDouble * 1e12)).sum
-        (cid, arr.toSeq, nrmc)
-      }
-      val codeDf = s.createDataFrame(code).toDF("cid", "cvec", "nrmc")
+      val codeDf = s.createDataFrame(fixedCode).toDF("cid", "cvec", "nrmc")
       val withNorm = embeddings(s, d).select(col("vec_id"), col("embedding"))
         .withColumn("nrm", dot_i12(col("embedding"), col("embedding")))
-      val assigned = withNorm.crossJoin(broadcast(codeDf))
-        .withColumn("dist",
-          col("nrm") - lit(2) * dot_i12(col("embedding"), col("cvec")) + col("nrmc"))
-        .groupBy("vec_id")
-        .agg(min(struct(col("dist"), col("cid"))).as("m"),
-          first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"))
-        .select(col("vec_id"), col("m.cid").as("cid"), col("embedding"), col("nrm"))
+      // fixedCid: row-local argmin (r16) — no 16× crossJoin, no
+      // per-vector aggregation exchange; codeDf remains only for the
+      // tiny query-side probe ranking below.
+      val assigned = withNorm.withColumn("cid", fixedCid)
+        .select(col("vec_id"), col("cid"), col("embedding"), col("nrm"))
       val q = assigned.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn"))
       val wp = Window.partitionBy("q_id").orderBy(asc("qdist"), asc("cid"))
@@ -1479,26 +1486,13 @@ object TextQueries {
     // the representative kept is the smallest such neighbor. All
     // similarities are exact integers through the DotI12 kernel.
     "e6_semdedup" -> ((s, d) => {
-      val dim = 64; val k = 16
-      val code = (0 until k).map { cid =>
-        val arr = Array.tabulate(dim) { j =>
-          val u = ((cid * 64 + j).toLong * 2654435761L) % 2147483648L
-          ((u % 1025) - 512).toFloat / 1024.0f
-        }
-        val nrmc = arr.map(x =>
-          graft.expr.VecExprs.roundHalfAway(x.toDouble * x.toDouble * 1e12)).sum
-        (cid, arr.toSeq, nrmc)
-      }
-      val codeDf = s.createDataFrame(code).toDF("cid", "cvec", "nrmc")
       val withNorm = embeddings(s, d).select(col("vec_id"), col("embedding"))
         .withColumn("nrm", dot_i12(col("embedding"), col("embedding")))
-      val assigned = withNorm.crossJoin(broadcast(codeDf))
-        .withColumn("dist",
-          col("nrm") - lit(2) * dot_i12(col("embedding"), col("cvec")) + col("nrmc"))
-        .groupBy("vec_id")
-        .agg(min(struct(col("dist"), col("cid"))).as("m"),
-          first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"))
-        .select(col("vec_id"), col("m.cid").as("cid"), col("embedding"), col("nrm"))
+      // fixedCid: row-local argmin (r16) — the corpus now shuffles
+      // ONLY on cid (the within-cluster pair stage), not first on
+      // vec_id for the assignment aggregation.
+      val assigned = withNorm.withColumn("cid", fixedCid)
+        .select(col("vec_id"), col("cid"), col("embedding"), col("nrm"))
       val csize = Window.partitionBy("cid")
       val a = assigned.withColumn("csize", count(lit(1)).over(csize))
       val b = assigned.select(col("cid").as("b_cid"), col("vec_id").as("vb"),

@@ -55,4 +55,40 @@ class IvfSpec extends SparkSpec {
       assert(at8(q) == 1.0, s"query $q recall ${at8(q)} != 1.0 probing all lists")
     }
   }
+
+  test("r16: row-local centroid assignment — zero exchanges, identical to the retired aggregated argmin") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+    def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
+      val here = p match {
+        case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)(pf)
+        case q: QueryStageExec => collectAll(q.plan)(pf)
+        case r: ReusedExchangeExec => collectAll(r.child)(pf)
+        case _ => p.children.flatMap(c => collectAll(c)(pf))
+      }
+      (pf.lift(p).toSeq ++ here) ++ p.subqueries.flatMap(s => collectAll(s)(pf))
+    }
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val cents = Ivf.train(emb, k = 8, iters = 1)
+    val a = Ivf.assign(emb, cents)
+    a.collect()
+    assert(collectAll(a.queryExecution.executedPlan) {
+      case e: ShuffleExchangeExec => e }.isEmpty,
+      "row-local assignment must not shuffle")
+    // the retired shape: crossJoin(k×) + per-vector min(struct(dist, cid))
+    // aggregation — the differential catches any tie-break or distance
+    // drift at a k the oracle fixture does not exercise
+    val cdf = spark.createDataFrame(
+      cents.toSeq.map { case (cid, v) => (cid, v.toSeq) }).toDF("cid", "cvec")
+    val old = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cdf))
+      .withColumn("dist",
+        graft.expr.VecExprs.l2sq_fd(col("embedding"), col("cvec")))
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"))
+    assert(a.except(old).isEmpty && old.except(a).isEmpty,
+      "row-local assignment diverged from the aggregated argmin")
+  }
 }
