@@ -5,7 +5,9 @@ import org.apache.spark.sql.functions._
 
 /** Throwaway stage probe (not part of the driver contract): times the
   * sub-stages of one query under Bench session conditions to localize
-  * a floor. Delete or repurpose freely between rounds. */
+  * a floor. Delete or repurpose freely between rounds. r16b: t5
+  * Lomb–Scargle — where do its ~4 s go (trig? rounding? join+agg
+  * machinery? the grid subquery)? */
 object Probe {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
@@ -29,53 +31,49 @@ object Probe {
       r
     }
 
-    import graft.core.Tables
     import graft.core.Exec.runCount
-    val cust = Tables.customer(spark, sfDir)
-    def mkVars = cust.select(col("c_name").as("tok")).distinct()
-      .withColumn("vr", explode(expr(
-        """transform(sequence(0, length(tok)), i -> struct(
-          |  i AS pos,
-          |  CASE WHEN i = 0 THEN tok
-          |       ELSE concat(substr(tok, 1, i - 1), substr(tok, i + 1)) END AS v))"""
-          .stripMargin)))
-      .select(col("tok"), col("vr.pos").as("pos"), col("vr.v").as("v"))
-    def cond = col("a.v") === col("b.v") && col("a.tok") < col("b.tok") &&
-      ((length(col("a.tok")) === length(col("b.tok")) &&
-        col("a.pos") === col("b.pos") && col("a.pos") > 0) ||
-       (length(col("a.tok")) === length(col("b.tok")) + 1 &&
-        col("a.pos") > 0 && col("b.pos") === 0) ||
-       (length(col("b.tok")) === length(col("a.tok")) + 1 &&
-        col("b.pos") > 0 && col("a.pos") === 0))
-    def sel(j: org.apache.spark.sql.DataFrame) = j
-      .select(col("a.tok").as("a_name"), col("b.tok").as("b_name"),
-        when(length(col("a.tok")) === length(col("b.tok")), "sub")
-          .otherwise("indel").as("kind"))
-      .distinct()
+    val base = graft.core.Tables.events(spark, sfDir)
+      .selectExpr("event_id", "unix_micros(ts) AS t_us",
+        "CAST(round(value*100) AS BIGINT) AS vc")
+    val nFreq = 120; val subdiv = 6
+    def mm = base.agg(
+      min(col("t_us")).as("t0"), max(col("t_us")).as("t1"),
+      count(lit(1)).as("n"), sum(col("vc")).as("s"),
+      sum(col("vc") * col("vc")).as("q"))
+    def freqs = mm
+      .withColumn("k", explode(sequence(lit(0), lit(nFreq - 1))))
+      .withColumn("bl", (col("t1") - col("t0")).cast("double") / 1000000.0)
+      .withColumn("omega", lit(2.0) * lit(math.Pi) *
+        (col("k").cast("double") / lit(subdiv.toDouble) + lit(1.0)) / col("bl"))
+      .withColumn("mean", col("s").cast("double") / col("n") / 100.0)
+      .withColumn("varx",
+        (col("q") - col("s").cast("double") * col("s") / col("n")) / col("n") / 10000.0)
+      .select("k", "t0", "omega", "mean", "varx")
+    def joined = base.crossJoin(broadcast(freqs))
+      .withColumn("ts", (col("t_us") - col("t0")).cast("double") / 1000000.0)
+
     (1 to 3).foreach { rep =>
       println(s"--- rep $rep")
-      t("j10 full")(runCount(
-        SparkEntry.queries("j10_fuzzy_ed1")(spark, sfDir)))
-      val vars = mkVars
-      t("vars runCount")(runCount(vars))
-      val joined = vars.as("a").join(vars.as("b"), cond)
-      t("join runCount")(runCount(joined))
-      t("join+distinct runCount")(runCount(sel(joined)))
-      t("full no-sort+sort runCount")(runCount(
-        sel(joined).orderBy("a_name", "b_name")))
-      // variant A: force a shuffled self-join so the exploded frame is
-      // computed once and the exchange reused on both sides
-      val vA = mkVars
-      val jA = vA.as("a").hint("shuffle_hash").join(vA.as("b"), cond)
-      t("variant A shj runCount")(runCount(
-        sel(jA).orderBy("a_name", "b_name")))
-      // variant B: broadcast join keyed on the 64-bit hash of the
-      // variant, v equality kept as residual (narrower build key)
-      val vB = mkVars.withColumn("hv", xxhash64(col("v")))
-      val jB = vB.as("a").join(vB.as("b"),
-        col("a.hv") === col("b.hv") && cond)
-      t("variant B hashkey runCount")(runCount(
-        sel(jB).orderBy("a_name", "b_name")))
+      t("t5 full")(runCount(
+        SparkEntry.queries("t5_lombscargle")(spark, sfDir)))
+      t("A base scan only")(runCount(base))
+      t("B mm agg")(runCount(mm))
+      t("C crossJoin+agg, no trig no rounds")(runCount(
+        joined
+          .withColumn("dx", col("vc") / 100.0 - col("mean"))
+          .groupBy("k").agg(count(lit(1)).as("n"), sum(col("dx")).as("sx"))))
+      t("D + trig only (no rounds)")(runCount(
+        joined
+          .withColumn("c", cos(col("omega") * col("ts")))
+          .withColumn("si", sin(col("omega") * col("ts")))
+          .groupBy("k").agg(count(lit(1)).as("n"),
+            sum(col("c")).as("sc"), sum(col("si")).as("ss"))))
+      t("E + trig + 2 roundAway")(runCount(
+        joined
+          .withColumn("ci", graft.core.Tables.roundAway(cos(col("omega") * col("ts")) * 1e6).cast("long"))
+          .withColumn("si", graft.core.Tables.roundAway(sin(col("omega") * col("ts")) * 1e6).cast("long"))
+          .groupBy("k").agg(count(lit(1)).as("n"),
+            sum(col("ci")).as("sc"), sum(col("si")).as("ss"))))
     }
     spark.stop()
   }

@@ -34,6 +34,77 @@ class SearchSpec extends SparkSpec {
       s"peak k=$peakK -> P=$recovered d, expected $pDays d")
   }
 
+  test("r16: single-pass LsSums aggregate is bit-identical to the retired crossJoin form") {
+    // a small seeded series with an oversampled grid + FAP (the t5
+    // parameter shape), replayed through an inline replica of the
+    // retired crossJoin(broadcast(grid)) + groupBy(k) plan — catches
+    // any drift in the aggregate's arithmetic order or rounding at
+    // parameters the oracle fixture does not pin
+    val rng = new scala.util.Random(17)
+    val n = 3000
+    val df = (0 until n).map { i =>
+      val tU = E + (i.toLong * 30 * DAY) / n
+      (i.toLong, tU, 100.0 + rng.nextGaussian())
+    }.toDF("id", "t_us", "value")
+      .withColumn("vc", round(col("value") * 100).cast("long"))
+    val nFreq = 40; val subdiv = 6
+    val neu = LombScargle.periodogram(df, "t_us", "vc", nFreq,
+      subdiv = subdiv, fapProb = Some(0.05))
+    val mm = df.agg(
+      min(col("t_us")).as("t0"), max(col("t_us")).as("t1"),
+      count(lit(1)).as("n"), sum(col("vc")).as("s"),
+      sum(col("vc") * col("vc")).as("q"))
+    val freqs = mm
+      .withColumn("k", explode(sequence(lit(0), lit(nFreq - 1))))
+      .withColumn("bl", (col("t1") - col("t0")).cast("double") / 1000000.0)
+      .withColumn("omega", lit(2.0) * lit(math.Pi) *
+        (col("k").cast("double") / lit(subdiv.toDouble) + lit(1.0)) / col("bl"))
+      .withColumn("mean", col("s").cast("double") / col("n") / 100.0)
+      .withColumn("varx",
+        (col("q") - col("s").cast("double") * col("s") / col("n")) / col("n") / 10000.0)
+      .select("k", "t0", "omega", "mean", "varx")
+    val old = df.crossJoin(broadcast(freqs))
+      .withColumn("ts", (col("t_us") - col("t0")).cast("double") / 1000000.0)
+      .withColumn("ci", graft.core.Tables.roundAway(cos(col("omega") * col("ts")) * 1e6).cast("long"))
+      .withColumn("si", graft.core.Tables.roundAway(sin(col("omega") * col("ts")) * 1e6).cast("long"))
+      .withColumn("dx", col("vc") / 100.0 - col("mean"))
+      .withColumn("rxc", graft.core.Tables.roundAway(col("ci") * col("dx")).cast("long"))
+      .withColumn("rxs", graft.core.Tables.roundAway(col("si") * col("dx")).cast("long"))
+      .groupBy("k")
+      .agg(
+        min(col("varx")).as("varx"), count(lit(1)).as("n"),
+        sum(col("ci") * col("ci")).as("cc"), sum(col("si") * col("si")).as("ss"),
+        sum(col("ci") * col("si")).as("cs"),
+        sum(col("rxc")).as("xc"), sum(col("rxs")).as("xs"))
+      .withColumn("acc", col("cc").cast("double") / 1e12)
+      .withColumn("ass", col("ss").cast("double") / 1e12)
+      .withColumn("acs", col("cs").cast("double") / 1e12)
+      .withColumn("axc", col("xc").cast("double") / 1e6)
+      .withColumn("axs", col("xs").cast("double") / 1e6)
+      .withColumn("power", graft.core.Tables.round6(
+        (col("ass") * col("axc") * col("axc")
+          - lit(2.0) * col("acs") * col("axc") * col("axs")
+          + col("acc") * col("axs") * col("axs"))
+          / nullif(col("acc") * col("ass") - col("acs") * col("acs"), lit(0.0))
+          / nullif(lit(2.0) * col("varx") * col("n"), lit(0.0))))
+      .withColumn("fap", graft.core.Tables.round6(
+        lit(1.0) - pow(lit(1.0) - pow(lit(0.95), lit(1.0 / nFreq)),
+          lit(2.0) / (col("n") - lit(3)))))
+      .select("k", "n", "power", "fap")
+    val a = neu.orderBy("k").collect()
+    val b = old.orderBy("k").collect()
+    assert(a.length == b.length && a.length == nFreq)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.getInt(0) == y.getInt(0) && x.getLong(1) == y.getLong(1))
+      assert(java.lang.Double.doubleToLongBits(x.getDouble(2)) ==
+        java.lang.Double.doubleToLongBits(y.getDouble(2)),
+        s"power diverged at k=${x.getInt(0)}: ${x.getDouble(2)} vs ${y.getDouble(2)}")
+      assert(java.lang.Double.doubleToLongBits(x.getDouble(3)) ==
+        java.lang.Double.doubleToLongBits(y.getDouble(3)),
+        s"fap diverged at k=${x.getInt(0)}")
+    }
+  }
+
   test("BLS recovers an injected box transit period and depth (F-LC2)") {
     val rng = new scala.util.Random(13)
     val pInj = 3 * DAY      // exactly baseline/10 -> on the trial ladder
