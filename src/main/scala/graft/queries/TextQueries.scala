@@ -973,18 +973,24 @@ object TextQueries {
         .withColumn("nrm_s", dot_i12(col("sub"), col("sub")))
         .drop("embedding")
         .localCheckpoint()
-      val code0 = subs.filter(col("vec_id") < 16)
+      // nearest-centroid assignment per (vector, sub-space) as a
+      // ROW-LOCAL codegen argmin (r16, guide §2.3/§2.4): the codebook
+      // is driver-held model state (≤ 128 × 8 floats), collected once
+      // per pass — the retired join(broadcast) + per-(vec, m)
+      // min-aggregation paid a 16× row blowup plus a corpus-scale
+      // exchange per assignment pass, and the Lloyd-sums join-back
+      // additionally shuffled the sub-vector payload. Same exact
+      // integer distances, same lowest-code tie-break (PqEquivSpec
+      // replays the retired form; strict oracle PASS).
+      def collectCb(cb: org.apache.spark.sql.DataFrame): Seq[(Int, Int, Seq[Float], Long)] =
+        cb.select("m", "c", "cvec", "nrmc").collect().toSeq.map(r =>
+          (r.getInt(0), r.getInt(1), r.getSeq[Float](2), r.getLong(3)))
+      def assignCol(cb: Seq[(Int, Int, Seq[Float], Long)]) =
+        graft.expr.PqAssign.pq_assign(col("sub"), col("m"), col("nrm_s"),
+          cb, nSub = M, k = 16, dim = 8)
+      val cb0 = collectCb(subs.filter(col("vec_id") < 16)
         .select(col("m"), col("vec_id").cast("int").as("c"),
-          col("sub").as("cvec"), col("nrm_s").as("nrmc"))
-      // nearest-centroid assignment per (vector, sub-space) — ties to
-      // the lowest code via lexicographic min(struct), no window.
-      def assign(cb: org.apache.spark.sql.DataFrame) =
-        subs.join(broadcast(cb), "m")
-          .withColumn("dist",
-            col("nrm_s") - lit(2) * dot_i12(col("sub"), col("cvec")) + col("nrmc"))
-          .groupBy("vec_id", "m")
-          .agg(min(struct(col("dist"), col("c"))).as("mm"))
-          .select(col("vec_id"), col("m"), col("mm.c").as("c"))
+          col("sub").as("cvec"), col("nrm_s").as("nrmc")))
       // One Lloyd round: per-(m, c) integer component sums → mean →
       // FLOAT quantization (both engines round-to-nearest-even), so
       // the refined codebook is reproducible bit-for-bit. Empty
@@ -994,10 +1000,7 @@ object TextQueries {
       val sums = (0 until 8).map(j =>
         sum(roundAway(element_at(col("sub"), j + 1).cast("double") * 1e6)
           .cast("long")).as(s"s$j"))
-      // (measured alternative: folding these sums into the assignment
-      // aggregation via first(sub) shuffles the float arrays instead of
-      // ids and comes out SLOWER — the two-pass shape below wins)
-      val codeDf = subs.join(assign(code0), Seq("vec_id", "m"))
+      val codeDf = subs.withColumn("c", assignCol(cb0))
         .groupBy("m", "c")
         .agg(count(lit(1)).as("n"), sums: _*)
         .select(col("m"), col("c"),
@@ -1005,7 +1008,8 @@ object TextQueries {
             (col(s"s$j") / 1e6 / col("n")).cast("float")): _*).as("cvec"))
         .withColumn("nrmc", dot_i12(col("cvec"), col("cvec")))
         .localCheckpoint()
-      val codes = assign(codeDf)
+      val codes = subs
+        .select(col("vec_id"), col("m"), assignCol(collectCb(codeDf)).as("c"))
       val lut = subs.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("m"),
           col("sub").as("qsub"), col("nrm_s").as("qn"))
