@@ -48,11 +48,11 @@ object Explain {
       "d20_stratified_sample" -> "rate gate is a pure Filter above the scan (no shuffle); the cap window shuffles only gated survivors, partitioned by lang",
       "d21_seq_packing" -> "ONE exchange on the pack key (source); offset prefix-sum and bin are window+arithmetic over it",
       "d22_winnowing" -> "gram hash is row-local; rolling-min window and rollup share the doc_id partitioning — one shuffle of the gram stream",
-      "e6_semdedup" -> "pairwise cosine confined to within-cluster join on cid; codebook broadcast; no global cross join",
+      "e6_semdedup" -> "pairwise cosine confined to within-cluster join on cid; cluster assignment is a row-local literal-codebook argmin projection (r16: no crossJoin, no per-vector aggregation exchange); no global cross join",
       "e7_random_projection" -> "map-only: 16 DotI12 kernels vs a broadcast 16-row literal frame, no Exchange before the output sort",
       "d16_repetition" -> "token and bigram counts are two keyed aggregations rolled up per doc; bigrams built row-locally (no shuffle to construct them)",
       "d17_token_entropy" -> "one token-count shuffle; surprisal integerized per term then rolled up per doc",
-      "e5_pq_adc" -> "Lloyd-refined codebook trains in-plan (integer sums); codes shuffle by (m, c) — 64 keys; ADC LUT is broadcast; full vectors rejoin only for the 50-candidate shortlist rerank",
+      "e5_pq_adc" -> "Lloyd-refined codebook: sub-space assignment is a row-local PqAssign codegen argmin against the collected codebook (r16: no 16x join expansion, no per-(vec,m) exchange); Lloyd sums shuffle by (m, c) — 64 keys; ADC LUT is broadcast; full vectors rejoin only for the 50-candidate shortlist rerank",
       "j9_salted_join" -> "ShuffledHashJoin keyed on (skey, salt) — the hot key is split across 16 reducers; dim side exploded x16 before the exchange",
       "b1_bucketed_join" -> "SortMergeJoin directly over two bucketed scans — no Exchange on either side below the join",
       "b2_bloom_semi_join" -> "bloom probe (might_contain over a scalar-subquery filter) filters the fact scan BEFORE the semi-join shuffle; no job at plan construction",
@@ -66,7 +66,7 @@ object Explain {
       "m2_media_features" -> "partition-local batched decode kernel (mapPartitions) directly over the payload build — no shuffle before the output sort",
       // round-6 additions: the heavy/novel tail the r5 verdict flagged
       "d10_corpus_pipeline" -> "one fused plan: quality gates are map-side filters, exact-dup keyed agg + minhash signature agg + langid broadcast join share 3 shuffles total",
-      "e3_ivf_ann" -> "k-means chain: centroid refinement is integer-sum aggregations (driver holds only 16 centroid rows); search probes nProbe=4 clusters via broadcast centroid routing — the corpus shuffles once on cid",
+      "e3_ivf_ann" -> "k-means chain: assignment is a row-local least() argmin against the driver-held centroids (r16: no crossJoin, no payload join-back per Lloyd round); centroid refinement is ONE map-side-combined integer-sum aggregation per round; search shuffles the corpus once on cid",
       "d15_components" -> "plan shown is the FINAL round's: constant-size thanks to per-round localCheckpoint truncation (the loop would otherwise double the tree each round); per round = 3 tiny shuffle_hash joins keyed by node/dst, O(log diameter) rounds (cap 8+2·log2 n after the r6 scale finding); the EXECUTED-plan join strategy (ShuffledHashJoin, no AQE demotion) is spec-pinned in JoinScaleSpec (r16)",
       "t6b_bls_companions" -> "driver-loop operator: the returned frame is a LocalTableScan over accepted companions — the load-bearing plan is t6's pre-binned spectrum (audited above), executed once per round (≤4) on the masked-and-persisted survivor frame; the mask is a pure filter, no re-shuffle of the base",
       "j8b_asof_nearest" -> "custom whole-operator path: AsOfJoinExec (LogicalPlan+Strategy+SparkPlan) — both sides exchange ONCE on user_id and sort within partitions; the nearest-match scan is a per-partition merge, no window, no cross join",
@@ -80,7 +80,7 @@ object Explain {
       "d25_substring_spans" -> "ONE big shuffle on the content-hash gram key (uniform by construction — no skew); duplicate marking is a min/max window over that key, NO join; the island merge windows are doc-local",
       "m3_frame_pool" -> "decode + frame-sample + 2x2 average-pool all inside ONE row-local mapPartitions kernel — no Exchange before the output sort; video bytes never shuffle",
       "t4_sigma_clip" -> "iterative clip as a per-user window fixpoint: every round is one Exchange on user_id (median + moment windows share it) — no joins, no global sort inside the loop",
-      "e4_ivf_fixed" -> "IVF search at fixed centroids: broadcast centroid routing assigns clusters map-side; the corpus shuffles ONCE on cid; probe-side top-k is a per-query window over nProbe clusters only",
+      "e4_ivf_fixed" -> "IVF search at fixed centroids: cluster assignment is a row-local literal-codebook argmin projection (r16); the corpus shuffles ONCE on cid; probe-side top-k is a per-query window over nProbe clusters only",
       "d26_bpe_train" -> "driver-loop operator (t6b division): the corpus is touched ONCE by the word-frequency aggregation; the 3-round merge loop runs keyed aggregations over the vocabulary-sized word table and only the 1-row argmax lands on the driver — returned frame is the LocalTableScan of merges",
       "d27_bpe_encode" -> "tokenizer APPLY: one corpus shuffle (doc×word counts); the 6-deep merge fold is column arithmetic on the DISTINCT-word table (re-aggregated from the same shuffle), joined back via broadcast — the corpus is never re-parsed and the fold never runs per occurrence",
       "d28_bigram_lm" -> "one corpus-scale shuffle (doc×bigram counts); the bigram model table counts straight off the row-local pair stream (map-side combine bounds its shuffle at vocab² rows/partition), is localCheckpoint-ed, and the left-context table re-aggregates from that checkpoint (r16 — the re-aggregation from the per-doc frame re-ran its corpus exchange per table); the score join keys on the bigram and AQE broadcasts the model tables while they fit",
@@ -124,7 +124,7 @@ object Explain {
       "a16_cohort_retention" -> "cohort retention matrix: first-seen is ONE user-keyed min-agg; activity join user-keyed (AQE broadcasts the cohort table while it fits); distinct + cell rollup share the (cohort, age) partitioning; sizes a |cohorts|-row broadcast — no window anywhere",
       "t19_sliding_harmonic" -> "time-resolved harmonic amplitude: t18's integer Cramer fit with the week as an extra group key — the window axis adds a key, not a new shuffle shape; per-(series, week) rollup of nine exact int64 sums",
       "d37_train_split" -> "deterministic train/val/test split: split membership a pure function of the stable doc key (md5 gate in 2^20ths) — map-side gate, one (lang, split) rollup, a |cells|-row share window; no RNG so re-runs can never leak across the boundary",
-      "e13_pseudo_label" -> "cluster-majority pseudo-labeling: e4's broadcast-codebook argmin assignment (one cid shuffle), a 16-row seed-majority table broadcast back, one keyed rollup; accuracy an exact integer ppm",
+      "e13_pseudo_label" -> "cluster-majority pseudo-labeling: e4's row-local argmin assignment (r16 — pure projection), a 16-row seed-majority table broadcast back, one keyed rollup; accuracy an exact integer ppm",
       "u7_snapshot_diff" -> "snapshot diff / CDC derivation: ONE full-outer join on the business key (bucketable like u5) classifying added/removed/changed/unchanged with exact cents drift; rollup is four rows",
       "t20_oddeven" -> "odd/even depth vetting: one filtered keyed aggregation (2 parity groups) + a one-row out-of-transit baseline broadcast — two map-side-combined passes over the series at any scale",
       "d38_classifier_auc" -> "exact tie-aware ROC-AUC: score-grouped integer Mann-Whitney with the o9 two-level cumulative (fixed 4096-wide score buckets: in-bucket window partitioned by bkt + a <=#buckets-row offset table) — NO single-partition window over the score distribution",
@@ -196,7 +196,7 @@ object Explain {
       "sc_datetime" -> "datetime surface: timezone-pinned column math, map-only until the output sort",
       "sc_regex" -> "regex surface: compiled-per-task regexp_* projections, map-only until the output sort",
       "t3_detrend_median" -> "sliding-median detrend: percentile over a RANGE frame partitioned by series — no global window, one exchange serves detrend and residual",
-      "t5_lombscargle" -> "Lomb-Scargle: the trial-frequency axis is a broadcast generated frame; per-(series, freq) integer trig sums aggregate with map-side combine; peak pick is a window over the trial grid only",
+      "t5_lombscargle" -> "Lomb-Scargle: the per-frequency integer trig sums accumulate inside ONE LsSums aggregate pass (r16: the rows x nFreq expansion join is gone; state = 5*nFreq longs per partition); the 120-row tail math is plain column algebra",
       "t7_outlperi" -> "pairwise-diff period estimate: outlier set is small by construction (filtered first), so the pair join is bounded; histogram rollup keyed by the quantized diff",
       "t10_transit_stats" -> "transit stats: in/out-of-transit classification is closed-form column math (no interval join); ONE keyed aggregation per transit index",
       "t11_time_grid" -> "uniform grid generation: sequence + explode off a one-row bounds aggregate — no input-proportional work after the bounds scan",
