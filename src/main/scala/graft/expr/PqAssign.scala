@@ -94,6 +94,16 @@ object PqAssign {
       var j = 0
       v.foreach { x => cvecs(cell * dim + j) = x; j += 1 }
     }
+    // r17 (advice #2): the kernel returns -1 when EVERY cell of a
+    // sub-space is invalid, which the retired join+aggregate form
+    // expressed by dropping the (vec, m) row entirely — a silent
+    // divergence if a caller ever built such a codebook. Unreachable
+    // from e5 (cb0 populates all m), so enforce it at construction.
+    (0 until nSub).foreach { mm =>
+      require((0 until k).exists(c => valid(mm * k + c)),
+        s"pq_assign: sub-space $mm has no valid cell — the -1 sentinel " +
+        "must never reach output (the retired form dropped those rows)")
+    }
     toCol(PqAssign(toExpr(sub), toExpr(m), toExpr(nrm),
       cvecs, nrmcs, valid, k, dim))
   }

@@ -278,14 +278,16 @@ object TextQueries {
     //    cost): pack each doc's set into a bitmap of the global bigram
     //    index and intersect via popcount(x & y) over a length-filtered
     //    broadcast nested-loop self-join;
-    //  • sparse (real corpora): bucket join on the shared bigram — the
-    //    scalable shape, pruned by the Jaccard length filter
-    //    0.4·|A| ≤ |B| ≤ |A|/0.4.
-    // TWO eager localCheckpoint() jobs run at plan CONSTRUCTION (the
-    // shared bigram stream, and the dense `docs` frame — the latter
-    // executes even when the sparse branch is active, but as a
-    // near-empty job after AQE's empty-relation propagation has pruned
-    // the gated-off branch upstream of it). Everything else is
+    //  • sparse (real corpora): rarest-first PREFIX-filtered bucket
+    //    join (AllPairs/PPJoin, r17) — candidates only where two docs
+    //    share a bigram inside their first |A|−⌊0.4·|A|⌋ rarest
+    //    bigrams, pruned further by the Jaccard length filter
+    //    0.4·|A| ≤ |B| ≤ |A|/0.4, then verified exactly row-locally.
+    // THREE eager localCheckpoint() jobs run at plan CONSTRUCTION (the
+    // shared bigram stream, and the dense + sparse `docs` frames — the
+    // gated-off branch's frame executes too, but as a near-empty job
+    // after AQE's empty-relation propagation has pruned the gated-off
+    // branch upstream of it). Everything else is
     // plan-internal: the stats aggregate is a stage, and re-optimization
     // replaces Join(x, empty) with an empty relation, so the pruned
     // branch's expensive stages never execute. nu == 0 (no doc with ≥2
@@ -342,16 +344,59 @@ object TextQueries {
           .filter(col("inter") > 0)
       }
       val sparse = {
+        // AllPairs/PPJoin prefix filter under a rarest-first global
+        // order (r17; Chaudhuri et al. ICDE'06, Bayardo et al. WWW'07).
+        // The retired form joined the FULL bigram streams on the shared
+        // bigram, so candidates were Σ df²/2 over the vocabulary — a
+        // skewed web vocabulary's hot tail owns that sum. Prefix filter:
+        // order bigrams globally by (df, bg) ascending (rarest first —
+        // df ties broken by the bigram itself, so the order is total
+        // with NO global rank window), sort each doc's set in that
+        // order, and index only the first ℓ = nb − ⌊0.4·nb⌋ bigrams.
+        // EXACTNESS (smallest-common-element lemma): J(A,B) > 0.4 ⟹
+        // |A∩B| > 0.4·|A∪B| ≥ 0.4·|A| ⟹ |A∩B| ≥ ⌊0.4·|A|⌋+1; the
+        // smallest shared bigram c has at most |A|−|A∩B| ≤
+        // |A|−⌊0.4·|A|⌋−1 A-elements before it, so c sits inside BOTH
+        // prefixes and every qualifying pair surfaces as a candidate.
+        // Hot bigrams land at the END of the order and mostly fall
+        // OUTSIDE prefixes, so the hot tail stops generating pairs.
+        // Candidates are then verified EXACTLY by a row-local
+        // array_intersect over the full per-doc sets — nothing
+        // approximate reaches the output (JaccardSparseSpec pins both
+        // the equality and the skewed-vocab candidate-count drop).
         val bgS = bg.crossJoin(gateSparse).select("doc_id", "bg")
-        val sz = bgS.groupBy("doc_id").agg(count(lit(1)).as("nb"))
-        val szd = bgS.join(sz, "doc_id")
-        szd.as("a").join(szd.as("b"),
+        // df build and df attach share one Exchange(bg) subtree (AQE
+        // reuse); while the vocab fits the broadcast threshold AQE
+        // broadcasts dfT instead and bgS is not shuffled at all here.
+        val dfT = bgS.groupBy("bg").agg(count(lit(1)).as("dfc"))
+        val docs = bgS.join(dfT, "bg")
+          .groupBy("doc_id")
+          .agg(sort_array(collect_list(struct(col("dfc"), col("bg")))).as("sets"))
+          .select(col("doc_id"),
+            expr("transform(sets, x -> x.bg)").as("arr"),
+            size(col("sets")).cast("long").as("nb"))
+          // ⌊0.4·nb⌋ in exact integers — (2·nb) div 5 — so no double
+          // boundary can shorten a prefix.
+          .withColumn("pref",
+            expr("slice(arr, 1, size(arr) - CAST((2 * size(arr)) DIV 5 AS INT))"))
+          // localCheckpoint, not persist: four consumers (both prefix
+          // join sides, both verify joins) — the bg lifecycle above.
+          .localCheckpoint()
+        val pre = docs.select(col("doc_id"), col("nb"), explode(col("pref")).as("bg"))
+        val cand = pre.as("a").join(pre.as("b"),
             col("a.bg") === col("b.bg") && col("a.doc_id") < col("b.doc_id") &&
             col("b.nb") >= ceil(col("a.nb") * 0.4) &&
             col("b.nb") <= floor(col("a.nb") / 0.4))
-          .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-          .agg(count(lit(1)).as("inter"),
-            first(col("a.nb")).as("na"), first(col("b.nb")).as("nbb"))
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+          .distinct()
+        cand
+          .join(docs.select(col("doc_id").as("a_id"), col("arr").as("arr_a"),
+            col("nb").as("na")), "a_id")
+          .join(docs.select(col("doc_id").as("b_id"), col("arr").as("arr_b"),
+            col("nb").as("nbb")), "b_id")
+          .select(col("a_id"), col("b_id"),
+            size(array_intersect(col("arr_a"), col("arr_b"))).cast("long").as("inter"),
+            col("na"), col("nbb"))
       }
       dense.unionByName(sparse)
         .withColumn("jaccard", col("inter").cast("double") /

@@ -47,7 +47,16 @@ object LombScargle {
     *   ci  = roundAway(cos(ω·ts)·1e6)  as long
     *   si  = roundAway(sin(ω·ts)·1e6)  as long
     *   dx  = vc/100.0 − mean
-    *   rxc = roundAway(ci·dx), rxs = roundAway(si·dx)  as long */
+    *   rxc = roundAway(ci·dx), rxs = roundAway(si·dx)  as long
+    *
+    * INTEGER ENVELOPE (r17, advice #1): each per-row term is bounded
+    * by 1e12 (|ci|,|si| ≤ 1e6 since |cos|,|sin| ≤ 1), so a
+    * per-frequency sum overflows the signed long past
+    * (2^63−1)/1e12 ≈ 9.22e6 input rows — the same envelope as the
+    * retired sum-of-longs columns, NOT unconditional corpus-size
+    * safety. [[periodogram]] guards the collected row count; past the
+    * bound the sums must be chunked (disjoint row ranges merged in
+    * wider arithmetic) before this aggregate is corpus-safe. */
   case class LsSums(tUs: Expression, vc: Expression,
                     omegas: Array[Double], t0: Long, mean: Double,
                     mutableAggBufferOffset: Int = 0,
@@ -141,6 +150,12 @@ object LombScargle {
         spark.sparkContext.emptyRDD[Row], outSchema)
     val t0 = mm.getLong(0); val t1 = mm.getLong(1)
     val n = mm.getLong(2); val s = mm.getLong(3); val q = mm.getLong(4)
+    // LsSums' int64 envelope (see its scaladoc): refuse loudly instead
+    // of overflowing silently past ~9.22e6 rows per series.
+    require(n <= 9000000L,
+      s"LsSums int64 envelope: n=$n rows exceeds the 9e6-row bound " +
+      "(per-row terms reach 1e12; chunk the series and merge in wider " +
+      "arithmetic before running the periodogram at this volume)")
     // the exact double chain of the retired in-plan columns
     val bl = (t1 - t0).toDouble / 1000000.0
     val omegas = Array.tabulate(nFreq)(k =>
