@@ -718,6 +718,131 @@ def d30(sf_dir, out_dir, chunks=16):
     return compare("d30_hll_cardinality", got, want_rows, order)
 
 
+def d28(sf_dir, out_dir, chunks=16):
+    """×1000 oracle for d28_bigram_lm (r17 verdict #5): the monolithic
+    replay exceeds the box's 62 GB spill disk at both 48 GB and 80 GB
+    memory budgets (r16 note) — one query materializes the ~200M-row
+    doc×bigram frame for three consumers plus a model join whose build
+    side is itself ~200M distinct bigram types. Chunked replay instead;
+    every arithmetic step is the ORACLE'S OWN SQL text (sliced from
+    oracle_sql.json):
+
+      pass 1, per doc_id%chunks slice (dbf is per-doc, so doc-chunking
+      is EXACT): materialize the oracle's dbf CTE once per chunk, save
+      it, and dump model PARTIALS hive-partitioned by key hash —
+      (a,b,Σn_db) by hash(a,b), (a,Σn_db) by hash(a), DISTINCT tok by
+      hash(tok). Equal keys land in the same slice, so per-slice sums
+      and distinct counts are exact global values.
+
+      pass 1b, per hash slice: aggregate partials into the exact model
+      tables cbf/cuf and the vocabulary count v.
+
+      pass 2, per doc chunk: the oracle's own li/ag CTE text over the
+      chunk's saved dbf with cbf/cuf/v registered from the slice files
+      (the chunk dbf is the bounded hash-join build side). ag is
+      per-doc, so chunk outputs concatenate exactly; the oracle's final
+      SELECT runs over the concatenation."""
+    sql = json.load(open(f"{out_dir}/oracle_sql.json"))["d28_bigram_lm"]
+    toks_prefix = sql[:sql.index("v AS (")]
+    dbf_prefix = sql[:sql.index("cbf AS (")]
+    li_block = sql[sql.index("li AS ("):sql.index("ag AS (")]
+    ag_block = sql[sql.index("ag AS ("):sql.index("SELECT doc_id, n_bg")]
+    final_sel = sql[sql.index("SELECT doc_id, n_bg"):]
+    docs = f"{sf_dir}/documents.parquet"
+    pat = f"{docs}/*.parquet" if os.path.isdir(docs) else docs
+    con = connect()
+    import shutil
+    dump = os.environ.get("D28_DUMP", "/tmp/d28_dump")
+    shutil.rmtree(dump, ignore_errors=True)
+    for sub in ("dbf", "ag"):
+        os.makedirs(f"{dump}/{sub}", exist_ok=True)
+    for c in range(chunks):
+        con.execute("CREATE OR REPLACE VIEW documents AS "
+                    f"SELECT * FROM '{pat}' WHERE doc_id % {chunks} = {c}")
+        con.execute("DROP TABLE IF EXISTS dbf_mat")
+        con.execute("CREATE TEMP TABLE dbf_mat AS " + dbf_prefix +
+                    "sel AS (SELECT doc_id, a, b, n_db FROM dbf) "
+                    "SELECT * FROM sel")
+        con.execute(f"COPY (SELECT * FROM dbf_mat) TO "
+                    f"'{dump}/dbf/chunk{c}.parquet' (FORMAT parquet)")
+        os.makedirs(f"{dump}/cab/chunk{c}", exist_ok=True)
+        con.execute(
+            f"COPY (SELECT a, b, CAST(sum(n_db) AS BIGINT) AS p_ab,"
+            f" hash(a, b) % {chunks} AS slice FROM dbf_mat GROUP BY 1, 2)"
+            f" TO '{dump}/cab/chunk{c}' (FORMAT parquet, PARTITION_BY (slice))")
+        os.makedirs(f"{dump}/cua/chunk{c}", exist_ok=True)
+        con.execute(
+            f"COPY (SELECT a, CAST(sum(n_db) AS BIGINT) AS p_a,"
+            f" hash(a) % {chunks} AS slice FROM dbf_mat GROUP BY 1)"
+            f" TO '{dump}/cua/chunk{c}' (FORMAT parquet, PARTITION_BY (slice))")
+        os.makedirs(f"{dump}/tok/chunk{c}", exist_ok=True)
+        con.execute(
+            "COPY (" + toks_prefix +
+            "sel AS (SELECT DISTINCT tok FROM toks WHERE tok <> '') "
+            f"SELECT tok, hash(tok) % {chunks} AS slice FROM sel)"
+            f" TO '{dump}/tok/chunk{c}' (FORMAT parquet, PARTITION_BY (slice))")
+        n = con.execute("SELECT count(*) FROM dbf_mat").fetchone()[0]
+        print(f"  [d28big] chunk {c + 1}/{chunks}: {n} dbf rows", flush=True)
+    con.execute("DROP TABLE IF EXISTS dbf_mat")
+    v_total = 0
+    for s_ in range(chunks):
+        files = glob.glob(f"{dump}/cab/chunk*/slice={s_}/*.parquet")
+        con.execute(f"COPY (SELECT a, b, CAST(sum(p_ab) AS BIGINT) AS c_ab"
+                    f" FROM read_parquet({files!r}) GROUP BY 1, 2)"
+                    f" TO '{dump}/cab_s{s_}.parquet' (FORMAT parquet)")
+        files = glob.glob(f"{dump}/cua/chunk*/slice={s_}/*.parquet")
+        con.execute(f"COPY (SELECT a, CAST(sum(p_a) AS BIGINT) AS c_a"
+                    f" FROM read_parquet({files!r}) GROUP BY 1)"
+                    f" TO '{dump}/cua_s{s_}.parquet' (FORMAT parquet)")
+        files = glob.glob(f"{dump}/tok/chunk*/slice={s_}/*.parquet")
+        if files:
+            v_total += con.execute(
+                f"SELECT count(DISTINCT tok) FROM read_parquet({files!r})"
+            ).fetchone()[0]
+        print(f"  [d28big] model slice {s_ + 1}/{chunks}", flush=True)
+    cabs = sorted(glob.glob(f"{dump}/cab_s*.parquet"))
+    cuas = sorted(glob.glob(f"{dump}/cua_s*.parquet"))
+    for c in range(chunks):
+        con.execute(
+            "COPY (WITH dbf AS (SELECT * FROM read_parquet("
+            f"'{dump}/dbf/chunk{c}.parquet')), "
+            f"cbf AS (SELECT * FROM read_parquet({cabs!r})), "
+            f"cuf AS (SELECT * FROM read_parquet({cuas!r})), "
+            f"v AS (SELECT CAST({v_total} AS BIGINT) AS v), "
+            + li_block + ag_block +
+            "SELECT doc_id, n_bg, lp_sum6 FROM ag)"
+            f" TO '{dump}/ag/chunk{c}.parquet' (FORMAT parquet)")
+        print(f"  [d28big] score chunk {c + 1}/{chunks}", flush=True)
+    agf = sorted(glob.glob(f"{dump}/ag/chunk*.parquet"))
+    con.execute(f"CREATE OR REPLACE VIEW ag AS SELECT * FROM read_parquet({agf!r})")
+    tab = con.execute(final_sel).arrow()
+    wd = tab["doc_id"].to_numpy().astype(np.int64)
+    wn = tab["n_bg"].to_numpy().astype(np.int64)
+    wl = tab["lp_sum6"].to_numpy().astype(np.int64)
+    wm = tab["mean_lp"].to_numpy().astype(np.float64)
+    got = pq.read_table(glob.glob(f"{out_dir}/d28_bigram_lm/*.parquet"))
+    gd = got["doc_id"].to_numpy().astype(np.int64)
+    o = np.argsort(gd, kind="stable")
+    gd = gd[o]
+    gn = got["n_bg"].to_numpy().astype(np.int64)[o]
+    gl = got["lp_sum6"].to_numpy().astype(np.int64)[o]
+    gm = got["mean_lp"].to_numpy().astype(np.float64)[o]
+    shutil.rmtree(dump, ignore_errors=True)
+    if len(gd) != len(wd):
+        print(f"FAIL d28_bigram_lm: rows spark={len(gd)} hybrid={len(wd)}")
+        return 1
+    for name, gcol, wcol in (("doc_id", gd, wd), ("n_bg", gn, wn),
+                             ("lp_sum6", gl, wl),
+                             ("mean_lp", gm.view(np.int64), wm.view(np.int64))):
+        if not np.array_equal(gcol, wcol):
+            i_ = int(np.flatnonzero(gcol != wcol)[0])
+            print(f"FAIL d28_bigram_lm: col {name} differs at sorted row "
+                  f"{i_}: spark={gcol[i_]} hybrid={wcol[i_]}")
+            return 1
+    print(f"PASS d28_bigram_lm ({len(gd)} rows, hybrid)")
+    return 0
+
+
 def _popcount32(x):
     # numpy<2.0 has no bitwise_count; SWAR popcount, valid for
     # 0 <= x < 2^32 held in int64
@@ -942,6 +1067,7 @@ if __name__ == "__main__":
               "e3": e3, "e6": e6, "j11": j11,
               "st14": st14, "e5": e5, "d31": d31,
               "d30big": lambda a, b: d30(a, b, chunks=16),
+              "d28big": lambda a, b: d28(a, b, chunks=16),
               "d4bbig": lambda a, b: d4b(a, b, chunks=16),
               "d4bfast": lambda a, b: d4b(a, b, chunks=16, refine=True),
               }[which](sf_dir, out_dir))

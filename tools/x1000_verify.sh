@@ -18,11 +18,13 @@ cd /root/repo
 # (chunked sig replay + numpy banding mirror), and adds st7 (the
 # stream-stream join, dumped at SPARK_GRAFT_STREAM_PARTS=64) via
 # set-difference.
-SMALL="d1_exact_dedup d28_bigram_lm d38_classifier_auc j9_salted_join
+SMALL="d1_exact_dedup d38_classifier_auc j9_salted_join
        j10_fuzzy_ed1 p3_exact_quantiles t6_bls st11_stream_hll"
 BIG="d17_token_entropy e7_random_projection o9_global_index s14_fits_scan
      st2_stream_tumbling u6_scd2 st7_stream_join t3_detrend_median"
-HYB="d15big e3 st14 j11 d30big d4bfast"
+# r17 (verdict #5): d28 moved from SMALL to the chunked hybrid replay —
+# its monolithic DuckDB replay exceeds the box's spill disk (r16 note).
+HYB="d15big e3 st14 j11 d30big d4bfast d28big"
 rc=0
 for q in $SMALL; do
   timeout 7200 python3 tools/sf1_sweep.py "$SD" "$OD" "$q" || rc=1
