@@ -1055,6 +1055,14 @@ object Advanced {
         val pct = graft.model.Ensemble.percentiles(samples)
         (ener, pct(0)(0), pct(0)(1), pct(0)(2), acc)
       }).toDF("ener", "depth_p16", "depth_p50", "depth_p84", "acceptance")
+        // localCheckpoint before the orderBy (r17): the fits sit in the
+        // stage that FEEDS the sort's range exchange, and that stage
+        // runs TWICE — once for the RangePartitioner's sampling pass,
+        // once for the real shuffle write (ProbeT13m: two 4-task
+        // ~1.5 s stages per run). Checkpointing the 8-row fit output
+        // makes the fits run once; the sort then samples 8
+        // materialized rows. Paid inside the timed region.
+        .localCheckpoint()
         .orderBy("ener")
     }),
 
@@ -1128,6 +1136,9 @@ object Advanced {
           })
         .toDF("tran", "epoch_p16", "epoch_p50", "epoch_p84",
           "oc_min", "acceptance")
+        // the t13b double-fit fix (see its comment): run the 4 fits
+        // once, not once more for the sort's sampling pass
+        .localCheckpoint()
         .orderBy("tran")
     }),
 
