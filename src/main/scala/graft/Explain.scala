@@ -26,7 +26,7 @@ object Explain {
       "t1_fold" -> "pure narrow projection + sort; no shuffle before the sort",
       "t6_bls" -> "pre-binned at reference grid density: ONE full-data aggregation (level-0 bins), coarser levels rolled up from it, broadcast trial routing; box scoring over bins, not samples",
       "a4_peakcut_std" -> "frame-max multiplicity via exploded-offset EQUI join (no non-equi band self-join, no per-user cartesian)",
-      "d2_ngram_jaccard" -> "both dense/sparse strategies in ONE static plan, gated by a one-row stats frame; AQE empty-relation propagation prunes the inactive branch; two build-time checkpoint jobs: the shared bigram stream (5 consumers, one parse) and the dense docs frame (near-empty when the sparse gate is active)",
+      "d2_ngram_jaccard" -> "both dense/sparse strategies in ONE static plan, gated by a one-row stats frame; AQE empty-relation propagation prunes the inactive branch; sparse arm is the r17 rarest-first prefix filter (candidates only where two docs share a bigram inside their nb - floor(0.4 nb) rarest, exact row-local array_intersect verify); three build-time checkpoint jobs: the shared bigram stream, the dense docs frame, the sparse per-doc set frame (each near-empty when its gate is off)",
       "t10b_ineg_secondary" -> "two keyed aggregations on transit index + broadcast-side full-outer merge; sub-window predicates are pure column arithmetic",
       "t9_robust_z" -> "window partitioned by user_id (no single-partition WindowExec)",
       "e1_knn_cosine" -> "norms+dots as aggregations; rank window partitioned by query id",
@@ -41,7 +41,7 @@ object Explain {
       "d12_bm25" -> "final top-20 is TakeOrderedAndProject (per-partition heaps) — no Exchange SinglePartition, no global sort of the scored corpus; the rank window sees only the 20 survivors",
       "d13_chunking" -> "row-local split + sequence explode + slice — no shuffle before the output sort",
       "d14_unigram_lm" -> "per-token logprobs integerized before the per-doc sum; two keyed aggregations + broadcast scalar",
-      "t13b_mcmc_perener" -> "one exact-integer phase-bin aggregation, then mapGroups runs one ensemble fit per energy bin — fits parallelize across the shuffle key",
+      "t13b_mcmc_perener" -> "one exact-integer phase-bin aggregation, then mapGroups runs one ensemble fit per energy bin — fits parallelize across the shuffle key and run ONCE (r17: fit output checkpointed before the final sort, so the range-sampling pass no longer re-executes the fit stage)",
       "d4b_simhash_pairs" -> "equi-self-join on the (band, byte) bucket key — pairs stream through the codegen popcount gate with no per-bucket arrays; skewed buckets remain AQE-splittable",
       "d18_pii_scrub" -> "map-only regex scrub: no Exchange anywhere before the output sort",
       "d19_decontaminate" -> "trigram sets built row-locally; benchmark side joins as a BroadcastHashJoin (corpus side never shuffles for the probe)",
@@ -159,7 +159,7 @@ object Explain {
       "t13j_opti" -> "the OPTIMIZER inference mode typeinfe='opti' (r10): t13d's fixture/guess/LD likelihood with a FIXED 120-iteration deterministic Nelder-Mead (integer-llq comparisons, IEEE simplex arithmetic) instead of the walk — one row of simplex state per recursion round in the replay, ~8 200-bin likelihood evals per iteration, driver-side after the one binning aggregate",
       "t13k_mcmc_flare" -> "StarFlaring model fit (r10): injected declared-model flare curve joins as BROADCAST literals, one fold-bin aggregation feeds the collected window; the (A, t0, tau) walk evaluates exp(-x) by range reduction + fixed Taylor + 6 squarings (IEEE-only, no libm at proposal time) and replays as nested named-layer SQL",
       "t13l_mcmc_gphyper" -> "GP HYPERPARAMETERS join the walk (r11): injected Matern-3/2 wiggle joins as BROADCAST literals (truncated-MA over Ensemble.draw), one bin-aligned fold-bin aggregation feeds the collected window; the 5-dim (depth, epoch, dur, sigma_gp, rho_gp) 50x150 walk REBUILDS the innovation filter per proposal — expNegCore + fixed 48-iter Riccati + 40 lag weights as IEEE layers, log-det via lnQ6 — and replays as one recursive-CTE sampler whose llq subquery carries the whole per-proposal GpHyper.chainSql; corpus term is the min(ts) anchor scan only, flat across decades",
-      "t13m_mcmc_ttv" -> "the TTV FIT mode (r12, PlanetarySystemWithTTVs typemodlttvr='indilineuser' main.py:12284-12316 — one fit per transit, mid-time free): one generated-grid aggregation bins 4 per-transit windows (500 bins each), repartitionByRange(4, k) fans each 100x100 ensemble fit into its own task (the t13b per-energy shuffle pattern applied per TRANSIT); corpus term is the min(ts) anchor scan only — at 10^4 targets the fan-out IS the partitioning; replays as one recursive-CTE sampler over 4 groups",
+      "t13m_mcmc_ttv" -> "the TTV FIT mode (r12, PlanetarySystemWithTTVs typemodlttvr='indilineuser' main.py:12284-12316 — one fit per transit, mid-time free): one generated-grid aggregation bins 4 per-transit windows (500 bins each), repartitionByRange(4, k) fans each 100x100 ensemble fit into its own task (the t13b per-energy shuffle pattern applied per TRANSIT); corpus term is the min(ts) anchor scan only — at 10^4 targets the fan-out IS the partitioning; fits run ONCE (r17 checkpoint-before-sort, see t13b); replays as one recursive-CTE sampler over 4 groups",
       "a1_rebin_time" -> "time rebin: ONE keyed aggregation on (user, bin) with map-side partial combine; bin id is integer div column math below the exchange",
       "a1b_rebin_edges" -> "explicit-edge rebin (blimxdat branch): broadcast nested-loop range join against the tiny edge table (strictly-inside membership), ONE keyed aggregation, then a broadcast left join re-attaches the empty bins — the scan side never shuffles",
       "w2b_disc_segment" -> "disc segmentation (retr_timeedge default mode): lag, the ±frame guard sums, the whole-partition diff stats and the cumulative region sum are ALL windows sharing the series-key partitioning — one exchange, no joins, no collect",

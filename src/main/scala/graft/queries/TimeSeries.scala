@@ -177,10 +177,16 @@ object TimeSeries {
     val ss = s.newSession()
     // SPARK_GRAFT_STREAM_PARTS: the state-partition sizing knob a
     // deployment sets per stream (r10 rule: ∝ per-batch row volume;
-    // r13 StreamKnobSweep measures the ×100/×1000 curve). Default 8 =
-    // the gate-fixture optimum.
+    // the ×1000 dumps set 64, the ×1000 st7 replay 256). Default 2 =
+    // the gate-fixture optimum by the SAME volume rule (r17 probe:
+    // per-batch state here is a few thousand rows, and each state
+    // store pays a per-batch commit — delta file + maintenance —
+    // regardless of data, so st7 measured 2.33/2.49/2.85/4.47 s at
+    // 2/4/8/16 stores; this is volume sizing, the OPPOSITE direction
+    // of matching local core count, and the env override is how every
+    // at-scale run sets it).
     ss.conf.set("spark.sql.shuffle.partitions",
-      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8"))
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "2"))
     ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // StreamingQueryManager is per-session: carry the caller's
     // listeners over so progress observers (metrics assertions,
